@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory: one place for every config the engine depends on.
+  *
+  * Determinism / oracle parity (SURVEY.md §2B):
+  *  - session timezone UTC (DuckDB compares naive timestamps),
+  *  - parquet timestamps written as INT64 micros (so DuckDB reads the
+  *    exact same values back, no INT96 legacy rebasing),
+  *  - nanosecond parquet timestamps (events.ts) surfaced as Long nanos
+  *    via `spark.sql.legacy.parquet.nanosAsLong`; [[Tables.events]]
+  *    converts to TimestampType by flooring to micros, which matches
+  *    DuckDB's TIMESTAMP_NS -> TIMESTAMP cast.
+  *
+  * Scale: shuffle partitions default to the local core budget, not 200.
+  * On a real cluster this would be `spark.sql.shuffle.partitions` sized
+  * to ~2-3x total executor cores with AQE coalescing down; AQE is on so
+  * small stages shrink automatically either way.
+  */
+object GraftSession {
+
+  /** Apply engine configs to an existing builder (used by Verify/Bench
+    * which own their master/cpu settings). */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    // local[n] has no dynamic executors; keep broadcast threshold default
+    // (10MB) — all dim tables here fit comfortably.
+    .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+  /** Local session for tests / ad-hoc mains. */
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors.min(32),
+            shufflePartitions: Int = 32): SparkSession = {
+    val s = tune(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

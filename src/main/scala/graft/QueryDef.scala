@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared query from SURVEY.md §2B.
+  *
+  * @param name   stable key (drives CORRECTNESS_r{N}.json per-query rows)
+  * @param run    DataFrame-side implementation; args = (session, sfDir)
+  * @param oracle equivalent DuckDB SQL over the same tables; None → the
+  *               driver records a weaker rows-only check (streaming /
+  *               sketch queries whose semantics DuckDB can't replay)
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+trait QueryRegistry {
+  def defs: Seq[QueryDef]
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryRegistry, Tables}
+import Qf._
+
+/** Q18–Q23: aggregation surface.
+  *
+  * All of these are partial+final hash aggregates (map-side combine is
+  * automatic), so at 100 TB the shuffle carries only one row per
+  * (partition × group), never raw rows. Group-by keys here are
+  * low-cardinality (flags, statuses, event types) — no skew concern.
+  */
+object AggQueries extends QueryRegistry {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1 shape (the flagship).
+    QueryDef("q18_groupby_multi_agg",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+              |${sqlDsum("l_quantity")} AS sum_qty,
+              |${sqlDsum("l_extendedprice")} AS sum_base,
+              |${sqlDsum("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+              |${sqlDsum("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
+              |${sqlDavg("l_quantity")} AS avg_qty,
+              |${sqlDavg("l_extendedprice")} AS avg_price,
+              |${sqlDavg("l_discount")} AS avg_disc
+              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef("q19_global_agg",
+      (s, dir) => Tables.lineitem(s, dir).agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship")),
+      Some("""SELECT COUNT(*) AS cnt, COUNT(DISTINCT l_orderkey) AS n_orders,
+             |MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship FROM lineitem""".stripMargin)),
+
+    QueryDef("q20_distinct_agg",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    QueryDef("q21_rollup",
+      (s, dir) => Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+        .orderBy(col("g_status"), col("g_priority"),
+          col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+              |${sqlDsum("o_totalprice")} AS sum_price,
+              |CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+              |CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+              |ORDER BY g_status, g_priority,
+              |o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // HLL sketch values differ across engines → property-checked in the
+    // test suite (±5% of exact), rows-only for the driver.
+    QueryDef("q22_approx_distinct",
+      (s, dir) => Tables.lineitem(s, dir).agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders")),
+      None),
+
+    QueryDef("q23_filtered_agg",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          count(when(col("value") > 100, 1)).as("cnt_big"),
+          sum(when(col("value") > 100, col("value").cast(D386))).cast(D386).as("sum_big"),
+          dsum(col("value")).as("sum_all"))
+        .orderBy("event_type"),
+      Some(s"""SELECT event_type, COUNT(*) AS cnt,
+              |COUNT(*) FILTER (WHERE value > 100) AS cnt_big,
+              |CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE value > 100) AS DECIMAL(38,6)) AS sum_big,
+              |${sqlDsum("value")} AS sum_all
+              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+}

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryRegistry, Tables}
+import Qf._
+
+/** Q38–Q42 + extensions: the LLM-training-data pipeline surface —
+  * dedup (exact / normalized-hash / n-gram Jaccard), brute-force cosine
+  * similarity search, rule-lexicon text classification, doc stats.
+  *
+  * Scale notes (100 TB):
+  *  - exact/hash dedup is a hash shuffle on the digest — uniform by
+  *    construction, no skew;
+  *  - n-gram Jaccard is quadratic per candidate *bucket*, so the
+  *    declared query bounds the probe set; the production path is
+  *    MinHash-LSH banding (candidate generation by band-hash join)
+  *    which keeps pair enumeration linear in bucket sizes;
+  *  - brute-force cosine broadcasts the probe vector — one pass over
+  *    the corpus, no shuffle at all; top-k via TakeOrderedAndProject.
+  */
+object PipelineQueries extends QueryRegistry {
+
+  /** Text normalization shared by dedup ops: lowercase, strip
+    * non-alphanumerics, collapse whitespace, trim. */
+  private def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  private val sqlNormText =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** embedding as array<double> (promote before any accumulation). */
+  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Left fold dot-product of two double arrays; bit-identical to
+    * DuckDB's list_dot_product (sequential double accumulation). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q38_exact_dedup",
+      (s, dir) => Tables.documents(s, dir)
+        .select("lang", "text").distinct()
+        .groupBy("lang").agg(count(lit(1)).as("n_unique"))
+        .join(
+          Tables.documents(s, dir).groupBy("lang").agg(count(lit(1)).as("n_docs")),
+          "lang")
+        .select("lang", "n_docs", "n_unique")
+        .orderBy("lang"),
+      Some("""SELECT d.lang, d.n_docs, u.n_unique FROM
+             |(SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang) d
+             |JOIN
+             |(SELECT lang, COUNT(*) AS n_unique FROM
+             |  (SELECT DISTINCT lang, text FROM documents) GROUP BY lang) u
+             |USING (lang) ORDER BY lang""".stripMargin)),
+
+    // Near-dedup by normalized-text digest. Duplicates are injected
+    // (docs with doc_id<10 unioned twice) so the HAVING>1 set is
+    // non-trivial at every scale factor.
+    QueryDef("q39_near_dedup_hash",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val withDups = d.unionAll(d.filter(col("doc_id") < 10))
+        withDups.select(md5(normText(col("text"))).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .orderBy("h")
+      },
+      Some(s"""SELECT h, COUNT(*) AS n FROM (
+              |  SELECT md5($sqlNormText) AS h FROM
+              |  (SELECT text FROM documents
+              |   UNION ALL SELECT text FROM documents WHERE doc_id < 10))
+              |GROUP BY h HAVING COUNT(*) > 1 ORDER BY h""".stripMargin)),
+
+    // Brute-force cosine top-k for probe vec_id=0. Probe is broadcast:
+    // single scan, no shuffle; ORDER BY+LIMIT → TakeOrderedAndProject.
+    QueryDef("q40_cosine_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
+        val probe = broadcast(
+          e.filter(col("vec_id") === 0).select(col("v").as("pv")))
+        e.crossJoin(probe)
+          .select(col("vec_id"),
+            (dot(col("v"), col("pv")) /
+              sqrt(dot(col("v"), col("v")) * dot(col("pv"), col("pv"))))
+              .as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+             |SELECT vec_id,
+             |list_dot_product(v, pv) / sqrt(list_dot_product(v, v) * list_dot_product(pv, pv)) AS sim
+             |FROM e CROSS JOIN p
+             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // Rule-lexicon polarity classification (AmazonReview semantics,
+    // reference: AmazonReview.java:10-14). Lexicon words are drawn from
+    // the synthetic corpus vocabulary — a stand-in for a real sentiment
+    // lexicon; determinism is what's under test.
+    QueryDef("q41_text_classify",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val pos = array(lit("join"), lit("hash"))
+        val neg = array(lit("slow"), lit("merge"))
+        val score = size(filter(toks, t => array_contains(pos, t))) -
+          size(filter(toks, t => array_contains(neg, t)))
+        Tables.documents(s, dir)
+          .select(when(score > 0, "pos").when(score < 0, "neg").otherwise("neu").as("label"))
+          .groupBy("label").agg(count(lit(1)).as("cnt"))
+          .orderBy("label")
+      },
+      Some("""SELECT label, COUNT(*) AS cnt FROM (
+             |  SELECT CASE WHEN score > 0 THEN 'pos' WHEN score < 0 THEN 'neg' ELSE 'neu' END AS label
+             |  FROM (
+             |    SELECT len(list_filter(string_split(text,' '), t -> list_contains(['join','hash'], t)))
+             |         - len(list_filter(string_split(text,' '), t -> list_contains(['slow','merge'], t))) AS score
+             |    FROM documents))
+             |GROUP BY label ORDER BY label""".stripMargin)),
+
+    QueryDef("q42_doc_stats",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("n_chars").cast("bigint").as("sum_chars"),
+          davg(col("n_chars")).as("avg_chars"))
+        .orderBy("lang"),
+      Some(s"""SELECT lang, COUNT(*) AS n,
+              |CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+              |${sqlDavg("n_chars")} AS avg_chars
+              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // n-gram (3-token shingle) Jaccard similarity over a bounded probe
+    // set of document pairs — the exact-similarity building block that
+    // MinHash-LSH approximates at corpus scale.
+    QueryDef("q54_ngram_jaccard",
+      (s, dir) => {
+        def shingles(c: Column): Column = {
+          val toks = split(c, " ")
+          when(size(toks) >= 3,
+            array_distinct(transform(sequence(lit(0), size(toks) - 3),
+              i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
+            .otherwise(array().cast("array<string>"))
+        }
+        val d = Tables.documents(s, dir).filter(col("doc_id") < 20)
+          .select(col("doc_id"), shingles(col("text")).as("sh"))
+        val a = d.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+        val b = d.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+        a.join(b, col("a_id") < col("b_id"))
+          .filter(size(array_union(col("sa"), col("sb"))) > 0)
+          .select(col("a_id"), col("b_id"),
+            (size(array_intersect(col("sa"), col("sb"))) /
+              size(array_union(col("sa"), col("sb")))
+              .cast("double")).as("jaccard"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(string_split(text,' ')) >= 3 THEN
+             |      list_distinct(list_transform(
+             |        generate_series(1, len(string_split(text,' ')) - 2),
+             |        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
+             |    ELSE [] END AS sh
+             |  FROM documents WHERE doc_id < 20)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+             |FROM d a JOIN d b ON a.doc_id < b.doc_id
+             |WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+             |ORDER BY a_id, b_id""".stripMargin))
+  )
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+import graft.{QueryDef, QueryRegistry, Tables}
+import Qf._
+
+/** Q32–Q37: scalar function surface (string / date / math / array /
+  * map-json / generator).
+  *
+  * Cross-engine float protocol: no `round()` on doubles anywhere (the
+  * two engines implement it differently); instead values are CAST to
+  * DECIMAL, which both engines do by correctly-rounded decimal
+  * conversion. Higher-order folds (q35) run left-to-right from a 0.0
+  * seed in both engines, so double accumulation is bit-identical.
+  */
+object ScalarQueries extends QueryRegistry {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // The regexp quote-strip mirrors the reference's CSV field cleanup
+    // (reference: AmazonReviewProducer.java:150).
+    QueryDef("q32_string_funcs",
+      (s, dir) => Tables.part(s, dir).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_type")).as("lo"),
+        substring(col("p_name"), 1, 5).as("sub"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("cat"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+        length(col("p_name")).cast("bigint").as("len"),
+        split(col("p_name"), " ").getItem(0).as("tok0"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("firstword"),
+        regexp_replace(lit("\"quoted\""), "^\"|\"$", "").as("unquoted")
+      ).orderBy("p_partkey"),
+      Some("""SELECT p_partkey, UPPER(p_name) AS up, LOWER(p_type) AS lo,
+             |SUBSTR(p_name, 1, 5) AS sub,
+             |CONCAT(p_brand, '#', p_type) AS cat,
+             |TRIM(CONCAT('  ', p_name, '  ')) AS trimmed,
+             |CAST(LENGTH(p_name) AS BIGINT) AS len,
+             |string_split(p_name, ' ')[1] AS tok0,
+             |regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+             |regexp_extract(p_name, '([a-z]+)', 1) AS firstword,
+             |regexp_replace('"quoted"', '^"|"$', '', 'g') AS unquoted
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    QueryDef("q33_date_funcs",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("m"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("m"),
+      Some(s"""SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS cnt,
+              |${sqlDsum("o_totalprice")} AS sum_price
+              |FROM orders GROUP BY 1 ORDER BY m""".stripMargin)),
+
+    QueryDef("q33_date_parts",
+      (s, dir) => Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("mo"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        datediff(lit("2002-01-01").cast("timestamp_ntz"), col("o_orderdate"))
+          .cast("bigint").as("age_days")
+      ).orderBy("o_orderkey").limit(500),
+      Some("""SELECT o_orderkey,
+             |CAST(year(o_orderdate) AS INT) AS y,
+             |CAST(month(o_orderdate) AS INT) AS mo,
+             |CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+             |date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS age_days
+             |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin)),
+
+    // Replays the reference generator's mod arithmetic
+    // (reference: PerformanceProducer.java:185-186).
+    QueryDef("q34_math_funcs",
+      (s, dir) => s.range(0, 1000).toDF("id").select(
+        col("id"),
+        (col("id") % 7).as("mod7"),
+        ((lit(59.9) + col("id")) % lit(150.0)).cast("decimal(18,2)").as("score2"),
+        abs(((lit(59.9) + col("id")) % lit(150.0)) - lit(100.0)).as("dist"),
+        floor((lit(59.9) + col("id")) % lit(150.0)).cast("bigint").as("fl"),
+        ceil((lit(59.9) + col("id")) % lit(150.0)).cast("bigint").as("ce"),
+        pow(col("id") % 10, lit(2.0)).as("sq"),
+        log(col("id") + 1).cast("decimal(18,6)").as("ln1p"),
+        sqrt(col("id").cast("double")).as("rt")
+      ).orderBy("id"),
+      Some("""SELECT id, id % 7 AS mod7,
+             |CAST((CAST(59.9 AS DOUBLE)+id)%CAST(150.0 AS DOUBLE) AS DECIMAL(18,2)) AS score2,
+             |abs((CAST(59.9 AS DOUBLE)+id)%CAST(150.0 AS DOUBLE) - CAST(100.0 AS DOUBLE)) AS dist,
+             |CAST(floor((CAST(59.9 AS DOUBLE)+id)%CAST(150.0 AS DOUBLE)) AS BIGINT) AS fl,
+             |CAST(ceil((CAST(59.9 AS DOUBLE)+id)%CAST(150.0 AS DOUBLE)) AS BIGINT) AS ce,
+             |pow(id % 10, 2.0) AS sq,
+             |CAST(ln(id + 1) AS DECIMAL(18,6)) AS ln1p,
+             |sqrt(CAST(id AS DOUBLE)) AS rt
+             |FROM range(0,1000) t(id) ORDER BY id""".stripMargin)),
+
+    QueryDef("q35_array_funcs",
+      (s, dir) => {
+        val v = transform(col("embedding"), x => x.cast("double"))
+        Tables.embeddings(s, dir).select(
+          col("vec_id"),
+          size(col("embedding")).cast("bigint").as("dim"),
+          aggregate(zip_with(v, v, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+            .as("norm2"),
+          v.getItem(0).as("e0")
+        ).orderBy("vec_id").limit(100)
+      },
+      Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+             |list_reduce(list_prepend(0.0, list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)), (a,b) -> a+b) AS norm2,
+             |CAST(embedding[1] AS DOUBLE) AS e0
+             |FROM embeddings ORDER BY vec_id LIMIT 100""".stripMargin)),
+
+    QueryDef("q36_map_json",
+      (s, dir) => Tables.events(s, dir).select(
+          element_at(from_json(col("props"), MapType(StringType, IntegerType)), "k").as("k"))
+        .groupBy((col("k") % 10).as("kmod"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("kmod"),
+      Some("""SELECT CAST(json_extract_string(props,'$.k') AS INT) % 10 AS kmod, COUNT(*) AS cnt
+             |FROM events GROUP BY 1 ORDER BY kmod""".stripMargin)),
+
+    QueryDef("q37_explode_tokens",
+      (s, dir) => Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(20),
+      Some("""SELECT token, COUNT(*) AS cnt FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin))
+  )
+}

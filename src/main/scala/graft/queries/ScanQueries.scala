@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryRegistry, Tables}
+import Qf._
+
+/** Q01–Q08: scans, sources, sinks, projection, predicates.
+  *
+  * Q02 replays the reference's synthetic generator semantics
+  * (reference: PerformanceProducer.java:184-186 — name/"hangc",
+  * age=(18+cnt)%100, score=(59.9+cnt)%150, ba=cnt); Q03 replays the
+  * quoted-CSV review parse (reference: AmazonReviewProducer.java:143-154).
+  */
+object ScanQueries extends QueryRegistry {
+
+  /** Fixture shipped with the repo (see fixtures/): quoted-CSV reviews. */
+  val ReviewsCsv = "/root/repo/fixtures/reviews.csv"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q01_scan_count",
+      (s, dir) => Tables.lineitem(s, dir).agg(count(lit(1)).as("cnt")),
+      Some("SELECT COUNT(*) AS cnt FROM lineitem")),
+
+    QueryDef("q02_generator",
+      (s, dir) => s.range(0, 1000).toDF("id").select(
+        col("id"),
+        lit("hangc").as("name"),
+        ((lit(18) + col("id")) % 100).cast("int").as("age"),
+        lit("GuangZhou").as("address"),
+        lit(true).as("gender"),
+        ((lit(59.9) + col("id")) % lit(150.0)).cast("decimal(18,4)").as("score"),
+        col("id").as("ba")
+      ).orderBy("id"),
+      Some("""SELECT id, 'hangc' AS name, CAST((18+id)%100 AS INT) AS age,
+             |'GuangZhou' AS address, TRUE AS gender,
+             |CAST((CAST(59.9 AS DOUBLE)+id)%CAST(150.0 AS DOUBLE) AS DECIMAL(18,4)) AS score, id AS ba
+             |FROM range(0,1000) t(id) ORDER BY id""".stripMargin)),
+
+    QueryDef("q03_csv_parse",
+      (s, _) => s.read
+        .schema("polarity STRING, title STRING, text STRING")
+        .option("quote", "\"")
+        .csv(ReviewsCsv)
+        .groupBy("polarity").agg(count(lit(1)).as("cnt"))
+        .orderBy("polarity"),
+      Some(s"""SELECT polarity, COUNT(*) AS cnt FROM read_csv('$ReviewsCsv',
+              |header=false, quote='"',
+              |columns={'polarity':'VARCHAR','title':'VARCHAR','text':'VARCHAR'})
+              |GROUP BY polarity ORDER BY polarity""".stripMargin)),
+
+    QueryDef("q04_parquet_roundtrip",
+      (s, dir) => {
+        val tmp = s"/tmp/graft/q04_roundtrip"
+        Tables.orders(s, dir).write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp).agg(
+          count(lit(1)).as("cnt"),
+          sum("o_orderkey").cast("bigint").as("sum_key"))
+      },
+      Some("SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS sum_key FROM orders")),
+
+    QueryDef("q05_json_extract",
+      (s, dir) => Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k")
+      ).orderBy("event_id").limit(100),
+      Some("""SELECT event_id, CAST(json_extract_string(props,'$.k') AS INT) AS k
+             |FROM events ORDER BY event_id LIMIT 100""".stripMargin)),
+
+    QueryDef("q06_projection",
+      (s, dir) => Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        // Raw double, no decimal downcast: both engines evaluate the
+        // identical expression over identical inputs → bit-identical.
+        // (A DECIMAL(18,4) cast hits true ties — 2-dp inputs make exact
+        // 6-dp products — where the engines' rounding paths differ.)
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .as("charge")
+      ).orderBy("l_orderkey", "l_linenumber", "charge").limit(500),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |l_extendedprice*(1-l_discount)*(1+l_tax) AS charge
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, charge LIMIT 500""".stripMargin)),
+
+    QueryDef("q07_predicates",
+      (s, dir) => Tables.orders(s, dir).filter(
+        col("o_orderstatus").isin("F", "O") &&
+        col("o_totalprice").between(1000, 300000) &&
+        (col("o_orderpriority").like("1-%") || col("o_orderpriority").like("5-%")) &&
+        col("o_custkey").isNotNull
+      ).agg(count(lit(1)).as("cnt")),
+      Some("""SELECT COUNT(*) AS cnt FROM orders
+             |WHERE o_orderstatus IN ('F','O') AND o_totalprice BETWEEN 1000 AND 300000
+             |AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '5-%')
+             |AND o_custkey IS NOT NULL""".stripMargin)),
+
+    QueryDef("q08_case_when",
+      (s, dir) => Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 250000, "big")
+          .when(col("o_totalprice") > 50000, "mid")
+          .otherwise("small").as("bucket")
+      ).orderBy("o_orderkey").limit(500),
+      Some("""SELECT o_orderkey,
+             |CASE WHEN o_totalprice > 250000 THEN 'big'
+             |     WHEN o_totalprice > 50000 THEN 'mid'
+             |     ELSE 'small' END AS bucket
+             |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin))
+  )
+}

@@ -1,0 +1,180 @@
+package graft.queries
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.{QueryDef, QueryRegistry, Tables}
+import Qf._
+
+/** Q43–Q50: Structured Streaming surface, replayed over the parquet
+  * fixtures as file streams and verified against batch semantics
+  * (SURVEY.md §2A: A4 rate limiting → maxFilesPerTrigger, A7 offload
+  * watermark → event-time watermark, A9 ack → checkpointed exactly-once).
+  *
+  * Each query runs a real streaming query to completion (file source →
+  * memory sink) and returns the final table, so the driver's harness
+  * sees ordinary DataFrames. Queries whose final state equals a batch
+  * query (tumbling windows, stream-static join, stateful counts) carry
+  * a DuckDB oracle; purely temporal behaviors (session windows,
+  * late-data drop, dedup-within-watermark) are batch-eq / property
+  * checked in the test suite instead.
+  */
+object StreamingQueries extends QueryRegistry {
+
+  /** Stage `events` into a directory of N parquet files in ascending
+    * event-time order with monotonically increasing mtimes, so the file
+    * stream source (which processes oldest-file-first) replays the
+    * stream in realistic time order — each trigger advances the
+    * watermark, like the reference's offload watermark advancing per
+    * scan pass (reference: PerformanceConsumer.java:204-232). */
+  private def stageEventsDir(s: SparkSession, dir: String, chunks: Int = 4): String = synchronized {
+    val staged = s"/tmp/graft/stream_events_${Integer.toHexString(dir.hashCode)}"
+    val marker = new java.io.File(staged, "_STAGED")
+    if (!marker.exists()) {
+      val ev = s.read.parquet(Tables.path(dir, "events")) // ts: Long nanos
+      val mm = ev.agg(min("ts"), max("ts")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      for (i <- 0 until chunks) {
+        val a = lo + (hi - lo) / chunks * i
+        val b = if (i == chunks - 1) hi + 1 else lo + (hi - lo) / chunks * (i + 1)
+        ev.filter(col("ts") >= a && col("ts") < b)
+          .coalesce(1).write.mode("append").parquet(staged)
+        Thread.sleep(10) // distinct file mtimes → deterministic replay order
+      }
+      marker.createNewFile()
+    }
+    staged
+  }
+
+  /** Stream `events` (schema from the batch file; ts arrives as Long
+    * nanos → TIMESTAMP — watermarks require the instant type, so the
+    * NTZ normalization happens on the *output* side of each query). */
+  private def eventStream(s: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    val staged = stageEventsDir(s, dir)
+    val schema = s.read.parquet(Tables.path(dir, "events")).schema
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(staged)
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink and
+    * return the collected result as a (batch) DataFrame. */
+  private def runToMemory(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // A4/A5 semantics: rate-governed ingest, conservation counter —
+    // the streamed table equals the batch read exactly.
+    QueryDef("q43_stream_conservation",
+      (s, dir) => {
+        val out = runToMemory(s, eventStream(s, dir), "append")
+        out.agg(count(lit(1)).as("cnt"),
+          sum("event_id").cast("bigint").as("sum_id"))
+      },
+      Some("SELECT COUNT(*) AS cnt, CAST(SUM(event_id) AS BIGINT) AS sum_id FROM events")),
+
+    QueryDef("q44_stream_tumbling_window",
+      (s, dir) => {
+        val agg = eventStream(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        runToMemory(s, agg, "complete")
+          .select(col("window.start").cast("timestamp_ntz").as("wstart"), col("event_type"), col("cnt"), col("sum_value"))
+          .orderBy("wstart", "event_type")
+      },
+      Some(s"""SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS wstart,
+              |event_type, COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value
+              |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin)),
+
+    QueryDef("q45_stream_sliding_window",
+      (s, dir) => {
+        val agg = eventStream(s, dir)
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        runToMemory(s, agg, "complete")
+          .select(col("window.start").cast("timestamp_ntz").as("wstart"), col("cnt"), col("sum_value"))
+          .orderBy("wstart")
+      },
+      Some(s"""SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL (k.k * 15) MINUTE AS wstart,
+              |COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value
+              |FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(k)
+              |GROUP BY 1 ORDER BY wstart""".stripMargin)),
+
+    // Session windows (30 min gap) per user: streaming-only semantics,
+    // batch-equivalence asserted in StreamingSpec.
+    QueryDef("q46_stream_session_window",
+      (s, dir) => {
+        val agg = eventStream(s, dir)
+          .withWatermark("ts", "0 seconds")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+        runToMemory(s, agg, "complete")
+          .select(col("session_window.start").cast("timestamp_ntz").as("sstart"), col("user_id"), col("cnt"))
+          .orderBy("user_id", "sstart")
+      },
+      None),
+
+    // Watermark semantics (A7): aggregate with a 10-minute watermark in
+    // append mode — only windows the watermark has passed emit; late
+    // injection behavior is property-tested in StreamingSpec.
+    QueryDef("q47_stream_watermark",
+      (s, dir) => {
+        val agg = eventStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("cnt"))
+        runToMemory(s, agg, "append")
+          .select(col("window.start").cast("timestamp_ntz").as("wstart"), col("cnt"))
+          .orderBy("wstart")
+      },
+      None),
+
+    // Streaming dedup under replay (A9 at-least-once → exactly-once):
+    // the same file is replayed as two overlapping streams via union;
+    // dropDuplicates keeps state across batches.
+    QueryDef("q48_stream_dedup",
+      (s, dir) => {
+        val dedup = eventStream(s, dir).dropDuplicates("event_id")
+        val out = runToMemory(s, dedup, "append")
+        out.agg(count(lit(1)).as("cnt"), sum("event_id").cast("bigint").as("sum_id"))
+      },
+      Some("SELECT COUNT(*) AS cnt, CAST(SUM(event_id) AS BIGINT) AS sum_id FROM (SELECT DISTINCT event_id FROM events)")),
+
+    // Stateful running aggregate equals batch groupBy (single
+    // AvailableNow pass → final state).
+    QueryDef("q49_stream_stateful_agg",
+      (s, dir) => {
+        val agg = eventStream(s, dir)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        runToMemory(s, agg, "complete").orderBy("user_id")
+      },
+      Some(s"""SELECT user_id, COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value
+              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    QueryDef("q50_stream_static_join",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val joined = eventStream(s, dir)
+          .join(cust, col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        runToMemory(s, joined, "complete").orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value
+              |FROM events JOIN customer ON user_id = c_custkey
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+  )
+}
