@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every declared batch query runs at sf0.001 and returns sane rows;
+  * spot-checks pin known values of the deterministic fixtures.
+  * (Exact value checks against DuckDB run driver-side; these specs
+  * guard the Spark side standalone.) */
+class BatchQueriesSpec extends SparkTestBase {
+
+  test("q01 counts all lineitem rows") {
+    assert(run("q01_scan_count").head().getLong(0) == 6000L)
+  }
+
+  test("q02 generator replays reference arithmetic") {
+    val rows = run("q02_generator").collect()
+    assert(rows.length == 1000)
+    val r0 = rows(0)
+    assert(r0.getAs[String]("name") == "hangc")
+    assert(r0.getAs[Int]("age") == 18)
+    assert(r0.getAs[java.math.BigDecimal]("score").doubleValue() == 59.9)
+    val r100 = rows(100)
+    assert(r100.getAs[Int]("age") == (18 + 100) % 100)
+  }
+
+  test("q03 csv parse handles quoted commas") {
+    val rows = run("q03_csv_parse").collect()
+    assert(rows.map(_.getLong(1)).sum == 100L) // all 100 fixture lines parsed
+    assert(rows.map(_.getString(0)).toSet == Set("1", "2"))
+  }
+
+  test("q17 cross join = |region| x |nation|") {
+    assert(run("q17_cross_join").count() == 5L * 25L)
+  }
+
+  test("q18 flagship groups by returnflag x linestatus") {
+    val rows = run("q18_groupby_multi_agg").collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    // conservation: group counts sum to the filtered row count
+    val total = rows.map(_.getAs[Long]("cnt")).sum
+    val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz")).count()
+    assert(total == expected)
+  }
+
+  test("q22 approx distinct within 5% of exact (HLL property)") {
+    val r = run("q22_approx_distinct").head()
+    val approx = r.getAs[Long]("approx_orders").toDouble
+    val exact = r.getAs[Long]("exact_orders").toDouble
+    // default HLL rsd is 5%; allow 3 sigma at this small cardinality
+    assert(math.abs(approx - exact) / exact < 0.15, s"approx=$approx exact=$exact")
+  }
+
+  test("q24 ranking emits at most 3 per customer, ranks 1..3") {
+    val rows = run("q24_ranking").collect()
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    assert(byCust.values.forall(_.length <= 3))
+    // ranks within each customer are consecutive starting at 1
+    assert(byCust.values.forall { g =>
+      g.map(_.getAs[Int]("rn")).sorted.sameElements(1 to g.length)
+    })
+  }
+
+  test("q30 union all keeps duplicates, union distinct removes them") {
+    val perKey = run("q30_union_all").collect().map(_.getAs[Long]("n"))
+    assert(perKey.nonEmpty && perKey.forall(n => n == 1 || n == 2)) // dup iff in both branches
+    val o = Tables.orders(spark, sf)
+    val f = o.filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val big = o.filter(col("o_totalprice") > 300000).select("o_orderkey")
+    val nDistinct = run("q30_union_distinct").head().getLong(0)
+    assert(f.unionAll(big).count() >= nDistinct)
+    assert(nDistinct == f.union(big).distinct().count())
+  }
+
+  test("q31 intersect and except partition the orders-custkey set") {
+    val o = Tables.orders(spark, sf).select(col("o_custkey")).distinct().count()
+    val i = run("q31_intersect").count()
+    val e = run("q31_except").count()
+    assert(i + e == o)
+  }
+
+  test("q38 dedup: uniques never exceed docs") {
+    val rows = run("q38_exact_dedup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_unique") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q39 near-dedup finds the injected duplicates") {
+    val rows = run("q39_near_dedup_hash").collect()
+    assert(rows.length >= 10) // 10 doc_id<10 docs injected twice
+    assert(rows.forall(_.getAs[Long]("n") >= 2))
+  }
+
+  test("q40 cosine top-k: self-similarity ranks first at 1.0") {
+    val rows = run("q40_cosine_topk").collect()
+    assert(rows.length == 10)
+    assert(rows.head.getAs[Long]("vec_id") == 0L)
+    assert(math.abs(rows.head.getAs[Double]("sim") - 1.0) < 1e-12)
+    val sims = rows.map(_.getAs[Double]("sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q54 jaccard bounded in [0,1]") {
+    val sims = run("q54_ngram_jaccard").collect().map(_.getAs[Double]("jaccard"))
+    assert(sims.nonEmpty && sims.forall(j => j >= 0.0 && j <= 1.0))
+  }
+
+  test("dedup idempotence: distinct twice equals distinct once") {
+    val once = Tables.documents(spark, sf).select("text").distinct()
+    assert(once.distinct().count() == once.count())
+  }
+}

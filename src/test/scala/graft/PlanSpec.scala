@@ -1,0 +1,46 @@
+package graft
+
+/** Plan-shape assertions (SURVEY.md §4): the Catalyst rewrites the
+  * engine relies on at 100 TB must actually fire — broadcast for the
+  * fixed-size dims, predicate pushdown into the parquet scan, top-k
+  * instead of global sort. */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(name: String): String =
+    run(name).queryExecution.executedPlan.toString
+
+  test("q10: fixed-size dims are broadcast, never shuffled") {
+    val plan = planOf("q10_broadcast_join")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q07: predicates are pushed into the parquet scan") {
+    val plan = planOf("q07_predicates")
+    assert(plan.contains("PushedFilters: [In(o_orderstatus") ||
+      plan.contains("PushedFilters: [IsNotNull"), plan.take(2000))
+    assert(!plan.contains("PushedFilters: []"), "no filters pushed")
+  }
+
+  test("q29: ORDER BY + LIMIT plans as top-k, not a global sort") {
+    val plan = planOf("q29_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q01: count aggregate prunes all columns from the scan") {
+    val plan = planOf("q01_scan_count")
+    assert(plan.contains("ReadSchema: struct<>"), plan.take(2000))
+  }
+
+  test("q40: probe side is broadcast (no shuffle for similarity scan)") {
+    val plan = planOf("q40_cosine_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q18: partial aggregation runs before the shuffle") {
+    val plan = planOf("q18_groupby_multi_agg")
+    // partial_ functions indicate map-side combine
+    assert(plan.contains("partial_"), plan.take(2000))
+  }
+}

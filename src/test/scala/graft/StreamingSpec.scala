@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Q43–Q50 semantics the DuckDB oracle can't replay: batch
+  * equivalence of streamed aggregations, watermark late-data drops
+  * (A7), dedup-within-watermark under replay (A9), and arbitrary
+  * stateful processing. MemoryStream drives multi-batch scenarios
+  * deterministically. */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("q43/q44/q49: streamed results equal their batch equivalents") {
+    // conservation
+    val streamed = run("q43_stream_conservation").head()
+    val batch = Tables.events(spark, sf)
+      .agg(count(lit(1)), sum("event_id").cast("bigint")).head()
+    assert(streamed.getLong(0) == batch.getLong(0))
+    assert(streamed.getLong(1) == batch.getLong(1))
+    // tumbling window counts
+    val wStream = run("q44_stream_tumbling_window")
+      .agg(sum("cnt")).head().getLong(0)
+    assert(wStream == batch.getLong(0))
+    // stateful per-user counts
+    val uStream = run("q49_stream_stateful_agg").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("cnt")).toMap
+    val uBatch = Tables.events(spark, sf).groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    assert(uStream == uBatch)
+  }
+
+  test("q47 property: late rows behind the watermark are dropped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val agg = ms.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:30:00"), 2L))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window
+      ms.addData((ts("2024-01-01 12:30:00"), 3L))
+      q.processAllAvailable()
+      // late row for the closed 10:00 window → must be dropped
+      ms.addData((ts("2024-01-01 10:05:00"), 4L))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 14:00:00"), 5L))
+      q.processAllAvailable()
+      val out = spark.table("wm_test")
+        .select(col("window.start").cast("string").as("w"), col("cnt")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out("2024-01-01 10:00:00") == 2L, s"late row leaked into closed window: $out")
+    } finally q.stop()
+  }
+
+  test("q48 property: dropDuplicatesWithinWatermark is exactly-once under replay") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val dedup = ms.toDF().toDF("ts", "id")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+    val q = dedup.writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:01:00"), 2L))
+      q.processAllAvailable()
+      // replay the same ids (at-least-once delivery) + one new id
+      ms.addData((ts("2024-01-01 10:02:00"), 1L), (ts("2024-01-01 10:03:00"), 2L),
+        (ts("2024-01-01 10:04:00"), 3L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("id").collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)), s"got ${ids.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("q49 flatMapGroupsWithState running count equals batch groupBy") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Double)]
+    val counts = ms.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Double)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (key, n)
+      }
+    val q = counts.toDF("user", "n").writeStream
+      .format("memory").queryName("state_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      ms.addData((1L, 1.0), (1L, 2.0), (2L, 3.0))
+      q.processAllAvailable()
+      ms.addData((1L, 4.0), (3L, 5.0))
+      q.processAllAvailable()
+      // last update per key = final running count
+      val finals = spark.table("state_test").groupBy("user")
+        .agg(max("n").as("n")).collect()
+        .map(r => r.getAs[Long]("user") -> r.getAs[Long]("n")).toMap
+      assert(finals == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+    } finally q.stop()
+  }
+
+  test("q46 session windows merge events within the 30-minute gap") {
+    val rows = run("q46_stream_session_window").collect()
+    assert(rows.nonEmpty)
+    // session count conservation
+    val total = rows.map(_.getAs[Long]("cnt")).sum
+    assert(total == Tables.events(spark, sf).count())
+  }
+}
