@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH banding for near-duplicate candidate generation at
+  * corpus scale.
+  *
+  * Pipeline: token 3-shingles → base hash per shingle (first 8 md5 hex
+  * digits as int) → K permutation min-hashes ((a·x + b) mod P) → B
+  * bands of R rows, each band hashed to a bucket key → candidate pairs
+  * are documents sharing any (band, key) bucket → estimated Jaccard =
+  * fraction of matching signature components.
+  *
+  * Scale: the only shuffle is the band-bucket self-join on (band, key)
+  * — pair enumeration is linear in bucket sizes instead of quadratic in
+  * corpus size. Signatures are computed in a single projection pass
+  * (higher-order functions, whole-stage codegen'd, no UDF). All hash
+  * constants are fixed so results are deterministic and reproducible in
+  * any engine (the DuckDB oracle replays the same arithmetic).
+  */
+object MinHashLSH {
+
+  /** Modulus: smallest prime above 2^32 → products a·x stay < 2^52,
+    * exact in int64 (and in the oracle's arithmetic). */
+  val P = 4294967311L
+  val K = 16 // signature length
+  val Bands = 4
+  val Rows = 4 // K = Bands * Rows
+
+  /** Fixed odd multipliers / offsets (deterministic seed). */
+  val A: Seq[Long] = Seq(2971L, 5231L, 7673L, 9341L, 11597L, 13469L,
+    15643L, 17389L, 19541L, 21269L, 23209L, 25301L, 27791L, 29443L, 31231L, 33149L)
+  val B: Seq[Long] = Seq(317L, 1021L, 2053L, 3079L, 4099L, 5119L,
+    6143L, 7177L, 8219L, 9241L, 10273L, 11311L, 12347L, 13397L, 14411L, 15451L)
+
+  /** Token n-gram shingles (distinct), empty array below n tokens. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Cross-engine-stable base hash: first 8 md5 hex digits as long. */
+  def baseHash(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** K-component MinHash signature of a hashed-shingle array.
+    *
+    * Single left fold maintaining all K running minima — NOT K
+    * independent `array_min(transform(...))` passes: Catalyst inlines
+    * a HOF's argument into every lambda body (projections collapse, no
+    * CSE inside lambdas), so the K-pass formulation recomputes every
+    * shingle md5 K times (measured 16× slower at sf0.1). With the
+    * fold, the input array is evaluated exactly once. */
+  def signature(xs: Column): Column = {
+    val aArr = array(A.map(lit): _*)
+    val bArr = array(B.map(lit): _*)
+    aggregate(xs,
+      array_repeat(lit(P), K),
+      (acc, x) => zip_with(acc, sequence(lit(0), lit(K - 1)),
+        (m, i) => least(m, (element_at(aArr, i + 1) * x + element_at(bArr, i + 1)) % P)))
+  }
+
+  /** Base hashes of a document's shingles (one md5 per shingle). */
+  def hashedShingles(text: Column): Column =
+    transform(shingles(text), s => baseHash(s))
+
+  /** Band bucket keys: md5 of the '-'-joined signature slice. */
+  def bandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)), j =>
+      md5(concat_ws("-",
+        transform(slice(sig, j * Rows + 1, lit(Rows)), v => v.cast("string")))))
+
+  /** Candidate near-duplicate pairs with estimated Jaccard.
+    *
+    * @param docs (id, text) DataFrame
+    * @return (a_id, b_id, est_jaccard) for pairs sharing ≥1 band bucket
+    */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sigs = docs
+      .select(col(idCol).as("id"), hashedShingles(col(textCol)).as("xs"))
+      .filter(size(col("xs")) > 0)
+      .select(col("id"), signature(col("xs")).as("sig"))
+    val buckets = sigs
+      .select(col("id"), col("sig"), posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
+    val a = buckets.select(col("band"), col("key"), col("id").as("a_id"), col("sig").as("sa"))
+    val b = buckets.select(col("band"), col("key"), col("id").as("b_id"), col("sig").as("sb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("sa"), col("sb"))
+      .distinct()
+      .select(col("a_id"), col("b_id"),
+        (aggregate(zip_with(col("sa"), col("sb"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          / lit(K.toDouble)).as("est_jaccard"))
+  }
+}

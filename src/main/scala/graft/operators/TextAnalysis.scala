@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data curation: token
+  * counting, quality scoring, language-ID scoring, and rolling-hash
+  * fingerprinting. All pure column expressions (codegen'd, shuffle-free
+  * per-row) — they compose into any scan without changing the plan
+  * shape, so they cost one projection at any corpus size.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword segment count: alphanumeric runs + each
+    * non-space symbol char counts as its own segment. (No regex
+    * lookarounds — RE2-based engines must reproduce this.) */
+  def segmentCount(text: Column): Column =
+    size(filter(split(text, "[^a-z0-9]+"), t => t =!= "")) +
+      length(regexp_replace(text, "[a-z0-9 ]", ""))
+
+  /** Distinct-token ratio (repetitiveness signal), 0 for empty docs. */
+  def uniqueRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) > 0, size(array_distinct(t)) / size(t).cast("double")).otherwise(0.0)
+  }
+
+  /** Stopword ratio against a fixed profile. */
+  def stopwordRatio(text: Column, stop: Seq[String]): Column = {
+    val t = tokens(text)
+    val stopArr = array(stop.map(lit): _*)
+    when(size(t) > 0,
+      size(filter(t, x => array_contains(stopArr, x))) / size(t).cast("double"))
+      .otherwise(0.0)
+  }
+
+  /** Mean token length (characters), 0 for empty docs. */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) > 0,
+      aggregate(t, lit(0), (acc, x) => acc + length(x)) / size(t).cast("double"))
+      .otherwise(0.0)
+  }
+
+  /** Composite quality score: rewards lexical diversity and
+    * connective-word presence, penalizes degenerate token lengths.
+    * Integer weights only — the oracle reproduces the double math
+    * bit-for-bit. */
+  def qualityScore(text: Column, stop: Seq[String]): Column =
+    uniqueRatio(text) * 2 + stopwordRatio(text, stop) * 3 -
+      abs(meanTokenLen(text) - 5.0) / 5.0
+
+  /** Language profiles: marker tokens per language (stand-in for char
+    * n-gram profiles; the scoring machinery is what matters). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  /** Predicted language: argmax profile hits, ties → alphabetical
+    * profile order, zero hits → "und". */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scores = LangProfiles.map { case (lang, words) =>
+      val wArr = array(words.map(lit): _*)
+      lang -> size(filter(t, x => array_contains(wArr, x)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.sortBy(_._1).foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(best > 0 && s === best, lang).otherwise(acc)
+    }
+  }
+
+  /** Polynomial rolling-hash fingerprint of the character stream:
+    * h = fold(h·31 + ascii(c)) mod P. Equal fingerprints ⇔ equal
+    * normalized text (up to hash collisions) — an order-sensitive
+    * complement to MinHash. */
+  def fingerprint(text: Column, p: Long = 4294967311L): Column =
+    aggregate(
+      transform(filter(split(text, ""), c => c =!= ""), c => ascii(c).cast("long")),
+      lit(0L), (acc, x) => (acc * 31 + x) % p)
+}

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryRegistry, Tables}
+import graft.operators._
+import Qf._
+
+/** Training-data curation operators beyond the SURVEY core: MinHash-LSH
+  * near-dedup, SimHash fingerprints, language-ID, quality scoring,
+  * token/segment counting, rolling-hash fingerprint dedup, multimodal
+  * feature plumbing, LSH-bucketed ANN. Each declared as a query over
+  * the fixtures with a DuckDB oracle replaying the exact arithmetic
+  * (fixed hash constants, no RNG) where expressible. */
+object CurationQueries extends QueryRegistry {
+
+  private val mh = {
+    val a = MinHashLSH.A.mkString("[", ",", "]")
+    val b = MinHashLSH.B.mkString("[", ",", "]")
+    s"""WITH docs AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000 AS id, text FROM documents WHERE doc_id < 10
+       |),
+       |sh AS (
+       |  SELECT id, list_distinct(list_transform(
+       |    generate_series(1, len(string_split(text,' ')) - 2),
+       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+       |  FROM docs WHERE len(string_split(text,' ')) >= 3
+       |),
+       |sigs AS (
+       |  SELECT id, list_transform(generate_series(0,15), i ->
+       |    list_min(list_transform(sh, s ->
+       |      ($a[i+1] * CAST(('0x' || substr(md5(s),1,8)) AS BIGINT) + $b[i+1]) % ${MinHashLSH.P}))) AS sig
+       |  FROM sh WHERE len(sh) > 0
+       |),
+       |buckets AS (
+       |  SELECT id, sig, j.j AS band,
+       |    md5(array_to_string(list_transform(list_slice(sig, j.j*4+1, j.j*4+4), v -> CAST(v AS VARCHAR)), '-')) AS key
+       |  FROM sigs, generate_series(0,3) j(j)
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.sig AS sa, b.sig AS sb
+       |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+       |)
+       |SELECT a_id, b_id,
+       |  list_sum(list_transform(generate_series(1,16), i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / CAST(16 AS DOUBLE) AS est_jaccard
+       |FROM pairs ORDER BY a_id, b_id""".stripMargin
+  }
+
+  private val simhashSql =
+    """list_transform(string_split(text,' '), t -> CAST(('0x' || substr(md5(t),1,15)) AS BIGINT))"""
+
+  private def simhashExpr(hsExpr: String, nExpr: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(0,59), j ->
+       |  CASE WHEN 2 * list_sum(list_transform($hsExpr, x ->
+       |    CASE WHEN (x & CAST(pow(2,j) AS BIGINT)) != 0 THEN 1 ELSE 0 END)) > $nExpr
+       |  THEN CAST(pow(2,j) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q55_minhash_lsh",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val withDups = d.select(col("doc_id").as("id"), col("text"))
+          .unionAll(d.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 100000).as("id"), col("text")))
+        MinHashLSH.candidatePairs(withDups, "id", "text")
+          .orderBy("a_id", "b_id")
+      },
+      Some(mh)),
+
+    QueryDef("q56_simhash",
+      (s, dir) => Tables.documents(s, dir)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), SimHash.simhash(split(col("text"), " ")).as("simhash"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, ${simhashExpr(simhashSql, "len(string_split(text,' '))")} AS simhash
+              |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q57_simhash_pairs",
+      (s, dir) => {
+        val fp = Tables.documents(s, dir).filter(col("doc_id") < 30)
+          .select(col("doc_id"), SimHash.simhash(split(col("text"), " ")).as("simhash"))
+        val a = fp.select(col("doc_id").as("a_id"), col("simhash").as("ha"))
+        val b = fp.select(col("doc_id").as("b_id"), col("simhash").as("hb"))
+        a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            SimHash.hamming(col("ha"), col("hb")).cast("int").as("hamming"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH fp AS (
+              |  SELECT doc_id, ${simhashExpr(simhashSql, "len(string_split(text,' '))")} AS simhash
+              |  FROM documents WHERE doc_id < 30)
+              |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+              |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    QueryDef("q58_langid",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "predicted"),
+      Some {
+        val scores = TextAnalysis.LangProfiles.map { case (lang, words) =>
+          lang -> s"len(list_filter(string_split(text,' '), t -> list_contains(${words.mkString("['", "','", "']")}, t)))"
+        }
+        val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+        val cases = scores.sortBy(_._1)
+          .map { case (lang, e) => s"WHEN $best > 0 AND $e = $best THEN '$lang'" }
+          .mkString(" ")
+        s"""SELECT lang, predicted, COUNT(*) AS cnt FROM (
+           |  SELECT lang, CASE $cases ELSE 'und' END AS predicted FROM documents)
+           |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+      }),
+
+    QueryDef("q59_quality_score",
+      (s, dir) => {
+        val stop = Seq("the", "a", "of", "and")
+        Tables.documents(s, dir)
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+            TextAnalysis.segmentCount(col("text")).cast("bigint").as("n_segments"),
+            TextAnalysis.uniqueRatio(col("text")).as("uniq_ratio"),
+            TextAnalysis.stopwordRatio(col("text"), stop).as("stop_ratio"),
+            TextAnalysis.meanTokenLen(col("text")).as("mean_len"),
+            TextAnalysis.qualityScore(col("text"), stop).as("score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text,' ') AS toks, text FROM documents WHERE doc_id < 300),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(toks) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_filter(string_split_regex(text,'[^a-z0-9]+'), x -> x != '')) + length(regexp_replace(text,'[a-z0-9 ]','','g')) AS BIGINT) AS n_segments,
+             |    CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS uniq_ratio,
+             |    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains(['the','a','of','and'], x))) / CAST(len(toks) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio,
+             |    CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS mean_len
+             |  FROM t)
+             |SELECT doc_id, n_tokens, n_segments, uniq_ratio, stop_ratio, mean_len,
+             |  uniq_ratio * 2 + stop_ratio * 3 - abs(mean_len - CAST(5.0 AS DOUBLE)) / CAST(5.0 AS DOUBLE) AS score
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q60_token_count",
+      (s, dir) => Tables.documents(s, dir).agg(
+        sum(TextAnalysis.tokenCount(col("text"))).cast("bigint").as("total_tokens"),
+        sum(TextAnalysis.segmentCount(col("text"))).cast("bigint").as("total_segments"),
+        count(lit(1)).as("docs")),
+      Some("""SELECT
+             |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+             |  CAST(SUM(len(list_filter(string_split_regex(text,'[^a-z0-9]+'), x -> x != '')) + length(regexp_replace(text,'[a-z0-9 ]','','g'))) AS BIGINT) AS total_segments,
+             |  COUNT(*) AS docs
+             |FROM documents""".stripMargin)),
+
+    QueryDef("q61_fingerprint_dedup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val withDups = d.select(col("text"))
+          .unionAll(d.filter(col("doc_id") < 10).select(col("text")))
+        withDups.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+          .groupBy("fp").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .orderBy("fp")
+      },
+      Some(s"""SELECT fp, COUNT(*) AS n FROM (
+              |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |    list_transform(generate_series(1, length(text)), i -> CAST(ascii(text[i]) AS BIGINT))),
+              |    (acc, x) -> (acc * 31 + x) % 4294967311) AS fp
+              |  FROM (SELECT text FROM documents
+              |        UNION ALL SELECT text FROM documents WHERE doc_id < 10))
+              |GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin)),
+
+    QueryDef("q62_multimodal_features",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .filter(col("doc_id") < 300 && length(col("text")) === octet_length(col("text")))
+        Multimodal.extractFeatures(Multimodal.asMedia(docs, "doc_id", "text"))
+          .select(col("media_id"), col("n_bytes"), col("digest"),
+            col("features").getItem(0).as("f0"),
+            col("features").getItem(1).as("f1"),
+            col("features").getItem(2).as("f2"),
+            col("features").getItem(3).as("f3"))
+          .orderBy("media_id")
+      },
+      Some {
+        def f(j: Int) =
+          s"""CAST(CAST(list_sum(list_transform(generate_series(1, strlen(text)), i ->
+             |  CASE WHEN (i-1) % 4 = $j THEN ascii(text[i]) ELSE 0 END)) AS DOUBLE) / strlen(text) AS FLOAT) AS f$j""".stripMargin
+        s"""SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS digest,
+           |${f(0)}, ${f(1)}, ${f(2)}, ${f(3)}
+           |FROM documents WHERE doc_id < 300 AND length(text) = strlen(text)
+           |ORDER BY media_id""".stripMargin
+      }),
+
+    // LSH-bucketed ANN: no SQL oracle (bucket assignment is the
+    // operator's own contract) — AnnSpec asserts candidate cosines
+    // match brute force and the probe's bucket contains itself.
+    QueryDef("q63_ann_lsh",
+      (s, dir) => AnnLsh.probeTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        probeId = 0L, k = 10),
+      None),
+
+    // Embedding near-duplicate sweep over LSH buckets.
+    QueryDef("q64_embedding_neardup",
+      (s, dir) => AnnLsh.bucketedPairs(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .filter(col("sim") > 0.2)
+        .orderBy("a_id", "b_id"),
+      None)
+  )
+}

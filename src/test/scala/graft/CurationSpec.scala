@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Curation-operator laws that the oracle can't express: LSH recall of
+  * exact duplicates, SimHash invariance, ANN candidate correctness,
+  * multimodal stub shape. */
+class CurationSpec extends SparkTestBase {
+
+  test("q55 MinHash-LSH finds every injected exact duplicate at est=1.0") {
+    val pairs = run("q55_minhash_lsh").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("est_jaccard")))
+    // every doc_id<10 was re-injected as id+100000 → exact dup pair
+    val dups = pairs.filter { case (a, b, _) => b == a + 100000 }
+    // identical docs share all shingles → identical signatures → always bucketed together
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 10).count()
+    assert(dups.length == docs, s"found ${dups.length} of $docs injected dups")
+    assert(dups.forall(_._3 == 1.0))
+  }
+
+  test("SimHash is deterministic and respects duplicate invariance") {
+    val d = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"), SimHash.simhash(split(col("text"), " ")).as("h"))
+    val h1 = d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 == h2)
+    assert(h1.values.forall(h => h >= 0 && h < (1L << 60)))
+    // identical text → hamming 0
+    val two = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .unionAll(Tables.documents(spark, sf).filter(col("doc_id") === 0))
+      .select(SimHash.simhash(split(col("text"), " ")).as("h")).collect()
+    assert(two(0).getLong(0) == two(1).getLong(0))
+  }
+
+  test("q63 ANN candidates score identically to brute force") {
+    val ann = run("q63_ann_lsh").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("sim")).toMap
+    val brute = run("q40_cosine_topk").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+    // every ANN hit must carry the exact brute-force cosine for that id
+    ann.foreach { case (id, sim) =>
+      brute.get(id).foreach(b => assert(b == sim, s"id $id: ann=$sim brute=$b"))
+    }
+    // ANN searches one bucket → results ⊆ corpus, no self pair
+    assert(!ann.contains(0L) && ann.nonEmpty)
+  }
+
+  test("q64 bucketed pairs: sim matches direct cosine for sampled pairs") {
+    val pairs = run("q64_embedding_neardup").limit(20).collect()
+    if (pairs.nonEmpty) {
+      val ids = pairs.flatMap(r => Seq(r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).distinct
+      val vecs = Tables.embeddings(spark, sf)
+        .filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      pairs.foreach { r =>
+        val expect = cos(vecs(r.getAs[Long]("a_id")), vecs(r.getAs[Long]("b_id")))
+        assert(r.getAs[Double]("sim") == expect)
+      }
+    }
+  }
+
+  test("multimodal stub features are deterministic with the declared shape") {
+    val out = run("q62_multimodal_features").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_bytes") > 0)
+      assert(r.getAs[String]("digest").length == 32)
+    }
+    // digest equals md5 of the raw text (payload is the UTF-8 bytes)
+    val d0 = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select(md5(col("text"))).head().getString(0)
+    assert(out.find(_.getAs[Long]("media_id") == 0L).get.getAs[String]("digest") == d0)
+  }
+
+  test("langid returns a label from the profile set or 'und'") {
+    val labels = run("q58_langid").collect().map(_.getAs[String]("predicted")).toSet
+    val allowed = TextAnalysis.LangProfiles.map(_._1).toSet + "und"
+    assert(labels.subsetOf(allowed))
+  }
+
+  test("fingerprint: equal normalized text ⇒ equal fingerprint (injected dups found)") {
+    val rows = run("q61_fingerprint_dedup").collect()
+    assert(rows.length >= 1)
+    assert(rows.forall(_.getAs[Long]("n") >= 2))
+  }
+}
