@@ -200,6 +200,30 @@ object CurationQueries extends QueryRegistry {
         probeId = 0L, k = 10),
       None),
 
+    // Native codegen'd cosine Expression (Q40's declared fast path):
+    // same oracle as q40 — bit-identical by construction, only the
+    // physical plan differs (fused loop instead of HOF lambdas).
+    QueryDef("q65_cosine_native",
+      (s, dir) => {
+        import graft.functions.CosineSimilarity.cosine
+        graft.functions.CosineSimilarity.register(s)
+        // raw float arrays — the expression widens per element, so the
+        // whole projection stays inside whole-stage codegen (a
+        // transform(cast) pass would break WSCG for the stage)
+        val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val probe = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("pv")))
+        e.crossJoin(probe)
+          .select(col("vec_id"), cosine(col("embedding"), col("pv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+             |SELECT vec_id,
+             |list_dot_product(v, pv) / sqrt(list_dot_product(v, v) * list_dot_product(pv, pv)) AS sim
+             |FROM e CROSS JOIN p
+             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
     // Embedding near-duplicate sweep over LSH buckets.
     QueryDef("q64_embedding_neardup",
       (s, dir) => AnnLsh.bucketedPairs(Tables.embeddings(s, dir), "vec_id", "embedding")
