@@ -90,6 +90,30 @@ object ProduceJob {
     Report(produced.count(), 0L, maxPos)
   }
 
+  /** Kafka-protocol bounded produce analog (reference:
+    * UrsaKafkaProducerOnCloud.java:46-65): 1M i-indexed `Student` rows
+    * (name{i}/address{i}/payload{i}), flushed every 10,000 — the flush
+    * group maps to parquet row-group batching; `maxRecordsPerFile`
+    * makes the batch boundary explicit. */
+  def produceStudents(spark: SparkSession, root: String, prefix: String,
+                      numMessages: Long = 1000000L,
+                      flushEvery: Long = 10000L): Report = {
+    val dir = Topics.tableDir(root, prefix)
+    spark.range(numMessages).toDF("i").select(
+      concat(lit("name"), col("i")).as("name"),
+      (col("i") % 100).cast("int").as("age"),
+      concat(lit("payload"), col("i")).as("payload"),
+      concat(lit("address"), col("i")).as("address"),
+      col("i").as("number"),
+      lit(prefix).as("topic"))
+      .write.mode("append")
+      .option("maxRecordsPerFile", flushEvery)
+      .partitionBy("topic")
+      .parquet(dir)
+    commitManifest(root, prefix, numMessages - 1)
+    Report(numMessages, 0L, numMessages - 1)
+  }
+
   /** Offload-watermark commit (the broker-side state A7 reads). */
   def commitManifest(root: String, prefix: String, maxPos: Long): Unit = {
     val p = Paths.get(Topics.manifestPath(root, prefix))

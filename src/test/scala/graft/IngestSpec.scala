@@ -64,6 +64,19 @@ class IngestSpec extends SparkTestBase {
     assert(t.filter(col("title").contains(",")).count() > 0)
   }
 
+  test("student bounded produce writes flush-sized files (A13)") {
+    val root = freshRoot()
+    val rep = ProduceJob.produceStudents(spark, root, "stu",
+      numMessages = 50000, flushEvery = 10000)
+    assert(rep.totalSent == 50000)
+    val t = spark.read.parquet(Topics.tableDir(root, "stu"))
+    assert(t.count() == 50000)
+    val r = t.filter(col("number") === 42).head()
+    assert(r.getAs[String]("name") == "name42")
+    assert(r.getAs[String]("payload") == "payload42")
+    assert(r.getAs[Int]("age") == 42)
+  }
+
   test("streaming produce sustains the configured rate (A4/A5)") {
     val root = freshRoot()
     val rep = ProduceJob.produceStream(spark, root, "p3", topics = 2,
