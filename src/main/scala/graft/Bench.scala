@@ -16,6 +16,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", "32"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // untimed warmup: JIT/codegen paths + file listing, so the first
+    // measured query doesn't absorb session startup
+    try {
+      spark.range(100000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
+      Tables.lineitem(spark, sfDir).agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))).collect()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

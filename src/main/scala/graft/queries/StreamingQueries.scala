@@ -100,7 +100,7 @@ object StreamingQueries extends QueryRegistry {
 
     QueryDef("q45_stream_sliding_window",
       (s, dir) => {
-        val agg = eventStream(s, dir)
+        val agg = eventStream(s, dir, maxFilesPerTrigger = 4)
           .groupBy(window(col("ts"), "1 hour", "15 minutes"))
           .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
         runToMemory(s, agg, "complete")
@@ -156,7 +156,7 @@ object StreamingQueries extends QueryRegistry {
     // AvailableNow pass → final state).
     QueryDef("q49_stream_stateful_agg",
       (s, dir) => {
-        val agg = eventStream(s, dir)
+        val agg = eventStream(s, dir, maxFilesPerTrigger = 4)
           .groupBy("user_id")
           .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
         runToMemory(s, agg, "complete").orderBy("user_id")
@@ -167,7 +167,7 @@ object StreamingQueries extends QueryRegistry {
     QueryDef("q50_stream_static_join",
       (s, dir) => {
         val cust = Tables.customer(s, dir)
-        val joined = eventStream(s, dir)
+        val joined = eventStream(s, dir, maxFilesPerTrigger = 4)
           .join(cust, col("user_id") === col("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.TextAnalysis
+
+/** Property-based invariants (SURVEY.md §5 test plan): CSV
+  * quote/unquote round-trip under the reference's parse rules,
+  * conservation of ingest counts, dedup idempotence, fingerprint
+  * determinism over generated inputs. */
+class PropertySpec extends SparkTestBase {
+
+  /** Deterministic property driver (no scalatest-scalacheck bridge in
+    * the offline cache): sample `gen` across fixed seeds. */
+  private def forAllG[A](gen: Gen[A], trials: Int = 20)(f: A => Unit): Unit =
+    (0 until trials).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(f)
+    }
+
+  // field text without quotes/newlines (the reference's parser doesn't
+  // handle escaped quotes — AmazonReviewProducer.java:143-154)
+  private val fieldGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(','), Gen.const(' ')))
+      .map(_.mkString).suchThat(s => !s.contains("\"") && !s.contains("\n"))
+
+  private def quote(f: String): String =
+    if (f.contains(",")) "\"" + f + "\"" else f
+
+  test("CSV quoting round-trips through the Spark parser (A2 rules)") {
+    forAllG(Gen.listOfN(20, Gen.zip(fieldGen, fieldGen, fieldGen))) {
+      rows: List[(String, String, String)] =>
+      if (rows.nonEmpty) {
+        val file = Files.createTempFile("graft_prop", ".csv")
+        val lines = rows.map { case (a, b, c) => s"${quote(a)},${quote(b)},${quote(c)}" }
+        Files.writeString(file, lines.mkString("\n"))
+        val parsed = spark.read
+          .schema("polarity STRING, title STRING, text STRING")
+          .option("quote", "\"")
+          .csv(file.toString)
+          .collect()
+          .map(r => (Option(r.getString(0)).getOrElse(""),
+            Option(r.getString(1)).getOrElse(""),
+            Option(r.getString(2)).getOrElse("")))
+          .toSet
+        // Spark's CSV parser trims nothing; quoted commas survive
+        val expect = rows.map { case (a, b, c) => (a, b, c) }.toSet
+        assert(parsed == expect)
+        Files.delete(file)
+      }
+    }
+  }
+
+  test("dedup idempotence: distinct∘distinct = distinct over generated corpora") {
+    import spark.implicits._
+    forAllG(Gen.listOfN(50, Gen.oneOf("a b c", "a b", "x y z", "a b c", "q")), trials = 5) {
+      texts: List[String] =>
+      if (texts.nonEmpty) {
+        val df = texts.toDF("text")
+        val once = df.distinct().count()
+        assert(df.distinct().distinct().count() == once)
+        // distinct count equals the set size
+        assert(once == texts.toSet.size)
+      }
+    }
+  }
+
+  test("fingerprint is a function: equal text ⇔ equal fingerprint on generated docs") {
+    import spark.implicits._
+    forAllG(Gen.listOfN(30, Gen.alphaNumStr.suchThat(_.nonEmpty)), trials = 5) { texts: List[String] =>
+      if (texts.nonEmpty) {
+        val fps = texts.toDF("text")
+          .select(col("text"), TextAnalysis.fingerprint(col("text")).as("fp"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        val byText = fps.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+        // determinism: same text always hashes identically
+        assert(byText.values.forall(_.length == 1))
+      }
+    }
+  }
+
+  test("generator conservation: n produced rows → n consumed, positions 0..n-1") {
+    forAllG(Gen.choose(1L, 2000L), trials = 8) { n: Long =>
+      val df = graft.ingest.ProduceJob.personProjection(
+        spark.range(n).toDF("cnt"), "cnt", "t", 3)
+      val agg = df.agg(count(lit(1)), min("ba"), max("ba"), countDistinct("ba")).head()
+      assert(agg.getLong(0) == n && agg.getLong(1) == 0L &&
+        agg.getLong(2) == n - 1 && agg.getLong(3) == n)
+    }
+  }
+}
