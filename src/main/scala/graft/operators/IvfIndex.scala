@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF-style (inverted-file) ANN index: a deterministic coarse
+  * quantizer partitions the corpus into cells; a probe searches only
+  * the `nprobe` cells nearest to it.
+  *
+  * Index build = one pass assigning each vector to its nearest
+  * centroid (centroids are driver-side literals — k vectors of
+  * metadata, like any index definition). Persisted with
+  * `partitionBy("cell")`, a probe's scan prunes to nprobe partitions —
+  * at 100 TB the search reads nprobe/k of the corpus instead of all
+  * of it, and the pruning happens at the file-listing level.
+  *
+  * Centroid seeding is deterministic (lowest-id vectors + one mean
+  * refinement pass), so index builds are reproducible run to run.
+  */
+object IvfIndex {
+
+  /** Deterministic centroids: seed with the k lowest-id vectors, then
+    * one Lloyd refinement pass (assign → per-dimension mean). The seed
+    * choice fixes the result; the refinement only improves cell
+    * balance. */
+  def centroids(emb: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Seq[Double]] = {
+    val vecs = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val seeds = vecs.orderBy(col("id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    val means = assignCells(vecs, "v", seeds)
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg("x").as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("mean"))
+      .collect().map(r => r.getAs[Int]("cell") -> r.getSeq[Double](1)).toMap
+    (0 until k).map(i => means.getOrElse(i, seeds(i)).toSeq)
+  }
+
+  /** Distance-squared to a literal centroid. */
+  private def dist2(v: Column, c: Seq[Double]): Column =
+    aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Assign each row to its nearest centroid cell (argmin index). */
+  def assignCells(df: DataFrame, vecCol: String, cs: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
+    val ds = array(cs.map(c => dist2(col(vecCol), c.toSeq)): _*)
+    df.withColumn("cell", (array_position(ds, array_min(ds)) - 1).cast("int"))
+  }
+
+  /** Build the index relation: (id, v, cell). */
+  def build(emb: DataFrame, idCol: String, vecCol: String, k: Int = 16): (DataFrame, Seq[Seq[Double]]) = {
+    val cs = centroids(emb, idCol, vecCol, k).map(_.toIndexedSeq).toIndexedSeq
+    val indexed = assignCells(
+      emb.select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v")),
+      "v", cs)
+    (indexed, cs.map(_.toSeq))
+  }
+
+  /** Search: scan only the nprobe cells nearest to the probe vector.
+    * On a partitioned index table the cell filter prunes partitions. */
+  def search(index: DataFrame, cs: Seq[Seq[Double]], probe: Seq[Double],
+             nprobe: Int, topK: Int): DataFrame = {
+    val nearestCells = cs.zipWithIndex
+      .map { case (c, i) => i -> c.zip(probe).map { case (a, b) => (a - b) * (a - b) }.sum }
+      .sortBy(_._2).take(nprobe).map(_._1)
+    val pv = array(probe.map(lit): _*)
+    index.filter(col("cell").isin(nearestCells: _*))
+      .select(col("id"), AnnLsh.cosine(col("v"), pv).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(topK)
+  }
+}

@@ -224,6 +224,43 @@ object CurationQueries extends QueryRegistry {
              |FROM e CROSS JOIN p
              |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // Scalable as-of join (union + ordered window: one shuffle + one
+    // sort instead of a range join). Must produce exactly q16's
+    // MAX-formulation result → same oracle.
+    QueryDef("q66_asof_window",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("ts").as("click_ts"))
+        AsOfJoin.lastBefore(purchases, clicks, key = "user_id", time = "ts",
+            valueCols = Seq("click_ts"))
+          .filter(col("asof_click_ts").isNotNull)
+          .select(col("event_id"), col("asof_click_ts").as("last_click_ts"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, MAX(CAST(c.ts AS TIMESTAMP)) AS last_click_ts
+             |FROM events p JOIN events c
+             |ON c.user_id = p.user_id AND c.event_type = 'click'
+             |AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+             |WHERE p.event_type = 'purchase'
+             |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)),
+
+    // IVF-partitioned ANN: search only the nprobe cells nearest the
+    // probe. No SQL oracle (the quantizer is the operator's contract);
+    // AnnSpec asserts score consistency vs brute force.
+    QueryDef("q67_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val (index, cs) = IvfIndex.build(emb, "vec_id", "embedding", k = 16)
+        val probe = emb.filter(col("vec_id") === 0)
+          .select(transform(col("embedding"), x => x.cast("double")))
+          .head().getSeq[Double](0)
+        IvfIndex.search(index.filter(col("id") =!= 0), cs, probe, nprobe = 4, topK = 10)
+      },
+      None),
+
     // Embedding near-duplicate sweep over LSH buckets.
     QueryDef("q64_embedding_neardup",
       (s, dir) => AnnLsh.bucketedPairs(Tables.embeddings(s, dir), "vec_id", "embedding")

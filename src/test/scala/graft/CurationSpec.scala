@@ -79,6 +79,31 @@ class CurationSpec extends SparkTestBase {
     assert(out.find(_.getAs[Long]("media_id") == 0L).get.getAs[String]("digest") == d0)
   }
 
+  test("q66 as-of window join equals the q16 range-join formulation exactly") {
+    val window = run("q66_asof_window").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[java.time.LocalDateTime]("last_click_ts"))
+    val rangeJoin = run("q16_asof_join").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[java.time.LocalDateTime]("last_click_ts"))
+    assert(window.sameElements(rangeJoin))
+  }
+
+  test("q67 IVF search scores match brute force; index covers the corpus") {
+    val ivf = run("q67_ann_ivf").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("sim")).toMap
+    assert(ivf.nonEmpty && !ivf.contains(0L))
+    val brute = run("q40_cosine_topk").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+    ivf.foreach { case (id, sim) =>
+      brute.get(id).foreach(b => assert(math.abs(b - sim) < 1e-12, s"id $id: ivf=$sim brute=$b"))
+    }
+    // every vector lands in exactly one of the k cells
+    val (index, _) = operators.IvfIndex.build(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", k = 16)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(index.count() == n)
+    assert(index.agg(org.apache.spark.sql.functions.countDistinct("id")).head().getLong(0) == n)
+  }
+
   test("langid returns a label from the profile set or 'und'") {
     val labels = run("q58_langid").collect().map(_.getAs[String]("predicted")).toSet
     val allowed = TextAnalysis.LangProfiles.map(_._1).toSet + "und"
