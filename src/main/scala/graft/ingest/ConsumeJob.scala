@@ -64,6 +64,31 @@ object ConsumeJob {
     Report(total, stats.toSeq, watermark, skipped = false)
   }
 
+  /** Poll-loop consume analog (reference:
+    * UrsaKafkaConsumerOnCloud.java:59-67): a streaming read over the
+    * topic table drained via foreachBatch — each micro-batch is one
+    * poll() result; per-batch key/value/partition counts accumulate
+    * like the reference's running `count`. */
+  def consumeForeachBatch(spark: SparkSession, root: String, prefix: String): Long = {
+    val dir = Topics.tableDir(root, prefix)
+    val schema = spark.read.parquet(dir).schema
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val n = batch.count()
+        total.addAndGet(n)
+        println(s"[consume] batch=$batchId records=$n total=${total.get()}")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir._consume_ckpt_${System.nanoTime()}")
+      .start()
+    q.awaitTermination()
+    total.get()
+  }
+
   def commitProgress(root: String, prefix: String, pos: Long): Unit = {
     val p = Paths.get(Topics.progressPath(root, prefix))
     Files.createDirectories(p.getParent)

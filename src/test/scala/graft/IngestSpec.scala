@@ -64,6 +64,24 @@ class IngestSpec extends SparkTestBase {
     assert(t.filter(col("title").contains(",")).count() > 0)
   }
 
+  test("composite positions compare numerically, not lexically (A8)") {
+    assert(Positions.compare("9:5", "10:2") < 0)   // string compare would flip this
+    assert(Positions.compare("10:2", "10:10") < 0)
+    assert(Positions.compare("7:7", "7:7") == 0)
+    import spark.implicits._
+    val sorted = Seq("10:2", "9:5", "2:30", "10:1").toDF("pos")
+      .orderBy(Positions.posStruct(col("pos")))
+      .collect().map(_.getString(0))
+    assert(sorted.sameElements(Array("2:30", "9:5", "10:1", "10:2")))
+  }
+
+  test("foreachBatch poll-loop consume drains the topic exactly once (A14)") {
+    val root = freshRoot()
+    ProduceJob.produceBatch(spark, root, "pb", topics = 2, numMessages = 3000)
+    val total = ConsumeJob.consumeForeachBatch(spark, root, "pb")
+    assert(total == 3000)
+  }
+
   test("student bounded produce writes flush-sized files (A13)") {
     val root = freshRoot()
     val rep = ProduceJob.produceStudents(spark, root, "stu",
