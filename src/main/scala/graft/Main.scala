@@ -45,6 +45,8 @@ object Main {
               numMessages = positiveLong("-m", 100000), codec = codec)
         case "consume" =>
           ConsumeJob.consume(spark, root, prefix)
+        case "consume_no_admin" => // plain sequential scan, no watermark gate
+          s"total=${ConsumeJob.consumeForeachBatch(spark, root, prefix)}"
         case "produce_amazon" =>
           val file = flags.getOrElse("-f", sys.error("produce_amazon requires -f <file>"))
           AmazonIngest.ingest(spark, file, root, prefix, flag("-z", "none").toLowerCase)
@@ -65,8 +67,9 @@ object Main {
     }
 
   private def usage(): Unit = System.err.println(
-    """usage: graft.Main <produce|consume|produce_amazon> [flags] <topicPrefix>
-      |  produce:        -t <topics> -r <rate> -m <messages> -time <seconds> -z <codec> --root <dir>
-      |  consume:        --root <dir>
-      |  produce_amazon: -f <file> -z <codec> --root <dir>""".stripMargin)
+    """usage: graft.Main <produce|consume|consume_no_admin|produce_amazon> [flags] <topicPrefix>
+      |  produce:          -t <topics> -r <rate> -m <messages> -time <seconds> -z <codec> --root <dir>
+      |  consume:          --root <dir>   (offload-watermark gated)
+      |  consume_no_admin: --root <dir>   (plain sequential scan)
+      |  produce_amazon:   -f <file> -z <codec> --root <dir>""".stripMargin)
 }

@@ -41,7 +41,11 @@ object ProduceJob {
       ((lit(59.9) + col(cntCol)) % lit(150.0)).as("score"),
       col(cntCol).as("ba"),
       col(cntCol).cast("string").as("key"),
-      concat(lit(prefix), lit("-"), pmod(col(cntCol), lit(topics)).cast("string")).as("topic"))
+      // fan-out naming parity with Topics.expand: n == 1 keeps the
+      // bare prefix (reference: PerformanceProducer.java:99-114)
+      (if (topics <= 1) lit(prefix)
+       else concat(lit(prefix), lit("-"), pmod(col(cntCol), lit(topics)).cast("string")))
+        .as("topic"))
 
   /** Bounded batch produce of `numMessages` rows. */
   def produceBatch(spark: SparkSession, root: String, prefix: String,
