@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // rewrite the HOF dot-product idiom into the fused codegen'd form
+    ext.injectOptimizerRule(_ => graft.plans.FuseDotProduct)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float/double arrays"),

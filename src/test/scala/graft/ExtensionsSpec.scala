@@ -26,6 +26,36 @@ class ExtensionsSpec extends AnyFunSuite {
       val toks = spark.sql(
         "SELECT graft_tokenize('a b c')").collect().map(_.getString(0))
       assert(toks.sameElements(Array("a", "b", "c")))
+      // FuseDotProduct: on a non-foldable (table-backed) input the HOF
+      // idiom plans as the fused expression...
+      Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .createOrReplaceTempView("emb_ext")
+      val fused = spark.sql(
+        """SELECT aggregate(zip_with(v, v, (x, y) -> x * y), 0.0d, (acc, w) -> acc + w) AS dot
+          |FROM (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS v FROM emb_ext)""".stripMargin)
+      assert(fused.queryExecution.optimizedPlan.toString.contains("dotproduct"),
+        fused.queryExecution.optimizedPlan.toString.take(800))
+      // ...matching the un-fused evaluation bit-for-bit
+      val viaLit = spark.sql(
+        """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) AS dot
+          |FROM VALUES (array(1.0d,2.0d,3.0d), array(4.0d,5.0d,6.0d)) t(a, b)""".stripMargin)
+      assert(viaLit.head().getDouble(0) == (1.0 * 4 + 2.0 * 5 + 3.0 * 6))
+      // ...with HOF null semantics preserved: length mismatch → null
+      val mismatch = spark.sql(
+        """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) AS dot
+          |FROM VALUES (array(1.0d,2.0d), array(4.0d)) t(a, b)""".stripMargin)
+      assert(mismatch.head().isNullAt(0))
+      // null element → null
+      val nullElem = spark.sql(
+        """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) AS dot
+          |FROM VALUES (array(1.0d, cast(null as double)), array(4.0d, 5.0d)) t(a, b)""".stripMargin)
+      assert(nullElem.head().isNullAt(0))
+      // a non-matching fold (different seed) is left alone
+      val other = spark.sql(
+        """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 1.0d, (acc, v) -> acc + v) AS dot
+          |FROM VALUES (array(1.0d,2.0d), array(4.0d,5.0d)) t(a, b)""".stripMargin)
+      assert(!other.queryExecution.optimizedPlan.toString.contains("dotproduct"))
+      assert(other.head().getDouble(0) == 1.0 + 4.0 + 10.0)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
