@@ -27,6 +27,7 @@ object GraftSession {
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.warehouse.dir", "/tmp/graft/warehouse")
     .config("spark.ui.enabled", "false")
     // local[n] has no dynamic executors; keep broadcast threshold default
     // (10MB) — all dim tables here fit comfortably.

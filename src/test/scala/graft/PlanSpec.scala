@@ -38,6 +38,25 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("bucketed co-located join runs with no exchange on either side") {
+    import org.apache.spark.sql.functions.col
+    TableIO.writeBucketed(Tables.orders(spark, sf), "orders_bkt", "o_custkey", 8)
+    TableIO.writeBucketed(Tables.customer(spark, sf), "customer_bkt", "c_custkey", 8)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val j = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(!plan.contains("Exchange"), "bucketed join still shuffles:\n" + plan.take(1500))
+      // and it is correct
+      val expected = Tables.orders(spark, sf).join(
+        Tables.customer(spark, sf), col("o_custkey") === col("c_custkey")).count()
+      assert(j.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("q18: partial aggregation runs before the shuffle") {
     val plan = planOf("q18_groupby_multi_agg")
     // partial_ functions indicate map-side combine
