@@ -9,8 +9,8 @@ object SparkEntry {
   /** All declared queries (SURVEY.md §2B), one registry per category. */
   val registries: Seq[QueryRegistry] = Seq(
     ScanQueries, JoinQueries, AggQueries, WindowQueries,
-    SetQueries, ScalarQueries, PipelineQueries, CurationQueries,
-    UdxQueries, StreamingQueries)
+    SetQueries, ScalarQueries, SqlQueries, PipelineQueries,
+    CurationQueries, UdxQueries, StreamingQueries)
 
   val defs: Seq[QueryDef] = registries.flatMap(_.defs)
 

@@ -30,6 +30,15 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = read(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")
 
+  /** Register every fixture table as a temp view (SQL entry path).
+    * `events` is registered in its normalized (µs ntz) form. */
+  def registerAll(s: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => read(s, dir, t).createOrReplaceTempView(t))
+    events(s, dir).createOrReplaceTempView("events")
+  }
+
   /** `events` with `ts` as proper TimestampType (micros, UTC). */
   def events(s: SparkSession, dir: String): DataFrame = {
     val raw = read(s, dir, "events")
