@@ -59,6 +59,7 @@ object ProduceJob {
       .partitionBy("topic")
       .parquet(dir)
     commitManifest(root, prefix, numMessages - 1)
+    Snapshots.commit(root, prefix, numMessages - 1)
     Report(numMessages, 0L, numMessages - 1)
   }
 
@@ -91,6 +92,7 @@ object ProduceJob {
       case r => r.getLong(0)
     }
     commitManifest(root, prefix, maxPos)
+    Snapshots.commit(root, prefix, maxPos)
     Report(produced.count(), 0L, maxPos)
   }
 
@@ -115,6 +117,7 @@ object ProduceJob {
       .partitionBy("topic")
       .parquet(dir)
     commitManifest(root, prefix, numMessages - 1)
+    Snapshots.commit(root, prefix, numMessages - 1)
     Report(numMessages, 0L, numMessages - 1)
   }
 
