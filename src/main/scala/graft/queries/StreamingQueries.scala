@@ -164,6 +164,38 @@ object StreamingQueries extends QueryRegistry {
       Some(s"""SELECT user_id, COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value
               |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Spark 4 arbitrary-state API: per-user running (count, cents)
+    // via a StatefulProcessor; after the AvailableNow replay the last
+    // update per key equals the batch aggregate.
+    QueryDef("q74_transform_with_state",
+      (s, dir) => {
+        import s.implicits._
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prior = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val ds = eventStream(s, dir)
+            .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+            .as[(Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new graft.streaming.RunningStatsProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+            .toDF("user_id", "n", "cents")
+          runToMemory(s, ds, "update")
+            .groupBy("user_id")
+            .agg(max("n").as("n"), max("cents").as("cents"))
+            .orderBy("user_id")
+        } finally prior match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+      },
+      Some("""SELECT user_id, COUNT(*) AS n,
+             |CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     QueryDef("q50_stream_static_join",
       (s, dir) => {
         val cust = Tables.customer(s, dir)

@@ -111,6 +111,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState running stats equal batch aggregation (Spark 4 API)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // transformWithState needs multi-column-family state → RocksDB provider
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(Long, Long)] // (user, cents)
+    val out = ms.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val q = out.toDF("user", "n", "cents").writeStream
+      .format("memory").queryName("tws_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      ms.addData((1L, 100L), (1L, 250L), (2L, 50L))
+      q.processAllAvailable()
+      ms.addData((1L, 50L), (3L, 700L))
+      q.processAllAvailable()
+      // final running totals per key (last update wins)
+      val finals = spark.table("tws_test")
+        .groupBy("user").agg(max("n").as("n"), max("cents").as("cents"))
+        .collect().map(r => r.getAs[Long]("user") -> ((r.getAs[Long]("n"), r.getAs[Long]("cents")))).toMap
+      assert(finals == Map(1L -> ((3L, 400L)), 2L -> ((1L, 50L)), 3L -> ((1L, 700L))))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("q46 session windows merge events within the 30-minute gap") {
     val rows = run("q46_stream_session_window").collect()
     assert(rows.nonEmpty)
