@@ -77,6 +77,24 @@ object AggQueries extends QueryRegistry {
               |ORDER BY g_status, g_priority,
               |o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
 
+    QueryDef("q21_cube",
+      (s, dir) => Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+        .orderBy(col("g_status"), col("g_priority"),
+          col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+              |${sqlDsum("o_totalprice")} AS sum_price,
+              |CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+              |CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+              |ORDER BY g_status, g_priority,
+              |o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
     // HLL sketch values differ across engines → property-checked in the
     // test suite (±5% of exact), rows-only for the driver.
     QueryDef("q22_approx_distinct",
