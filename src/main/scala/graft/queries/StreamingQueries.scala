@@ -175,7 +175,10 @@ object StreamingQueries extends QueryRegistry {
         s.conf.set(providerKey,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
-          val ds = eventStream(s, dir)
+          // single AvailableNow batch: multi-batch update semantics are
+          // covered by StreamingSpec's MemoryStream test; per-batch
+          // RocksDB store churn would otherwise dominate the runtime
+          val ds = eventStream(s, dir, maxFilesPerTrigger = 4)
             .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
             .as[(Long, Long)]
             .groupByKey(_._1)
