@@ -98,6 +98,100 @@ object SqlQueries extends QueryRegistry {
              |WHERE r_name = 'ASIA'
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    // TPC-H Q4 shape: EXISTS-gated per-priority counts
+    QueryDef("q75_tpch_q4_shape", sql(
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      Some("""SELECT o_orderpriority, COUNT(*) AS n FROM orders o
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // TPC-H Q7 shape: supplier-nation × customer-nation shipping volume
+    QueryDef("q76_tpch_q7_shape", sql(
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+      Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             |  CAST(year(l_shipdate) AS INT) AS l_year,
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS volume
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |WHERE sn.n_name <> cn.n_name
+             |GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // TPC-H Q10 shape: top customers by returned-item revenue
+    QueryDef("q77_tpch_q10_shape", sql(
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+      Some("""SELECT c_custkey, c_name, n_name,
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |GROUP BY c_custkey, c_name, n_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q14 shape: promo revenue ratio (order-stable double division
+    // of int64-backed decimal sums)
+    QueryDef("q78_tpch_q14_shape", sql(
+      """SELECT
+        |  CAST(CAST(SUM(CAST(CASE WHEN p_type = 'ECONOMY'
+        |        THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE)
+        |  / CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE)
+        |  AS promo_ratio
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin),
+      Some("""SELECT
+             |  CAST(CAST(SUM(CAST(CASE WHEN p_type = 'ECONOMY'
+             |        THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE)
+             |  / CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE)
+             |  AS promo_ratio
+             |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)),
+
+    // TPC-H Q19 shape: OR-of-ANDs predicate (pushdown + CNF stress)
+    QueryDef("q79_tpch_q19_shape", sql(
+      """SELECT COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10)
+        |   OR (p_type = 'SMALL' AND l_quantity < 5)""".stripMargin),
+      Some("""SELECT COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
+             |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10)
+             |   OR (p_type = 'SMALL' AND l_quantity < 5)""".stripMargin)),
+
     // EXISTS inside a disjunction (decorrelation stress)
     QueryDef("q73_exists_or", sql(
       """SELECT c_custkey FROM customer c
