@@ -103,6 +103,24 @@ object AggQueries extends QueryRegistry {
         countDistinct(col("l_orderkey")).as("exact_orders")),
       None),
 
+    // pivot: event counts per user as one column per type (fixed value
+    // list → deterministic schema; Spark leaves empty cells null,
+    // matched by NULLIF(count,0) in the oracle)
+    QueryDef("q82_pivot",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .orderBy("user_id")
+        .limit(200),
+      Some("""SELECT user_id,
+             |  NULLIF(COUNT(*) FILTER (WHERE event_type = 'click'), 0) AS click,
+             |  NULLIF(COUNT(*) FILTER (WHERE event_type = 'view'), 0) AS view,
+             |  NULLIF(COUNT(*) FILTER (WHERE event_type = 'purchase'), 0) AS purchase,
+             |  NULLIF(COUNT(*) FILTER (WHERE event_type = 'signup'), 0) AS signup,
+             |  NULLIF(COUNT(*) FILTER (WHERE event_type = 'error'), 0) AS error
+             |FROM events GROUP BY user_id ORDER BY user_id LIMIT 200""".stripMargin)),
+
     QueryDef("q23_filtered_agg",
       (s, dir) => Tables.events(s, dir)
         .groupBy("event_type")

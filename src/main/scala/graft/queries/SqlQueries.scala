@@ -192,6 +192,41 @@ object SqlQueries extends QueryRegistry {
              |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10)
              |   OR (p_type = 'SMALL' AND l_quantity < 5)""".stripMargin)),
 
+    // explicit GROUPING SETS (beyond rollup/cube)
+    QueryDef("q80_grouping_sets", sql(
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+         |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY g_status, g_priority,
+         |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+             |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY g_status, g_priority,
+             |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // value-based RANGE frame (vs the ROWS frames of q26/q27): a
+    // 3-day trailing window over daily totals honors calendar gaps
+    QueryDef("q81_range_frame", sql(
+      """SELECT d,
+        |  CAST(SUM(total) OVER (ORDER BY d RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS trailing3d
+        |FROM (
+        |  SELECT CAST(datediff(o_orderdate, TIMESTAMP '1995-01-01') AS BIGINT) AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS total
+        |  FROM orders GROUP BY 1)
+        |ORDER BY d""".stripMargin),
+      Some("""SELECT d,
+             |  CAST(SUM(total) OVER (ORDER BY d RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS trailing3d
+             |FROM (
+             |  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS total
+             |  FROM orders GROUP BY 1)
+             |ORDER BY d""".stripMargin)),
+
     // EXISTS inside a disjunction (decorrelation stress)
     QueryDef("q73_exists_or", sql(
       """SELECT c_custkey FROM customer c
