@@ -62,6 +62,25 @@ object Multimodal {
       struct(lit(0).as("width"), lit(0).as("height"),
         length(col(textCol)).cast("long").as("duration_ms")).as("meta"))
 
+  /** STUB resize: stride-k downsample of the payload byte stream —
+    * the shape of a real image resize (subsample + digest), expressed
+    * as pure column ops so it stays distributed and codegen-friendly.
+    * Operates on the payload's character view (fixture payloads are
+    * ASCII text; a codec build would swap in byte-level ops). */
+  def resizeStride(payload: Column, k: Int): Column = {
+    val chars = filter(split(payload.cast("string"), ""), c => c =!= "")
+    array_join(filter(chars, (_, i) => i % k === 0), "")
+  }
+
+  /** STUB frame-sample: cut the payload into fixed-size frames and
+    * keep every `every`-th one (a video keyframe-sampling shape). */
+  def sampleFrames(payload: Column, frameLen: Int, every: Int): Column = {
+    val s = payload.cast("string")
+    val nFrames = ceil(length(s) / lit(frameLen.toDouble)).cast("int")
+    val kept = filter(sequence(lit(0), nFrames - 1), f => f % every === 0)
+    transform(kept, f => s.substr(f * frameLen + 1, lit(frameLen)))
+  }
+
   /** Distributed feature extraction: one projection, decode runs
     * per-row on executors; no shuffle, scale-transparent. */
   def extractFeatures(media: DataFrame): DataFrame =

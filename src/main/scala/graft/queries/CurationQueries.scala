@@ -192,6 +192,33 @@ object CurationQueries extends QueryRegistry {
            |ORDER BY media_id""".stripMargin
       }),
 
+    // Multimodal resize + frame-sample plumbing (stubbed media ops
+    // with real distributed execution, like q62).
+    QueryDef("q83_multimodal_resize",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .filter(col("doc_id") < 300 && length(col("text")) === octet_length(col("text")))
+        docs.select(
+          col("doc_id").as("media_id"),
+          length(Multimodal.resizeStride(col("text"), 4)).cast("bigint").as("resized_len"),
+          md5(Multimodal.resizeStride(col("text"), 4)).as("resized_digest"),
+          size(Multimodal.sampleFrames(col("text"), 16, 4)).cast("bigint").as("n_sampled_frames"),
+          md5(concat_ws("|", Multimodal.sampleFrames(col("text"), 16, 4))).as("frames_digest"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(strlen(resized) AS BIGINT) AS resized_len,
+             |  md5(resized) AS resized_digest,
+             |  CAST(len(frames) AS BIGINT) AS n_sampled_frames,
+             |  md5(array_to_string(frames, '|')) AS frames_digest
+             |FROM (
+             |  SELECT doc_id,
+             |    array_to_string(list_transform(generate_series(1, strlen(text), 4), i -> text[i]), '') AS resized,
+             |    list_transform(list_filter(generate_series(0, CAST(ceil(strlen(text) / 16.0) AS BIGINT) - 1), f -> f % 4 = 0),
+             |                   f -> text[f*16+1 : f*16+16]) AS frames
+             |  FROM documents WHERE doc_id < 300 AND length(text) = strlen(text))
+             |ORDER BY media_id""".stripMargin)),
+
     // LSH-bucketed ANN: no SQL oracle (bucket assignment is the
     // operator's own contract) — AnnSpec asserts candidate cosines
     // match brute force and the probe's bucket contains itself.
