@@ -121,6 +121,20 @@ object AggQueries extends QueryRegistry {
              |  NULLIF(COUNT(*) FILTER (WHERE event_type = 'error'), 0) AS error
              |FROM events GROUP BY user_id ORDER BY user_id LIMIT 200""".stripMargin)),
 
+    // exact interpolated percentiles; DECIMAL(18,4) absorbs any
+    // last-ulp interpolation-formula difference between engines
+    QueryDef("q86_percentile",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").cast("decimal(18,4)").as("median_price"),
+          expr("percentile(o_totalprice, 0.9)").cast("decimal(18,4)").as("p90_price"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,4)) AS median_price,
+             |  CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(18,4)) AS p90_price
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     QueryDef("q23_filtered_agg",
       (s, dir) => Tables.events(s, dir)
         .groupBy("event_type")

@@ -131,6 +131,26 @@ object PipelineQueries extends QueryRegistry {
               |${sqlDavg("n_chars")} AS avg_chars
               |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Edit-distance near-dup scoring over a bounded probe set (the
+    // character-level complement to token-level Jaccard; Levenshtein
+    // is exact so any engine agrees).
+    QueryDef("q85_levenshtein",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).filter(col("doc_id") < 15)
+          .select(col("doc_id"), substring(col("text"), 1, 80).as("head"))
+        val a = d.select(col("doc_id").as("a_id"), col("head").as("ha"))
+        val b = d.select(col("doc_id").as("b_id"), col("head").as("hb"))
+        a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            levenshtein(col("ha"), col("hb")).cast("int").as("dist"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, substr(text, 1, 80) AS head FROM documents WHERE doc_id < 15)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  CAST(levenshtein(a.head, b.head) AS INT) AS dist
+             |FROM d a JOIN d b ON a.doc_id < b.doc_id
+             |ORDER BY a_id, b_id""".stripMargin)),
+
     // n-gram (3-token shingle) Jaccard similarity over a bounded probe
     // set of document pairs — the exact-similarity building block that
     // MinHash-LSH approximates at corpus scale.

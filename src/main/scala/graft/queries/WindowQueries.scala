@@ -86,6 +86,26 @@ object WindowQueries extends QueryRegistry {
              |WINDOW w AS (ORDER BY d ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
              |ORDER BY d""".stripMargin)),
 
+    QueryDef("q84_window_nav",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            first(col("value")).over(w).as("first_v"),
+            last(col("value")).over(w).as("last_v"),
+            nth_value(col("value"), 2).over(w).as("second_v"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  first_value(value) OVER w AS first_v,
+             |  last_value(value) OVER w AS last_v,
+             |  nth_value(value, 2) OVER w AS second_v
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY event_id""".stripMargin)),
+
     QueryDef("q28_ntile",
       (s, dir) => {
         val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
