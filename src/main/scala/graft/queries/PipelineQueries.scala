@@ -131,6 +131,30 @@ object PipelineQueries extends QueryRegistry {
               |${sqlDavg("n_chars")} AS avg_chars
               |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Dedup with survivorship: one canonical row (lowest doc_id) per
+    // normalized-text group — the materialized output of a dedup
+    // pipeline, not just the statistics. Window over the digest key
+    // shuffles once; at corpus scale this is the same plan shape as
+    // q39's counting pass.
+    QueryDef("q87_dedup_survivorship",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val withDups = d.unionAll(
+          d.filter(col("doc_id") < 10).withColumn("doc_id", col("doc_id") + 100000))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(normText(col("text")))).orderBy(col("doc_id"))
+        withDups
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("lang").agg(count(lit(1)).as("n_canonical"))
+          .orderBy("lang")
+      },
+      Some(s"""SELECT lang, COUNT(*) AS n_canonical FROM (
+              |  SELECT lang, row_number() OVER (PARTITION BY md5($sqlNormText) ORDER BY doc_id) AS rn
+              |  FROM (SELECT doc_id, lang, text FROM documents
+              |        UNION ALL SELECT doc_id + 100000 AS doc_id, lang, text FROM documents WHERE doc_id < 10))
+              |WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Edit-distance near-dup scoring over a bounded probe set (the
     // character-level complement to token-level Jaccard; Levenshtein
     // is exact so any engine agrees).

@@ -45,6 +45,22 @@ class SnapshotSpec extends SparkTestBase {
     assert(topics.sameElements(Array("s3-0", "s3-1", "s3-2")))
   }
 
+  test("schema evolution: appended columns merge; old rows read as null") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "s5", topics = 1, numMessages = 100)
+    // producer upgrade: new optional column lands in later files
+    ProduceJob.personProjection(spark.range(100, 200).toDF("cnt"), "cnt", "s5", 1)
+      .withColumn("source", lit("v2"))
+      .write.mode("append").partitionBy("topic")
+      .parquet(graft.ingest.Topics.tableDir(root, "s5"))
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(graft.ingest.Topics.tableDir(root, "s5"))
+    assert(merged.columns.contains("source"))
+    assert(merged.filter(col("source").isNull).count() == 100)  // v1 rows
+    assert(merged.filter(col("source") === "v2").count() == 100)
+    assert(merged.count() == 200)
+  }
+
   test("unknown version is refused") {
     val root = Files.createTempDirectory("graft_snap").toString
     ProduceJob.produceBatch(spark, root, "s4", topics = 1, numMessages = 10)
