@@ -192,6 +192,19 @@ object CurationQueries extends QueryRegistry {
            |ORDER BY media_id""".stripMargin
       }),
 
+    // Salted two-phase distinct count through the gate: must equal
+    // plain COUNT(DISTINCT) — the skew-mitigation path is a pure
+    // rewrite (salt derived from the distinct value keeps partials
+    // additive).
+    QueryDef("q88_salted_distinct",
+      (s, dir) => SkewTools.saltedDistinctCount(
+          Tables.events(s, dir).select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("int").as("k")),
+          key = "user_id", distinctCol = "k", salts = 8)
+        .orderBy("user_id"),
+      Some("""SELECT user_id, COUNT(DISTINCT CAST(json_extract_string(props,'$.k') AS INT)) AS n_distinct
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Multimodal resize + frame-sample plumbing (stubbed media ops
     // with real distributed execution, like q62).
     QueryDef("q83_multimodal_resize",

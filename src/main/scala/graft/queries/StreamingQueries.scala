@@ -164,6 +164,33 @@ object StreamingQueries extends QueryRegistry {
       Some(s"""SELECT user_id, COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value
               |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Stream-stream interval join: purchases ⋈ clicks of the same user
+    // within the preceding hour, both sides watermarked (state for
+    // each side is bounded by watermark + interval — the 100 TB
+    // requirement for any stream-stream join).
+    QueryDef("q89_stream_stream_join",
+      (s, dir) => {
+        val p = eventStream(s, dir).filter(col("event_type") === "purchase")
+          .withWatermark("ts", "1 hour")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val c = eventStream(s, dir).filter(col("event_type") === "click")
+          .withWatermark("ts", "1 hour")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_uid"), col("ts").as("c_ts"))
+        val joined = p.join(c,
+          col("user_id") === col("c_uid") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"))
+        runToMemory(s, joined, "append")
+          .select(col("p_id"), col("c_id"))
+          .orderBy("p_id", "c_id")
+      },
+      Some("""SELECT p.event_id AS p_id, c.event_id AS c_id
+             |FROM events p JOIN events c ON c.user_id = p.user_id
+             |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+             |  AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+             |  AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+             |ORDER BY p_id, c_id""".stripMargin)),
+
     // Spark 4 arbitrary-state API: per-user running (count, cents)
     // via a StatefulProcessor; after the AvailableNow replay the last
     // update per key equals the batch aggregate.

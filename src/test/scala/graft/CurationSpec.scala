@@ -104,6 +104,18 @@ class CurationSpec extends SparkTestBase {
     assert(index.agg(org.apache.spark.sql.functions.countDistinct("id")).head().getLong(0) == n)
   }
 
+  test("persisted IVF index prunes partitions on cell filter") {
+    val (index, _) = operators.IvfIndex.build(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", k = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index"
+    index.write.mode("overwrite").partitionBy("cell").parquet(path)
+    val reloaded = spark.read.parquet(path)
+    val probed = reloaded.filter(col("cell").isin(0, 1))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(1200))
+    assert(probed.count() == index.filter(col("cell").isin(0, 1)).count())
+  }
+
   test("langid returns a label from the profile set or 'und'") {
     val labels = run("q58_langid").collect().map(_.getAs[String]("predicted")).toSet
     val allowed = TextAnalysis.LangProfiles.map(_._1).toSet + "und"
