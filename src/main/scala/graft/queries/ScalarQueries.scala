@@ -110,6 +110,27 @@ object ScalarQueries extends QueryRegistry {
              |CAST(embedding[1] AS DOUBLE) AS e0
              |FROM embeddings ORDER BY vec_id LIMIT 100""".stripMargin)),
 
+    // array_sort / slice / array_position / array_distinct as outputs
+    // (string-joined so both engines serialize identically);
+    // array_position absence: Spark yields 0, DuckDB NULL → NULLIF.
+    QueryDef("q90_array_ops",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          concat_ws(" ", slice(array_sort(toks), 1, 5)).as("first5_sorted"),
+          nullif(array_position(toks, "the"), lit(0)).cast("bigint").as("pos_the"),
+          size(array_distinct(toks)).cast("bigint").as("n_unique"),
+          concat_ws(" ", slice(toks, -3, 3)).as("last3")
+        ).orderBy("doc_id").limit(300)
+      },
+      Some("""SELECT doc_id,
+             |  array_to_string(list_sort(string_split(text,' '))[1:5], ' ') AS first5_sorted,
+             |  CAST(NULLIF(list_position(string_split(text,' '), 'the'), 0) AS BIGINT) AS pos_the,
+             |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_unique,
+             |  array_to_string(string_split(text,' ')[-3:], ' ') AS last3
+             |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin)),
+
     QueryDef("q36_map_json",
       (s, dir) => Tables.events(s, dir).select(
           element_at(from_json(col("props"), MapType(StringType, IntegerType)), "k").as("k"))
