@@ -15,6 +15,14 @@ final case class QueryDef(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None)
 
+object QueryDef {
+  /** Build from a (runner, oracle) pair — the "same SQL text on both
+    * engines" idiom of SqlQueries. */
+  def apply(name: String,
+            both: ((SparkSession, String) => DataFrame, Option[String])): QueryDef =
+    new QueryDef(name, both._1, both._2)
+}
+
 trait QueryRegistry {
   def defs: Seq[QueryDef]
 }

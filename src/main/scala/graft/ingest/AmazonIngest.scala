@@ -28,18 +28,30 @@ object AmazonIngest {
   final case class Report(totalSent: Long, failedSent: Long)
 
   /** Parse + land into `<root>/<prefix>`; failed = rows missing any
-    * of the three fields. */
+    * of the three fields.
+    *
+    * Rows carry a monotonic `ba` position (the topic tables' position
+    * column — ConsumeJob's watermark gate filters on it), continued
+    * from the table's current max so repeated appends keep the
+    * watermark cumulative. The single-partition row_number is fine
+    * here: this is edge ingest of one CLI-supplied file, not a
+    * corpus-scale path. */
   def ingest(spark: SparkSession, file: String, root: String, prefix: String,
              codec: String = "none"): Report = {
+    import org.apache.spark.sql.expressions.Window
     val parsed = parse(spark, file)
     val ok = parsed.filter(
       col("polarity").isNotNull && col("title").isNotNull && col("text").isNotNull)
     val total = parsed.count()
     val good = ok.count()
-    ok.withColumn("topic", lit(prefix))
+    val base = ProduceJob.readManifest(root, prefix).getOrElse(-1L)
+    val positioned = ok.withColumn("ba",
+      row_number().over(Window.orderBy(col("polarity"), col("title"), col("text")))
+        .cast("long") + lit(base))
+    positioned.withColumn("topic", lit(prefix))
       .write.mode("append").option("compression", codec)
       .partitionBy("topic").parquet(Topics.tableDir(root, prefix))
-    ProduceJob.commitManifest(root, prefix, good - 1)
+    ProduceJob.commitManifest(root, prefix, base + good)
     Report(total, total - good)
   }
 }

@@ -1,0 +1,151 @@
+package graft.ingest
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.Dataset
+
+import graft.model.{AmazonReview, Person, Student}
+
+/** Avro binary wire format for the reference's three record schemas —
+  * the literal on-the-wire representation the reference publishes
+  * (reference: PerformanceProducer.java:129 `Schema.AVRO(Person.class)`,
+  * AmazonReviewProducer.java:81, Student.avsc:1-12 with the Confluent
+  * serializer at UrsaKafkaProducerOnCloud.java:39-44).
+  *
+  * The container ships avro-core (no spark-avro, so no
+  * `to_avro`/`from_avro` expressions — SURVEY.md §7 risk (d)); the
+  * codec therefore runs per partition via `mapPartitions`, with writer/
+  * reader/encoder instances reused across the partition's rows (the
+  * documented avro fast path) — distributed, no driver involvement, no
+  * per-row codec allocation.
+  */
+object AvroWire {
+
+  /** Field layout mirrors Person.java:10-16 (alphabetical is NOT used —
+    * Avro field order is declaration order, which the binary relies on). */
+  val PersonSchema: String =
+    """{"type":"record","name":"Person","namespace":"graft.wire","fields":[
+      |{"name":"name","type":"string"},
+      |{"name":"age","type":"int"},
+      |{"name":"address","type":"string"},
+      |{"name":"gender","type":"boolean"},
+      |{"name":"score","type":"double"},
+      |{"name":"ba","type":"long"}]}""".stripMargin
+
+  val AmazonReviewSchema: String =
+    """{"type":"record","name":"AmazonReview","namespace":"graft.wire","fields":[
+      |{"name":"polarity","type":"string"},
+      |{"name":"title","type":"string"},
+      |{"name":"text","type":"string"}]}""".stripMargin
+
+  /** reference: src/main/resources/avro/Student.avsc:5-11 */
+  val StudentSchema: String =
+    """{"type":"record","name":"Student","namespace":"graft.wire","fields":[
+      |{"name":"name","type":"string"},
+      |{"name":"age","type":"int"},
+      |{"name":"payload","type":"string"},
+      |{"name":"address","type":"string"},
+      |{"name":"number","type":"long"}]}""".stripMargin
+
+  /** Per-partition binary codec (schema re-parsed once per partition —
+    * Schema is not serializable, so executors rebuild from JSON). */
+  private class Codec(schemaJson: String) {
+    val schema: Schema = new Schema.Parser().parse(schemaJson)
+    private val writer = new GenericDatumWriter[GenericRecord](schema)
+    private val reader = new GenericDatumReader[GenericRecord](schema)
+    private val out = new ByteArrayOutputStream()
+    private var binEnc = EncoderFactory.get().binaryEncoder(out, null)
+
+    def encode(fill: GenericRecord => Unit): Array[Byte] = {
+      val rec = new GenericData.Record(schema)
+      fill(rec)
+      out.reset()
+      binEnc = EncoderFactory.get().binaryEncoder(out, binEnc)
+      writer.write(rec, binEnc)
+      binEnc.flush()
+      out.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): GenericRecord =
+      reader.read(null, DecoderFactory.get().binaryDecoder(bytes, null))
+  }
+
+  private def str(r: GenericRecord, f: String): String = r.get(f).toString
+
+  /** Person rows → (key, avro-binary) pairs; the key replays the
+    * reference's per-message key (String of the row position —
+    * PerformanceProducer.java:188). */
+  def encodePersons(ds: Dataset[Person]): Dataset[(String, Array[Byte])] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val c = new Codec(PersonSchema)
+      it.map { p =>
+        val bytes = c.encode { r =>
+          r.put("name", p.name); r.put("age", p.age); r.put("address", p.address)
+          r.put("gender", p.gender); r.put("score", p.score); r.put("ba", p.ba)
+        }
+        (p.ba.toString, bytes)
+      }
+    }
+  }
+
+  def decodePersons(ds: Dataset[Array[Byte]]): Dataset[Person] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val c = new Codec(PersonSchema)
+      it.map { bytes =>
+        val r = c.decode(bytes)
+        Person(str(r, "name"), r.get("age").asInstanceOf[Int], str(r, "address"),
+          r.get("gender").asInstanceOf[Boolean], r.get("score").asInstanceOf[Double],
+          r.get("ba").asInstanceOf[Long])
+      }
+    }
+  }
+
+  def encodeReviews(ds: Dataset[AmazonReview]): Dataset[Array[Byte]] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val c = new Codec(AmazonReviewSchema)
+      it.map(a => c.encode { r =>
+        r.put("polarity", a.polarity); r.put("title", a.title); r.put("text", a.text)
+      })
+    }
+  }
+
+  def decodeReviews(ds: Dataset[Array[Byte]]): Dataset[AmazonReview] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val c = new Codec(AmazonReviewSchema)
+      it.map { bytes =>
+        val r = c.decode(bytes)
+        AmazonReview(str(r, "polarity"), str(r, "title"), str(r, "text"))
+      }
+    }
+  }
+
+  def encodeStudents(ds: Dataset[Student]): Dataset[Array[Byte]] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val c = new Codec(StudentSchema)
+      it.map(s => c.encode { r =>
+        r.put("name", s.name); r.put("age", s.age); r.put("payload", s.payload)
+        r.put("address", s.address); r.put("number", s.number)
+      })
+    }
+  }
+
+  def decodeStudents(ds: Dataset[Array[Byte]]): Dataset[Student] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val c = new Codec(StudentSchema)
+      it.map { bytes =>
+        val r = c.decode(bytes)
+        Student(str(r, "name"), r.get("age").asInstanceOf[Int], str(r, "payload"),
+          str(r, "address"), r.get("number").asInstanceOf[Long])
+      }
+    }
+  }
+}

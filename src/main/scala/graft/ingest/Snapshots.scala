@@ -1,6 +1,6 @@
 package graft.ingest
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -10,20 +10,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * in the container we own the commit log, SURVEY.md §7).
   *
   * Layout: `<root>/<prefix>._log/v%05d.json`, each snapshot pinning
-  * the exact data-file set and the offload watermark at commit time:
+  * the exact data-file set, the files it superseded (compaction), and
+  * the offload watermark at commit time:
   *
-  * {{{ {"version": 2, "maxPos": 2999, "files": ["part-...parquet", ...]} }}}
+  * {{{ {"version": 2, "maxPos": 2999, "files": [...], "removed": [...]} }}}
   *
   * Properties:
   *  - readers of version N see exactly N's file set — concurrent
   *    appends never tear a scan (snapshot isolation);
   *  - time travel = reading an old version;
-  *  - the commit is one atomic file create (rename-free on local fs;
-  *    on object storage this would be a conditional put);
+  *  - the commit is one atomic CREATE_NEW file create — two writers
+  *    racing to the same version lose deterministically
+  *    ([[ConcurrentCommitException]]); append commits retry against
+  *    the fresh log state (append⋈append never conflicts logically,
+  *    exactly Delta's optimistic-concurrency rule);
+  *  - [[compact]] rewrites a snapshot's small files into one file per
+  *    partition and commits a version that supersedes (NOT deletes)
+  *    the originals — older versions stay readable until [[vacuum]];
   *  - at 100 TB the log stores file names, not data — O(files) cost,
   *    same shape Delta/Iceberg manifests take.
   */
 object Snapshots {
+
+  final class ConcurrentCommitException(version: Int)
+    extends RuntimeException(s"concurrent commit lost the race for v$version")
 
   private def logDir(root: String, prefix: String): Path =
     Paths.get(s"$root/$prefix._log")
@@ -52,18 +62,48 @@ object Snapshots {
       .toSeq.sorted
   }
 
-  /** Commit the table's current state as the next version. */
-  def commit(root: String, prefix: String, maxPos: Long): Int = {
-    val next = versions(root, prefix).lastOption.map(_ + 1).getOrElse(0)
-    val files = listDataFiles(root, prefix)
-    val json = s"""{"version": $next, "maxPos": $maxPos, "files": [""" +
-      files.map(f => "\"" + f + "\"").mkString(", ") + "]}"
+  /** Every file any snapshot ≤ `upTo` superseded via compaction. */
+  private def removedUpTo(root: String, prefix: String, upTo: Int): Set[String] =
+    versions(root, prefix).filter(_ <= upTo)
+      .flatMap(v => snapshot(root, prefix, Some(v)).map(_.removed).getOrElse(Seq.empty))
+      .toSet
+
+  /** Atomic write of one snapshot version; loses the race loudly.
+    * (private[graft]: the conflict spec exercises the collision
+    * directly — a live thread race can't be scheduled deterministically.) */
+  private[graft] def writeSnapshot(root: String, prefix: String, version: Int,
+                            maxPos: Long, files: Seq[String],
+                            removed: Seq[String]): Int = {
+    def arr(xs: Seq[String]) = xs.map(f => "\"" + f + "\"").mkString("[", ", ", "]")
+    val json =
+      s"""{"version": $version, "maxPos": $maxPos, "files": ${arr(files)}, "removed": ${arr(removed)}}"""
     Files.createDirectories(logDir(root, prefix))
-    Files.writeString(logDir(root, prefix).resolve(f"v$next%05d.json"), json)
-    next
+    try {
+      Files.writeString(logDir(root, prefix).resolve(f"v$version%05d.json"), json,
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      version
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(version)
+    }
   }
 
-  final case class Snapshot(version: Int, maxPos: Long, files: Seq[String])
+  /** Commit the table's current state as the next version. Append
+    * commits never conflict logically, so a lost race is retried
+    * against the re-read log (bounded; then the exception surfaces). */
+  def commit(root: String, prefix: String, maxPos: Long, retries: Int = 5): Int = {
+    val next = versions(root, prefix).lastOption.map(_ + 1).getOrElse(0)
+    val files = (listDataFiles(root, prefix).toSet --
+      removedUpTo(root, prefix, next - 1)).toSeq.sorted
+    try writeSnapshot(root, prefix, next, maxPos, files, Seq.empty)
+    catch {
+      case e: ConcurrentCommitException =>
+        if (retries > 0) commit(root, prefix, maxPos, retries - 1) else throw e
+    }
+  }
+
+  final case class Snapshot(version: Int, maxPos: Long,
+                            files: Seq[String], removed: Seq[String])
 
   /** Load a snapshot (latest if version is None). */
   def snapshot(root: String, prefix: String, version: Option[Int] = None): Option[Snapshot] = {
@@ -75,8 +115,13 @@ object Snapshots {
     v.map { ver =>
       val s = Files.readString(logDir(root, prefix).resolve(f"v$ver%05d.json"))
       val maxPos = "\"maxPos\":\\s*(-?\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
-      val files = "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq
-      Snapshot(ver, maxPos, files)
+      def arr(key: String): Seq[String] =
+        s"""\"$key\":\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(s)
+          .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+          .getOrElse(Seq.empty)
+      val files = arr("files")
+      // pre-"removed" snapshots (round 1) stored only "files"
+      Snapshot(ver, maxPos, files, arr("removed"))
     }
   }
 
@@ -92,5 +137,57 @@ object Snapshots {
       // partition-column recovery needs the table root
       .option("basePath", base.toString)
       .parquet(snap.files.map(f => base.resolve(f).toString): _*)
+  }
+
+  /** Compact the latest snapshot: per partition directory, rewrite its
+    * small files into one, and commit a version that pins the rewritten
+    * set and records the originals as superseded. Data is unchanged
+    * (same rows, same watermark); old versions stay readable until
+    * [[vacuum]]. Returns the committed version. */
+  def compact(spark: SparkSession, root: String, prefix: String): Int = {
+    val snap = snapshot(root, prefix, None).getOrElse(
+      sys.error(s"nothing to compact for $prefix"))
+    val base = dataDir(root, prefix)
+    val byDir = snap.files.groupBy(f =>
+      Option(Paths.get(f).getParent).map(_.toString).getOrElse(""))
+    val keep = Seq.newBuilder[String]
+    val superseded = Seq.newBuilder[String]
+    byDir.foreach { case (dir, fs) =>
+      if (fs.size <= 1) keep ++= fs // already one file — nothing to win
+      else {
+        val before = listDataFiles(root, prefix).toSet
+        val df = spark.read.option("basePath", base.toString)
+          .parquet(fs.map(f => base.resolve(f).toString): _*)
+        // partition values live in the directory name — drop the
+        // recovered column before writing back INTO that directory
+        val dirCols = dir.split("/").filter(_.contains("=")).map(_.split("=")(0))
+        dirCols.foldLeft(df)((d, c) => d.drop(c))
+          .coalesce(1).write.mode("append")
+          .parquet(base.resolve(dir).toString)
+        keep ++= (listDataFiles(root, prefix).toSet -- before).toSeq
+        superseded ++= fs
+      }
+    }
+    val removed = superseded.result()
+    if (removed.isEmpty) snap.version // nothing rewritten — no new version
+    else writeSnapshot(root, prefix, snap.version + 1, snap.maxPos,
+      keep.result().sorted, removed)
+  }
+
+  /** Physically delete files that only versions older than `keepFrom`
+    * reference, then drop those versions' log entries (Delta VACUUM +
+    * log cleanup). Time travel below `keepFrom` is gone afterwards. */
+  def vacuum(root: String, prefix: String, keepFrom: Int): Unit = {
+    val vs = versions(root, prefix)
+    val keepVs = vs.filter(_ >= keepFrom)
+    val referenced = keepVs
+      .flatMap(v => snapshot(root, prefix, Some(v)).map(_.files).getOrElse(Seq.empty))
+      .toSet
+    val base = dataDir(root, prefix)
+    listDataFiles(root, prefix)
+      .filterNot(referenced)
+      .foreach(f => Files.deleteIfExists(base.resolve(f)))
+    vs.filter(_ < keepFrom).foreach(v =>
+      Files.deleteIfExists(logDir(root, prefix).resolve(f"v$v%05d.json")))
   }
 }

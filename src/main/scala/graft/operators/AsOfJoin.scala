@@ -27,16 +27,24 @@ object AsOfJoin {
     */
   def lastBefore(left: DataFrame, right: DataFrame, key: String, time: String,
                  valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns
+    // All right values travel inside ONE struct: the struct itself is
+    // non-null exactly when a right row exists, so `last(ignoreNulls)`
+    // tracks row existence — a NULL *value* in the latest matching
+    // right row is preserved (not skipped in favor of an older row,
+    // which bare last(value, ignoreNulls) would wrongly do).
+    val payloadType = StructType(
+      valueCols.map(c => StructField(s"asof_$c", right.schema(c).dataType)))
     // side: right=0 sorts before left=1 at equal (time) → inclusive ≤
     val taggedRight = right.select(
       (col(key).as(key) +: col(time).as(time) +: lit(0).as("_side") +:
-        valueCols.map(c => col(c).as(s"asof_$c")) ++:
+        struct(valueCols.map(c => col(c).as(s"asof_$c")): _*).as("_asof") +:
         leftCols.filterNot(c => c == key || c == time).map(c => lit(null).cast(
           left.schema(c).dataType).as(c))): _*)
     val taggedLeft = left.select(
       (col(key).as(key) +: col(time).as(time) +: lit(1).as("_side") +:
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")) ++:
+        lit(null).cast(payloadType).as("_asof") +:
         leftCols.filterNot(c => c == key || c == time).map(col)): _*)
     val w = Window.partitionBy(key)
       .orderBy(col(time), col("_side"))
@@ -44,8 +52,10 @@ object AsOfJoin {
     taggedRight.unionByName(taggedLeft)
       .select((col(key) +: col(time) +: col("_side") +:
         leftCols.filterNot(c => c == key || c == time).map(col) ++:
-        valueCols.map(c => last(col(s"asof_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))): _*)
+        Seq(last(col("_asof"), ignoreNulls = true).over(w).as("_asof"))): _*)
       .filter(col("_side") === 1)
-      .drop("_side")
+      .select((col(key) +: col(time) +:
+        leftCols.filterNot(c => c == key || c == time).map(col) ++:
+        valueCols.map(c => col("_asof").getField(s"asof_$c").as(s"asof_$c"))): _*)
   }
 }

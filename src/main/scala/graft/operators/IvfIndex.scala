@@ -22,7 +22,10 @@ object IvfIndex {
   /** Deterministic centroids: seed with the k lowest-id vectors, then
     * one Lloyd refinement pass (assign → per-dimension mean). The seed
     * choice fixes the result; the refinement only improves cell
-    * balance. */
+    * balance. Means are quantized to micros so the centroids are
+    * exactly reproducible by any engine (summation-order ulp noise in
+    * AVG cannot leak into cell assignment — required for the q67
+    * cross-engine oracle replay). */
   def centroids(emb: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Seq[Double]] = {
     val vecs = emb.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
@@ -30,7 +33,7 @@ object IvfIndex {
       .select(col("v")).collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
     val means = assignCells(vecs, "v", seeds)
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos").agg(avg("x").as("m"))
+      .groupBy("cell", "pos").agg((round(avg("x") * lit(1e6)) / lit(1e6)).as("m"))
       .groupBy("cell")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("mean"))

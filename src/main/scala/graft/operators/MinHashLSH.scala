@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MinHash + LSH banding for near-duplicate candidate generation at
@@ -74,27 +75,57 @@ object MinHashLSH {
       md5(concat_ws("-",
         transform(slice(sig, j * Rows + 1, lit(Rows)), v => v.cast("string")))))
 
-  /** Candidate near-duplicate pairs with estimated Jaccard.
-    *
-    * @param docs (id, text) DataFrame
-    * @return (a_id, b_id, est_jaccard) for pairs sharing ≥1 band bucket
-    */
-  def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Default bucket-size cap: at corpus scale one degenerate bucket
+    * (empty/boilerplate documents collapsing to one signature) makes
+    * pair enumeration quadratic; past this size a bucket is dropped
+    * (use [[droppedBuckets]] to observe what a capped run skipped). */
+  val DefaultMaxBucket = 500
+
+  private def bucketRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sigs = docs
       .select(col(idCol).as("id"), hashedShingles(col(textCol)).as("xs"))
       .filter(size(col("xs")) > 0)
       .select(col("id"), signature(col("xs")).as("sig"))
-    val buckets = sigs
-      .select(col("id"), col("sig"), posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
+    sigs.select(col("id"), col("sig"),
+      posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
+  }
+
+  /** Candidate near-duplicate pairs with estimated Jaccard.
+    *
+    * @param docs (id, text) DataFrame
+    * @param maxBucketSize buckets larger than this are dropped (hot
+    *   buckets are quadratic; see [[DefaultMaxBucket]])
+    * @return (a_id, b_id, est_jaccard) for pairs sharing ≥1 band bucket
+    */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     maxBucketSize: Int = DefaultMaxBucket): DataFrame = {
+    // the bucket count window shares the join's (band, key) shuffle, so
+    // the cap costs no extra exchange
+    val buckets = bucketRows(docs, idCol, textCol)
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "key")))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
     val a = buckets.select(col("band"), col("key"), col("id").as("a_id"), col("sig").as("sa"))
     val b = buckets.select(col("band"), col("key"), col("id").as("b_id"), col("sig").as("sb"))
+    // est_jaccard is computed BEFORE the multi-band dedup, so the
+    // distinct shuffles (long, long, double) rows — not two K-long
+    // signature arrays per candidate (round 1 measured the
+    // array-carrying distinct at 12.8 s for 5k docs; the recompute is
+    // ≤ Bands×K integer compares per collision, trivial by comparison).
     a.join(b, Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("sa"), col("sb"))
-      .distinct()
       .select(col("a_id"), col("b_id"),
         (aggregate(zip_with(col("sa"), col("sb"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
           / lit(K.toDouble)).as("est_jaccard"))
+      .distinct()
   }
+
+  /** The buckets a capped [[candidatePairs]] run drops, as
+    * (band, key, n) — coverage loss is observable, never silent. */
+  def droppedBuckets(docs: DataFrame, idCol: String, textCol: String,
+                     maxBucketSize: Int = DefaultMaxBucket): DataFrame =
+    bucketRows(docs, idCol, textCol)
+      .groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucketSize)
 }

@@ -22,11 +22,16 @@ object SkewTools {
   def salt(c: Column, salts: Int): Column = pmod(xxhash64(c), lit(salts))
 
   /** Inner equi join of `large ⋈ small` on `largeKey == smallKey`,
-    * salted `salts` ways. Column sets must be disjoint. */
+    * salted `salts` ways. Column sets must be disjoint.
+    *
+    * The salt hashes the large side's full row content — NOT
+    * `monotonically_increasing_id()`, which changes across task
+    * retries/replans and would make retried tasks land rows on
+    * different salt partitions than their first attempt. */
   def saltedJoin(large: DataFrame, small: DataFrame,
                  largeKey: String, smallKey: String, salts: Int): DataFrame = {
     val saltedLarge = large.withColumn("_salt",
-      salt(monotonically_increasing_id(), salts))
+      pmod(xxhash64(large.columns.map(col): _*), lit(salts)))
     val replicatedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1)).cast("array<long>")))
     saltedLarge.join(replicatedSmall,

@@ -95,13 +95,22 @@ object AggQueries extends QueryRegistry {
               |ORDER BY g_status, g_priority,
               |o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
 
-    // HLL sketch values differ across engines → property-checked in the
-    // test suite (±5% of exact), rows-only for the driver.
+    // HLL sketch values differ across engines, so the declared ±5%
+    // property IS the output: the driver verifies `within_5pct` (and
+    // the exact count) against the oracle's constant-true twin. The
+    // raw sketch value keeps its own assertion in the test suite.
+    // rsd=0.02: the default 0.05 sketch drifts past 5% at small SFs
+    // (measured 6.4% at sf0.001); 0.02 measures ≤0.5% at every SF.
     QueryDef("q22_approx_distinct",
       (s, dir) => Tables.lineitem(s, dir).agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders")),
-      None),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(
+          col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders")) <=
+            col("exact_orders") * lit(0.05)).as("within_5pct")),
+      Some("""SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+             |TRUE AS within_5pct FROM lineitem""".stripMargin)),
 
     // pivot: event counts per user as one column per type (fixed value
     // list → deterministic schema; Spark leaves empty cells null,
@@ -121,18 +130,21 @@ object AggQueries extends QueryRegistry {
              |  NULLIF(COUNT(*) FILTER (WHERE event_type = 'error'), 0) AS error
              |FROM events GROUP BY user_id ORDER BY user_id LIMIT 200""".stripMargin)),
 
-    // exact interpolated percentiles; DECIMAL(18,4) absorbs any
-    // last-ulp interpolation-formula difference between engines
+    // exact interpolated percentiles; ROUND(x*1e3)→BIGINT absorbs any
+    // last-ulp interpolation-formula difference between engines (the
+    // 2-dp inputs make interpolated values exact at 3 decimals, so the
+    // scaled value is integral — never at a rounding tie). DECIMAL
+    // outputs are banned (round-1 gate lesson).
     QueryDef("q86_percentile",
       (s, dir) => Tables.orders(s, dir)
         .groupBy("o_orderstatus")
         .agg(
-          expr("percentile(o_totalprice, 0.5)").cast("decimal(18,4)").as("median_price"),
-          expr("percentile(o_totalprice, 0.9)").cast("decimal(18,4)").as("p90_price"))
+          round(expr("percentile(o_totalprice, 0.5)") * lit(1e3)).cast("long").as("median_milli"),
+          round(expr("percentile(o_totalprice, 0.9)") * lit(1e3)).cast("long").as("p90_milli"))
         .orderBy("o_orderstatus"),
       Some("""SELECT o_orderstatus,
-             |  CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,4)) AS median_price,
-             |  CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(18,4)) AS p90_price
+             |  CAST(ROUND(quantile_cont(o_totalprice, 0.5) * 1e3) AS BIGINT) AS median_milli,
+             |  CAST(ROUND(quantile_cont(o_totalprice, 0.9) * 1e3) AS BIGINT) AS p90_milli
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     QueryDef("q23_filtered_agg",
@@ -141,12 +153,12 @@ object AggQueries extends QueryRegistry {
         .agg(
           count(lit(1)).as("cnt"),
           count(when(col("value") > 100, 1)).as("cnt_big"),
-          sum(when(col("value") > 100, col("value").cast(D386))).cast(D386).as("sum_big"),
+          sum(when(col("value") > 100, col("value").cast(D386))).cast(D186).cast("double").as("sum_big"),
           dsum(col("value")).as("sum_all"))
         .orderBy("event_type"),
       Some(s"""SELECT event_type, COUNT(*) AS cnt,
               |COUNT(*) FILTER (WHERE value > 100) AS cnt_big,
-              |CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE value > 100) AS DECIMAL(38,6)) AS sum_big,
+              |CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE value > 100) AS DECIMAL(18,6)) AS DOUBLE) AS sum_big,
               |${sqlDsum("value")} AS sum_all
               |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )

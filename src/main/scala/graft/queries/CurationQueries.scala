@@ -46,6 +46,32 @@ object CurationQueries extends QueryRegistry {
        |FROM pairs ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** DuckDB replay of AnnLsh's bucket assignment (deterministic
+    * md5-derived hyperplanes — AnnLsh.planeComponent): per vector, 4
+    * bucket strings "t:bitstring" from the signs of 6 projections each.
+    * list_dot_product matches Spark's aggregate(zip_with(...)) fold
+    * bit-for-bit (proven by q65). */
+  private val annSigs =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pls AS (
+       |  SELECT list(list_transform(generate_series(0,63), d ->
+       |    CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)),1,4)) AS BIGINT)
+       |      % 1000 / 1000.0 - 0.5) ORDER BY p) AS pl
+       |  FROM generate_series(0,${AnnLsh.Tables * AnnLsh.BitsPerTable - 1}) t(p)
+       |),
+       |sigs AS (
+       |  SELECT vec_id, v,
+       |    list_transform(generate_series(0,${AnnLsh.Tables - 1}), t ->
+       |      CAST(t AS VARCHAR) || ':' ||
+       |      array_to_string(list_transform(generate_series(0,${AnnLsh.BitsPerTable - 1}), j ->
+       |        CASE WHEN list_dot_product(v, pl[t*${AnnLsh.BitsPerTable}+j+1]) >= 0
+       |             THEN '1' ELSE '0' END), '')) AS buckets
+       |  FROM e CROSS JOIN pls
+       |)""".stripMargin
+
+  private val cosineSql =
+    "list_dot_product(v, pv) / sqrt(list_dot_product(v, v) * list_dot_product(pv, pv))"
+
   private val simhashSql =
     """list_transform(string_split(text,' '), t -> CAST(('0x' || substr(md5(t),1,15)) AS BIGINT))"""
 
@@ -232,13 +258,19 @@ object CurationQueries extends QueryRegistry {
              |  FROM documents WHERE doc_id < 300 AND length(text) = strlen(text))
              |ORDER BY media_id""".stripMargin)),
 
-    // LSH-bucketed ANN: no SQL oracle (bucket assignment is the
-    // operator's own contract) — AnnSpec asserts candidate cosines
-    // match brute force and the probe's bucket contains itself.
+    // LSH-bucketed ANN, with the bucket arithmetic replayed in the
+    // oracle (deterministic literal hyperplanes — no RNG anywhere).
+    // AnnSpec separately asserts candidate cosines match brute force.
     QueryDef("q63_ann_lsh",
       (s, dir) => AnnLsh.probeTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        probeId = 0L, k = 10),
-      None),
+        probeId = 0L, k = 10)
+        .select(col("id"), col("sim")),
+      Some(s"""WITH $annSigs,
+              |probe AS (SELECT v AS pv, buckets AS pbuckets FROM sigs WHERE vec_id = 0)
+              |SELECT vec_id AS id, $cosineSql AS sim
+              |FROM sigs CROSS JOIN probe
+              |WHERE vec_id != 0 AND len(list_intersect(buckets, pbuckets)) > 0
+              |ORDER BY sim DESC, id LIMIT 10""".stripMargin)),
 
     // Native codegen'd cosine Expression (Q40's declared fast path):
     // same oracle as q40 — bit-identical by construction, only the
@@ -288,8 +320,13 @@ object CurationQueries extends QueryRegistry {
              |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)),
 
     // IVF-partitioned ANN: search only the nprobe cells nearest the
-    // probe. No SQL oracle (the quantizer is the operator's contract);
-    // AnnSpec asserts score consistency vs brute force.
+    // probe. The oracle replays the whole deterministic quantizer in
+    // SQL: 16 lowest-id seeds → argmin assignment (left-fold dist², the
+    // q35-proven list_reduce form) → per-dimension means rounded to
+    // micros (matching IvfIndex.centroids' quantization, so AVG ulp
+    // noise can't flip a cell) → re-assignment → 4 nearest cells to the
+    // probe → cosine top-10. AnnSpec separately asserts score
+    // consistency vs brute force.
     QueryDef("q67_ann_ivf",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -299,13 +336,61 @@ object CurationQueries extends QueryRegistry {
           .head().getSeq[Double](0)
         IvfIndex.search(index.filter(col("id") =!= 0), cs, probe, nprobe = 4, topK = 10)
       },
-      None),
+      Some {
+        val d2 = (vec: String, cent: String) =>
+          s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1,64),
+             |      i -> ($vec[i]-$cent[i])*($vec[i]-$cent[i]))), (acc,x) -> acc+x)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |seeds AS (SELECT list(v ORDER BY vec_id) AS s
+           |          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+           |a0 AS (
+           |  SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cell
+           |  FROM (SELECT vec_id, v,
+           |    list_transform(s, c -> ${d2("v", "c")}) AS ds
+           |    FROM e CROSS JOIN seeds)),
+           |m AS (
+           |  SELECT cell, list(mm ORDER BY pos) AS mean FROM (
+           |    SELECT cell, i.i AS pos, ROUND(AVG(v[i.i]) * 1e6) / 1e6 AS mm
+           |    FROM a0, generate_series(1,64) i(i)
+           |    GROUP BY cell, i.i)
+           |  GROUP BY cell),
+           |cents AS (
+           |  SELECT list(c ORDER BY cell) AS cs FROM (
+           |    SELECT g.g AS cell, COALESCE(m.mean, s.s[g.g+1]) AS c
+           |    FROM generate_series(0,15) g(g)
+           |    LEFT JOIN m ON m.cell = g.g
+           |    CROSS JOIN seeds s)),
+           |a1 AS (
+           |  SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cell
+           |  FROM (SELECT vec_id, v,
+           |    list_transform(cs, c -> ${d2("v", "c")}) AS ds
+           |    FROM e CROSS JOIN cents)),
+           |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+           |pcells AS (
+           |  SELECT cell FROM (
+           |    SELECT g.g AS cell, ${d2("pv", "cs[g.g+1]")} AS dist
+           |    FROM generate_series(0,15) g(g), cents, probe)
+           |  ORDER BY dist, cell LIMIT 4)
+           |SELECT vec_id AS id, $cosineSql AS sim
+           |FROM a1, probe
+           |WHERE vec_id != 0 AND cell IN (SELECT cell FROM pcells)
+           |ORDER BY sim DESC, id LIMIT 10""".stripMargin
+      }),
 
-    // Embedding near-duplicate sweep over LSH buckets.
+    // Embedding near-duplicate sweep over LSH buckets; oracle replays
+    // "collides in ≥1 table" as a non-empty bucket intersection.
     QueryDef("q64_embedding_neardup",
       (s, dir) => AnnLsh.bucketedPairs(Tables.embeddings(s, dir), "vec_id", "embedding")
         .filter(col("sim") > 0.2)
         .orderBy("a_id", "b_id"),
-      None)
+      Some(s"""WITH $annSigs
+              |SELECT * FROM (
+              |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |    list_dot_product(a.v, b.v)
+              |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS sim
+              |  FROM sigs a JOIN sigs b
+              |    ON a.vec_id < b.vec_id
+              |   AND len(list_intersect(a.buckets, b.buckets)) > 0)
+              |WHERE sim > 0.2 ORDER BY a_id, b_id""".stripMargin))
   )
 }

@@ -79,6 +79,21 @@ object JoinQueries extends QueryRegistry {
              |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
              |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
 
+    // RIGHT OUTER: every customer survives, orders only where the big
+    // filter holds (the right-side twin of q12_left_outer_join).
+    QueryDef("q12_right_outer_join",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).filter(col("o_totalprice") > 250000)
+        val c = Tables.customer(s, dir)
+        o.join(c, o("o_custkey") === c("c_custkey"), "right")
+          .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_big_orders"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders
+             |FROM (SELECT * FROM orders WHERE o_totalprice > 250000) o
+             |RIGHT JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
     QueryDef("q12_full_outer_join",
       (s, dir) => {
         val c = Tables.customer(s, dir)

@@ -3,26 +3,37 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Shared helpers enforcing the SURVEY.md §2B determinism protocol:
-  * every floating aggregate goes through exact DECIMAL arithmetic so the
-  * result is order-independent (shuffle/partition count can't change it)
-  * and hash-stable vs the DuckDB oracle.
+/** Shared helpers enforcing the determinism protocol (SURVEY.md §2B,
+  * revised after the round-1 driver gate):
   *
-  * Averages avoid engine-specific decimal-division scale rules: both
-  * sides compute `double(decimal_sum) / count`, where the decimal sum is
-  * capped at DECIMAL(18,6) (int64-backed ⇒ the decimal→double conversion
-  * is correctly rounded and identical in both engines).
+  *   - Aggregation is exact: doubles are cast to DECIMAL(38,6) *before*
+  *     SUM, so partial/final aggregation order (shuffle layout, AQE,
+  *     partition count) cannot change the result.
+  *   - **Output columns are never DECIMAL.** Round 1 proved empirically
+  *     (CORRECTNESS_r01.json) that every DECIMAL-typed output column
+  *     hash-mismatches the driver's DuckDB oracle while every
+  *     decimal-*intermediate* query (q27, q78) passes. Final values are
+  *     therefore funneled through DECIMAL(18,6) — int64-backed, so the
+  *     decimal→double conversion is correctly rounded and identical in
+  *     both engines — and emitted as DOUBLE.
+  *
+  * Precision headroom: DECIMAL(18,6) caps at ~1e12, comfortably above
+  * any per-group sum at the bench scale factors (sf0.1 global revenue
+  * ≈ 1e10). Beyond ~sf10, switch the measure to integer cents
+  * (`CAST(ROUND(x*100) AS BIGINT)` summed — the q74 pattern), which
+  * stays exact to ~9e16 dollars.
   */
 object Qf {
   val D386 = "decimal(38,6)"
   val D186 = "decimal(18,6)"
 
-  /** Exact sum: SUM(CAST(x AS DECIMAL(38,6))) typed back to (38,6). */
-  def dsum(c: Column): Column = sum(c.cast(D386)).cast(D386)
+  /** Order-independent exact sum, emitted as DOUBLE (never DECIMAL —
+    * see object doc). */
+  def dsum(c: Column): Column = sum(c.cast(D386)).cast(D186).cast("double")
 
   /** SQL text twin of [[dsum]] for the DuckDB oracle. */
   def sqlDsum(e: String): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DECIMAL(38,6))"
+    s"CAST(CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE)"
 
   /** Order-independent average as DOUBLE (see object doc). */
   def davg(c: Column): Column =

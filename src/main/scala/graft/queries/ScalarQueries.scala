@@ -8,11 +8,15 @@ import Qf._
 /** Q32–Q37: scalar function surface (string / date / math / array /
   * map-json / generator).
   *
-  * Cross-engine float protocol: no `round()` on doubles anywhere (the
-  * two engines implement it differently); instead values are CAST to
-  * DECIMAL, which both engines do by correctly-rounded decimal
-  * conversion. Higher-order folds (q35) run left-to-right from a 0.0
-  * seed in both engines, so double accumulation is bit-identical.
+  * Cross-engine float protocol (revised after the round-1 gate):
+  * output columns are raw DOUBLE (identical expression over identical
+  * inputs → bit-identical) or, where the engines' math libraries may
+  * differ in the last ulp (ln), ROUND(x*10^k) cast to BIGINT — both
+  * engines round doubles half-away-from-zero, and the scaled integer
+  * absorbs ulp noise. DECIMAL-typed outputs are banned: round 1 proved
+  * every DECIMAL output column hash-mismatches the driver's oracle.
+  * Higher-order folds (q35) run left-to-right from a 0.0 seed in both
+  * engines, so double accumulation is bit-identical.
   */
 object ScalarQueries extends QueryRegistry {
 
@@ -76,21 +80,23 @@ object ScalarQueries extends QueryRegistry {
       (s, dir) => s.range(0, 1000).toDF("id").select(
         col("id"),
         (col("id") % 7).as("mod7"),
-        ((lit(59.9) + col("id")) % lit(150.0)).cast("decimal(18,2)").as("score2"),
+        ((lit(59.9) + col("id")) % lit(150.0)).as("score2"),
         abs(((lit(59.9) + col("id")) % lit(150.0)) - lit(100.0)).as("dist"),
         floor((lit(59.9) + col("id")) % lit(150.0)).cast("bigint").as("fl"),
         ceil((lit(59.9) + col("id")) % lit(150.0)).cast("bigint").as("ce"),
         pow(col("id") % 10, lit(2.0)).as("sq"),
-        log(col("id") + 1).cast("decimal(18,6)").as("ln1p"),
+        // micros-BIGINT absorbs a possible last-ulp ln() difference
+        // between the JVM and DuckDB math libraries
+        round(log(col("id") + 1) * lit(1e6)).cast("long").as("ln1p_micros"),
         sqrt(col("id").cast("double")).as("rt")
       ).orderBy("id"),
       Some("""SELECT id, id % 7 AS mod7,
-             |CAST((CAST(59.9 AS DOUBLE)+id)%CAST(150.0 AS DOUBLE) AS DECIMAL(18,2)) AS score2,
+             |(CAST(59.9 AS DOUBLE)+id)%CAST(150.0 AS DOUBLE) AS score2,
              |abs((CAST(59.9 AS DOUBLE)+id)%CAST(150.0 AS DOUBLE) - CAST(100.0 AS DOUBLE)) AS dist,
              |CAST(floor((CAST(59.9 AS DOUBLE)+id)%CAST(150.0 AS DOUBLE)) AS BIGINT) AS fl,
              |CAST(ceil((CAST(59.9 AS DOUBLE)+id)%CAST(150.0 AS DOUBLE)) AS BIGINT) AS ce,
              |pow(id % 10, 2.0) AS sq,
-             |CAST(ln(id + 1) AS DECIMAL(18,6)) AS ln1p,
+             |CAST(ROUND(ln(id + 1) * 1e6) AS BIGINT) AS ln1p_micros,
              |sqrt(CAST(id AS DOUBLE)) AS rt
              |FROM range(0,1000) t(id) ORDER BY id""".stripMargin)),
 

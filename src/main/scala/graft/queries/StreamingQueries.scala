@@ -30,9 +30,17 @@ object StreamingQueries extends QueryRegistry {
     * watermark, like the reference's offload watermark advancing per
     * scan pass (reference: PerformanceConsumer.java:204-232). */
   private def stageEventsDir(s: SparkSession, dir: String, chunks: Int = 4): String = synchronized {
-    val staged = s"/tmp/graft/stream_events_${Integer.toHexString(dir.hashCode)}"
-    val marker = new java.io.File(staged, "_STAGED")
-    if (!marker.exists()) {
+    // Key the staged copy on fixture *content* (mtime+size), not just
+    // the path, so a regenerated fixture gets a fresh staging dir; and
+    // stage into a temp dir renamed into place atomically, so an
+    // interrupted run can never leave a half-staged dir that a later
+    // run would silently re-append to (duplicating events).
+    val src = new java.io.File(Tables.path(dir, "events"))
+    val key = Integer.toHexString((dir + "@" + src.lastModified + ":" + src.length).hashCode)
+    val staged = new java.io.File(s"/tmp/graft/stream_events_$key")
+    if (!staged.isDirectory) {
+      val tmp = new java.io.File(staged.getParent,
+        staged.getName + ".tmp." + UUID.randomUUID().toString.take(8))
       val ev = s.read.parquet(Tables.path(dir, "events")) // ts: Long nanos
       val mm = ev.agg(min("ts"), max("ts")).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
@@ -40,12 +48,17 @@ object StreamingQueries extends QueryRegistry {
         val a = lo + (hi - lo) / chunks * i
         val b = if (i == chunks - 1) hi + 1 else lo + (hi - lo) / chunks * (i + 1)
         ev.filter(col("ts") >= a && col("ts") < b)
-          .coalesce(1).write.mode("append").parquet(staged)
+          .coalesce(1).write.mode("append").parquet(tmp.getAbsolutePath)
         Thread.sleep(10) // distinct file mtimes → deterministic replay order
       }
-      marker.createNewFile()
+      if (!tmp.renameTo(staged)) { // lost a cross-process race: theirs is complete
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
     }
-    staged
+    staged.getAbsolutePath
   }
 
   /** Stream `events` (schema from the batch file; ts arrives as Long
@@ -61,7 +74,13 @@ object StreamingQueries extends QueryRegistry {
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and
-    * return the collected result as a (batch) DataFrame. */
+    * return the collected result as a (batch) DataFrame.
+    *
+    * The sink's rows are copied out (localCheckpoint) and the memory
+    * table is dropped immediately: a long-lived session running all
+    * queries (Verify/Bench) would otherwise accumulate ~10 fully
+    * materialized streams in the catalog and degrade everything after
+    * them (round-1 bench showed 7–25× inflation from exactly this). */
   private def runToMemory(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream
@@ -70,7 +89,9 @@ object StreamingQueries extends QueryRegistry {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name)
+    val out = s.table(name).localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    out
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -112,8 +133,12 @@ object StreamingQueries extends QueryRegistry {
               |FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(k)
               |GROUP BY 1 ORDER BY wstart""".stripMargin)),
 
-    // Session windows (30 min gap) per user: streaming-only semantics,
-    // batch-equivalence asserted in StreamingSpec.
+    // Session windows (30 min gap) per user. The DuckDB oracle replays
+    // the sessionization in SQL: a session breaks when the gap to the
+    // previous event is >= the gap duration (Spark's session end is
+    // exclusive: [start, last+gap)), sessions are numbered by a running
+    // sum of break flags, then grouped. Batch-equivalence is separately
+    // asserted in StreamingSpec.
     QueryDef("q46_stream_session_window",
       (s, dir) => {
         val agg = eventStream(s, dir)
@@ -124,11 +149,25 @@ object StreamingQueries extends QueryRegistry {
           .select(col("session_window.start").cast("timestamp_ntz").as("sstart"), col("user_id"), col("cnt"))
           .orderBy("user_id", "sstart")
       },
-      None),
+      Some("""SELECT MIN(ts) AS sstart, user_id, COUNT(*) AS cnt FROM (
+             |  SELECT user_id, ts,
+             |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             |  FROM (
+             |    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |      CASE WHEN CAST(ts AS TIMESTAMP)
+             |                  - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+             |                < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+             |    FROM events))
+             |GROUP BY user_id, sess
+             |ORDER BY user_id, sstart""".stripMargin)),
 
     // Watermark semantics (A7): aggregate with a 10-minute watermark in
-    // append mode — only windows the watermark has passed emit; late
-    // injection behavior is property-tested in StreamingSpec.
+    // append mode — only windows the watermark has passed emit. That
+    // property IS the oracle: the time-ordered replay ends with
+    // watermark = max(ts) - 10min, so exactly the windows closed by it
+    // (end <= watermark) appear, with full batch counts. Late-injection
+    // behavior is additionally property-tested in StreamingSpec.
     QueryDef("q47_stream_watermark",
       (s, dir) => {
         val agg = eventStream(s, dir)
@@ -139,7 +178,13 @@ object StreamingQueries extends QueryRegistry {
           .select(col("window.start").cast("timestamp_ntz").as("wstart"), col("cnt"))
           .orderBy("wstart")
       },
-      None),
+      Some("""SELECT wstart, cnt FROM (
+             |  SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS wstart,
+             |         COUNT(*) AS cnt
+             |  FROM events GROUP BY 1)
+             |WHERE wstart + INTERVAL 1 HOUR <=
+             |  (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE FROM events)
+             |ORDER BY wstart""".stripMargin)),
 
     // Streaming dedup under replay (A9 at-least-once → exactly-once):
     // the same file is replayed as two overlapping streams via union;
@@ -213,9 +258,13 @@ object StreamingQueries extends QueryRegistry {
               org.apache.spark.sql.streaming.TimeMode.None(),
               org.apache.spark.sql.streaming.OutputMode.Update())
             .toDF("user_id", "n", "cents")
+          // the latest update per key is the row with the largest n
+          // (strictly increasing per key); max_by keeps (n, cents)
+          // from the SAME update — independent maxes would silently
+          // break on multi-batch runs with non-monotonic cent sums
           runToMemory(s, ds, "update")
             .groupBy("user_id")
-            .agg(max("n").as("n"), max("cents").as("cents"))
+            .agg(max("n").as("n"), expr("max_by(cents, n)").as("cents"))
             .orderBy("user_id")
         } finally prior match {
           case Some(v) => s.conf.set(providerKey, v)

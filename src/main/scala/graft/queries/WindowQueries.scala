@@ -57,13 +57,15 @@ object WindowQueries extends QueryRegistry {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.events(s, dir)
           .select(col("event_id"),
-            sum(col("value").cast(D386)).over(w).cast(D386).as("running"))
+            // exact decimal running sum, emitted as DOUBLE (DECIMAL
+            // outputs are banned — round-1 gate lesson)
+            sum(col("value").cast(D386)).over(w).cast(D186).cast("double").as("running"))
           .orderBy("event_id")
       },
       Some("""SELECT event_id,
-             |CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             |CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
              |  PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS DOUBLE) AS running
              |FROM events ORDER BY event_id""".stripMargin)),
 
     QueryDef("q27_moving_avg",

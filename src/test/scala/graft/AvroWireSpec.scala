@@ -1,0 +1,50 @@
+package graft
+
+import graft.ingest.AvroWire
+import graft.model.{AmazonReview, Person, Student}
+
+/** Avro binary wire format (A3/A13): round-trip fidelity, byte-level
+  * determinism, and key parity with the reference's per-message key. */
+class AvroWireSpec extends SparkTestBase {
+
+  private def persons(n: Int) = {
+    import spark.implicits._
+    spark.range(0, n).map(i => Person(
+      "hangc", ((18 + i) % 100).toInt, "GuangZhou", gender = true,
+      (59.9 + i) % 150.0, i))
+  }
+
+  test("Person round-trips bit-exactly through Avro binary") {
+    val src = persons(500)
+    val back = AvroWire.decodePersons(AvroWire.encodePersons(src).map(_._2)(
+      org.apache.spark.sql.Encoders.BINARY))
+    // doubles included: Avro binary stores raw IEEE bits, no loss
+    assert(back.collect().sortBy(_.ba).sameElements(src.collect().sortBy(_.ba)))
+  }
+
+  test("message key replays the reference's String.valueOf(position)") {
+    import spark.implicits._
+    val keys = AvroWire.encodePersons(persons(10)).map(_._1).collect().sorted
+    val expected = (0 until 10).map(_.toString).sorted
+    assert(keys.toSeq == expected)
+  }
+
+  test("encoding is deterministic: same row, same bytes") {
+    val a = AvroWire.encodePersons(persons(50)).collect().sortBy(_._1).map(_._2)
+    val b = AvroWire.encodePersons(persons(50)).collect().sortBy(_._1).map(_._2)
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+  }
+
+  test("AmazonReview and Student round-trip") {
+    import spark.implicits._
+    val reviews = Seq(
+      AmazonReview("1", "ok, I guess", "has, commas \"and quotes\""),
+      AmazonReview("2", "great", "text")).toDS()
+    assert(AvroWire.decodeReviews(AvroWire.encodeReviews(reviews))
+      .collect().toSet == reviews.collect().toSet)
+    val students = spark.range(0, 100).map(i =>
+      Student(s"name$i", (i % 100).toInt, s"payload$i", s"address$i", i))
+    assert(AvroWire.decodeStudents(AvroWire.encodeStudents(students))
+      .collect().sortBy(_.number).sameElements(students.collect().sortBy(_.number)))
+  }
+}

@@ -61,6 +61,63 @@ class SnapshotSpec extends SparkTestBase {
     assert(merged.count() == 200)
   }
 
+  test("compaction rewrites small files, preserves data and time travel") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "s6", topics = 2, numMessages = 400)
+    ProduceJob.produceBatch(spark, root, "s6", topics = 2, numMessages = 200)
+    val before = Snapshots.snapshot(root, "s6").get
+    assert(before.files.size > 2) // multiple appends → multiple files per partition
+    val sumBefore = Snapshots.read(spark, root, "s6")
+      .agg(sum("ba")).head().getLong(0)
+    val v = Snapshots.compact(spark, root, "s6")
+    val after = Snapshots.snapshot(root, "s6").get
+    assert(after.version == v && v == before.version + 1)
+    assert(after.files.size == 2) // one file per topic partition
+    assert(after.removed.toSet == before.files.toSet)
+    assert(after.maxPos == before.maxPos)
+    // same rows, same content, partition column still recovered
+    val compacted = Snapshots.read(spark, root, "s6")
+    assert(compacted.count() == 600)
+    assert(compacted.agg(sum("ba")).head().getLong(0) == sumBefore)
+    assert(compacted.select("topic").distinct().count() == 2)
+    // time travel to the pre-compaction version still works (files kept)
+    assert(Snapshots.read(spark, root, "s6", Some(before.version)).count() == 600)
+    // and a post-compaction append commit excludes superseded files
+    ProduceJob.produceBatch(spark, root, "s6", topics = 2, numMessages = 100)
+    assert(Snapshots.read(spark, root, "s6").count() == 700)
+  }
+
+  test("concurrent commit to the same version loses deterministically") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "s7", topics = 1, numMessages = 100)
+    val taken = Snapshots.versions(root, "s7").max
+    // two writers racing to the same version: the second CREATE_NEW
+    // must lose loudly (this drives the atomic primitive directly — a
+    // live thread race can't be scheduled deterministically)
+    Snapshots.writeSnapshot(root, "s7", taken + 1, 99, Seq.empty, Seq.empty)
+    intercept[Snapshots.ConcurrentCommitException] {
+      Snapshots.writeSnapshot(root, "s7", taken + 1, 99, Seq.empty, Seq.empty)
+    }
+    // the public append commit retries against the re-read log and
+    // lands after the racer (append ⋈ append never conflicts logically)
+    val v = Snapshots.commit(root, "s7", 99)
+    assert(v == taken + 2)
+  }
+
+  test("vacuum drops pre-compaction files and old versions") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "s8", topics = 1, numMessages = 300)
+    ProduceJob.produceBatch(spark, root, "s8", topics = 1, numMessages = 300)
+    val vCompact = Snapshots.compact(spark, root, "s8")
+    Snapshots.vacuum(root, "s8", keepFrom = vCompact)
+    // current read intact; old versions gone
+    assert(Snapshots.read(spark, root, "s8").count() == 600)
+    assert(Snapshots.versions(root, "s8") == Seq(vCompact))
+    intercept[RuntimeException] {
+      Snapshots.read(spark, root, "s8", Some(0))
+    }
+  }
+
   test("unknown version is refused") {
     val root = Files.createTempDirectory("graft_snap").toString
     ProduceJob.produceBatch(spark, root, "s4", topics = 1, numMessages = 10)

@@ -39,6 +39,18 @@ def main():
         try:
             mine = con.execute(
                 f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").df()
+            # Protocol lint (round-1 gate lesson): DECIMAL-typed output
+            # columns hash-mismatch in the driver even when the pandas
+            # cell-compare below false-greens them. Ban them outright.
+            types = con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{out}/{name}/*.parquet')"
+            ).fetchall()
+            dec = [c for c, t, *_ in types if "DECIMAL" in t.upper()]
+            if dec:
+                print(f"FAIL {name}: DECIMAL output column(s) {dec} "
+                      "(banned: driver hash-mismatches decimals)")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_fail += 1
