@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, TokenizeGenerator}
+import graft.functions.{CosineSimilarity, L2Distance, TokenizeGenerator}
 
 /** SparkSessionExtensions entry point: installs the engine's native
   * functions into any session at build time —
@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float/double arrays"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2"),
+      info("graft_l2", "graft_l2(a, b) - Euclidean distance of two float/double arrays"),
+      (exprs: Seq[Expression]) => L2Distance(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_tokenize"),
       info("graft_tokenize", "graft_tokenize(text) - one row per whitespace token"),

@@ -63,16 +63,21 @@ object AnnLsh {
       .select(col("id"), col("v"), explode(bucketKeys(col("v"))).as("bucket"))
 
   /** All pairs colliding in ≥1 table, with exact cosine — the
-    * LSH-bucketed near-duplicate sweep. */
+    * LSH-bucketed near-duplicate sweep.
+    *
+    * The cosine is computed BEFORE the multi-table dedup, so the
+    * distinct shuffles (long, long, double) rows — never two dim-length
+    * vectors per candidate (the recompute is one fused dot per
+    * collision, ≤ Tables per pair; the array-carrying shuffle was the
+    * q55-class scale defect). */
   def bucketedPairs(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val k = keyed(emb, idCol, vecCol)
     val a = k.select(col("bucket"), col("id").as("a_id"), col("v").as("va"))
     val b = k.select(col("bucket"), col("id").as("b_id"), col("v").as("vb"))
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("va"), col("vb"))
-      .distinct() // collapse multi-table collisions
       .select(col("a_id"), col("b_id"), cosine(col("va"), col("vb")).as("sim"))
+      .distinct() // collapse multi-table collisions
   }
 
   /** Top-k neighbors of one probe id, searching only its buckets. */
@@ -83,8 +88,8 @@ object AnnLsh {
       .select(col("bucket"), col("v").as("pv")))
     kd.join(probe, Seq("bucket"))
       .filter(col("id") =!= probeId)
-      .select(col("id"), col("v"), col("pv")).distinct()
       .select(col("id"), cosine(col("v"), col("pv")).as("sim"))
+      .distinct() // sim is a pure function of the pair → same cardinality
       .orderBy(col("sim").desc, col("id"))
       .limit(k)
   }

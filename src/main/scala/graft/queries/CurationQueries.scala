@@ -13,10 +13,13 @@ import Qf._
   * (fixed hash constants, no RNG) where expressible. */
 object CurationQueries extends QueryRegistry {
 
-  private val mh = {
+  /** The MinHash-LSH replay CTE chain (docs → shingles → signatures →
+    * band buckets → candidate pairs), shared by the q55 oracle and the
+    * q100 components oracle. */
+  private val mhCtes = {
     val a = MinHashLSH.A.mkString("[", ",", "]")
     val b = MinHashLSH.B.mkString("[", ",", "]")
-    s"""WITH docs AS (
+    s"""docs AS (
        |  SELECT doc_id AS id, text FROM documents
        |  UNION ALL SELECT doc_id + 100000 AS id, text FROM documents WHERE doc_id < 10
        |),
@@ -40,11 +43,16 @@ object CurationQueries extends QueryRegistry {
        |pairs AS (
        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.sig AS sa, b.sig AS sb
        |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.id < b.id
-       |)
-       |SELECT a_id, b_id,
-       |  list_sum(list_transform(generate_series(1,16), i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / CAST(16 AS DOUBLE) AS est_jaccard
-       |FROM pairs ORDER BY a_id, b_id""".stripMargin
+       |)""".stripMargin
   }
+
+  private val mhEst =
+    "list_sum(list_transform(generate_series(1,16), i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / CAST(16 AS DOUBLE)"
+
+  private val mh =
+    s"""WITH $mhCtes
+       |SELECT a_id, b_id, $mhEst AS est_jaccard
+       |FROM pairs ORDER BY a_id, b_id""".stripMargin
 
   /** DuckDB replay of AnnLsh's bucket assignment (deterministic
     * md5-derived hyperplanes — AnnLsh.planeComponent): per vector, 4
@@ -72,6 +80,19 @@ object CurationQueries extends QueryRegistry {
   private val cosineSql =
     "list_dot_product(v, pv) / sqrt(list_dot_product(v, v) * list_dot_product(pv, pv))"
 
+  /** DuckDB twin of TextAnalysis.langId (argmax profile hits, ties →
+    * alphabetical, zero hits → 'und'); shared by q58 and q101. */
+  private val langCaseSql: String = {
+    val scores = TextAnalysis.LangProfiles.map { case (lang, words) =>
+      lang -> s"len(list_filter(string_split(text,' '), t -> list_contains(${words.mkString("['", "','", "']")}, t)))"
+    }
+    val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val cases = scores.sortBy(_._1)
+      .map { case (lang, e) => s"WHEN $best > 0 AND $e = $best THEN '$lang'" }
+      .mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
   private val simhashSql =
     """list_transform(string_split(text,' '), t -> CAST(('0x' || substr(md5(t),1,15)) AS BIGINT))"""
 
@@ -93,6 +114,32 @@ object CurationQueries extends QueryRegistry {
           .orderBy("a_id", "b_id")
       },
       Some(mh)),
+
+    // Connected components over the MinHash candidate graph — pair
+    // lists become transitive dedup clusters (the step survivorship
+    // needs). The oracle replays it as a recursive transitive closure
+    // over the same pair CTEs.
+    QueryDef("q100_dedup_components",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val withDups = d.select(col("doc_id").as("id"), col("text"))
+          .unionAll(d.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 100000).as("id"), col("text")))
+        val pairs = MinHashLSH.candidatePairs(withDups, "id", "text")
+          .filter(col("est_jaccard") >= 0.5)
+        DedupComponents.components(pairs.select("a_id", "b_id"))
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE $mhCtes,
+              |cand AS (SELECT a_id, b_id FROM pairs WHERE $mhEst >= 0.5),
+              |edges AS (SELECT a_id, b_id FROM cand
+              |          UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM cand),
+              |nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+              |reach AS (
+              |  SELECT id, id AS r FROM nodes
+              |  UNION
+              |  SELECT re.id, e.b_id AS r FROM reach re JOIN edges e ON e.a_id = re.r)
+              |SELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
     QueryDef("q56_simhash",
       (s, dir) => Tables.documents(s, dir)
@@ -126,18 +173,41 @@ object CurationQueries extends QueryRegistry {
         .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
         .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "predicted"),
-      Some {
-        val scores = TextAnalysis.LangProfiles.map { case (lang, words) =>
-          lang -> s"len(list_filter(string_split(text,' '), t -> list_contains(${words.mkString("['", "','", "']")}, t)))"
-        }
-        val best = scores.map(_._2).mkString("greatest(", ", ", ")")
-        val cases = scores.sortBy(_._1)
-          .map { case (lang, e) => s"WHEN $best > 0 AND $e = $best THEN '$lang'" }
-          .mkString(" ")
-        s"""SELECT lang, predicted, COUNT(*) AS cnt FROM (
-           |  SELECT lang, CASE $cases ELSE 'und' END AS predicted FROM documents)
-           |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
-      }),
+      Some(s"""SELECT lang, predicted, COUNT(*) AS cnt FROM (
+              |  SELECT lang, $langCaseSql AS predicted FROM documents)
+              |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin)),
+
+    // End-to-end curation pipeline (the north-star composition): exact
+    // dedup survivorship (min doc_id per identical text) → language ID
+    // → quality gate → per-language corpus stats. One scan, one window,
+    // one aggregate — operators compose without extra passes.
+    QueryDef("q101_corpus_curation",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val stop = Seq("the", "a", "of", "and")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.langId(col("text")).as("predicted"),
+            TextAnalysis.qualityScore(col("text"), stop).as("score"))
+          .withColumn("keep_id", min("doc_id").over(Window.partitionBy("text")))
+          .filter(col("doc_id") === col("keep_id") &&
+            col("predicted") =!= "und" && col("score") > 1.0)
+          .groupBy("predicted")
+          .agg(count(lit(1)).as("cnt"), davg(col("score")).as("avg_score"))
+          .orderBy("predicted")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents),
+              |m AS (
+              |  SELECT doc_id, text, $langCaseSql AS predicted,
+              |    CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END * 2
+              |    + CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains(['the','a','of','and'], x))) / CAST(len(toks) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END * 3
+              |    - abs(CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END - CAST(5.0 AS DOUBLE)) / CAST(5.0 AS DOUBLE) AS score,
+              |    MIN(doc_id) OVER (PARTITION BY text) AS keep_id
+              |  FROM t)
+              |SELECT predicted, COUNT(*) AS cnt, ${sqlDavg("score")} AS avg_score
+              |FROM m
+              |WHERE doc_id = keep_id AND predicted != 'und' AND score > 1.0
+              |GROUP BY predicted ORDER BY predicted""".stripMargin)),
 
     QueryDef("q59_quality_score",
       (s, dir) => {
@@ -376,6 +446,56 @@ object CurationQueries extends QueryRegistry {
            |WHERE vec_id != 0 AND cell IN (SELECT cell FROM pcells)
            |ORDER BY sim DESC, id LIMIT 10""".stripMargin
       }),
+
+    // Native fused L2 distance (graft_l2): embedding-distance top-k
+    // with one codegen'd loop; oracle replays the identical left fold.
+    QueryDef("q98_l2_topk",
+      (s, dir) => {
+        graft.functions.L2Distance.register(s)
+        val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val probe = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("pv")))
+        e.crossJoin(probe)
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            graft.functions.L2Distance.l2(col("embedding"), col("pv")).as("dist"))
+          .orderBy(col("dist"), col("vec_id")).limit(10)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+             |SELECT vec_id,
+             |sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64),
+             |  i -> (v[i]-pv[i])*(v[i]-pv[i]))), (acc,x) -> acc+x)) AS dist
+             |FROM e CROSS JOIN p WHERE vec_id != 0
+             |ORDER BY dist, vec_id LIMIT 10""".stripMargin)),
+
+    // Pre-normalized cosine: normalize the corpus ONCE, then similarity
+    // is a bare dot product — at scale the normalized table is
+    // materialized and every probe/pair afterwards skips both norm
+    // computations (halves the ANN sweep's arithmetic). The oracle
+    // replays normalize-then-dot with the same fold order.
+    QueryDef("q99_cosine_prenorm",
+      (s, dir) => {
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        val e = Tables.embeddings(s, dir).select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        val normed = e
+          .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("n"))
+          .select(col("vec_id"), transform(col("v"), x => x / col("n")).as("nv"))
+        val probe = broadcast(normed.filter(col("vec_id") === 0)
+          .select(col("nv").as("pnv")))
+        normed.crossJoin(probe)
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), dot(col("nv"), col("pnv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |nrm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM e),
+             |p AS (SELECT nv AS pnv FROM nrm WHERE vec_id = 0)
+             |SELECT vec_id, list_dot_product(nv, pnv) AS sim
+             |FROM nrm CROSS JOIN p WHERE vec_id != 0
+             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
 
     // Embedding near-duplicate sweep over LSH buckets; oracle replays
     // "collides in ≥1 table" as a non-empty bucket intersection.

@@ -108,7 +108,11 @@ object StreamingQueries extends QueryRegistry {
 
     QueryDef("q44_stream_tumbling_window",
       (s, dir) => {
-        val agg = eventStream(s, dir)
+        // complete-mode final state is batch-count independent → drain
+        // in one AvailableNow batch (per-batch state-store churn would
+        // otherwise dominate; the per-trigger replay semantics are
+        // demonstrated by q43/q47)
+        val agg = eventStream(s, dir, maxFilesPerTrigger = 4)
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
         runToMemory(s, agg, "complete")
@@ -141,7 +145,7 @@ object StreamingQueries extends QueryRegistry {
     // asserted in StreamingSpec.
     QueryDef("q46_stream_session_window",
       (s, dir) => {
-        val agg = eventStream(s, dir)
+        val agg = eventStream(s, dir, maxFilesPerTrigger = 4)
           .withWatermark("ts", "0 seconds")
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).as("cnt"))
@@ -191,7 +195,7 @@ object StreamingQueries extends QueryRegistry {
     // dropDuplicates keeps state across batches.
     QueryDef("q48_stream_dedup",
       (s, dir) => {
-        val dedup = eventStream(s, dir).dropDuplicates("event_id")
+        val dedup = eventStream(s, dir, maxFilesPerTrigger = 4).dropDuplicates("event_id")
         val out = runToMemory(s, dedup, "append")
         out.agg(count(lit(1)).as("cnt"), sum("event_id").cast("bigint").as("sum_id"))
       },
@@ -215,10 +219,16 @@ object StreamingQueries extends QueryRegistry {
     // requirement for any stream-stream join).
     QueryDef("q89_stream_stream_join",
       (s, dir) => {
-        val p = eventStream(s, dir).filter(col("event_type") === "purchase")
+        // single AvailableNow batch per side: the time-ordered chunks +
+        // 1h watermark mean state eviction only ever removes rows that
+        // can no longer match, so the joined set is batch-count
+        // independent — and each extra batch pays two state stores
+        val p = eventStream(s, dir, maxFilesPerTrigger = 4)
+          .filter(col("event_type") === "purchase")
           .withWatermark("ts", "1 hour")
           .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
-        val c = eventStream(s, dir).filter(col("event_type") === "click")
+        val c = eventStream(s, dir, maxFilesPerTrigger = 4)
+          .filter(col("event_type") === "click")
           .withWatermark("ts", "1 hour")
           .select(col("event_id").as("c_id"), col("user_id").as("c_uid"), col("ts").as("c_ts"))
         val joined = p.join(c,
