@@ -23,8 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // rewrite the HOF dot-product idiom into the fused codegen'd form
+    // rewrite the HOF dot-product idiom into the fused codegen'd form,
+    // then collapse dot/sqrt(dot*dot) into one CosineSimilarity loop
     ext.injectOptimizerRule(_ => graft.plans.FuseDotProduct)
+    ext.injectOptimizerRule(_ => graft.plans.FuseCosine)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float/double arrays"),

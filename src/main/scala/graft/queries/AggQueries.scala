@@ -147,6 +147,33 @@ object AggQueries extends QueryRegistry {
              |  CAST(ROUND(quantile_cont(o_totalprice, 0.9) * 1e3) AS BIGINT) AS p90_milli
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Statistical aggregates (corr / covariance / stddev): the engines'
+    // merge formulas differ at ~1e-12 relative, so outputs are scaled
+    // ROUND→BIGINT (absorbs far more than the divergence); Spark yields
+    // NaN where DuckDB yields NULL on degenerate groups → NaN mapped to
+    // NULL so both agree.
+    QueryDef("q102_stats_agg",
+      (s, dir) => {
+        def nn(c: org.apache.spark.sql.Column) = when(isnan(c), lit(null)).otherwise(c)
+        Tables.events(s, dir)
+          .select(col("event_type"), col("value"),
+            get_json_object(col("props"), "$.k").cast("int").cast("double").as("k"))
+          .groupBy("event_type")
+          .agg(
+            round(nn(corr(col("value"), col("k"))) * lit(1e9)).cast("long").as("corr_nano"),
+            round(nn(covar_samp(col("value"), col("k"))) * lit(1e6)).cast("long").as("covar_micro"),
+            round(nn(stddev_samp(col("value"))) * lit(1e6)).cast("long").as("stddev_micro"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  CAST(ROUND(corr(value, k) * 1e9) AS BIGINT) AS corr_nano,
+             |  CAST(ROUND(covar_samp(value, k) * 1e6) AS BIGINT) AS covar_micro,
+             |  CAST(ROUND(stddev_samp(value) * 1e6) AS BIGINT) AS stddev_micro
+             |FROM (SELECT event_type, value,
+             |        CAST(CAST(json_extract_string(props,'$.k') AS INT) AS DOUBLE) AS k
+             |      FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     QueryDef("q23_filtered_agg",
       (s, dir) => Tables.events(s, dir)
         .groupBy("event_type")

@@ -56,6 +56,21 @@ class ExtensionsSpec extends AnyFunSuite {
           |FROM VALUES (array(1.0d,2.0d), array(4.0d,5.0d)) t(a, b)""".stripMargin)
       assert(!other.queryExecution.optimizedPlan.toString.contains("dotproduct"))
       assert(other.head().getDouble(0) == 1.0 + 4.0 + 10.0)
+      // FuseCosine: the full dot/sqrt(dot*dot) idiom collapses to ONE
+      // CosineSimilarity (no residual DotProduct), bit-equal to the
+      // registered native function
+      def hofDot(x: String, y: String) =
+        s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0.0d, (acc, w) -> acc + w)"
+      val cosSql = spark.sql(
+        s"""SELECT ${hofDot("v", "w")} / sqrt(${hofDot("v", "v")} * ${hofDot("w", "w")}) AS sim,
+           |       graft_cosine(v, w) AS native
+           |FROM (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS v,
+           |             CAST(reverse(embedding) AS ARRAY<DOUBLE>) AS w
+           |      FROM emb_ext)""".stripMargin)
+      val opt = cosSql.queryExecution.optimizedPlan.toString
+      assert(opt.contains("cosinesimilarity"), opt.take(800))
+      assert(!opt.toLowerCase.contains("zip_with"), opt.take(800))
+      assert(cosSql.collect().forall(r => r.getDouble(0) == r.getDouble(1)))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

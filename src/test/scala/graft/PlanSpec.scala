@@ -38,6 +38,26 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("q98: native L2 top-k — broadcast probe, top-k, pruned probe filter") {
+    val plan = planOf("q98_l2_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // the probe lookup is pushed into the parquet scan
+    assert(plan.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,0)"),
+      plan.take(2000))
+  }
+
+  test("q12 right outer: filtered small side broadcasts, partial agg before shuffle") {
+    // the big-orders filter shrinks the left side enough that the
+    // planner broadcasts it — no full shuffle of customer — and the
+    // count aggregate runs map-side (partial) before its exchange
+    val plan = planOf("q12_right_outer_join")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(2000))
+    assert(plan.contains("partial_count"), plan.take(2000))
+  }
+
   test("bucketed co-located join runs with no exchange on either side") {
     import org.apache.spark.sql.functions.col
     TableIO.writeBucketed(Tables.orders(spark, sf), "orders_bkt", "o_custkey", 8)
