@@ -73,7 +73,11 @@ object AnnLsh {
   def bucketedPairs(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val k = keyed(emb, idCol, vecCol)
     val a = k.select(col("bucket"), col("id").as("a_id"), col("v").as("va"))
+    // shuffled hash, not broadcast: a corpus-scale bucket table must
+    // never broadcast, and identical exchanges let ReusedExchange
+    // compute the projection pipeline once for both sides
     val b = k.select(col("bucket"), col("id").as("b_id"), col("v").as("vb"))
+      .hint("shuffle_hash")
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), cosine(col("va"), col("vb")).as("sim"))

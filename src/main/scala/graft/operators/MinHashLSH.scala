@@ -35,13 +35,21 @@ object MinHashLSH {
   val B: Seq[Long] = Seq(317L, 1021L, 2053L, 3079L, 4099L, 5119L,
     6143L, 7177L, 8219L, 9241L, 10273L, 11311L, 12347L, 13397L, 14411L, 15451L)
 
-  /** Token n-gram shingles (distinct), empty array below n tokens. */
+  /** Token n-gram shingles, empty array below n tokens.
+    *
+    * The token array is bound ONCE through a HOF argument (lambda
+    * variables are materialized values) — referencing the `split`
+    * expression inside the per-shingle lambda would inline it, costing
+    * O(tokens) per shingle = O(tokens²) per document (measured: the
+    * dominant cost of the whole MinHash pipeline at sf0.1).
+    * Duplicates are kept: MinHash minima are invariant under them, and
+    * de-duplicating costs a quadratic array_distinct pass. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = split(text, " ")
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+    val sh = flatten(transform(array(toks), t =>
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
+    when(size(toks) >= n, sh).otherwise(array().cast("array<string>"))
   }
 
   /** Cross-engine-stable base hash: first 8 md5 hex digits as long. */
@@ -50,19 +58,22 @@ object MinHashLSH {
 
   /** K-component MinHash signature of a hashed-shingle array.
     *
-    * Single left fold maintaining all K running minima — NOT K
-    * independent `array_min(transform(...))` passes: Catalyst inlines
-    * a HOF's argument into every lambda body (projections collapse, no
-    * CSE inside lambdas), so the K-pass formulation recomputes every
-    * shingle md5 K times (measured 16× slower at sf0.1). With the
-    * fold, the input array is evaluated exactly once. */
+    * K independent `array_min(transform(...))` passes over the hashes.
+    * CAUTION: `xs` must reference a MATERIALIZED column (an attribute
+    * behind an Exchange — see [[bucketRows]]'s fence), never the md5
+    * expression itself: Catalyst inlines a HOF's argument expression
+    * into every consumer (projections collapse, no CSE inside
+    * lambdas), which would recompute every shingle md5 K times
+    * (measured 16× slower at sf0.1). Over materialized hashes the K
+    * passes are pure integer arithmetic — cheaper than a single fold
+    * carrying a K-element array, which allocates one array per shingle
+    * step. */
   def signature(xs: Column): Column = {
     val aArr = array(A.map(lit): _*)
     val bArr = array(B.map(lit): _*)
-    aggregate(xs,
-      array_repeat(lit(P), K),
-      (acc, x) => zip_with(acc, sequence(lit(0), lit(K - 1)),
-        (m, i) => least(m, (element_at(aArr, i + 1) * x + element_at(bArr, i + 1)) % P)))
+    transform(sequence(lit(0), lit(K - 1)), i =>
+      array_min(transform(xs, x =>
+        (element_at(aArr, i + 1) * x + element_at(bArr, i + 1)) % P)))
   }
 
   /** Base hashes of a document's shingles (one md5 per shingle). */
@@ -82,12 +93,21 @@ object MinHashLSH {
   val DefaultMaxBucket = 500
 
   private def bucketRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sigs = docs
+    // Exchange fence after the md5 stage: without it, Catalyst's
+    // filter pushdown + project collapse inline `xs` into both the
+    // size filter and the signature passes, recomputing one md5 per
+    // shingle per reference. Behind the fence the hashes are
+    // materialized rows (~8 B/shingle to shuffle — orders of magnitude
+    // cheaper than re-hashing), and the K min-passes cost only integer
+    // arithmetic.
+    val hashed = docs
       .select(col(idCol).as("id"), hashedShingles(col(textCol)).as("xs"))
       .filter(size(col("xs")) > 0)
+      .repartition(col("id"))
+    hashed
       .select(col("id"), signature(col("xs")).as("sig"))
-    sigs.select(col("id"), col("sig"),
-      posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
+      .select(col("id"), col("sig"),
+        posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
   }
 
   /** Candidate near-duplicate pairs with estimated Jaccard.
@@ -99,25 +119,34 @@ object MinHashLSH {
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      maxBucketSize: Int = DefaultMaxBucket): DataFrame = {
-    // the bucket count window shares the join's (band, key) shuffle, so
-    // the cap costs no extra exchange
-    val buckets = bucketRows(docs, idCol, textCol)
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "key")))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-    val a = buckets.select(col("band"), col("key"), col("id").as("a_id"), col("sig").as("sa"))
-    val b = buckets.select(col("band"), col("key"), col("id").as("b_id"), col("sig").as("sb"))
-    // est_jaccard is computed BEFORE the multi-band dedup, so the
-    // distinct shuffles (long, long, double) rows — not two K-long
-    // signature arrays per candidate (round 1 measured the
-    // array-carrying distinct at 12.8 s for 5k docs; the recompute is
-    // ≤ Bands×K integer compares per collision, trivial by comparison).
-    a.join(b, Seq("band", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        (aggregate(zip_with(col("sa"), col("sb"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-          / lit(K.toDouble)).as("est_jaccard"))
+    // One pass, one shuffle, no self-join: collect each (band, key)
+    // bucket's members, then enumerate intra-bucket pairs with array
+    // HOFs. A self-join formulation runs the signature pipeline (one
+    // md5 per shingle — the expensive part) once per join side and
+    // shuffles it twice; this shape computes it once, and the bucket
+    // cap is a plain size filter (the round-1 formulation needed an
+    // extra window for it). Members are sorted by id, so pair
+    // orientation (a_id < b_id) falls out of the array order.
+    val members = bucketRows(docs, idCol, textCol)
+      .groupBy("band", "key")
+      .agg(array_sort(collect_list(struct(col("id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucketSize)
+    // est_jaccard is computed inside the pair expansion, so the final
+    // multi-band distinct shuffles (long, long, double) rows — never
+    // two K-long signature arrays per candidate (round 1 measured the
+    // array-carrying distinct at 12.8 s for 5k docs).
+    val est = (sa: Column, sb: Column) =>
+      aggregate(zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v) / lit(K.toDouble)
+    members
+      .select(explode(flatten(transform(col("ms"), (m, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))), m2 =>
+          struct(
+            m.getField("id").as("a_id"),
+            m2.getField("id").as("b_id"),
+            est(m.getField("sig"), m2.getField("sig")).as("est_jaccard"))))))
+        .as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("p.est_jaccard"))
       .distinct()
   }
 
