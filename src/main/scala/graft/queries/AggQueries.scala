@@ -174,6 +174,20 @@ object AggQueries extends QueryRegistry {
              |      FROM events)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // approx_percentile (t-digest-style sketch): like q22, the sketch
+    // value differs across engines, so the declared tolerance property
+    // is the driver-visible output alongside the exact milli-scaled
+    // percentile (q86's proven absorber).
+    QueryDef("q108_approx_percentile",
+      (s, dir) => Tables.orders(s, dir).agg(
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx"),
+          expr("percentile(o_totalprice, 0.5)").as("exact"))
+        .select(
+          round(col("exact") * lit(1e3)).cast("long").as("exact_milli"),
+          (abs(col("approx") - col("exact")) <= col("exact") * lit(0.02)).as("within_2pct")),
+      Some("""SELECT CAST(ROUND(quantile_cont(o_totalprice, 0.5) * 1e3) AS BIGINT) AS exact_milli,
+             |TRUE AS within_2pct FROM orders""".stripMargin)),
+
     QueryDef("q23_filtered_agg",
       (s, dir) => Tables.events(s, dir)
         .groupBy("event_type")

@@ -320,6 +320,76 @@ object SqlQueries extends QueryRegistry {
         |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
         |GROUP BY s.s_name ORDER BY numwait DESC, s_name""".stripMargin)),
 
+    // TPC-H Q6 shape: tight-range filter aggregate (the pure
+    // predicate-pushdown + single-agg plan).
+    QueryDef("q103_tpch_q6_shape", sqlBoth(
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H Q8 shape: national market share — conditional share of a
+    // grouped sum (8-way join, two nation roles).
+    QueryDef("q104_tpch_q8_shape", sqlBoth(
+      """SELECT o_year,
+        |  CAST(CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE)
+        |  / CAST(CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin)),
+
+    // TPC-H Q9 shape: product-line profit per nation-year (supplycost
+    // stood in by p_retailprice — no partsupp table in the fixtures).
+    QueryDef("q105_tpch_q9_shape", sqlBoth(
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      - p_retailprice * l_quantity / 100 AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS profit
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year""".stripMargin)),
+
+    // TPC-H Q18 shape: large-quantity orders (HAVING subquery feeding a
+    // 3-way join; quantity sums are integral → exact BIGINT).
+    QueryDef("q106_tpch_q18_shape", sqlBoth(
+      """SELECT c_custkey, o_orderkey, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 350)
+        |GROUP BY c_custkey, o_orderkey, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // TPC-H Q22 shape: above-average balances with no orders (scalar
+    // subquery threshold + anti join; country code from nationkey — the
+    // fixtures carry no phone column).
+    QueryDef("q107_tpch_q22_shape", sqlBoth(
+      """SELECT cntrycode, COUNT(*) AS numcust,
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS totacctbal
+        |FROM (
+        |  SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
+        |  FROM customer c
+        |  WHERE c_acctbal > (
+        |    SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) / COUNT(*)
+        |    FROM customer c2 WHERE c2.c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey))
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)),
+
     // EXISTS inside a disjunction (decorrelation stress)
     QueryDef("q73_exists_or", sql(
       """SELECT c_custkey FROM customer c
