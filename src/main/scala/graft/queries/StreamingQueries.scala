@@ -246,6 +246,62 @@ object StreamingQueries extends QueryRegistry {
              |  AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
              |ORDER BY p_id, c_id""".stripMargin)),
 
+    // Stream-stream LEFT OUTER interval join: the outer (null-extended)
+    // rows are watermark-gated — a purchase emits with no click only
+    // once the watermark proves no matching click can still arrive.
+    // Spark's exact eviction boundary is an internal interval
+    // adjustment of the watermark (measured between wm-46min and
+    // wm-27min here), so the declared query bounds its own outer
+    // domain: purchases older than max(ts)-3h — far below any
+    // plausible eviction threshold — which makes the final result
+    // exactly batch-expressible: inner matches ∪ unmatched old
+    // purchases with NULL. The cutoff is data-derived identically on
+    // both sides.
+    QueryDef("q109_stream_stream_left_join",
+      (s, dir) => {
+        // raw file ts is Long nanos (nanosAsLong); floor to micros like
+        // eventStream, then back off 3h — identical to the oracle's
+        // MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 3 HOUR (ns→µs truncates)
+        val maxNanos = s.read.parquet(Tables.path(dir, "events"))
+          .agg(max("ts")).head().getLong(0)
+        val cutoff = timestamp_micros(lit(maxNanos / 1000 - 3L * 3600 * 1000000))
+        // watermark BEFORE the filters: the watermark node must see the
+        // full event flow, otherwise the purchase side's own watermark
+        // stalls at the cutoff and the outer rows near it never emit
+        val p = eventStream(s, dir, maxFilesPerTrigger = 4)
+          .withWatermark("ts", "1 hour")
+          .filter(col("event_type") === "purchase" && col("ts") < cutoff)
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val c = eventStream(s, dir, maxFilesPerTrigger = 4)
+          .withWatermark("ts", "1 hour")
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_uid"), col("ts").as("c_ts"))
+        val joined = p.join(c,
+          col("user_id") === col("c_uid") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"),
+          "leftOuter")
+        runToMemory(s, joined, "append")
+          .select(col("p_id"), col("c_id"))
+          .orderBy(col("p_id"), col("c_id").asc_nulls_first)
+      },
+      Some("""WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 3 HOUR AS cutoff FROM events),
+             |matched AS (
+             |  SELECT p.event_id AS p_id, c.event_id AS c_id
+             |  FROM events p JOIN events c ON c.user_id = p.user_id, m
+             |  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+             |    AND CAST(p.ts AS TIMESTAMP) < m.cutoff
+             |    AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+             |    AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP))
+             |SELECT p_id, c_id FROM matched
+             |UNION ALL
+             |SELECT p.event_id AS p_id, NULL AS c_id
+             |FROM events p, m
+             |WHERE p.event_type = 'purchase'
+             |  AND CAST(p.ts AS TIMESTAMP) < m.cutoff
+             |  AND p.event_id NOT IN (SELECT p_id FROM matched)
+             |ORDER BY p_id, c_id NULLS FIRST""".stripMargin)),
+
     // Spark 4 arbitrary-state API: per-user running (count, cents)
     // via a StatefulProcessor; after the AvailableNow replay the last
     // update per key equals the batch aggregate.
