@@ -32,6 +32,11 @@ object GraftSession {
     // local[n] has no dynamic executors; keep broadcast threshold default
     // (10MB) — all dim tables here fit comfortably.
     .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // runtime bloom-filter join pruning: selective dim-side filters
+    // prune the fact scan at runtime — at 100 TB this is the difference
+    // between scanning the filtered fraction and the whole fact table
+    // on shuffled (non-broadcast) joins
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
 
   /** Local session for tests / ad-hoc mains. */
   def local(cpus: Int = Runtime.getRuntime.availableProcessors.min(32),

@@ -139,6 +139,41 @@ object Snapshots {
       .parquet(snap.files.map(f => base.resolve(f).toString): _*)
   }
 
+  /** Incremental read (CDC-style): exactly the rows ADDED between
+    * `fromVersion` (exclusive) and `toVersion` (inclusive, default
+    * latest) — the file-set difference, excluding compaction rewrites
+    * (a compacted file only re-packs rows an earlier version already
+    * delivered, so it is NOT a change). Consumers that checkpoint the
+    * last version they processed get append-only change feeds without
+    * rescanning the table. */
+  def readChanges(spark: SparkSession, root: String, prefix: String,
+                  fromVersion: Int, toVersion: Option[Int] = None): DataFrame = {
+    require(snapshot(root, prefix, Some(fromVersion)).isDefined,
+      s"no snapshot v$fromVersion for $prefix")
+    val to = snapshot(root, prefix, toVersion).getOrElse(
+      sys.error(s"no snapshot for $prefix"))
+    // per-commit attribution: an append commit's changes are its file
+    // additions; a compaction commit (removed non-empty) re-packs rows
+    // earlier versions already delivered — it contributes nothing, and
+    // skipping it keeps earlier appends' files (not their compacted
+    // replacements) as the change source
+    val added = versions(root, prefix)
+      .filter(v => v > fromVersion && v <= to.version)
+      .flatMap { v =>
+        val cur = snapshot(root, prefix, Some(v)).get
+        if (cur.removed.nonEmpty) Seq.empty
+        else (cur.files.toSet --
+          snapshot(root, prefix, Some(v - 1)).map(_.files.toSet).getOrElse(Set.empty)).toSeq
+      }.distinct.sorted
+    val base = dataDir(root, prefix)
+    if (added.isEmpty) {
+      // empty frame with the table's schema
+      read(spark, root, prefix, Some(to.version)).limit(0)
+    } else spark.read
+      .option("basePath", base.toString)
+      .parquet(added.map(f => base.resolve(f).toString): _*)
+  }
+
   /** Compact the latest snapshot: per partition directory, rewrite its
     * small files into one, and commit a version that pins the rewritten
     * set and records the originals as superseded. Data is unchanged

@@ -118,6 +118,30 @@ class SnapshotSpec extends SparkTestBase {
     }
   }
 
+  test("incremental read: changes between versions, compaction excluded") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "s9", topics = 1, numMessages = 200)  // v0
+    ProduceJob.personProjection(spark.range(200, 500).toDF("cnt"), "cnt", "s9", 1)
+      .write.mode("append").partitionBy("topic")
+      .parquet(graft.ingest.Topics.tableDir(root, "s9"))
+    val v1 = Snapshots.commit(root, "s9", 499)
+    // changes v0→v1 = exactly the appended rows
+    val ch = Snapshots.readChanges(spark, root, "s9", 0, Some(v1))
+    assert(ch.count() == 300)
+    assert(ch.agg(min("ba")).head().getLong(0) == 200L)
+    // compaction adds NO changes
+    val vC = Snapshots.compact(spark, root, "s9")
+    assert(Snapshots.readChanges(spark, root, "s9", v1, Some(vC)).count() == 0)
+    // an append after compaction is visible as a change again
+    ProduceJob.personProjection(spark.range(500, 600).toDF("cnt"), "cnt", "s9", 1)
+      .write.mode("append").partitionBy("topic")
+      .parquet(graft.ingest.Topics.tableDir(root, "s9"))
+    val v3 = Snapshots.commit(root, "s9", 599)
+    assert(Snapshots.readChanges(spark, root, "s9", vC, Some(v3)).count() == 100)
+    // and the full span skips the compaction rewrite but keeps both appends
+    assert(Snapshots.readChanges(spark, root, "s9", 0, Some(v3)).count() == 400)
+  }
+
   test("unknown version is refused") {
     val root = Files.createTempDirectory("graft_snap").toString
     ProduceJob.produceBatch(spark, root, "s4", topics = 1, numMessages = 10)
