@@ -90,4 +90,48 @@ class PropertySpec extends SparkTestBase {
         agg.getLong(2) == n - 1 && agg.getLong(3) == n)
     }
   }
+
+  test("MinHash candidates: est_jaccard in [0,1], exact duplicates score 1.0") {
+    import spark.implicits._
+    // generated docs plus forced duplicates of the first few
+    val docGen = Gen.listOfN(6, Gen.const("w")).flatMap(_ =>
+      Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+        .map(_.mkString(" ")))
+    forAllG(Gen.listOfN(15, docGen), trials = 3) { texts: List[String] =>
+      if (texts.nonEmpty) {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+          texts.take(3).zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        val pairs = graft.operators.MinHashLSH
+          .candidatePairs(docs.toDF("id", "text"), "id", "text")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        assert(pairs.forall { case (_, _, j) => j >= 0.0 && j <= 1.0 })
+        // each injected duplicate pair must surface with est = 1.0
+        (0 until 3).foreach { i =>
+          assert(pairs.exists { case (a, b, j) =>
+            a == i.toLong && b == 1000L + i && j == 1.0 })
+        }
+      }
+    }
+  }
+
+  test("components: labels are idempotent (running on the result changes nothing)") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(12, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+      .map(_.filter { case (a, b) => a != b })
+    forAllG(edgeGen, trials = 5) { edges: List[(Long, Long)] =>
+      if (edges.nonEmpty) {
+        val pairs = edges.toDF("a_id", "b_id")
+        val comp = graft.operators.DedupComponents.components(pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // every label is itself a member's id and the minimum of its class
+        val classes = comp.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+        classes.foreach { case (label, members) =>
+          assert(members.min == label)
+        }
+        // endpoints of every edge share a label (connectivity respected)
+        edges.foreach { case (a, b) => assert(comp(a) == comp(b)) }
+      }
+    }
+  }
 }
