@@ -1,6 +1,8 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicLong
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.QueryExecution
@@ -8,13 +10,37 @@ import org.apache.spark.sql.functions.{count, lit}
 import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Benchmark main (driver contract): run every declared query at the
-  * given scale-factor dir, print ONE JSON line with per-query seconds
-  * AND per-query output row counts (round-over-round diffs then catch
-  * result-size regressions, not just time). Queries are fully
-  * materialized through a noop sink (a bare count() could satisfy
-  * scans from parquet footers and under-measure); row counts ride the
-  * same execution via observe(), never a second run. */
+  * given scale-factor dir and print ONE JSON line.
+  *
+  * The driver that consumes this line keeps only the LAST ~2000 chars
+  * of stdout (round-2 lesson: a full 115-query map overflowed that
+  * window and the line arrived truncated → unparseable). So stdout
+  * carries the total plus a fixed HEADLINE subset of per-query
+  * seconds, and the complete per-query seconds + output row counts go
+  * to BENCH_FULL.json next to the build for round-over-round diffs.
+  *
+  * Queries are fully materialized through a noop sink (a bare count()
+  * could satisfy scans from parquet footers and under-measure); row
+  * counts ride the same execution via observe(), never a second run.
+  * Each query observes under its own metric name so a late-posted
+  * listener event can never be attributed to the next query. */
 object Bench {
+  /** Representative subset for the stdout line: one per operator
+    * family (scan, join flavors, agg, window, set, streaming, dedup,
+    * ANN, TPC-H shapes, curation) — full list in BENCH_FULL.json. */
+  private val Headline: Seq[String] = Seq(
+    "q01_scan_count", "q09_join_agg", "q11_multiway_join", "q16_asof_join",
+    "q18_groupby_multi_agg", "q21_cube", "q24_ranking", "q26_running_sum",
+    "q29_topk", "q31_except", "q40_cosine_topk", "q44_stream_tumbling_window",
+    "q46_stream_session_window", "q49_stream_stateful_agg", "q55_minhash_lsh",
+    "q56_simhash", "q64_embedding_neardup", "q67_ann_ivf",
+    "q68_correlated_subquery", "q76_tpch_q7_shape", "q77_tpch_q10_shape",
+    "q89_stream_stream_join", "q91_tpch_q2_shape", "q96_tpch_q21_shape",
+    "q100_dedup_components", "q101_corpus_curation")
+
+  private def fmt(v: Double): String = BigDecimal(v)
+    .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -25,14 +51,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // row-count capture: observe("graft_rows") on each query, read back
-    // through the execution listener (posted async — polled below)
-    val observed = new AtomicLong(-1L)
-    val epoch = new AtomicLong(0L)
+    // row-count capture: observe(s"graft_rows_$name") on each query,
+    // read back through the execution listener (posted async — polled
+    // below). Keyed by metric name, so a stale event for query A seen
+    // during query B's window still lands on A.
+    val observed = new ConcurrentHashMap[String, Long]()
     spark.listenerManager.register(new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        qe.observedMetrics.get("graft_rows").foreach { r =>
-          observed.set(r.getLong(0)); epoch.incrementAndGet(); ()
+        qe.observedMetrics.foreach { case (k, r) =>
+          if (k.startsWith("graft_rows_")) { observed.put(k, r.getLong(0)); () }
         }
       override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
     })
@@ -48,31 +75,41 @@ object Bench {
       // per-query hygiene: no cached plans/blocks may leak across
       // measurements (round 1 lost 7-25x to exactly such leakage)
       spark.catalog.clearCache()
-      val before = epoch.get()
+      val metric = s"graft_rows_$name"
       val t0 = System.nanoTime()
       var elapsed = 0.0
       var rows = -1L
       try {
-        fn(spark, sfDir).observe("graft_rows", count(lit(1)))
+        fn(spark, sfDir).observe(metric, count(lit(1)))
           .write.format("noop").mode("overwrite").save()
         elapsed = (System.nanoTime() - t0) / 1e9
         // listener posts async; the wait is OUTSIDE the timed span
         val deadline = System.currentTimeMillis() + 2000
-        while (epoch.get() == before && System.currentTimeMillis() < deadline)
+        while (!observed.containsKey(metric) && System.currentTimeMillis() < deadline)
           Thread.sleep(10)
-        if (epoch.get() != before) rows = observed.get()
+        rows = observed.getOrDefault(metric, -1L)
       } catch { case e: Throwable =>
         elapsed = (System.nanoTime() - t0) / 1e9
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       (name, elapsed, rows)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val rc = results.map { case (k, _, n) => "\"" + k + "\":" + n }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rc,"sf":"$sfDir"}""")
+
+    // complete record → file (stdout only gets the headline subset)
+    val qsFull = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val rcFull = results.map { case (k, _, n) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qsFull,"rows":$rcFull,"sf":"$sfDir"}"""
+    try Files.write(Paths.get("/root/repo/BENCH_FULL.json"),
+      full.getBytes(StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+
+    val byName = results.map { case (k, v, _) => k -> v }.toMap
+    val qs = Headline.flatMap(h => byName.get(h).map(v => "\"" + h + "\":" + fmt(v)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -9,11 +9,20 @@ import org.apache.spark.sql.Dataset
 
 import graft.model.{AmazonReview, Person, Student}
 
-/** Avro binary wire format for the reference's three record schemas —
-  * the literal on-the-wire representation the reference publishes
-  * (reference: PerformanceProducer.java:129 `Schema.AVRO(Person.class)`,
+/** Avro binary wire format for the reference's three record schemas,
+  * modeling what each producer actually puts on the wire (reference:
+  * PerformanceProducer.java:129 `Schema.AVRO(Person.class)`,
   * AmazonReviewProducer.java:81, Student.avsc:1-12 with the Confluent
-  * serializer at UrsaKafkaProducerOnCloud.java:39-44).
+  * serializer at UrsaKafkaProducerOnCloud.java:39-44):
+  *
+  *  - Pulsar's `Schema.AVRO(pojo)` defaults to `alwaysAllowNull`
+  *    (ReflectData.AllowNull): every REFERENCE-typed field (the POJOs'
+  *    Strings) becomes a `["null", T]` union — one branch-index byte
+  *    per field on the wire; Java primitive fields (int/boolean/
+  *    double/long) cannot be null and stay plain.
+  *  - The Confluent `KafkaAvroSerializer` used for Student frames the
+  *    Avro body with a 5-byte header: magic 0x00 + 4-byte big-endian
+  *    schema-registry id ([[ConfluentMagic]]/[[StudentSchemaId]]).
   *
   * The container ships avro-core (no spark-avro, so no
   * `to_avro`/`from_avro` expressions — SURVEY.md §7 risk (d)); the
@@ -25,23 +34,27 @@ import graft.model.{AmazonReview, Person, Student}
 object AvroWire {
 
   /** Field layout mirrors Person.java:10-16 (alphabetical is NOT used —
-    * Avro field order is declaration order, which the binary relies on). */
+    * Avro field order is declaration order, which the binary relies
+    * on). String fields are `["null","string"]` unions — Pulsar
+    * alwaysAllowNull; primitives stay non-null. */
   val PersonSchema: String =
     """{"type":"record","name":"Person","namespace":"graft.wire","fields":[
-      |{"name":"name","type":"string"},
+      |{"name":"name","type":["null","string"],"default":null},
       |{"name":"age","type":"int"},
-      |{"name":"address","type":"string"},
+      |{"name":"address","type":["null","string"],"default":null},
       |{"name":"gender","type":"boolean"},
       |{"name":"score","type":"double"},
       |{"name":"ba","type":"long"}]}""".stripMargin
 
   val AmazonReviewSchema: String =
     """{"type":"record","name":"AmazonReview","namespace":"graft.wire","fields":[
-      |{"name":"polarity","type":"string"},
-      |{"name":"title","type":"string"},
-      |{"name":"text","type":"string"}]}""".stripMargin
+      |{"name":"polarity","type":["null","string"],"default":null},
+      |{"name":"title","type":["null","string"],"default":null},
+      |{"name":"text","type":["null","string"],"default":null}]}""".stripMargin
 
-  /** reference: src/main/resources/avro/Student.avsc:5-11 */
+  /** reference: src/main/resources/avro/Student.avsc:5-11 — an explicit
+    * .avsc with non-null fields, so no unions here; the Confluent
+    * framing below carries the schema identity instead. */
   val StudentSchema: String =
     """{"type":"record","name":"Student","namespace":"graft.wire","fields":[
       |{"name":"name","type":"string"},
@@ -49,6 +62,12 @@ object AvroWire {
       |{"name":"payload","type":"string"},
       |{"name":"address","type":"string"},
       |{"name":"number","type":"long"}]}""".stripMargin
+
+  /** Confluent wire-format framing (magic byte + schema-registry id). */
+  val ConfluentMagic: Byte = 0x00
+  /** Stand-in registry id for Student (the sandbox has no registry;
+    * any fixed id reproduces the framing byte-exactly). */
+  val StudentSchemaId: Int = 1
 
   /** Per-partition binary codec (schema re-parsed once per partition —
     * Schema is not serializable, so executors rebuild from JSON). */
@@ -126,14 +145,27 @@ object AvroWire {
     }
   }
 
+  /** Student payloads carry the Confluent framing: 0x00 magic + 4-byte
+    * big-endian schema id, then the Avro binary body (the
+    * KafkaAvroSerializer layout — UrsaKafkaProducerOnCloud.java:39-44). */
   def encodeStudents(ds: Dataset[Student]): Dataset[Array[Byte]] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       val c = new Codec(StudentSchema)
-      it.map(s => c.encode { r =>
-        r.put("name", s.name); r.put("age", s.age); r.put("payload", s.payload)
-        r.put("address", s.address); r.put("number", s.number)
-      })
+      it.map { s =>
+        val body = c.encode { r =>
+          r.put("name", s.name); r.put("age", s.age); r.put("payload", s.payload)
+          r.put("address", s.address); r.put("number", s.number)
+        }
+        val framed = new Array[Byte](5 + body.length)
+        framed(0) = ConfluentMagic
+        framed(1) = (StudentSchemaId >>> 24).toByte
+        framed(2) = (StudentSchemaId >>> 16).toByte
+        framed(3) = (StudentSchemaId >>> 8).toByte
+        framed(4) = StudentSchemaId.toByte
+        System.arraycopy(body, 0, framed, 5, body.length)
+        framed
+      }
     }
   }
 
@@ -142,7 +174,12 @@ object AvroWire {
     ds.mapPartitions { it =>
       val c = new Codec(StudentSchema)
       it.map { bytes =>
-        val r = c.decode(bytes)
+        require(bytes.length > 5 && bytes(0) == ConfluentMagic,
+          "not a Confluent-framed Avro payload")
+        val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+          ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+        require(id == StudentSchemaId, s"unknown schema id $id")
+        val r = c.decode(java.util.Arrays.copyOfRange(bytes, 5, bytes.length))
         Student(str(r, "name"), r.get("age").asInstanceOf[Int], str(r, "payload"),
           str(r, "address"), r.get("number").asInstanceOf[Long])
       }

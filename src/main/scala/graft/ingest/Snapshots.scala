@@ -68,6 +68,23 @@ object Snapshots {
       .flatMap(v => snapshot(root, prefix, Some(v)).map(_.removed).getOrElse(Seq.empty))
       .toSet
 
+  /** Every file any committed snapshot pins. */
+  private def referencedFiles(root: String, prefix: String): Set[String] =
+    versions(root, prefix)
+      .flatMap(v => snapshot(root, prefix, Some(v)).map(_.files).getOrElse(Seq.empty))
+      .toSet
+
+  /** Marker prefix for compaction rewrites. Compaction must write its
+    * output BEFORE committing the snapshot that pins it; if that commit
+    * loses the race or the process dies, the rewrites are orphans on
+    * disk. A directory-listing commit would adopt them — duplicating
+    * every compacted row — so rewrites carry this basename marker and
+    * [[commit]] only trusts marked files a snapshot already references. */
+  private[graft] val CompactedPrefix = "compacted-"
+
+  private def isCompacted(relPath: String): Boolean =
+    Paths.get(relPath).getFileName.toString.startsWith(CompactedPrefix)
+
   /** Atomic write of one snapshot version; loses the race loudly.
     * (private[graft]: the conflict spec exercises the collision
     * directly — a live thread race can't be scheduled deterministically.) */
@@ -93,8 +110,14 @@ object Snapshots {
     * against the re-read log (bounded; then the exception surfaces). */
   def commit(root: String, prefix: String, maxPos: Long, retries: Int = 5): Int = {
     val next = versions(root, prefix).lastOption.map(_ + 1).getOrElse(0)
+    val referenced = referencedFiles(root, prefix)
     val files = (listDataFiles(root, prefix).toSet --
-      removedUpTo(root, prefix, next - 1)).toSeq.sorted
+      removedUpTo(root, prefix, next - 1))
+      // orphaned compaction rewrites (lost race / mid-compact crash)
+      // re-pack rows the originals still deliver — adopting them would
+      // double those rows, so only snapshot-referenced ones qualify
+      .filter(f => !isCompacted(f) || referenced(f))
+      .toSeq.sorted
     try writeSnapshot(root, prefix, next, maxPos, files, Seq.empty)
     catch {
       case e: ConcurrentCommitException =>
@@ -199,14 +222,41 @@ object Snapshots {
         dirCols.foldLeft(df)((d, c) => d.drop(c))
           .coalesce(1).write.mode("append")
           .parquet(base.resolve(dir).toString)
-        keep ++= (listDataFiles(root, prefix).toSet -- before).toSeq
+        // mark the rewrites: until a snapshot pins them they are
+        // UNCOMMITTED, and commit() must never adopt them from a
+        // directory listing (lost race / crash ⇒ duplicated rows)
+        (listDataFiles(root, prefix).toSet -- before).foreach { rel =>
+          val abs = base.resolve(rel)
+          val marked = abs.resolveSibling(CompactedPrefix + abs.getFileName)
+          Files.move(abs, marked)
+          keep += base.relativize(marked).toString
+        }
         superseded ++= fs
       }
     }
     val removed = superseded.result()
     if (removed.isEmpty) snap.version // nothing rewritten — no new version
-    else writeSnapshot(root, prefix, snap.version + 1, snap.maxPos,
-      keep.result().sorted, removed)
+    else {
+      // the compaction snapshot = (latest files − originals) + rewrites;
+      // recomputing against the CURRENT latest on each attempt lets a
+      // lost race against a concurrent append retry with that append's
+      // files included (append ⋈ compact never conflicts logically)
+      val rewrites = keep.result()
+      val gone = removed.toSet
+      var attempts = 5
+      var committed = -1
+      while (committed < 0) {
+        val cur = snapshot(root, prefix, None).get
+        val files = ((cur.files.toSet -- gone) ++ rewrites).toSeq.sorted
+        try committed = writeSnapshot(root, prefix, cur.version + 1,
+          cur.maxPos max snap.maxPos, files, removed)
+        catch {
+          case e: ConcurrentCommitException =>
+            attempts -= 1; if (attempts <= 0) throw e
+        }
+      }
+      committed
+    }
   }
 
   /** Physically delete files that only versions older than `keepFrom`

@@ -36,9 +36,12 @@ object DedupComponents {
       .localCheckpoint(true)
     // labels only ever DECREASE (least of own and neighbor min), so
     // the label sum is strictly decreasing until convergence — one
-    // cheap aggregate detects stability, no per-round diff join
-    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum("comp").cast("long")).head().getLong(0)
+    // cheap aggregate detects stability, no per-round diff join.
+    // Summed as DECIMAL(38,0): a 64-bit sum could wrap at extreme id
+    // scales and a wrap-to-equal would false-positive convergence.
+    def labelSum(df: org.apache.spark.sql.DataFrame): BigDecimal =
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)")))
+        .head().getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -57,6 +60,14 @@ object DedupComponents {
       labels = updated
       iter += 1
     }
+    // a maxIter exit means labels are PARTIAL (graph diameter exceeded
+    // the bound) — silent partial components are wrong dedup clusters,
+    // so fail loudly; callers with adversarial long-chain graphs should
+    // raise maxIter (or switch to large-star/small-star)
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge within $maxIter rounds — " +
+          "graph diameter exceeds the bound; raise maxIter")
     labels
   }
 

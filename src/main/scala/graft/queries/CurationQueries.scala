@@ -40,9 +40,14 @@ object CurationQueries extends QueryRegistry {
        |    md5(array_to_string(list_transform(list_slice(sig, j.j*4+1, j.j*4+4), v -> CAST(v AS VARCHAR)), '-')) AS key
        |  FROM sigs, generate_series(0,3) j(j)
        |),
+       |bsz AS (
+       |  SELECT band, key FROM buckets GROUP BY band, key
+       |  HAVING COUNT(*) <= ${MinHashLSH.DefaultMaxBucket}
+       |),
        |pairs AS (
        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.sig AS sa, b.sig AS sb
        |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+       |  JOIN bsz s ON s.band = a.band AND s.key = a.key
        |)""".stripMargin
   }
 

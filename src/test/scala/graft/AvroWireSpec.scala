@@ -35,6 +35,19 @@ class AvroWireSpec extends SparkTestBase {
     assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
   }
 
+  test("wire shape: Pulsar nullable-union branch byte and Confluent framing") {
+    import spark.implicits._
+    // Person's first field (name) is a ["null","string"] union — the
+    // first wire byte is the branch index 1 as a zigzag varint = 0x02
+    val p = AvroWire.encodePersons(persons(1)).map(_._2).head()
+    assert(p(0) == 0x02.toByte)
+    // Student is Confluent-framed: magic 0x00 + 4-byte BE schema id
+    val s = AvroWire.encodeStudents(
+      Seq(Student("n", 1, "p", "a", 9L)).toDS()).head()
+    assert(s.take(5).sameElements(
+      Array[Byte](0, 0, 0, 0, AvroWire.StudentSchemaId.toByte)))
+  }
+
   test("AmazonReview and Student round-trip") {
     import spark.implicits._
     val reviews = Seq(

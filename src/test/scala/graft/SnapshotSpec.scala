@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import graft.ingest.{ProduceJob, Snapshots}
 
@@ -140,6 +142,34 @@ class SnapshotSpec extends SparkTestBase {
     assert(Snapshots.readChanges(spark, root, "s9", vC, Some(v3)).count() == 100)
     // and the full span skips the compaction rewrite but keeps both appends
     assert(Snapshots.readChanges(spark, root, "s9", 0, Some(v3)).count() == 400)
+  }
+
+  test("orphaned compaction rewrites are never adopted by a later commit") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "s10", topics = 1, numMessages = 200)
+    val tableDir = java.nio.file.Paths.get(graft.ingest.Topics.tableDir(root, "s10"))
+    // simulate a compaction that wrote its rewrite but DIED before its
+    // snapshot commit: a compacted- marked file on disk, referenced by
+    // no snapshot — it re-packs rows the originals still deliver
+    val part = Files.list(tableDir).iterator().next() // topic=s10-0 dir
+    val src = Files.list(part).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val orphan = part.resolve("compacted-orphan-0.parquet")
+    Files.copy(src, orphan)
+    // a raw directory read double-counts the orphan's rows; the commit must not
+    assert(spark.read.parquet(tableDir.toString).count() > 200)
+    val v = Snapshots.commit(root, "s10", 199)
+    assert(!Snapshots.snapshot(root, "s10", Some(v)).get.files
+      .exists(_.contains("compacted-orphan")))
+    assert(Snapshots.read(spark, root, "s10", Some(v)).count() == 200)
+    // a REAL compaction's rewrites are snapshot-referenced and survive
+    ProduceJob.produceBatch(spark, root, "s10", topics = 1, numMessages = 100)
+    val vC = Snapshots.compact(spark, root, "s10")
+    assert(Snapshots.snapshot(root, "s10", Some(vC)).get.files
+      .forall(f => f.contains("compacted-")))
+    assert(Snapshots.read(spark, root, "s10").count() == 300)
+    val vAfter = Snapshots.commit(root, "s10", 299)
+    assert(Snapshots.read(spark, root, "s10", Some(vAfter)).count() == 300)
   }
 
   test("unknown version is refused") {
