@@ -29,6 +29,24 @@ object SqlQueries extends QueryRegistry {
   private def davgSql(e: String) =
     s"CAST(CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) / COUNT(*)"
 
+  /** Derived `partsupp` CTEs: the fixtures carry no partsupp table, so
+    * the partsupp-dependent TPC-H shapes (Q11/Q16) run over a
+    * deterministic derivation — dbgen's own modular supplier-assignment
+    * scheme (4 suppliers per part, stride cnt/4 + partkey/cnt) with
+    * availqty/supplycost from fixed modular arithmetic, integer-cents
+    * so every aggregate is exact. Identical text runs on both engines,
+    * so the derived table is bit-identical by construction. */
+  private val partsuppCtes =
+    """ints AS (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+      |scnt AS (SELECT COUNT(*) AS cnt, MIN(s_suppkey) AS base FROM supplier),
+      |partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    scnt.base + (p_partkey + i.i * (CAST(FLOOR(scnt.cnt / 4.0) AS BIGINT)
+      |      + CAST(FLOOR(p_partkey / CAST(scnt.cnt AS DOUBLE)) AS BIGINT))) % scnt.cnt AS ps_suppkey,
+      |    (p_partkey * 7 + i.i * 131) % 9999 + 1 AS ps_availqty,
+      |    (p_partkey * 31 + i.i * 47) % 100000 AS ps_supplycost_cents
+      |  FROM part CROSS JOIN ints i CROSS JOIN scnt)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     // correlated scalar subquery (decorrelates to a join + agg)
@@ -389,6 +407,59 @@ object SqlQueries extends QueryRegistry {
         |    FROM customer c2 WHERE c2.c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey))
         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)),
+
+    // TPC-H Q11 shape: value concentration over the derived partsupp —
+    // grouped sum vs a same-relation scalar-subquery threshold.
+    // Supplycost is integer cents, so both sums are exact BIGINTs.
+    QueryDef("q110_tpch_q11_shape", sqlBoth(
+      s"""WITH $partsuppCtes,
+         |natps AS (
+         |  SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v
+         |  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11'))
+         |SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
+         |FROM natps
+         |GROUP BY ps_partkey
+         |HAVING SUM(v) > (SELECT SUM(v) / 500 FROM natps)
+         |ORDER BY value_cents DESC, ps_partkey""".stripMargin)),
+
+    // TPC-H Q12 shape: shipmode service-level counts. The fixtures
+    // carry no shipmode/commitdate/receiptdate — all three derive from
+    // fixed modular arithmetic over (orderkey, linenumber), identical
+    // text both engines.
+    QueryDef("q111_tpch_q12_shape", sqlBoth(
+      """WITH lx AS (
+        |  SELECT l_orderkey, l_shipdate,
+        |    CASE CAST((l_orderkey * 7 + l_linenumber * 11) % 7 AS INT)
+        |      WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'AIR'
+        |      WHEN 3 THEN 'RAIL' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'FOB'
+        |      ELSE 'REG AIR' END AS l_shipmode,
+        |    l_shipdate + ((l_orderkey + l_linenumber * 3) % 30 + 1) * INTERVAL '1' DAY AS l_commitdate,
+        |    l_shipdate + ((l_orderkey * 5 + l_linenumber * 7) % 45 + 1) * INTERVAL '1' DAY AS l_receiptdate
+        |  FROM lineitem)
+        |SELECT l_shipmode,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lx ON o_orderkey = l_orderkey
+        |WHERE l_shipmode IN ('MAIL', 'SHIP')
+        |  AND l_commitdate < l_receiptdate
+        |  AND l_shipdate < l_commitdate
+        |  AND l_receiptdate >= TIMESTAMP '1996-01-01' AND l_receiptdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_shipmode ORDER BY l_shipmode""".stripMargin)),
+
+    // TPC-H Q16 shape: supplier counts per part attribute over the
+    // derived partsupp, excluding flagged suppliers via NOT IN (the
+    // fixtures carry no s_comment — negative balance stands in).
+    QueryDef("q112_tpch_q16_shape", sqlBoth(
+      s"""WITH $partsuppCtes
+         |SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM partsupp JOIN part ON p_partkey = ps_partkey
+         |WHERE p_brand <> 'Brand#3' AND p_type NOT LIKE 'MEDIUM%'
+         |  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36, 45)
+         |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
 
     // EXISTS inside a disjunction (decorrelation stress)
     QueryDef("q73_exists_or", sql(
