@@ -10,7 +10,7 @@ object SparkEntry {
   val registries: Seq[QueryRegistry] = Seq(
     ScanQueries, JoinQueries, AggQueries, WindowQueries,
     SetQueries, ScalarQueries, SqlQueries, PipelineQueries,
-    CurationQueries, UdxQueries, StreamingQueries)
+    CurationQueries, UdxQueries, StreamingQueries, LakehouseQueries)
 
   val defs: Seq[QueryDef] = registries.flatMap(_.defs)
 

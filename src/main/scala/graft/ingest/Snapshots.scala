@@ -3,7 +3,14 @@ package graft.ingest
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name}
 
 /** Versioned snapshot log for topic tables — the minimal transactional
   * lakehouse layer (the reference offloads to Delta; with no Delta jar
@@ -85,15 +92,70 @@ object Snapshots {
   private def isCompacted(relPath: String): Boolean =
     Paths.get(relPath).getFileName.toString.startsWith(CompactedPrefix)
 
+  /** Per-file min/max of an INT64 column, read from the parquet footer
+    * at commit time and carried in the manifest — the Delta/Iceberg
+    * data-skipping pattern: the read path drops files by range without
+    * opening them, which at 100 TB is the difference between listing
+    * manifests and scanning the table. */
+  final case class FileStat(file: String, column: String, min: Long, max: Long) {
+    def encoded: String = s"$file|$column|$min|$max"
+  }
+  object FileStat {
+    def decode(s: String): Option[FileStat] = s.split('|') match {
+      case Array(f, c, lo, hi) =>
+        try Some(FileStat(f, c, lo.toLong, hi.toLong))
+        catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+  }
+
+  /** Footer scan of one data file: min/max for every top-level INT64
+    * column with complete chunk statistics. Plain-JVM IO (no Spark job)
+    * — one footer read per newly committed file, never per row. */
+  private def footerStats(base: Path, rel: String): Seq[FileStat] =
+    try {
+      val in = HadoopInputFile.fromPath(
+        new HadoopPath(base.resolve(rel).toUri), new Configuration())
+      val rd = ParquetFileReader.open(in)
+      try {
+        val blocks = rd.getFooter.getBlocks.asScala.toSeq
+        if (blocks.isEmpty) Seq.empty
+        else blocks.head.getColumns.asScala
+          .filter(c => c.getPrimitiveType.getPrimitiveTypeName == PrimitiveTypeName.INT64 &&
+            c.getPath.size == 1)
+          .map(_.getPath.toDotString).toSeq
+          .flatMap { name =>
+            val sts = blocks.flatMap(_.getColumns.asScala
+              .filter(_.getPath.toDotString == name)).map(_.getStatistics)
+            if (sts.isEmpty || sts.exists(s => s == null || s.isEmpty || !s.hasNonNullValue)) None
+            else Some(FileStat(rel, name,
+              sts.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+              sts.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max))
+          }
+      } finally rd.close()
+    } catch { case _: Throwable => Seq.empty } // stats are an optimization, never fatal
+
+  /** Stats for a snapshot's file set: carry what a prior snapshot
+    * already computed, footer-scan only the new files. */
+  private def assembleStats(base: Path, files: Seq[String],
+                            prev: Seq[FileStat]): Seq[FileStat] = {
+    val fileSet = files.toSet
+    val carried = prev.filter(s => fileSet(s.file))
+    val known = carried.map(_.file).toSet
+    carried ++ files.filterNot(known).sorted.flatMap(f => footerStats(base, f))
+  }
+
   /** Atomic write of one snapshot version; loses the race loudly.
     * (private[graft]: the conflict spec exercises the collision
     * directly — a live thread race can't be scheduled deterministically.) */
   private[graft] def writeSnapshot(root: String, prefix: String, version: Int,
                             maxPos: Long, files: Seq[String],
-                            removed: Seq[String]): Int = {
+                            removed: Seq[String], op: String = "append",
+                            txns: Seq[String] = Seq.empty,
+                            stats: Seq[FileStat] = Seq.empty): Int = {
     def arr(xs: Seq[String]) = xs.map(f => "\"" + f + "\"").mkString("[", ", ", "]")
     val json =
-      s"""{"version": $version, "maxPos": $maxPos, "files": ${arr(files)}, "removed": ${arr(removed)}}"""
+      s"""{"version": $version, "op": "$op", "maxPos": $maxPos, "files": ${arr(files)}, "removed": ${arr(removed)}, "txns": ${arr(txns)}, "stats": ${arr(stats.map(_.encoded))}}"""
     Files.createDirectories(logDir(root, prefix))
     try {
       Files.writeString(logDir(root, prefix).resolve(f"v$version%05d.json"), json,
@@ -108,25 +170,38 @@ object Snapshots {
   /** Commit the table's current state as the next version. Append
     * commits never conflict logically, so a lost race is retried
     * against the re-read log (bounded; then the exception surfaces). */
-  def commit(root: String, prefix: String, maxPos: Long, retries: Int = 5): Int = {
-    val next = versions(root, prefix).lastOption.map(_ + 1).getOrElse(0)
-    val referenced = referencedFiles(root, prefix)
-    val files = (listDataFiles(root, prefix).toSet --
-      removedUpTo(root, prefix, next - 1))
-      // orphaned compaction rewrites (lost race / mid-compact crash)
-      // re-pack rows the originals still deliver — adopting them would
-      // double those rows, so only snapshot-referenced ones qualify
-      .filter(f => !isCompacted(f) || referenced(f))
-      .toSeq.sorted
-    try writeSnapshot(root, prefix, next, maxPos, files, Seq.empty)
-    catch {
-      case e: ConcurrentCommitException =>
-        if (retries > 0) commit(root, prefix, maxPos, retries - 1) else throw e
+  def commit(root: String, prefix: String, maxPos: Long, retries: Int = 5,
+             txn: Option[String] = None): Int = {
+    val prev = snapshot(root, prefix, None)
+    // idempotent replays: a transaction id already in the log means
+    // this commit's effect is present — no new version
+    if (txn.exists(t => prev.exists(_.txns.contains(t)))) prev.get.version
+    else {
+      val next = prev.map(_.version + 1).getOrElse(0)
+      val referenced = referencedFiles(root, prefix)
+      val files = (listDataFiles(root, prefix).toSet --
+        removedUpTo(root, prefix, next - 1))
+        // orphaned compaction rewrites (lost race / mid-compact crash)
+        // re-pack rows the originals still deliver — adopting them would
+        // double those rows, so only snapshot-referenced ones qualify
+        .filter(f => !isCompacted(f) || referenced(f))
+        .toSeq.sorted
+      val stats = assembleStats(dataDir(root, prefix), files,
+        prev.map(_.stats).getOrElse(Seq.empty))
+      try writeSnapshot(root, prefix, next, maxPos, files, Seq.empty, "append",
+        prev.map(_.txns).getOrElse(Seq.empty) ++ txn, stats)
+      catch {
+        case e: ConcurrentCommitException =>
+          if (retries > 0) commit(root, prefix, maxPos, retries - 1, txn) else throw e
+      }
     }
   }
 
   final case class Snapshot(version: Int, maxPos: Long,
-                            files: Seq[String], removed: Seq[String])
+                            files: Seq[String], removed: Seq[String],
+                            op: String = "append",
+                            txns: Seq[String] = Seq.empty,
+                            stats: Seq[FileStat] = Seq.empty)
 
   /** Load a snapshot (latest if version is None). */
   def snapshot(root: String, prefix: String, version: Option[Int] = None): Option[Snapshot] = {
@@ -143,9 +218,40 @@ object Snapshots {
           .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
           .getOrElse(Seq.empty)
       val files = arr("files")
-      // pre-"removed" snapshots (round 1) stored only "files"
-      Snapshot(ver, maxPos, files, arr("removed"))
+      val removed = arr("removed")
+      // pre-"op" snapshots (rounds 1-2): a removed list meant compaction
+      val op = "\"op\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
+        .getOrElse(if (removed.nonEmpty) "compact" else "append")
+      Snapshot(ver, maxPos, files, removed, op,
+        arr("txns"), arr("stats").flatMap(FileStat.decode))
     }
+  }
+
+  /** The files of a snapshot that can hold `column` values in
+    * [lo, hi] — files with footer stats outside the range are skipped;
+    * files without stats are conservatively kept. */
+  def pruneFiles(root: String, prefix: String, column: String,
+                 lo: Long, hi: Long, version: Option[Int] = None): Seq[String] = {
+    val snap = snapshot(root, prefix, version).getOrElse(
+      sys.error(s"no snapshot for $prefix"))
+    val byFile = snap.stats.filter(_.column == column).map(s => s.file -> s).toMap
+    snap.files.filter(f => byFile.get(f).forall(s => s.max >= lo && s.min <= hi))
+  }
+
+  /** Range read through manifest data-skipping: only files whose
+    * min/max overlap [lo, hi] are opened (the predicate is still
+    * applied — stats narrow IO, never semantics). */
+  def readPruned(spark: SparkSession, root: String, prefix: String,
+                 column: String, lo: Long, hi: Long,
+                 version: Option[Int] = None): DataFrame = {
+    val files = pruneFiles(root, prefix, column, lo, hi, version)
+    val base = dataDir(root, prefix)
+    if (files.isEmpty)
+      read(spark, root, prefix, version).filter(col(column) >= lo && col(column) <= hi).limit(0)
+    else spark.read
+      .option("basePath", base.toString)
+      .parquet(files.map(f => base.resolve(f).toString): _*)
+      .filter(col(column) >= lo && col(column) <= hi)
   }
 
   /** Read the table as of a version (default latest): exactly the
@@ -175,16 +281,18 @@ object Snapshots {
       s"no snapshot v$fromVersion for $prefix")
     val to = snapshot(root, prefix, toVersion).getOrElse(
       sys.error(s"no snapshot for $prefix"))
-    // per-commit attribution: an append commit's changes are its file
-    // additions; a compaction commit (removed non-empty) re-packs rows
-    // earlier versions already delivered — it contributes nothing, and
+    // per-commit attribution: an append/merge commit's changes are its
+    // file additions; a compaction commit re-packs rows earlier
+    // versions already delivered — it contributes nothing, and
     // skipping it keeps earlier appends' files (not their compacted
-    // replacements) as the change source
+    // replacements) as the change source. (A merge's added files also
+    // carry the copied-along unmatched rows of the files it rewrote —
+    // the manifest records upserts at file grain, not row grain.)
     val added = versions(root, prefix)
       .filter(v => v > fromVersion && v <= to.version)
       .flatMap { v =>
         val cur = snapshot(root, prefix, Some(v)).get
-        if (cur.removed.nonEmpty) Seq.empty
+        if (cur.op == "compact") Seq.empty
         else (cur.files.toSet --
           snapshot(root, prefix, Some(v - 1)).map(_.files.toSet).getOrElse(Set.empty)).toSeq
       }.distinct.sorted
@@ -236,28 +344,123 @@ object Snapshots {
     }
     val removed = superseded.result()
     if (removed.isEmpty) snap.version // nothing rewritten — no new version
-    else {
-      // the compaction snapshot = (latest files − originals) + rewrites;
-      // recomputing against the CURRENT latest on each attempt lets a
-      // lost race against a concurrent append retry with that append's
-      // files included (append ⋈ compact never conflicts logically)
-      val rewrites = keep.result()
-      val gone = removed.toSet
-      var attempts = 5
-      var committed = -1
-      while (committed < 0) {
-        val cur = snapshot(root, prefix, None).get
-        val files = ((cur.files.toSet -- gone) ++ rewrites).toSeq.sorted
-        try committed = writeSnapshot(root, prefix, cur.version + 1,
-          cur.maxPos max snap.maxPos, files, removed)
-        catch {
-          case e: ConcurrentCommitException =>
-            attempts -= 1; if (attempts <= 0) throw e
-        }
+    else commitRewrite(root, prefix, "compact", removed.toSet, keep.result(),
+      removed, snap.maxPos, txn = None)
+  }
+
+  /** Shared commit loop for rewriting ops (compact/merge): the new
+    * snapshot = (CURRENT latest files − `gone`) + `added`, recomputed
+    * on each attempt so a lost race against a concurrent append retries
+    * with that append's files included (append ⋈ rewrite never
+    * conflicts logically — they touch disjoint files). */
+  private def commitRewrite(root: String, prefix: String, op: String,
+                            gone: Set[String], added: Seq[String],
+                            removed: Seq[String], maxPosFloor: Long,
+                            txn: Option[String]): Int = {
+    val base = dataDir(root, prefix)
+    var attempts = 5
+    var committed = -1
+    while (committed < 0) {
+      val cur = snapshot(root, prefix, None).get
+      val files = ((cur.files.toSet -- gone) ++ added).toSeq.sorted
+      try committed = writeSnapshot(root, prefix, cur.version + 1,
+        cur.maxPos max maxPosFloor, files, removed, op,
+        cur.txns ++ txn, assembleStats(base, files, cur.stats))
+      catch {
+        case e: ConcurrentCommitException =>
+          attempts -= 1; if (attempts <= 0) throw e
       }
-      committed
+    }
+    committed
+  }
+
+  /** MERGE INTO (copy-on-write upsert): rows of `source` replace
+    * target rows with equal `keys` (WHEN MATCHED THEN UPDATE SET *);
+    * unmatched source rows are inserted (WHEN NOT MATCHED THEN
+    * INSERT *). Only files that actually contain matched keys are
+    * rewritten — located by manifest-stats pruning on the first
+    * long-typed key, then an exact file-attribution semi join — so a
+    * small upsert against a 100 TB table rewrites a handful of files,
+    * never the table. Unreferenced readers keep snapshot isolation;
+    * `txn` makes replays idempotent (the exactly-once hook for
+    * [[upsertStream]]).
+    *
+    * @return committed version (current version if `txn` already applied)
+    */
+  def merge(spark: SparkSession, root: String, prefix: String,
+            source: DataFrame, keys: Seq[String],
+            txn: Option[String] = None): Int = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val snap = snapshot(root, prefix, None).getOrElse(
+      sys.error(s"nothing to merge into for $prefix"))
+    if (txn.exists(snap.txns.contains)) snap.version
+    else {
+      val base = dataDir(root, prefix)
+      val srcKeys = source.select(keys.map(col): _*).distinct().localCheckpoint(true)
+      // stage 1 — manifest pruning: a file whose stats exclude the
+      // source's key range can't contain a match and is never opened
+      val candidates = snap.stats.find(s => s.column == keys.head) match {
+        case Some(_) =>
+          val mm = srcKeys.agg(
+            org.apache.spark.sql.functions.min(keys.head),
+            org.apache.spark.sql.functions.max(keys.head)).head()
+          if (mm.isNullAt(0)) Seq.empty
+          else pruneFiles(root, prefix, keys.head, mm.getLong(0), mm.getLong(1), Some(snap.version))
+        case None => snap.files
+      }
+      // stage 2 — exact attribution: which candidate files hold a
+      // matched key (file names are metadata-scale; rows are not
+      // collected)
+      val matchedFiles: Seq[String] =
+        if (candidates.isEmpty) Seq.empty
+        else {
+          val withFile = spark.read.option("basePath", base.toString)
+            .parquet(candidates.map(f => base.resolve(f).toString): _*)
+            .withColumn("_graft_file", input_file_name())
+          withFile.join(srcKeys, keys, "left_semi")
+            .select("_graft_file").distinct()
+            .collect().map(_.getString(0))
+            .map(uri => snap.files.find(f => uri.endsWith(f)).getOrElse(
+              sys.error(s"unattributable file $uri")))
+            .toSeq.sorted
+        }
+      val before = listDataFiles(root, prefix).toSet
+      val survivors =
+        if (matchedFiles.isEmpty) source.limit(0)
+        else spark.read.option("basePath", base.toString)
+          .parquet(matchedFiles.map(f => base.resolve(f).toString): _*)
+          .join(srcKeys, keys, "left_anti")
+      val out = survivors.unionByName(source)
+      val writer = out.write.mode("append")
+      (if (out.columns.contains("topic")) writer.partitionBy("topic") else writer)
+        .parquet(base.toString)
+      // marker rename: like compaction, merge output is invalid until
+      // its snapshot commits — commit() must never adopt it from a listing
+      val added = (listDataFiles(root, prefix).toSet -- before).toSeq.map { rel =>
+        val abs = base.resolve(rel)
+        val marked = abs.resolveSibling(CompactedPrefix + abs.getFileName)
+        Files.move(abs, marked)
+        base.relativize(marked).toString
+      }
+      commitRewrite(root, prefix, "merge", matchedFiles.toSet, added,
+        matchedFiles, snap.maxPos, txn)
     }
   }
+
+  /** Streaming upsert sink with exactly-once semantics: each
+    * micro-batch MERGEs into the snapshot table under a per-batch
+    * transaction id, so a batch replayed after a crash/restart (the
+    * foreachBatch at-least-once contract) is a no-op the second time. */
+  def upsertStream(stream: DataFrame, root: String, prefix: String,
+                   keys: Seq[String], checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        merge(batch.sparkSession, root, prefix, batch, keys,
+          txn = Some(s"upsert:$batchId"))
+        ()
+      }
+      .start()
 
   /** Physically delete files that only versions older than `keepFrom`
     * reference, then drop those versions' log entries (Delta VACUUM +

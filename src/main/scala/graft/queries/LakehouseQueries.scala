@@ -1,0 +1,130 @@
+package graft.queries
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryRegistry}
+import graft.ingest.{ProduceJob, Snapshots}
+
+/** The transactional-table layer as declared queries: copy-on-write
+  * MERGE INTO, manifest-stats data skipping, and the exactly-once
+  * streaming upsert sink (SURVEY.md §0's lakehouse framing — the
+  * reference offloads into exactly such tables). Each query builds a
+  * deterministic snapshot table from the A1 generator arithmetic in a
+  * content-keyed staging dir (built in a temp dir, renamed into place
+  * atomically — interrupted builds can't leave half-staged tables),
+  * then reads the final committed state; the oracle replays the
+  * end-state arithmetic directly, so any committed-but-wrong row
+  * breaks the hash. */
+object LakehouseQueries extends QueryRegistry {
+
+  /** Build a staging root once; concurrent/replayed builders race on
+    * an atomic rename and the loser discards its copy. */
+  private def staged(s: SparkSession, key: String)(build: String => Unit): String = synchronized {
+    val dir = new java.io.File(s"/tmp/graft/lakehouse_$key")
+    if (!dir.isDirectory) {
+      val tmp = new java.io.File(dir.getParent,
+        dir.getName + ".tmp." + UUID.randomUUID().toString.take(8))
+      tmp.mkdirs()
+      build(tmp.getAbsolutePath)
+      if (!tmp.renameTo(dir)) { // lost a cross-process race: theirs is complete
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
+    }
+    dir.getAbsolutePath
+  }
+
+  /** A1 generator rows for [lo, hi) with an overridden name column —
+    * the deterministic merge/upsert source. */
+  private def genRows(s: SparkSession, lo: Long, hi: Long, name: String,
+                      prefix: String, topics: Int): DataFrame =
+    ProduceJob.personProjection(
+      s.range(lo, hi).toDF("cnt"), "cnt", prefix, topics)
+      .withColumn("name", lit(name))
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // MERGE INTO (copy-on-write upsert): ba 500-999 updated in place,
+    // 1000-1599 inserted, 0-499 untouched — the final committed state
+    // is pure generator arithmetic either way.
+    QueryDef("q113_snapshot_merge",
+      (s, _) => {
+        val root = staged(s, "merge_v1") { tmp =>
+          ProduceJob.produceBatch(s, tmp, "m", topics = 2, numMessages = 1000)
+          Snapshots.merge(s, tmp, "m",
+            genRows(s, 500, 1600, "upd", "m", topics = 2), Seq("ba"),
+            txn = Some("q113"))
+          ()
+        }
+        Snapshots.read(s, root, "m")
+          .groupBy("name")
+          .agg(count(lit(1)).as("cnt"),
+            sum("ba").cast("bigint").as("sum_ba"),
+            sum("age").cast("bigint").as("sum_age"))
+          .orderBy("name")
+      },
+      Some("""SELECT CASE WHEN id < 500 THEN 'hangc' ELSE 'upd' END AS name,
+             |COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba,
+             |CAST(SUM((18+id)%100) AS BIGINT) AS sum_age
+             |FROM range(0,1600) t(id) GROUP BY 1 ORDER BY name""".stripMargin)),
+
+    // Manifest-stats data skipping: the range read opens only files
+    // whose footer min/max overlap [1000, 1999] (pruning effectiveness
+    // is asserted file-count-wise in SnapshotSpec; here the oracle
+    // pins that skipping never changes semantics).
+    QueryDef("q114_stats_pruned_read",
+      (s, _) => {
+        val root = staged(s, "stats_v1") { tmp =>
+          ProduceJob.produceBatch(s, tmp, "p", topics = 1, numMessages = 5000)
+          ()
+        }
+        Snapshots.readPruned(s, root, "p", "ba", 1000L, 1999L)
+          .agg(count(lit(1)).as("cnt"),
+            sum("ba").cast("bigint").as("sum_ba"),
+            min("ba").cast("bigint").as("min_ba"),
+            max("ba").cast("bigint").as("max_ba"))
+      },
+      Some("""SELECT COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba,
+             |CAST(MIN(id) AS BIGINT) AS min_ba, CAST(MAX(id) AS BIGINT) AS max_ba
+             |FROM range(1000,2000) t(id)""".stripMargin)),
+
+    // Exactly-once streaming upsert: two time-ordered micro-batches
+    // MERGE through foreachBatch (u1 updates 500-999, then u2
+    // overwrites 800-999 and inserts 1000-1299) — last writer wins per
+    // key, replays are no-ops under the per-batch transaction id.
+    QueryDef("q115_stream_upsert",
+      (s, _) => {
+        val root = staged(s, "upsert_v1") { tmp =>
+          ProduceJob.produceBatch(s, tmp, "u", topics = 1, numMessages = 1000)
+          // stage the update stream as two files with ascending mtimes
+          // so the file source replays them in u1 → u2 order
+          val src = s"$tmp/updates"
+          genRows(s, 500, 1000, "u1", "u", 1).coalesce(1)
+            .write.mode("append").parquet(src)
+          Thread.sleep(20) // distinct mtimes → deterministic batch order
+          genRows(s, 800, 1300, "u2", "u", 1).coalesce(1)
+            .write.mode("append").parquet(src)
+          val schema = s.read.parquet(src).schema
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+          val q = Snapshots.upsertStream(stream, tmp, "u", Seq("ba"),
+            checkpoint = s"$tmp/_upsert_ckpt")
+          q.processAllAvailable()
+          q.stop()
+        }
+        Snapshots.read(s, root, "u")
+          .groupBy("name")
+          .agg(count(lit(1)).as("cnt"),
+            sum("ba").cast("bigint").as("sum_ba"))
+          .orderBy("name")
+      },
+      Some("""SELECT CASE WHEN id < 500 THEN 'hangc'
+             |            WHEN id < 800 THEN 'u1' ELSE 'u2' END AS name,
+             |COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba
+             |FROM range(0,1300) t(id) GROUP BY 1 ORDER BY name""".stripMargin))
+  )
+}

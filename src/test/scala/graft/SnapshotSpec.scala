@@ -172,6 +172,101 @@ class SnapshotSpec extends SparkTestBase {
     assert(Snapshots.read(spark, root, "s10", Some(vAfter)).count() == 300)
   }
 
+  test("merge updates matched rows, inserts new keys, rewrites only matched files") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "s11", topics = 2, numMessages = 1000)
+    val v0 = Snapshots.snapshot(root, "s11").get
+    val src = ProduceJob.personProjection(
+      spark.range(500, 1200).toDF("cnt"), "cnt", "s11", 2)
+      .withColumn("name", lit("upd"))
+    val v = Snapshots.merge(spark, root, "s11", src, Seq("ba"))
+    val snap = Snapshots.snapshot(root, "s11").get
+    assert(snap.version == v && snap.op == "merge")
+    val t = Snapshots.read(spark, root, "s11")
+    assert(t.count() == 1200)
+    assert(t.filter(col("name") === "upd").count() == 700)
+    assert(t.filter(col("name") === "hangc").count() == 500)
+    // an updated row carries the source's non-key columns
+    assert(t.filter(col("ba") === 700).head().getAs[Int]("age") == (18 + 700) % 100)
+    // copy-on-write granularity: only files holding matched keys were
+    // rewritten; files of untouched key ranges survive as-is
+    assert(snap.removed.nonEmpty && snap.removed.toSet.subsetOf(v0.files.toSet))
+    assert(snap.removed.size < v0.files.size)
+    // snapshot isolation: the pre-merge version still reads old state
+    val before = Snapshots.read(spark, root, "s11", Some(v0.version))
+    assert(before.count() == 1000)
+    assert(before.filter(col("name") === "upd").count() == 0)
+  }
+
+  test("merge transaction ids make replays no-ops") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "s12", topics = 1, numMessages = 200)
+    val src = ProduceJob.personProjection(
+      spark.range(100, 300).toDF("cnt"), "cnt", "s12", 1)
+      .withColumn("name", lit("upd"))
+    val v1 = Snapshots.merge(spark, root, "s12", src, Seq("ba"), txn = Some("t1"))
+    // replaying the SAME transaction must not commit a new version —
+    // even with different (garbage) source data
+    val garbage = ProduceJob.personProjection(
+      spark.range(0, 999).toDF("cnt"), "cnt", "s12", 1)
+      .withColumn("name", lit("garbage"))
+    val v2 = Snapshots.merge(spark, root, "s12", garbage, Seq("ba"), txn = Some("t1"))
+    assert(v2 == v1)
+    val t = Snapshots.read(spark, root, "s12")
+    assert(t.count() == 300)
+    assert(t.filter(col("name") === "garbage").count() == 0)
+  }
+
+  test("manifest stats prune range reads to overlapping files only") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "s14", topics = 1, numMessages = 4000)
+    val snap = Snapshots.snapshot(root, "s14").get
+    assert(snap.stats.exists(_.column == "ba")) // footer stats committed
+    val pruned = Snapshots.pruneFiles(root, "s14", "ba", 100, 199)
+    assert(pruned.size < snap.files.size) // skipping actually skips
+    val df = Snapshots.readPruned(spark, root, "s14", "ba", 100, 199)
+    assert(df.count() == 100)
+    assert(df.agg(sum("ba")).head().getLong(0) == (100L to 199L).sum)
+    // pruning never changes semantics vs the unpruned filtered read
+    val full = Snapshots.read(spark, root, "s14")
+      .filter(col("ba").between(100, 199))
+    assert(df.select("ba").except(full.select("ba")).count() == 0)
+    assert(full.select("ba").except(df.select("ba")).count() == 0)
+  }
+
+  test("streaming upsert merges each micro-batch exactly once") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "s15", topics = 1, numMessages = 100)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Long]
+    val src = ProduceJob.personProjection(
+      ms.toDF().withColumnRenamed("value", "cnt"), "cnt", "s15", 1)
+      .withColumn("name", lit("up"))
+    val q = Snapshots.upsertStream(src, root, "s15", Seq("ba"),
+      checkpoint = s"$root/_ckpt_s15")
+    ms.addData(50L until 150L: _*) // 50 updates + 50 inserts
+    q.processAllAvailable()
+    assert(Snapshots.read(spark, root, "s15").count() == 150)
+    ms.addData(140L until 160L: _*) // 10 updates + 10 inserts
+    q.processAllAvailable()
+    q.stop()
+    val t = Snapshots.read(spark, root, "s15")
+    assert(t.count() == 160)
+    assert(t.filter(col("name") === "up").count() == 110)
+    // the batch's transaction id is in the log → a replayed batch 0
+    // (foreachBatch's at-least-once contract) is a no-op
+    val snap = Snapshots.snapshot(root, "s15").get
+    assert(snap.txns.contains("upsert:0") && snap.txns.contains("upsert:1"))
+    val replay = ProduceJob.personProjection(
+      spark.range(0, 999).toDF("cnt"), "cnt", "s15", 1)
+      .withColumn("name", lit("garbage"))
+    assert(Snapshots.merge(spark, root, "s15", replay, Seq("ba"),
+      txn = Some("upsert:0")) == snap.version)
+    assert(Snapshots.read(spark, root, "s15").count() == 160)
+  }
+
   test("unknown version is refused") {
     val root = Files.createTempDirectory("graft_snap").toString
     ProduceJob.produceBatch(spark, root, "s4", topics = 1, numMessages = 10)
