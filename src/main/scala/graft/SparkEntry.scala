@@ -10,7 +10,8 @@ object SparkEntry {
   val registries: Seq[QueryRegistry] = Seq(
     ScanQueries, JoinQueries, AggQueries, WindowQueries,
     SetQueries, ScalarQueries, SqlQueries, PipelineQueries,
-    CurationQueries, UdxQueries, StreamingQueries, LakehouseQueries)
+    CurationQueries, UdxQueries, StreamingQueries, LakehouseQueries,
+    TrainingQueries)
 
   val defs: Seq[QueryDef] = registries.flatMap(_.defs)
 

@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryRegistry, Tables}
+import graft.operators.MinHashLSH
+
+/** Training-data pipeline operators beyond dedup/similarity: quality
+  * repetition filters (Gopher-style), PII redaction, deterministic
+  * stratified sampling, TF-IDF term scoring, and sequence packing into
+  * fixed context windows. Every query is oracle-checked; every
+  * token-level computation uses the explode → groupBy shape (shuffle
+  * linear in corpus tokens) rather than per-row quadratic array
+  * passes — the layout that survives a 100 TB corpus. */
+object TrainingQueries extends QueryRegistry {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Gopher-style repetition filters, adapted to the fixtures' word
+    // corpus (no newlines → word-level): duplicate-word fraction and
+    // the fraction of characters covered by the most common word
+    // bigram. Bigram counting goes through explode + groupBy (token
+    // shuffle), not a per-row O(n²) array scan.
+    QueryDef("q116_repetition_filter",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+        val base = d.select(col("doc_id"),
+          size(col("toks")).as("n"),
+          ((size(col("toks")) - size(array_distinct(col("toks")))) /
+            size(col("toks"))).as("dup_frac"),
+          length(col("text")).as("chars"))
+        val bg = d.filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), col("toks"), length(col("text")).as("chars"))
+          .select(col("doc_id"), col("chars"), explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+            .as("bg"))
+        val counts = bg.groupBy("doc_id", "chars", "bg").agg(count(lit(1)).as("c"))
+        val top = counts
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("c").desc, col("bg").asc)))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("bg").as("top_bigram"), col("c").as("top_cnt"),
+            (col("c") * length(col("bg")) / col("chars")).as("top_frac"))
+        base.join(top, Seq("doc_id"))
+          .select(col("doc_id"), col("n"), col("dup_frac"),
+            col("top_bigram"), col("top_cnt"), col("top_frac"),
+            when(col("dup_frac") <= 0.5 && col("top_frac") <= 0.2, 1)
+              .otherwise(0).cast("int").as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text, string_split(text, ' ') AS toks
+             |  FROM documents WHERE doc_id < 300),
+             |base AS (
+             |  SELECT doc_id, len(toks) AS n,
+             |    (len(toks) - len(list_distinct(toks))) / len(toks) AS dup_frac,
+             |    length(text) AS chars
+             |  FROM d),
+             |bg AS (
+             |  SELECT doc_id, chars, toks[i] || ' ' || toks[i+1] AS bg
+             |  FROM (
+             |    SELECT doc_id, length(text) AS chars, toks,
+             |      unnest(generate_series(1, len(toks) - 1)) AS i
+             |    FROM d WHERE len(toks) >= 2)),
+             |counts AS (SELECT doc_id, chars, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+             |top AS (
+             |  SELECT doc_id, bg AS top_bigram, c AS top_cnt,
+             |    c * length(bg) / chars AS top_frac
+             |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS rn
+             |        FROM counts)
+             |  WHERE rn = 1)
+             |SELECT b.doc_id, b.n, b.dup_frac, t.top_bigram, t.top_cnt, t.top_frac,
+             |  CAST(CASE WHEN b.dup_frac <= 0.5 AND t.top_frac <= 0.2 THEN 1 ELSE 0 END AS INT) AS keep
+             |FROM base b JOIN top t USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // PII redaction: deterministic synthetic PII (the fixtures carry
+    // none) is injected, then scrubbed with regexp passes; counts and
+    // post-scrub length prove the scrub found exactly the injected
+    // spans and nothing else. (Spark regexp_replace is global; the
+    // oracle needs DuckDB's explicit 'g' flag.)
+    QueryDef("q117_pii_scrub",
+      (s, dir) => {
+        val injected = concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")))
+        val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+        val phoneRe = "555-[0-9]{4}"
+        Tables.documents(s, dir)
+          .select(col("doc_id"), injected.as("t"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).as("emails"),
+            size(regexp_extract_all(col("t"), lit(phoneRe), lit(0))).as("phones"),
+            length(regexp_replace(regexp_replace(col("t"), emailRe, "[EMAIL]"),
+              phoneRe, "[PHONE]")).as("scrubbed_len"))
+          .agg(count(lit(1)).as("docs"),
+            sum("emails").cast("bigint").as("emails"),
+            sum("phones").cast("bigint").as("phones"),
+            sum("scrubbed_len").cast("bigint").as("scrubbed_chars"))
+      },
+      Some("""WITH inj AS (
+             |  SELECT doc_id,
+             |    text ||
+             |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+             |    CASE WHEN doc_id % 2 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+             |  FROM documents)
+             |SELECT COUNT(*) AS docs,
+             |  CAST(SUM(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+'))) AS BIGINT) AS emails,
+             |  CAST(SUM(len(regexp_extract_all(t, '555-[0-9]{4}'))) AS BIGINT) AS phones,
+             |  CAST(SUM(length(regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '[EMAIL]', 'g'), '555-[0-9]{4}', '[PHONE]', 'g'))) AS BIGINT) AS scrubbed_chars
+             |FROM inj""".stripMargin)),
+
+    // Deterministic stratified sampling: per-language quotas applied
+    // via a content hash (the q55-proven md5 arithmetic both engines
+    // replay bit-for-bit) — reproducible downsampling with no RNG
+    // state, embarrassingly parallel at any scale.
+    QueryDef("q118_stratified_sample",
+      (s, dir) => {
+        val bucket = pmod(MinHashLSH.baseHash(
+          concat(lit("sample:"), col("doc_id").cast("string"))), lit(100))
+        val quota = when(col("lang") === "en", 60)
+          .when(col("lang") === "de", 40)
+          .when(col("lang") === "es", 30)
+          .when(col("lang") === "fr", 20)
+          .otherwise(10)
+        Tables.documents(s, dir)
+          .filter(bucket < quota)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("cnt"), sum("doc_id").cast("bigint").as("sum_id"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS cnt, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+             |FROM documents
+             |WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+             |  < CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 40 WHEN 'es' THEN 30 WHEN 'fr' THEN 20 ELSE 10 END
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // TF-IDF top terms per document. The idf stays rational —
+    // floor(tf · 10⁶ · (N+1) / (df+1)) in exact-in-double integer
+    // arithmetic — because ln() differs between engines in the last
+    // ulp (round-1 lesson); the ranking is identical to the ln form
+    // up to the documented scale.
+    QueryDef("q119_tfidf_top_terms",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val n = d.agg(count(lit(1)).as("n_docs"))
+        val tf = d.select(col("doc_id"), explode(col("toks")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+          .withColumn("score",
+            floor(col("tf") * lit(1000000.0) * (col("n_docs") + 1) / (col("df") + 1))
+              .cast("bigint"))
+        scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)))
+          .filter(col("rn") <= 3 && col("doc_id") < 50)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+          .orderBy(col("doc_id"), col("score").desc, col("term"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents WHERE doc_id < 200),
+             |n AS (SELECT COUNT(*) AS n_docs FROM d),
+             |tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |scored AS (
+             |  SELECT f.doc_id, f.term, f.tf, fr.df,
+             |    CAST(FLOOR(f.tf * 1000000.0 * (n.n_docs + 1) / (fr.df + 1)) AS BIGINT) AS score
+             |  FROM tf f JOIN dfreq fr USING (term) CROSS JOIN n)
+             |SELECT doc_id, term, tf, df, score FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+             |  FROM scored)
+             |WHERE rn <= 3 AND doc_id < 50
+             |ORDER BY doc_id, score DESC, term""".stripMargin)),
+
+    // Sequence packing: documents concatenated in doc_id order and cut
+    // into fixed 512-token context windows (the streaming-concat
+    // packing used for LM training batches) — a running-sum window
+    // assigns each document its window id; per-window stats verify the
+    // packing. One sort-shuffle, no driver loop.
+    QueryDef("q120_sequence_packing",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).filter(col("doc_id") < 500)
+          .select(col("doc_id"), size(split(col("text"), " ")).as("ntok"))
+        val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+        d.withColumn("cum", sum("ntok").over(w))
+          .withColumn("bin", floor((col("cum") - col("ntok")) / 512).cast("bigint"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("docs"),
+            sum("ntok").cast("bigint").as("tokens"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("bin")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, len(string_split(text, ' ')) AS ntok
+             |  FROM documents WHERE doc_id < 500),
+             |c AS (
+             |  SELECT doc_id, ntok,
+             |    SUM(ntok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM d)
+             |SELECT CAST(FLOOR((cum - ntok) / 512) AS BIGINT) AS bin,
+             |  COUNT(*) AS docs, CAST(SUM(ntok) AS BIGINT) AS tokens,
+             |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM c GROUP BY 1 ORDER BY bin""".stripMargin))
+  )
+}
