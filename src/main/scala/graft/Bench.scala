@@ -36,7 +36,8 @@ object Bench {
     "q56_simhash", "q64_embedding_neardup", "q67_ann_ivf",
     "q68_correlated_subquery", "q76_tpch_q7_shape", "q77_tpch_q10_shape",
     "q89_stream_stream_join", "q91_tpch_q2_shape", "q96_tpch_q21_shape",
-    "q100_dedup_components", "q101_corpus_curation")
+    "q100_dedup_components", "q101_corpus_curation", "q113_snapshot_merge",
+    "q116_repetition_filter", "q119_tfidf_top_terms")
 
   private def fmt(v: Double): String = BigDecimal(v)
     .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

@@ -421,7 +421,7 @@ object SqlQueries extends QueryRegistry {
          |SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
          |FROM natps
          |GROUP BY ps_partkey
-         |HAVING SUM(v) > (SELECT SUM(v) / 500 FROM natps)
+         |HAVING SUM(v) > (SELECT 2.0 * SUM(v) / COUNT(DISTINCT ps_partkey) FROM natps)
          |ORDER BY value_cents DESC, ps_partkey""".stripMargin)),
 
     // TPC-H Q12 shape: shipmode service-level counts. The fixtures
