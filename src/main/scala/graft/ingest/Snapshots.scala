@@ -462,6 +462,34 @@ object Snapshots {
       }
       .start()
 
+  /** OPTIMIZE-style clustering rewrite: re-layout the latest snapshot
+    * range-partitioned by `column` into ~`targetFiles` files, each
+    * covering a narrow disjoint value range — the rewrite that turns
+    * manifest stats pruning from "skips nothing on a hash-shuffled
+    * table" into "opens only the overlapping files". Rows are
+    * unchanged, so it commits as a compaction (time travel preserved,
+    * incremental readers skip it). */
+  def cluster(spark: SparkSession, root: String, prefix: String,
+              column: String, targetFiles: Int = 8): Int = {
+    val snap = snapshot(root, prefix, None).getOrElse(
+      sys.error(s"nothing to cluster for $prefix"))
+    val base = dataDir(root, prefix)
+    val before = listDataFiles(root, prefix).toSet
+    val df = read(spark, root, prefix, Some(snap.version))
+      .repartitionByRange(targetFiles, col(column))
+    val writer = df.write.mode("append")
+    (if (df.columns.contains("topic")) writer.partitionBy("topic") else writer)
+      .parquet(base.toString)
+    val added = (listDataFiles(root, prefix).toSet -- before).toSeq.map { rel =>
+      val abs = base.resolve(rel)
+      val marked = abs.resolveSibling(CompactedPrefix + abs.getFileName)
+      Files.move(abs, marked)
+      base.relativize(marked).toString
+    }
+    commitRewrite(root, prefix, "compact", snap.files.toSet, added,
+      snap.files, snap.maxPos, txn = None)
+  }
+
   /** Physically delete files that only versions older than `keepFrom`
     * reference, then drop those versions' log entries (Delta VACUUM +
     * log cleanup). Time travel below `keepFrom` is gone afterwards. */

@@ -82,4 +82,27 @@ class PlanSpec extends SparkTestBase {
     // partial_ functions indicate map-side combine
     assert(plan.contains("partial_"), plan.take(2000))
   }
+
+  test("q110: derived-partsupp joins broadcast the fixed-size dims") {
+    // supplier and nation are bounded dims; the 4×part derived relation
+    // must stream through broadcast hash joins, never SMJ-shuffle
+    val plan = planOf("q110_tpch_q11_shape")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q116: bigram counting partial-aggregates before its shuffle") {
+    // the token-level explode → groupBy path must combine map-side, so
+    // the shuffle carries (doc, bigram, partial count) not raw tokens
+    val plan = planOf("q116_repetition_filter")
+    assert(plan.contains("partial_count"), plan.take(2000))
+  }
+
+  test("q119: top-3-per-doc filter plans as a window group limit") {
+    // the rank-then-filter idiom must push the limit into the window
+    // sort (WindowGroupLimit), never rank every term then filter
+    val plan = planOf("q119_tfidf_top_terms")
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    // the per-term df map rides a broadcast, not a full shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }

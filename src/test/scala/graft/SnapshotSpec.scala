@@ -267,6 +267,30 @@ class SnapshotSpec extends SparkTestBase {
     assert(Snapshots.read(spark, root, "s15").count() == 160)
   }
 
+  test("clustering rewrite tightens file stats and sharpens pruning") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    // worst layout: round-robin shuffled writes put the full ba range
+    // in every file, so range pruning can skip nothing
+    ProduceJob.personProjection(spark.range(4000).toDF("cnt"), "cnt", "s16", 1)
+      .repartition(8)
+      .write.mode("append").partitionBy("topic")
+      .parquet(graft.ingest.Topics.tableDir(root, "s16"))
+    Snapshots.commit(root, "s16", 3999)
+    val all = Snapshots.snapshot(root, "s16").get.files
+    assert(Snapshots.pruneFiles(root, "s16", "ba", 0, 99).size == all.size)
+    val v = Snapshots.cluster(spark, root, "s16", "ba", targetFiles = 8)
+    assert(Snapshots.snapshot(root, "s16").get.version == v)
+    // post-cluster: a narrow range read opens a fraction of the files
+    val pruned = Snapshots.pruneFiles(root, "s16", "ba", 0, 99)
+    assert(pruned.size < Snapshots.snapshot(root, "s16").get.files.size / 2)
+    // rows unchanged, pruned read exact, time travel intact
+    val t = Snapshots.read(spark, root, "s16")
+    assert(t.count() == 4000)
+    assert(t.agg(sum("ba")).head().getLong(0) == (0L until 4000L).sum)
+    assert(Snapshots.readPruned(spark, root, "s16", "ba", 0, 99).count() == 100)
+    assert(Snapshots.read(spark, root, "s16", Some(v - 1)).count() == 4000)
+  }
+
   test("unknown version is refused") {
     val root = Files.createTempDirectory("graft_snap").toString
     ProduceJob.produceBatch(spark, root, "s4", topics = 1, numMessages = 10)
