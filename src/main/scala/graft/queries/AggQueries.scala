@@ -188,6 +188,80 @@ object AggQueries extends QueryRegistry {
       Some("""SELECT CAST(ROUND(quantile_cont(o_totalprice, 0.5) * 1e3) AS BIGINT) AS exact_milli,
              |TRUE AS within_2pct FROM orders""".stripMargin)),
 
+    // UNPIVOT (the inverse reshape of q82): wide metric columns melt
+    // into (key, metric, value) rows via the native Dataset.unpivot —
+    // a generate, not a shuffle.
+    QueryDef("q121_unpivot",
+      (s, dir) => Tables.orders(s, dir)
+        .filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_custkey").cast("double").as("o_custkey_d"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("o_totalprice"), col("o_custkey_d")), "metric", "value")
+        .orderBy("o_orderkey", "metric"),
+      Some("""SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value
+             |FROM orders WHERE o_orderkey < 100
+             |UNION ALL
+             |SELECT o_orderkey, 'o_custkey_d', CAST(o_custkey AS DOUBLE)
+             |FROM orders WHERE o_orderkey < 100
+             |ORDER BY o_orderkey, metric""".stripMargin)),
+
+    // Count-min sketch: the sketch is engine-specific, so (as with
+    // q22's HLL) the declared PROPERTY is the output — for the top-5
+    // hottest keys the fixed-seed estimate never undercounts and stays
+    // within the eps·N overcount bound. The single sketch crossing the
+    // driver is one binary value (metadata scale).
+    QueryDef("q122_countmin_property",
+      (s, dir) => {
+        import s.implicits._
+        val eps = 0.001
+        val events = Tables.events(s, dir)
+        val skBytes = events.agg(
+          expr(s"count_min_sketch(user_id, ${eps}d, 0.99d, 42)").as("sk"))
+          .head().getAs[Array[Byte]]("sk")
+        val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(skBytes))
+        val total = events.count()
+        val bound = math.ceil(eps * total).toLong
+        events.groupBy("user_id").agg(count(lit(1)).as("exact"))
+          .orderBy(col("exact").desc, col("user_id")).limit(5)
+          .collect().map { r =>
+            val (u, exact) = (r.getLong(0), r.getLong(1))
+            val est = sketch.estimateCount(u)
+            (u, exact, est >= exact && est <= exact + bound)
+          }.toSeq.toDF("user_id", "exact", "bounded")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, exact, TRUE AS bounded FROM (
+             |  SELECT user_id, COUNT(*) AS exact FROM events GROUP BY user_id
+             |  ORDER BY exact DESC, user_id LIMIT 5)
+             |ORDER BY user_id""".stripMargin)),
+
+    // Bloom filter membership contract (the sketch behind the engine's
+    // runtime join pruning, driven through the public stat API — the
+    // SQL bloom_filter_agg/might_contain pair is internal-only): zero
+    // false negatives on every present key, and the false-positive
+    // rate on a disjoint probe range stays within the sizing bound.
+    // The probe is a closure over the driver-built sketch — one bloom
+    // object broadcast, never a per-row driver call.
+    QueryDef("q123_bloom_property",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val bf = orders.stat.bloomFilter("o_orderkey", 200000L, 1000000L)
+        val probe = udf((x: Long) => bf.mightContainLong(x))
+        val present = orders
+          .agg((sum(when(probe(col("o_orderkey")), 0).otherwise(1)) === 0).as("ok"))
+          .select(lit("present_all_found").as("contract"), col("ok"))
+        val fp = s.range(1000000000L, 1000100000L).toDF("k")
+          .agg((sum(when(probe(col("k")), 1).otherwise(0)) <=
+            lit((0.12 * 100000).toLong)).as("ok"))
+          .select(lit("fp_rate_bounded").as("contract"), col("ok"))
+        present.unionAll(fp).orderBy("contract")
+      },
+      Some("""SELECT 'fp_rate_bounded' AS contract, TRUE AS ok
+             |UNION ALL SELECT 'present_all_found', TRUE
+             |ORDER BY contract""".stripMargin)),
+
     QueryDef("q23_filtered_agg",
       (s, dir) => Tables.events(s, dir)
         .groupBy("event_type")
