@@ -447,6 +447,50 @@ object Snapshots {
     }
   }
 
+  /** DELETE (copy-on-write): rows matching `predicate` disappear from
+    * the next snapshot. Only files that actually contain matching rows
+    * are rewritten (located by an `input_file_name` scan under the
+    * predicate — at scale, push a stats-prunable range predicate);
+    * untouched files survive as-is, older versions keep reading the
+    * deleted rows (snapshot isolation until vacuum). */
+  def delete(spark: SparkSession, root: String, prefix: String,
+             predicate: org.apache.spark.sql.Column,
+             txn: Option[String] = None): Int = {
+    val snap = snapshot(root, prefix, None).getOrElse(
+      sys.error(s"nothing to delete from for $prefix"))
+    if (txn.exists(snap.txns.contains)) snap.version
+    else {
+      val base = dataDir(root, prefix)
+      val withFile = spark.read.option("basePath", base.toString)
+        .parquet(snap.files.map(f => base.resolve(f).toString): _*)
+        .withColumn("_graft_file", input_file_name())
+      val matchedFiles = withFile.filter(predicate)
+        .select("_graft_file").distinct()
+        .collect().map(_.getString(0))
+        .map(uri => snap.files.find(f => uri.endsWith(f)).getOrElse(
+          sys.error(s"unattributable file $uri")))
+        .toSeq.sorted
+      if (matchedFiles.isEmpty) snap.version // nothing to delete
+      else {
+        val before = listDataFiles(root, prefix).toSet
+        val survivors = spark.read.option("basePath", base.toString)
+          .parquet(matchedFiles.map(f => base.resolve(f).toString): _*)
+          .filter(!predicate)
+        val writer = survivors.write.mode("append")
+        (if (survivors.columns.contains("topic")) writer.partitionBy("topic") else writer)
+          .parquet(base.toString)
+        val added = (listDataFiles(root, prefix).toSet -- before).toSeq.map { rel =>
+          val abs = base.resolve(rel)
+          val marked = abs.resolveSibling(CompactedPrefix + abs.getFileName)
+          Files.move(abs, marked)
+          base.relativize(marked).toString
+        }
+        commitRewrite(root, prefix, "delete", matchedFiles.toSet, added,
+          matchedFiles, snap.maxPos, txn)
+      }
+    }
+  }
+
   /** Streaming upsert sink with exactly-once semantics: each
     * micro-batch MERGEs into the snapshot table under a per-batch
     * transaction id, so a batch replayed after a crash/restart (the

@@ -92,6 +92,25 @@ object LakehouseQueries extends QueryRegistry {
              |CAST(MIN(id) AS BIGINT) AS min_ba, CAST(MAX(id) AS BIGINT) AS max_ba
              |FROM range(1000,2000) t(id)""".stripMargin)),
 
+    // DELETE (copy-on-write): every 7th key vanishes from the next
+    // snapshot; only files containing matches were rewritten. The
+    // oracle replays the surviving-key arithmetic.
+    QueryDef("q124_snapshot_delete",
+      (s, _) => {
+        val root = staged(s, "delete_v1") { tmp =>
+          ProduceJob.produceBatch(s, tmp, "d", topics = 2, numMessages = 2000)
+          Snapshots.delete(s, tmp, "d", col("ba") % 7 === 0, txn = Some("q124"))
+          ()
+        }
+        Snapshots.read(s, root, "d").agg(
+          count(lit(1)).as("cnt"),
+          sum("ba").cast("bigint").as("sum_ba"),
+          min("ba").cast("bigint").as("min_ba"))
+      },
+      Some("""SELECT COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba,
+             |CAST(MIN(id) AS BIGINT) AS min_ba
+             |FROM range(0,2000) t(id) WHERE id % 7 <> 0""".stripMargin)),
+
     // Exactly-once streaming upsert: two time-ordered micro-batches
     // MERGE through foreachBatch (u1 updates 500-999, then u2
     // overwrites 800-999 and inserts 1000-1299) — last writer wins per

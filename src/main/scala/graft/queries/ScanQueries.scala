@@ -119,6 +119,43 @@ object ScanQueries extends QueryRegistry {
              |CAST(SUM((18+id)%100) AS BIGINT) AS sum_age,
              |MIN('hangc') AS min_name FROM range(0,1000) t(id)""".stripMargin)),
 
+    // JSON-lines source: doubles survive the text round-trip exactly
+    // (shortest-representation printing), proven through the cents sum.
+    QueryDef("q125_json_source",
+      (s, dir) => {
+        val tmp = "/tmp/graft/q125_json"
+        Tables.orders(s, dir).filter(col("o_orderkey") < 1000)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .write.mode("overwrite").json(tmp)
+        s.read.schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+          .json(tmp)
+          .agg(count(lit(1)).as("cnt"),
+            sum("o_orderkey").cast("bigint").as("sum_key"),
+            min("o_orderstatus").as("min_status"),
+            sum(round(col("o_totalprice") * 100).cast("long")).cast("bigint").as("cents"))
+      },
+      Some("""SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+             |MIN(o_orderstatus) AS min_status,
+             |CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders WHERE o_orderkey < 1000""".stripMargin)),
+
+    // ORC round-trip: the other columnar format Spark ships natively.
+    QueryDef("q126_orc_roundtrip",
+      (s, dir) => {
+        val tmp = "/tmp/graft/q126_orc"
+        Tables.lineitem(s, dir).filter(col("l_orderkey") < 2000)
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp).agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("bigint")).cast("bigint").as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).cast("bigint").as("price_cents"))
+      },
+      Some("""SELECT COUNT(*) AS cnt,
+             |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+             |FROM lineitem WHERE l_orderkey < 2000""".stripMargin)),
+
     QueryDef("q08_case_when",
       (s, dir) => Tables.orders(s, dir).select(
         col("o_orderkey"),

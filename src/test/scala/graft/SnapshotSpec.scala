@@ -267,6 +267,27 @@ class SnapshotSpec extends SparkTestBase {
     assert(Snapshots.read(spark, root, "s15").count() == 160)
   }
 
+  test("delete removes matching rows copy-on-write, untouched files survive") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "s17", topics = 1, numMessages = 1000)
+    val v0 = Snapshots.snapshot(root, "s17").get
+    val v = Snapshots.delete(spark, root, "s17", col("ba") < 100, txn = Some("d1"))
+    val snap = Snapshots.snapshot(root, "s17").get
+    assert(snap.version == v && snap.op == "delete")
+    val t = Snapshots.read(spark, root, "s17")
+    assert(t.count() == 900)
+    assert(t.filter(col("ba") < 100).count() == 0)
+    // only the files holding ba < 100 were rewritten (range-contiguous
+    // writes put them in a fraction of the files)
+    assert(snap.removed.nonEmpty && snap.removed.size < v0.files.size)
+    // time travel still reads the deleted rows
+    assert(Snapshots.read(spark, root, "s17", Some(v0.version)).count() == 1000)
+    // no-match delete commits nothing; txn replay is a no-op
+    assert(Snapshots.delete(spark, root, "s17", col("ba") < 0) == v)
+    assert(Snapshots.delete(spark, root, "s17", col("ba") >= 0, txn = Some("d1")) == v)
+    assert(Snapshots.read(spark, root, "s17").count() == 900)
+  }
+
   test("clustering rewrite tightens file stats and sharpens pruning") {
     val root = Files.createTempDirectory("graft_snap").toString
     // worst layout: round-robin shuffled writes put the full ba range
