@@ -83,15 +83,26 @@ object StreamingQueries extends QueryRegistry {
     * them (round-1 bench showed 7–25× inflation from exactly this). */
   private def runToMemory(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val out = s.table(name).localCheckpoint(true)
-    s.catalog.dropTempView(name)
-    out
+    // every stateful operator opens one state store PER shuffle
+    // partition; at the replay's state volume (≤100k rows) the batch
+    // default of 32 pays 4× the store setup for no parallelism win, so
+    // the stream runs at 8 (a production deployment sizes this to
+    // throughput — it is fixed at the first checkpoint, which each
+    // replay recreates). Restored afterwards; batch plans unaffected.
+    val key = "spark.sql.shuffle.partitions"
+    val prior = s.conf.get(key)
+    s.conf.set(key, "8")
+    try {
+      val q = df.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(name).localCheckpoint(true)
+      s.catalog.dropTempView(name)
+      out
+    } finally s.conf.set(key, prior)
   }
 
   def defs: Seq[QueryDef] = Seq(
