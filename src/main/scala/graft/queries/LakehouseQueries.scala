@@ -38,6 +38,15 @@ object LakehouseQueries extends QueryRegistry {
     dir.getAbsolutePath
   }
 
+  /** Two-commit table shared by the incremental-read and time-travel
+    * queries: v0 = ba 0..999, v1 appends ba 0..499 again. */
+  private def stagedTravelTable(s: SparkSession): String =
+    staged(s, "travel_v1") { tmp =>
+      ProduceJob.produceBatch(s, tmp, "t", topics = 1, numMessages = 1000) // v0
+      ProduceJob.produceBatch(s, tmp, "t", topics = 1, numMessages = 500) // v1
+      ()
+    }
+
   /** A1 generator rows for [lo, hi) with an overridden name column —
     * the deterministic merge/upsert source. */
   private def genRows(s: SparkSession, lo: Long, hi: Long, name: String,
@@ -110,6 +119,34 @@ object LakehouseQueries extends QueryRegistry {
       Some("""SELECT COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba,
              |CAST(MIN(id) AS BIGINT) AS min_ba
              |FROM range(0,2000) t(id) WHERE id % 7 <> 0""".stripMargin)),
+
+    // Incremental (CDC-style) read: exactly the rows the second commit
+    // added — consumers checkpointing a version get append-only change
+    // feeds without rescanning the table.
+    QueryDef("q127_incremental_read",
+      (s, _) => {
+        val root = stagedTravelTable(s)
+        Snapshots.readChanges(s, root, "t", fromVersion = 0).agg(
+          count(lit(1)).as("cnt"),
+          sum("ba").cast("bigint").as("sum_ba"),
+          max("ba").cast("bigint").as("max_ba"))
+      },
+      Some("""SELECT COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba,
+             |CAST(MAX(id) AS BIGINT) AS max_ba
+             |FROM range(0,500) t(id)""".stripMargin)),
+
+    // Time travel: version 0 still reads its exact committed state
+    // after later appends (snapshot isolation as a declared query, not
+    // just a spec).
+    QueryDef("q128_time_travel",
+      (s, _) => {
+        val root = stagedTravelTable(s)
+        Snapshots.read(s, root, "t", version = Some(0)).agg(
+          count(lit(1)).as("cnt"),
+          sum("ba").cast("bigint").as("sum_ba"))
+      },
+      Some("""SELECT COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba
+             |FROM range(0,1000) t(id)""".stripMargin)),
 
     // Exactly-once streaming upsert: two time-ordered micro-batches
     // MERGE through foreachBatch (u1 updates 500-999, then u2
