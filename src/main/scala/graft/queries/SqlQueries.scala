@@ -461,6 +461,25 @@ object SqlQueries extends QueryRegistry {
          |GROUP BY p_brand, p_type, p_size
          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
 
+    // Bitwise aggregates (same names and BIGINT semantics both engines)
+    QueryDef("q129_bit_aggs", sqlBoth(
+      """SELECT event_type,
+        |  CAST(BIT_AND(event_id) AS BIGINT) AS band,
+        |  CAST(BIT_OR(event_id) AS BIGINT) AS bor,
+        |  CAST(BIT_XOR(event_id) AS BIGINT) AS bxor
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Conditional/comparison scalar surface: NULLIF/COALESCE/IFNULL/
+    // GREATEST/LEAST (identical text both engines; doubles compare
+    // bit-identically)
+    QueryDef("q130_conditional_funcs", sqlBoth(
+      """SELECT o_orderkey,
+        |  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+        |  IFNULL(NULLIF(o_orderpriority, '1-URGENT'), 'urgent') AS prio_or_urgent,
+        |  GREATEST(o_totalprice, 100000.0) AS price_floor,
+        |  LEAST(o_totalprice, 200000.0) AS price_cap
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
+
     // EXISTS inside a disjunction (decorrelation stress)
     QueryDef("q73_exists_or", sql(
       """SELECT c_custkey FROM customer c

@@ -313,6 +313,36 @@ object StreamingQueries extends QueryRegistry {
              |  AND p.event_id NOT IN (SELECT p_id FROM matched)
              |ORDER BY p_id, c_id NULLS FIRST""".stripMargin)),
 
+    // Chained streaming window aggregations (multiple stateful
+    // operators, Spark 3.4+): hourly counts roll up into daily totals
+    // inside ONE streaming query — append mode emits exactly the days
+    // the final watermark closed, which is the oracle's filter.
+    QueryDef("q131_chained_windows",
+      (s, dir) => {
+        val daily = eventStream(s, dir, maxFilesPerTrigger = 4)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(window(col("window"), "1 day"))
+          .agg(sum("cnt").cast("bigint").as("cnt"),
+            count(lit(1)).cast("bigint").as("hours"))
+        runToMemory(s, daily, "append")
+          .select(col("window.start").cast("timestamp_ntz").as("dstart"),
+            col("cnt"), col("hours"))
+          .orderBy("dstart")
+      },
+      Some("""SELECT dstart, cnt, hours FROM (
+             |  SELECT time_bucket(INTERVAL 1 DAY, wstart) AS dstart,
+             |    CAST(SUM(cnt) AS BIGINT) AS cnt, CAST(COUNT(*) AS BIGINT) AS hours
+             |  FROM (
+             |    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS wstart,
+             |      COUNT(*) AS cnt
+             |    FROM events GROUP BY 1)
+             |  GROUP BY 1)
+             |WHERE dstart + INTERVAL 1 DAY <=
+             |  (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE FROM events)
+             |ORDER BY dstart""".stripMargin)),
+
     // Spark 4 arbitrary-state API: per-user running (count, cents)
     // via a StatefulProcessor; after the AvailableNow replay the last
     // update per key equals the batch aggregate.
