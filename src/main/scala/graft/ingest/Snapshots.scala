@@ -395,6 +395,7 @@ object Snapshots {
       sys.error(s"nothing to merge into for $prefix"))
     if (txn.exists(snap.txns.contains)) snap.version
     else {
+      enforceConstraints(root, prefix, source)
       val base = dataDir(root, prefix)
       val srcKeys = source.select(keys.map(col): _*).distinct().localCheckpoint(true)
       // stage 1 — manifest pruning: a file whose stats exclude the
@@ -444,6 +445,58 @@ object Snapshots {
       }
       commitRewrite(root, prefix, "merge", matchedFiles.toSet, added,
         matchedFiles, snap.maxPos, txn)
+    }
+  }
+
+  final class ConstraintViolationException(name: String, rows: Long)
+    extends RuntimeException(
+      s"CHECK constraint '$name' violated by $rows incoming row(s) — commit refused")
+
+  private def constraintsPath(root: String, prefix: String): Path =
+    Paths.get(s"$root/$prefix.constraints.json")
+
+  /** Register a Delta-style CHECK constraint: a SQL predicate every
+    * incoming row must satisfy. Enforced on [[merge]] (and therefore
+    * [[upsertStream]]) source rows BEFORE any file is written — a
+    * violating batch refuses the commit and leaves the table untouched. */
+  def setConstraint(root: String, prefix: String, name: String,
+                    predicate: String): Unit = {
+    require(!name.contains("|") && !predicate.contains("\n"),
+      "constraint name/predicate must be single-line, name without '|'")
+    val existing = constraints(root, prefix).filterNot(_._1 == name)
+    val lines = (existing :+ (name, predicate))
+      .map { case (n, p) => s"$n|$p" }.mkString("\n")
+    Files.writeString(constraintsPath(root, prefix), lines)
+    ()
+  }
+
+  /** Registered (name, predicate) constraints for a table. */
+  def constraints(root: String, prefix: String): Seq[(String, String)] = {
+    val p = constraintsPath(root, prefix)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readString(p).split("\n").toSeq.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('|')
+      (l.substring(0, i), l.substring(i + 1))
+    }
+  }
+
+  /** Throw if any `df` row violates a registered constraint. */
+  private def enforceConstraints(root: String, prefix: String,
+                                 df: DataFrame): Unit =
+    constraints(root, prefix).foreach { case (name, pred) =>
+      val bad = df.filter(s"NOT ($pred)").count()
+      if (bad > 0) throw new ConstraintViolationException(name, bad)
+    }
+
+  /** Audit the CURRENT table state against all registered constraints:
+    * (constraint, violating-row count) — 0 everywhere on a healthy
+    * table. (Write-path enforcement covers merge/upsert; this covers
+    * data that arrived through raw appends.) */
+  def validate(spark: SparkSession, root: String,
+               prefix: String): Seq[(String, Long)] = {
+    val t = read(spark, root, prefix)
+    constraints(root, prefix).map { case (name, pred) =>
+      (name, t.filter(s"NOT ($pred)").count())
     }
   }
 

@@ -148,6 +148,34 @@ object LakehouseQueries extends QueryRegistry {
       Some("""SELECT COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba
              |FROM range(0,1000) t(id)""".stripMargin)),
 
+    // CHECK constraints (Delta-style): a merge whose source violates a
+    // registered predicate is refused before any file is written, so
+    // the committed state carries only conforming rows — which is what
+    // the oracle replays.
+    QueryDef("q134_check_constraint",
+      (s, _) => {
+        val root = staged(s, "constraint_v1") { tmp =>
+          ProduceJob.produceBatch(s, tmp, "c", topics = 1, numMessages = 500)
+          Snapshots.setConstraint(tmp, "c", "ba_nonneg", "ba >= 0")
+          Snapshots.merge(s, tmp, "c",
+            genRows(s, 400, 600, "ok", "c", 1), Seq("ba"), txn = Some("good"))
+          // violating batch: negative keys — must be refused atomically
+          try {
+            Snapshots.merge(s, tmp, "c",
+              genRows(s, -50, 50, "bad", "c", 1), Seq("ba"), txn = Some("bad"))
+            sys.error("constraint violation was not refused")
+          } catch { case _: Snapshots.ConstraintViolationException => () }
+          ()
+        }
+        Snapshots.read(s, root, "c")
+          .groupBy("name")
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+          .orderBy("name")
+      },
+      Some("""SELECT CASE WHEN id < 400 THEN 'hangc' ELSE 'ok' END AS name,
+             |COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba
+             |FROM range(0,600) t(id) GROUP BY 1 ORDER BY name""".stripMargin)),
+
     // Exactly-once streaming upsert: two time-ordered micro-batches
     // MERGE through foreachBatch (u1 updates 500-999, then u2
     // overwrites 800-999 and inserts 1000-1299) — last writer wins per

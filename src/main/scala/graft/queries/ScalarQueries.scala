@@ -146,6 +146,53 @@ object ScalarQueries extends QueryRegistry {
       Some("""SELECT CAST(json_extract_string(props,'$.k') AS INT) % 10 AS kmod, COUNT(*) AS cnt
              |FROM events GROUP BY 1 ORDER BY kmod""".stripMargin)),
 
+    // Map higher-order functions: build a 3-entry map per row, then
+    // transform_values → transform_keys → map_filter; the output is a
+    // canonical sorted entries string, because map iteration order is
+    // engine-specific but entry SETS are not. The oracle replays the
+    // per-entry arithmetic directly.
+    QueryDef("q132_map_hofs",
+      (s, dir) => {
+        val k = element_at(from_json(col("props"), MapType(StringType, IntegerType)), "k")
+        Tables.events(s, dir).filter(col("event_id") < 100)
+          .select(col("event_id"), k.as("k"))
+          .select(col("event_id"),
+            map_filter(
+              transform_keys(
+                transform_values(
+                  map(lit("a"), col("k"), lit("b"), col("k") + 1, lit("c"), col("k") * col("k")),
+                  (_, v) => v * 2),
+                (key, _) => upper(key)),
+              (_, v) => v % 4 === 0).as("m"))
+          .select(col("event_id"),
+            concat_ws(",", array_sort(transform(map_entries(col("m")),
+              e => concat(e.getField("key"), lit(":"), e.getField("value").cast("string")))))
+              .as("entries"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, array_to_string(list_filter([
+             |    CASE WHEN (2*k) % 4 = 0 THEN 'A:' || CAST(2*k AS VARCHAR) END,
+             |    CASE WHEN (2*(k+1)) % 4 = 0 THEN 'B:' || CAST(2*(k+1) AS VARCHAR) END,
+             |    CASE WHEN (2*k*k) % 4 = 0 THEN 'C:' || CAST(2*k*k AS VARCHAR) END
+             |  ], x -> x IS NOT NULL), ',') AS entries
+             |FROM (SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+             |      FROM events WHERE event_id < 100)
+             |ORDER BY event_id""".stripMargin)),
+
+    // Deterministic array aggregation: collect_set canonicalized by
+    // array_sort before serialization (collection order is
+    // partitioning-dependent; the sorted set is not).
+    QueryDef("q133_array_agg",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(concat_ws(",", transform(
+          array_sort(collect_set((col("user_id") % 50).cast("int"))),
+          v => v.cast("string"))).as("ids"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  array_to_string(list_sort(list(DISTINCT CAST(user_id % 50 AS INT))), ',') AS ids
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     QueryDef("q37_explode_tokens",
       (s, dir) => Tables.documents(s, dir)
         .select(explode(split(col("text"), " ")).as("token"))

@@ -312,6 +312,31 @@ class SnapshotSpec extends SparkTestBase {
     assert(Snapshots.read(spark, root, "s16", Some(v - 1)).count() == 4000)
   }
 
+  test("CHECK constraints refuse violating merges atomically") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "s18", topics = 1, numMessages = 100)
+    Snapshots.setConstraint(root, "s18", "ba_bounded", "ba >= 0 AND ba < 10000")
+    Snapshots.setConstraint(root, "s18", "age_valid", "age BETWEEN 0 AND 99")
+    val vBefore = Snapshots.snapshot(root, "s18").get.version
+    // conforming merge passes
+    val ok = ProduceJob.personProjection(
+      spark.range(50, 150).toDF("cnt"), "cnt", "s18", 1)
+    assert(Snapshots.merge(spark, root, "s18", ok, Seq("ba")) == vBefore + 1)
+    // violating merge is refused and commits NOTHING
+    val bad = ProduceJob.personProjection(
+      spark.range(0, 100).toDF("cnt"), "cnt", "s18", 1)
+      .withColumn("ba", col("ba") - lit(10L))
+    intercept[Snapshots.ConstraintViolationException] {
+      Snapshots.merge(spark, root, "s18", bad, Seq("ba"))
+    }
+    assert(Snapshots.snapshot(root, "s18").get.version == vBefore + 1)
+    assert(Snapshots.read(spark, root, "s18").count() == 150)
+    // full-table audit is clean; constraints are replaceable by name
+    assert(Snapshots.validate(spark, root, "s18").forall(_._2 == 0L))
+    Snapshots.setConstraint(root, "s18", "ba_bounded", "ba >= 0")
+    assert(Snapshots.constraints(root, "s18").size == 2)
+  }
+
   test("unknown version is refused") {
     val root = Files.createTempDirectory("graft_snap").toString
     ProduceJob.produceBatch(spark, root, "s4", topics = 1, numMessages = 10)
