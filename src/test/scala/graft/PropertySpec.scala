@@ -115,6 +115,30 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("merge: committed state equals the relational spec for random upserts") {
+    import graft.ingest.{ProduceJob, Snapshots}
+    // spec: result == (target anti-join source on key) ∪ source
+    val srcGen = Gen.zip(Gen.choose(0L, 400L), Gen.choose(100L, 700L))
+      .suchThat { case (lo, hi) => hi > lo }
+    forAllG(srcGen, trials = 3) { case (lo, hi) =>
+      val root = Files.createTempDirectory("graft_prop_merge").toString
+      ProduceJob.produceBatch(spark, root, "pm", topics = 1, numMessages = 300)
+      val source = ProduceJob.personProjection(
+        spark.range(lo, hi).toDF("cnt"), "cnt", "pm", 1)
+        .withColumn("name", lit("upd"))
+      val expected = ProduceJob.personProjection(
+        spark.range(0, 300).toDF("cnt"), "cnt", "pm", 1)
+        .join(source.select("ba"), Seq("ba"), "left_anti")
+        .unionByName(source)
+      Snapshots.merge(spark, root, "pm", source, Seq("ba"))
+      val cols = Seq("ba", "name", "age", "address", "gender", "score", "key", "topic")
+      val got = Snapshots.read(spark, root, "pm").select(cols.map(col): _*)
+      val exp = expected.select(cols.map(col): _*)
+      assert(got.count() == exp.count())
+      assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+    }
+  }
+
   test("components: labels are idempotent (running on the result changes nothing)") {
     import spark.implicits._
     val edgeGen = Gen.listOfN(12, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
