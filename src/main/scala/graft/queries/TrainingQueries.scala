@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryRegistry, Tables}
@@ -179,6 +180,45 @@ object TrainingQueries extends QueryRegistry {
              |  FROM scored)
              |WHERE rn <= 3 AND doc_id < 50
              |ORDER BY doc_id, score DESC, term""".stripMargin)),
+
+    // Int8 embedding quantization + quantized cosine top-k — the
+    // storage/bandwidth lever for 100 TB embedding stores (4×
+    // compression; the scale factor cancels out of cosine, so ranking
+    // needs only exact integer dot products). The per-vector scale is
+    // bound through a HOF argument — referencing the array_max
+    // expression inside the per-element lambda would re-evaluate it
+    // per element (the MinHash O(n²) inlining lesson).
+    QueryDef("q135_embedding_quantization",
+      (s, dir) => {
+        val vD = (c: Column) => transform(c, x => x.cast("double"))
+        val scale = (v: Column) =>
+          greatest(array_max(transform(v, x => abs(x))), lit(1e-12)) / 127.0
+        val quant = (v: Column) => flatten(transform(array(scale(v)), sc =>
+          transform(v, x => round(x / sc).cast("long"))))
+        val idot = (a: Column, b: Column) =>
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), quant(vD(col("embedding"))).as("qv"))
+        val probe = broadcast(
+          e.filter(col("vec_id") === 0).select(col("qv").as("pv")))
+        e.crossJoin(probe)
+          .select(col("vec_id"),
+            (idot(col("qv"), col("pv")).cast("double") /
+              sqrt((idot(col("qv"), col("qv")) * idot(col("pv"), col("pv"))).cast("double")))
+              .as("qsim"))
+          .orderBy(col("qsim").desc, col("vec_id")).limit(10)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT vec_id, list_transform(v, x -> CAST(round(
+             |        x / (GREATEST(list_max(list_transform(v, a -> abs(a))), 1e-12) / 127.0))
+             |      AS BIGINT)) AS qv FROM e),
+             |p AS (SELECT qv AS pv FROM q WHERE vec_id = 0)
+             |SELECT vec_id,
+             |  CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(pv AS DOUBLE[])) AS DOUBLE)
+             |  / sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+             |         * list_dot_product(CAST(pv AS DOUBLE[]), CAST(pv AS DOUBLE[])) AS DOUBLE)) AS qsim
+             |FROM q CROSS JOIN p
+             |ORDER BY qsim DESC, vec_id LIMIT 10""".stripMargin)),
 
     // Sequence packing: documents concatenated in doc_id order and cut
     // into fixed 512-token context windows (the streaming-concat

@@ -127,4 +127,11 @@ class CurationSpec extends SparkTestBase {
     assert(rows.length >= 1)
     assert(rows.forall(_.getAs[Long]("n") >= 2))
   }
+
+  test("int8 quantized cosine top-10 recalls most of the exact top-10") {
+    val exact = run("q40_cosine_topk").collect().map(_.getAs[Long]("vec_id")).toSet
+    val quant = run("q135_embedding_quantization").collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(exact.intersect(quant).size >= 8,
+      s"quantized recall too low: ${exact.intersect(quant).size}/10")
+  }
 }
