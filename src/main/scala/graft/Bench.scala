@@ -74,8 +74,11 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // per-query hygiene: no cached plans/blocks may leak across
-      // measurements (round 1 lost 7-25x to exactly such leakage)
+      // measurements (round 1 lost 7-25x to exactly such leakage), and
+      // a GC breather keeps one query's garbage from inflating the
+      // next measurement (streaming state stores are heap-heavy)
       spark.catalog.clearCache()
+      System.gc()
       val metric = s"graft_rows_$name"
       val t0 = System.nanoTime()
       var elapsed = 0.0
