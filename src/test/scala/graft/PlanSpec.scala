@@ -97,6 +97,15 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("partial_count"), plan.take(2000))
   }
 
+  test("q135: quantized top-k keeps the broadcast-probe + top-k plan") {
+    // quantization must not change the ANN plan shape: probe rides a
+    // broadcast, ranking is TakeOrderedAndProject, one embeddings scan
+    val plan = planOf("q135_embedding_quantization")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("q119: top-3-per-doc filter plans as a window group limit") {
     // the rank-then-filter idiom must push the limit into the window
     // sort (WindowGroupLimit), never rank every term then filter
