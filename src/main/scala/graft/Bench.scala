@@ -106,7 +106,8 @@ object Bench {
     val rcFull = results.map { case (k, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qsFull,"rows":$rcFull,"sf":"$sfDir"}"""
-    try Files.write(Paths.get("/root/repo/BENCH_FULL.json"),
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_FULL.json")
+    try Files.write(Paths.get(detailPath),
       full.getBytes(StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
 

@@ -42,6 +42,14 @@ object Snapshots {
   final class ConcurrentCommitException(version: Int)
     extends RuntimeException(s"concurrent commit lost the race for v$version")
 
+  /** Two rewrites (compact/merge/delete/cluster) raced over the same
+    * files: the loser's output was derived from pre-race file contents,
+    * so committing it would resurrect deleted rows or duplicate
+    * rewritten ones. Delta aborts these the same way. */
+  final class RewriteConflictException(op: String, files: Seq[String])
+    extends RuntimeException(
+      s"$op conflicts with a concurrent rewrite that already claimed: ${files.mkString(", ")}")
+
   private def logDir(root: String, prefix: String): Path =
     Paths.get(s"$root/$prefix._log")
 
@@ -285,14 +293,17 @@ object Snapshots {
     // file additions; a compaction commit re-packs rows earlier
     // versions already delivered — it contributes nothing, and
     // skipping it keeps earlier appends' files (not their compacted
-    // replacements) as the change source. (A merge's added files also
-    // carry the copied-along unmatched rows of the files it rewrote —
-    // the manifest records upserts at file grain, not row grain.)
+    // replacements) as the change source. A delete commit's additions
+    // are likewise only survivor rewrites — no new rows — so it is
+    // skipped too (deletions themselves are invisible at file grain).
+    // (A merge's added files also carry the copied-along unmatched
+    // rows of the files it rewrote — the manifest records upserts at
+    // file grain, not row grain.)
     val added = versions(root, prefix)
       .filter(v => v > fromVersion && v <= to.version)
       .flatMap { v =>
         val cur = snapshot(root, prefix, Some(v)).get
-        if (cur.op == "compact") Seq.empty
+        if (cur.op == "compact" || cur.op == "delete") Seq.empty
         else (cur.files.toSet --
           snapshot(root, prefix, Some(v - 1)).map(_.files.toSet).getOrElse(Set.empty)).toSeq
       }.distinct.sorted
@@ -348,12 +359,17 @@ object Snapshots {
       removed, snap.maxPos, txn = None)
   }
 
-  /** Shared commit loop for rewriting ops (compact/merge): the new
-    * snapshot = (CURRENT latest files − `gone`) + `added`, recomputed
-    * on each attempt so a lost race against a concurrent append retries
-    * with that append's files included (append ⋈ rewrite never
-    * conflicts logically — they touch disjoint files). */
-  private def commitRewrite(root: String, prefix: String, op: String,
+  /** Shared commit loop for rewriting ops (compact/merge/delete): the
+    * new snapshot = (CURRENT latest files − `gone`) + `added`,
+    * recomputed on each attempt so a lost race against a concurrent
+    * append retries with that append's files included (append ⋈ rewrite
+    * never conflicts logically — they touch disjoint files). A
+    * concurrent REWRITE that claimed any of this op's input files is a
+    * real conflict — the output in `added` was derived from pre-race
+    * contents — and aborts instead of committing.
+    * (private[graft]: the conflict spec drives the stale-input case
+    * directly — a live thread race can't be scheduled deterministically.) */
+  private[graft] def commitRewrite(root: String, prefix: String, op: String,
                             gone: Set[String], added: Seq[String],
                             removed: Seq[String], maxPosFloor: Long,
                             txn: Option[String]): Int = {
@@ -362,6 +378,9 @@ object Snapshots {
     var committed = -1
     while (committed < 0) {
       val cur = snapshot(root, prefix, None).get
+      val claimed = gone -- cur.files.toSet
+      if (claimed.nonEmpty)
+        throw new RewriteConflictException(op, claimed.toSeq.sorted)
       val files = ((cur.files.toSet -- gone) ++ added).toSeq.sorted
       try committed = writeSnapshot(root, prefix, cur.version + 1,
         cur.maxPos max maxPosFloor, files, removed, op,
@@ -514,10 +533,15 @@ object Snapshots {
     if (txn.exists(snap.txns.contains)) snap.version
     else {
       val base = dataDir(root, prefix)
+      // SQL DELETE semantics: a row is deleted only when the predicate
+      // is TRUE — a NULL predicate keeps the row (like Delta). Coalesce
+      // to false so attribution and survivorship agree on null rows.
+      val matches = org.apache.spark.sql.functions.coalesce(
+        predicate, org.apache.spark.sql.functions.lit(false))
       val withFile = spark.read.option("basePath", base.toString)
         .parquet(snap.files.map(f => base.resolve(f).toString): _*)
         .withColumn("_graft_file", input_file_name())
-      val matchedFiles = withFile.filter(predicate)
+      val matchedFiles = withFile.filter(matches)
         .select("_graft_file").distinct()
         .collect().map(_.getString(0))
         .map(uri => snap.files.find(f => uri.endsWith(f)).getOrElse(
@@ -528,7 +552,7 @@ object Snapshots {
         val before = listDataFiles(root, prefix).toSet
         val survivors = spark.read.option("basePath", base.toString)
           .parquet(matchedFiles.map(f => base.resolve(f).toString): _*)
-          .filter(!predicate)
+          .filter(!matches)
         val writer = survivors.write.mode("append")
         (if (survivors.columns.contains("topic")) writer.partitionBy("topic") else writer)
           .parquet(base.toString)
@@ -589,16 +613,32 @@ object Snapshots {
 
   /** Physically delete files that only versions older than `keepFrom`
     * reference, then drop those versions' log entries (Delta VACUUM +
-    * log cleanup). Time travel below `keepFrom` is gone afterwards. */
-  def vacuum(root: String, prefix: String, keepFrom: Int): Unit = {
+    * log cleanup). Time travel below `keepFrom` is gone afterwards.
+    *
+    * Files referenced by NO version at all are either garbage from a
+    * crashed rewrite or the output of an IN-FLIGHT rewrite/append that
+    * hasn't committed its snapshot yet — deleting the latter would
+    * leave the rewrite's committed version unreadable. Delta VACUUM's
+    * retention check exists for exactly this, so unreferenced files
+    * younger than `orphanGraceMs` are kept; pass 0 only when no
+    * concurrent writer can be active. */
+  def vacuum(root: String, prefix: String, keepFrom: Int,
+             orphanGraceMs: Long = 10L * 60 * 1000): Unit = {
     val vs = versions(root, prefix)
     val keepVs = vs.filter(_ >= keepFrom)
-    val referenced = keepVs
+    val kept = keepVs
       .flatMap(v => snapshot(root, prefix, Some(v)).map(_.files).getOrElse(Seq.empty))
       .toSet
+    val ever = referencedFiles(root, prefix)
+    val now = System.currentTimeMillis()
     val base = dataDir(root, prefix)
     listDataFiles(root, prefix)
-      .filterNot(referenced)
+      .filterNot(kept)
+      .filterNot { f =>
+        // possible in-flight writer output — inside the grace window
+        !ever(f) && (try now - Files.getLastModifiedTime(base.resolve(f)).toMillis < orphanGraceMs
+                     catch { case _: java.io.IOException => true })
+      }
       .foreach(f => Files.deleteIfExists(base.resolve(f)))
     vs.filter(_ < keepFrom).foreach(v =>
       Files.deleteIfExists(logDir(root, prefix).resolve(f"v$v%05d.json")))

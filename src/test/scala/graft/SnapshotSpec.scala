@@ -337,6 +337,88 @@ class SnapshotSpec extends SparkTestBase {
     assert(Snapshots.constraints(root, "s18").size == 2)
   }
 
+  test("delete keeps rows where the predicate evaluates to NULL") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    // tag: 'x' on ba<10 (delete targets), NULL on 10<=ba<20, 'keep' above —
+    // all three classes land in the same files, so the rewrite path sees
+    // null-predicate rows alongside true matches
+    ProduceJob.personProjection(spark.range(100).toDF("cnt"), "cnt", "s19", 1)
+      .withColumn("tag", when(col("ba") < 10, "x")
+        .when(col("ba") < 20, lit(null: String)).otherwise("keep"))
+      .coalesce(1).write.mode("append").partitionBy("topic")
+      .parquet(graft.ingest.Topics.tableDir(root, "s19"))
+    Snapshots.commit(root, "s19", 99)
+    Snapshots.delete(spark, root, "s19", col("tag") === "x")
+    val t = Snapshots.read(spark, root, "s19")
+    // SQL DELETE removes only predicate-TRUE rows: NULL rows survive
+    assert(t.count() == 90)
+    assert(t.filter(col("tag").isNull).count() == 10)
+    assert(t.filter(col("tag") === "x").count() == 0)
+  }
+
+  test("concurrent rewrites over the same files conflict instead of committing") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "s20", topics = 1, numMessages = 1000)
+    val snap = Snapshots.snapshot(root, "s20").get
+    assert(snap.files.size >= 2)
+    val contested = snap.files.head
+    // rewrite A claims `contested` and wins the commit race (driven via
+    // the primitive — a live thread race can't be scheduled deterministically)
+    Snapshots.writeSnapshot(root, "s20", snap.version + 1, snap.maxPos,
+      snap.files.filterNot(_ == contested), Seq(contested), "delete")
+    // rewrite B derived its output from `contested`'s PRE-race contents;
+    // committing it would resurrect rows A deleted — it must abort
+    intercept[Snapshots.RewriteConflictException] {
+      Snapshots.commitRewrite(root, "s20", "delete",
+        gone = Set(contested), added = Seq.empty,
+        removed = Seq(contested), maxPosFloor = snap.maxPos, txn = None)
+    }
+    // disjoint rewrites still commit: B claiming a DIFFERENT file is fine
+    val other = snap.files.last
+    val v = Snapshots.commitRewrite(root, "s20", "delete",
+      gone = Set(other), added = Seq.empty,
+      removed = Seq(other), maxPosFloor = snap.maxPos, txn = None)
+    assert(v == snap.version + 2)
+  }
+
+  test("vacuum keeps in-flight rewrite output inside the grace window") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "s21", topics = 1, numMessages = 200)
+    val tableDir = java.nio.file.Paths.get(graft.ingest.Topics.tableDir(root, "s21"))
+    // an in-flight compaction wrote its marked output but has not yet
+    // committed the snapshot that pins it
+    val part = Files.list(tableDir).iterator().asScala
+      .find(Files.isDirectory(_)).get
+    val src = Files.list(part).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val inflight = part.resolve("compacted-inflight-0.parquet")
+    Files.copy(src, inflight)
+    val latest = Snapshots.versions(root, "s21").max
+    // default grace: the fresh unreferenced file survives vacuum
+    Snapshots.vacuum(root, "s21", keepFrom = latest)
+    assert(Files.exists(inflight))
+    // and the rewrite can still commit a version pinning it afterwards
+    // grace 0 (no concurrent writers declared): the orphan is collected
+    Snapshots.vacuum(root, "s21", keepFrom = latest, orphanGraceMs = 0)
+    assert(!Files.exists(inflight))
+    assert(Snapshots.read(spark, root, "s21").count() == 200)
+  }
+
+  test("incremental read: delete commits contribute no changes") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "s22", topics = 1, numMessages = 500) // v0
+    val vDel = Snapshots.delete(spark, root, "s22", col("ba") < 100)
+    // the delete's added files are survivor rewrites — not new rows
+    assert(Snapshots.readChanges(spark, root, "s22", 0, Some(vDel)).count() == 0)
+    // appends after the delete show up as changes again
+    ProduceJob.personProjection(spark.range(500, 600).toDF("cnt"), "cnt", "s22", 1)
+      .write.mode("append").partitionBy("topic")
+      .parquet(graft.ingest.Topics.tableDir(root, "s22"))
+    val v2 = Snapshots.commit(root, "s22", 599)
+    assert(Snapshots.readChanges(spark, root, "s22", vDel, Some(v2)).count() == 100)
+    assert(Snapshots.readChanges(spark, root, "s22", 0, Some(v2)).count() == 100)
+  }
+
   test("unknown version is refused") {
     val root = Files.createTempDirectory("graft_snap").toString
     ProduceJob.produceBatch(spark, root, "s4", topics = 1, numMessages = 10)
