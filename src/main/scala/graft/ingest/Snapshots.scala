@@ -100,26 +100,38 @@ object Snapshots {
   private def isCompacted(relPath: String): Boolean =
     Paths.get(relPath).getFileName.toString.startsWith(CompactedPrefix)
 
-  /** Per-file min/max of an INT64 column, read from the parquet footer
-    * at commit time and carried in the manifest — the Delta/Iceberg
+  /** Per-file min/max of a column, read from the parquet footer at
+    * commit time and carried in the manifest — the Delta/Iceberg
     * data-skipping pattern: the read path drops files by range without
     * opening them, which at 100 TB is the difference between listing
-    * manifests and scanning the table. */
-  final case class FileStat(file: String, column: String, min: Long, max: Long) {
-    def encoded: String = s"$file|$column|$min|$max"
+    * manifests and scanning the table.
+    *
+    * `typ` names the key space the Long pair lives in: "L" = raw INT64
+    * values, "D" = [[SortKeys.doubleKey]] of a DOUBLE column, "S" =
+    * [[SortKeys.stringKey]] 8-byte prefix of a STRING column (prefix
+    * keys are conservative: equal-prefix values collide, so pruning
+    * keeps extra files but never skips a match). */
+  final case class FileStat(file: String, column: String, min: Long, max: Long,
+                            typ: String = "L") {
+    def encoded: String = s"$file|$column|$min|$max|$typ"
   }
   object FileStat {
     def decode(s: String): Option[FileStat] = s.split('|') match {
+      // pre-round-4 manifests carry no type tag — those stats are INT64
       case Array(f, c, lo, hi) =>
         try Some(FileStat(f, c, lo.toLong, hi.toLong))
+        catch { case _: NumberFormatException => None }
+      case Array(f, c, lo, hi, t) =>
+        try Some(FileStat(f, c, lo.toLong, hi.toLong, t))
         catch { case _: NumberFormatException => None }
       case _ => None
     }
   }
 
-  /** Footer scan of one data file: min/max for every top-level INT64
-    * column with complete chunk statistics. Plain-JVM IO (no Spark job)
-    * — one footer read per newly committed file, never per row. */
+  /** Footer scan of one data file: min/max for every top-level INT64,
+    * DOUBLE, and STRING column with complete chunk statistics.
+    * Plain-JVM IO (no Spark job) — one footer read per newly committed
+    * file, never per row. */
   private def footerStats(base: Path, rel: String): Seq[FileStat] =
     try {
       val in = HadoopInputFile.fromPath(
@@ -129,16 +141,41 @@ object Snapshots {
         val blocks = rd.getFooter.getBlocks.asScala.toSeq
         if (blocks.isEmpty) Seq.empty
         else blocks.head.getColumns.asScala
-          .filter(c => c.getPrimitiveType.getPrimitiveTypeName == PrimitiveTypeName.INT64 &&
-            c.getPath.size == 1)
-          .map(_.getPath.toDotString).toSeq
-          .flatMap { name =>
+          .filter(_.getPath.size == 1).toSeq
+          .flatMap { c =>
+            val name = c.getPath.toDotString
+            val ptype = c.getPrimitiveType
             val sts = blocks.flatMap(_.getColumns.asScala
               .filter(_.getPath.toDotString == name)).map(_.getStatistics)
             if (sts.isEmpty || sts.exists(s => s == null || s.isEmpty || !s.hasNonNullValue)) None
-            else Some(FileStat(rel, name,
-              sts.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
-              sts.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max))
+            else ptype.getPrimitiveTypeName match {
+              case PrimitiveTypeName.INT64 =>
+                Some(FileStat(rel, name,
+                  sts.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+                  sts.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max, "L"))
+              case PrimitiveTypeName.DOUBLE =>
+                val mins = sts.map(_.genericGetMin.asInstanceOf[java.lang.Double].doubleValue)
+                val maxs = sts.map(_.genericGetMax.asInstanceOf[java.lang.Double].doubleValue)
+                // NaN bounds are meaningless under the parquet spec —
+                // better no stat than a wrong skip
+                if ((mins ++ maxs).exists(_.isNaN)) None
+                else Some(FileStat(rel, name,
+                  mins.map(SortKeys.doubleKey).min, maxs.map(SortKeys.doubleKey).max, "D"))
+              case PrimitiveTypeName.BINARY
+                if ptype.getLogicalTypeAnnotation != null &&
+                  ptype.getLogicalTypeAnnotation.isInstanceOf[
+                    org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                // writer-truncated binary stats stay valid bounds
+                // (truncated min is a prefix ≤ min; truncated max is
+                // incremented to remain ≥ max), and an 8-byte prefix
+                // key of a bound is a bound in key space
+                Some(FileStat(rel, name,
+                  sts.map(s => SortKeys.bytesKey(
+                    s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)).min,
+                  sts.map(s => SortKeys.bytesKey(
+                    s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)).max, "S"))
+              case _ => None
+            }
           }
       } finally rd.close()
     } catch { case _: Throwable => Seq.empty } // stats are an optimization, never fatal
@@ -235,15 +272,48 @@ object Snapshots {
     }
   }
 
+  /** One column-range predicate in manifest-stat key space, paired
+    * with the exact Catalyst predicate the pruned read re-applies
+    * (stats narrow IO, never semantics). */
+  final case class StatRange(column: String, typ: String,
+                             loKey: Long, hiKey: Long,
+                             predicate: org.apache.spark.sql.Column)
+  object StatRange {
+    def longRange(column: String, lo: Long, hi: Long): StatRange =
+      StatRange(column, "L", lo, hi, col(column) >= lo && col(column) <= hi)
+    def doubleRange(column: String, lo: Double, hi: Double): StatRange =
+      StatRange(column, "D", SortKeys.doubleKey(lo), SortKeys.doubleKey(hi),
+        col(column) >= lo && col(column) <= hi)
+    /** String bounds map to conservative prefix keys: every string in
+      * [lo, hi] has a prefix key in [key(lo), key(hi)] because the
+      * prefix map is monotone — overlap checks can keep extra files
+      * but never skip a match. */
+    def stringRange(column: String, lo: String, hi: String): StatRange =
+      StatRange(column, "S", SortKeys.stringKey(lo), SortKeys.stringKey(hi),
+        col(column) >= lo && col(column) <= hi)
+  }
+
   /** The files of a snapshot that can hold `column` values in
     * [lo, hi] — files with footer stats outside the range are skipped;
     * files without stats are conservatively kept. */
   def pruneFiles(root: String, prefix: String, column: String,
-                 lo: Long, hi: Long, version: Option[Int] = None): Seq[String] = {
+                 lo: Long, hi: Long, version: Option[Int] = None): Seq[String] =
+    pruneFilesMulti(root, prefix, Seq(StatRange.longRange(column, lo, hi)), version)
+
+  /** Files that can satisfy EVERY range in `ranges` at once — the
+    * multi-predicate skip a Z-order layout is built for: each range
+    * prunes on its own column's stats, and the intersection is the
+    * candidate set. Files without a stat for some column stay
+    * candidates for that range (conservative). */
+  def pruneFilesMulti(root: String, prefix: String, ranges: Seq[StatRange],
+                      version: Option[Int] = None): Seq[String] = {
     val snap = snapshot(root, prefix, version).getOrElse(
       sys.error(s"no snapshot for $prefix"))
-    val byFile = snap.stats.filter(_.column == column).map(s => s.file -> s).toMap
-    snap.files.filter(f => byFile.get(f).forall(s => s.max >= lo && s.min <= hi))
+    val byCol = ranges.map(r =>
+      r -> snap.stats.filter(s => s.column == r.column && s.typ == r.typ)
+        .map(s => s.file -> s).toMap).toMap
+    snap.files.filter(f => ranges.forall(r =>
+      byCol(r).get(f).forall(s => s.max >= r.loKey && s.min <= r.hiKey)))
   }
 
   /** Range read through manifest data-skipping: only files whose
@@ -251,15 +321,26 @@ object Snapshots {
     * applied — stats narrow IO, never semantics). */
   def readPruned(spark: SparkSession, root: String, prefix: String,
                  column: String, lo: Long, hi: Long,
-                 version: Option[Int] = None): DataFrame = {
-    val files = pruneFiles(root, prefix, column, lo, hi, version)
+                 version: Option[Int] = None): DataFrame =
+    readPrunedMulti(spark, root, prefix,
+      Seq(StatRange.longRange(column, lo, hi)), version)
+
+  /** Conjunctive range read through multi-column data skipping: only
+    * files whose stats overlap EVERY range are opened, then the exact
+    * predicates are re-applied. */
+  def readPrunedMulti(spark: SparkSession, root: String, prefix: String,
+                      ranges: Seq[StatRange],
+                      version: Option[Int] = None): DataFrame = {
+    require(ranges.nonEmpty, "readPrunedMulti needs at least one range")
+    val files = pruneFilesMulti(root, prefix, ranges, version)
     val base = dataDir(root, prefix)
+    val pred = ranges.map(_.predicate).reduce(_ && _)
     if (files.isEmpty)
-      read(spark, root, prefix, version).filter(col(column) >= lo && col(column) <= hi).limit(0)
+      read(spark, root, prefix, version).filter(pred).limit(0)
     else spark.read
       .option("basePath", base.toString)
       .parquet(files.map(f => base.resolve(f).toString): _*)
-      .filter(col(column) >= lo && col(column) <= hi)
+      .filter(pred)
   }
 
   /** Read the table as of a version (default latest): exactly the
@@ -419,7 +500,7 @@ object Snapshots {
       val srcKeys = source.select(keys.map(col): _*).distinct().localCheckpoint(true)
       // stage 1 — manifest pruning: a file whose stats exclude the
       // source's key range can't contain a match and is never opened
-      val candidates = snap.stats.find(s => s.column == keys.head) match {
+      val candidates = snap.stats.find(s => s.column == keys.head && s.typ == "L") match {
         case Some(_) =>
           val mm = srcKeys.agg(
             org.apache.spark.sql.functions.min(keys.head),
@@ -600,6 +681,81 @@ object Snapshots {
       .repartitionByRange(targetFiles, col(column))
     val writer = df.write.mode("append")
     (if (df.columns.contains("topic")) writer.partitionBy("topic") else writer)
+      .parquet(base.toString)
+    val added = (listDataFiles(root, prefix).toSet -- before).toSeq.map { rel =>
+      val abs = base.resolve(rel)
+      val marked = abs.resolveSibling(CompactedPrefix + abs.getFileName)
+      Files.move(abs, marked)
+      base.relativize(marked).toString
+    }
+    commitRewrite(root, prefix, "compact", snap.files.toSet, added,
+      snap.files, snap.maxPos, txn = None)
+  }
+
+  /** Equi-depth split points for one column, metadata-scale on the
+    * driver: numeric columns use approxQuantile (no row collection at
+    * all); other orderable types reservoir-sample a bounded set of
+    * values — the RangePartitioner idiom — and take sample quantiles.
+    * Splits shape only the LAYOUT; pruning correctness always comes
+    * from the footer stats, so a skewed sample can cost skipping,
+    * never rows. */
+  private def equiDepthSplits(df: DataFrame, column: String,
+                              buckets: Int): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.types._
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    df.schema(column).dataType match {
+      case _: NumericType =>
+        df.stat.approxQuantile(column, probs, 0.001)
+          .distinct.sorted.toSeq.map(org.apache.spark.sql.functions.lit)
+      case _ =>
+        val n = df.count()
+        if (n == 0) Seq.empty
+        else {
+          val sampled = df.select(col(column).cast("string")).na.drop
+            .sample(withReplacement = false, math.min(1.0, 20000.0 / n), seed = 7)
+            .collect().map(_.getString(0)).sorted
+          if (sampled.isEmpty) Seq.empty
+          else probs.map(p => sampled(((sampled.length - 1) * p).toInt))
+            .distinct.toSeq.map(org.apache.spark.sql.functions.lit)
+        }
+    }
+  }
+
+  /** OPTIMIZE ZORDER-style multi-column clustering rewrite: each row
+    * gets a Z-value interleaving the bits of its per-column equi-depth
+    * bucket ids, and the table is rewritten range-partitioned by that
+    * Z-value. Every output file then covers a narrow range on EVERY
+    * clustered column at once, so [[pruneFilesMulti]] skips on any of
+    * them — single-column clustering can only serve one predicate.
+    * The bucket expressions are plain comparisons against split
+    * literals (codegen'd, no UDF); rows are unchanged, so it commits
+    * as a compaction (time travel preserved, CDC readers skip it). */
+  def clusterZOrder(spark: SparkSession, root: String, prefix: String,
+                    columns: Seq[String], targetFiles: Int = 8,
+                    buckets: Int = 16): Int = {
+    require(columns.nonEmpty, "clusterZOrder needs at least one column")
+    val snap = snapshot(root, prefix, None).getOrElse(
+      sys.error(s"nothing to cluster for $prefix"))
+    val base = dataDir(root, prefix)
+    val df = read(spark, root, prefix, Some(snap.version))
+    import org.apache.spark.sql.functions.{lit => flit, shiftleft, shiftright, when}
+    val bucketCols = columns.map { c =>
+      val splits = equiDepthSplits(df, c, buckets)
+      if (splits.isEmpty) flit(0L)
+      else splits.map(s => when(col(c) >= s, 1L).otherwise(0L)).reduce(_ + _)
+    }
+    val nbits = 32 - Integer.numberOfLeadingZeros(math.max(1, buckets - 1))
+    val zKey = (0 until nbits).flatMap { j =>
+      bucketCols.zipWithIndex.map { case (b, i) =>
+        shiftleft(shiftright(b, j).bitwiseAND(flit(1L)), j * columns.size + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+    val before = listDataFiles(root, prefix).toSet
+    val out = df.withColumn("_graft_z", zKey)
+      .repartitionByRange(targetFiles, col("_graft_z"))
+      .drop("_graft_z")
+    val writer = out.write.mode("append")
+    (if (out.columns.contains("topic")) writer.partitionBy("topic") else writer)
       .parquet(base.toString)
     val added = (listDataFiles(root, prefix).toSet -- before).toSeq.map { rel =>
       val abs = base.resolve(rel)

@@ -148,6 +148,38 @@ object LakehouseQueries extends QueryRegistry {
       Some("""SELECT COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba
              |FROM range(0,1000) t(id)""".stripMargin)),
 
+    // Z-order clustering (OPTIMIZE ZORDER BY x, y): after the rewrite,
+    // every file covers a narrow range on BOTH derived dimensions, so
+    // the conjunctive range read opens only overlapping files
+    // (file-count effectiveness is asserted plan-wise in SnapshotSpec;
+    // the oracle pins that multi-column skipping never changes
+    // semantics — it replays the dimension arithmetic directly).
+    QueryDef("q136_zorder_pruned_read",
+      (s, _) => {
+        val root = staged(s, "zorder_v1") { tmp =>
+          s.range(16384)
+            .select(col("id").as("ba"),
+              expr("id % 128").as("x"), expr("id DIV 128").as("y"))
+            .repartition(16) // hash-shuffled: worst pre-Z layout
+            .write.parquet(graft.ingest.Topics.tableDir(tmp, "z"))
+          Snapshots.commit(tmp, "z", 16383)
+          Snapshots.clusterZOrder(s, tmp, "z", Seq("x", "y"), targetFiles = 16)
+          ()
+        }
+        Snapshots.readPrunedMulti(s, root, "z", Seq(
+            Snapshots.StatRange.longRange("x", 0, 15),
+            Snapshots.StatRange.longRange("y", 0, 15)))
+          .agg(count(lit(1)).as("cnt"),
+            sum("ba").cast("bigint").as("sum_ba"),
+            max("x").cast("bigint").as("max_x"),
+            max("y").cast("bigint").as("max_y"))
+      },
+      Some("""SELECT COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba,
+             |CAST(MAX(id % 128) AS BIGINT) AS max_x,
+             |CAST(MAX(id // 128) AS BIGINT) AS max_y
+             |FROM range(0,16384) t(id)
+             |WHERE id % 128 BETWEEN 0 AND 15 AND id // 128 BETWEEN 0 AND 15""".stripMargin)),
+
     // CHECK constraints (Delta-style): a merge whose source violates a
     // registered predicate is refused before any file is written, so
     // the committed state carries only conforming rows — which is what

@@ -419,6 +419,85 @@ class SnapshotSpec extends SparkTestBase {
     assert(Snapshots.readChanges(spark, root, "s22", 0, Some(v2)).count() == 100)
   }
 
+  test("sortable keys preserve ordering for doubles, strings, binary prefixes") {
+    val doubles = Seq(Double.MinValue, -1e300, -2.0, -1.0, -1e-300, -0.0,
+      0.0, 1e-300, 1.0, 2.0, 1e300, Double.MaxValue)
+    assert(doubles.map(graft.ingest.SortKeys.doubleKey) == doubles.map(graft.ingest.SortKeys.doubleKey).sorted)
+    val rnd = new scala.util.Random(7)
+    val rds = Seq.fill(500)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(20) - 10)).sorted
+    assert(rds.map(graft.ingest.SortKeys.doubleKey) == rds.map(graft.ingest.SortKeys.doubleKey).sorted)
+    // strings: non-strict monotone (prefix collisions allowed, order never inverted)
+    val strs = Seq("", "a", "ab", "abc", "abcdefghij", "abcdefghiz", "b", "ba", "z").sorted
+    val keys = strs.map(graft.ingest.SortKeys.stringKey)
+    assert(keys == keys.sorted)
+    assert(graft.ingest.SortKeys.stringKey("samePrefixXXXX") ==
+      graft.ingest.SortKeys.stringKey("samePrefixYYYY")) // 8-byte collision is expected
+  }
+
+  test("footer stats cover double and string columns; typed pruning is exact-conservative") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    import spark.implicits._
+    (0L until 4000L).map(i => (i, i / 40.0, f"doc${i}%06d"))
+      .toDF("ba", "weight", "doc_id")
+      .repartitionByRange(8, col("ba"))
+      .write.parquet(graft.ingest.Topics.tableDir(root, "s23"))
+    Snapshots.commit(root, "s23", 3999)
+    val snap = Snapshots.snapshot(root, "s23").get
+    assert(snap.stats.exists(s => s.column == "weight" && s.typ == "D"))
+    assert(snap.stats.exists(s => s.column == "doc_id" && s.typ == "S"))
+    // double pruning: layout is range-clustered on ba, and weight is a
+    // monotone function of ba, so a narrow weight range skips files
+    val dRange = Snapshots.StatRange.doubleRange("weight", 10.0, 19.975)
+    assert(Snapshots.pruneFilesMulti(root, "s23", Seq(dRange)).size < snap.files.size)
+    val dRead = Snapshots.readPrunedMulti(spark, root, "s23", Seq(dRange))
+    assert(dRead.count() == 400) // ba 400..799
+    // string pruning: doc ids are zero-padded, so lexical order = numeric
+    val sRange = Snapshots.StatRange.stringRange("doc_id", "doc001000", "doc001399")
+    assert(Snapshots.pruneFilesMulti(root, "s23", Seq(sRange)).size < snap.files.size)
+    val sRead = Snapshots.readPrunedMulti(spark, root, "s23", Seq(sRange))
+    assert(sRead.count() == 400)
+    // pruning never changes semantics vs the unpruned filtered read
+    val full = Snapshots.read(spark, root, "s23")
+      .filter(col("doc_id") >= "doc001000" && col("doc_id") <= "doc001399")
+    assert(sRead.select("ba").except(full.select("ba")).count() == 0)
+    assert(full.select("ba").except(sRead.select("ba")).count() == 0)
+  }
+
+  test("Z-order clustering makes pruning compose across columns") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    import spark.implicits._
+    // two INDEPENDENT dimensions (x, y): single-column clustering can
+    // serve only one of them; start hash-shuffled so nothing prunes
+    val n = 16384
+    (0L until n.toLong).map(i => (i % 128, i / 128, s"r$i"))
+      .toDF("x", "y", "payload")
+      .repartition(16)
+      .write.parquet(graft.ingest.Topics.tableDir(root, "s24"))
+    Snapshots.commit(root, "s24", n - 1)
+    val files0 = Snapshots.snapshot(root, "s24").get.files
+    val xr = Snapshots.StatRange.longRange("x", 0, 15)
+    val yr = Snapshots.StatRange.longRange("y", 0, 15)
+    assert(Snapshots.pruneFilesMulti(root, "s24", Seq(xr, yr)).size == files0.size)
+    val v = Snapshots.clusterZOrder(spark, root, "s24", Seq("x", "y"), targetFiles = 16)
+    assert(Snapshots.snapshot(root, "s24").get.version == v)
+    val filesZ = Snapshots.snapshot(root, "s24").get.files
+    // each single-column range prunes…
+    assert(Snapshots.pruneFilesMulti(root, "s24", Seq(xr)).size < filesZ.size)
+    assert(Snapshots.pruneFilesMulti(root, "s24", Seq(yr)).size < filesZ.size)
+    // …and the conjunction prunes harder than either alone
+    val both = Snapshots.pruneFilesMulti(root, "s24", Seq(xr, yr))
+    assert(both.size <= Snapshots.pruneFilesMulti(root, "s24", Seq(xr)).size)
+    assert(both.size <= filesZ.size / 2)
+    // rows unchanged; the pruned conjunctive read is exact
+    val t = Snapshots.read(spark, root, "s24")
+    assert(t.count() == n)
+    assert(t.agg(sum("x")).head().getLong(0) == (0L until n.toLong).map(_ % 128).sum)
+    val zRead = Snapshots.readPrunedMulti(spark, root, "s24", Seq(xr, yr))
+    assert(zRead.count() == 16 * 16)
+    // time travel to the pre-Z version intact
+    assert(Snapshots.read(spark, root, "s24", Some(v - 1)).count() == n)
+  }
+
   test("unknown version is refused") {
     val root = Files.createTempDirectory("graft_snap").toString
     ProduceJob.produceBatch(spark, root, "s4", topics = 1, numMessages = 10)
