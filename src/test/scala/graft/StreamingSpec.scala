@@ -147,6 +147,66 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("event-time timers close sessions when the watermark passes the gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(Long, Timestamp)] // (user, event time)
+    val out = ms.toDS().toDF("user", "etime")
+      .withWatermark("etime", "0 seconds")
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.SessionTimeoutProcessor(gapMs = 60000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+    val q = out.toDF("user", "n", "start_ms", "end_ms").writeStream
+      .format("memory").queryName("timer_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def closed() = spark.table("timer_sessions")
+        .filter(col("user") =!= 99L).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          new Timestamp(r.getLong(2)), new Timestamp(r.getLong(3)))).toSet
+
+      // open sessions: user 1 (two events 30s apart), user 2 (one event)
+      ms.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:10")))
+      ms.addData((1L, ts("2024-01-01 00:00:30")))
+      q.processAllAvailable()
+      assert(closed().isEmpty) // watermark hasn't reached any deadline yet
+      // sentinel user 99 drags the watermark far past both deadlines;
+      // the watermark computed at the end of this batch drives timer
+      // expiry in the NEXT batch, hence two sentinel steps
+      ms.addData((99L, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      ms.addData((99L, ts("2024-01-01 00:20:00")))
+      q.processAllAvailable()
+      assert(closed() == Set(
+        (1L, 2L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:30")),
+        (2L, 1L, ts("2024-01-01 00:00:10"), ts("2024-01-01 00:00:10"))))
+      // a key re-keying AFTER its session closed opens a fresh one:
+      // state was cleared by the timer, not merely emitted (the new
+      // event must sit ahead of the 00:20 watermark or it's late data)
+      ms.addData((1L, ts("2024-01-01 00:25:00")))
+      q.processAllAvailable()
+      ms.addData((99L, ts("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      ms.addData((99L, ts("2024-01-01 00:40:00")))
+      q.processAllAvailable()
+      assert(closed().contains(
+        (1L, 1L, ts("2024-01-01 00:25:00"), ts("2024-01-01 00:25:00"))))
+      assert(closed().size == 3)
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("q46 session windows merge events within the 30-minute gap") {
     val rows = run("q46_stream_session_window").collect()
     assert(rows.nonEmpty)
