@@ -248,6 +248,40 @@ object TrainingQueries extends QueryRegistry {
              |SELECT CAST(FLOOR((cum - ntok) / 512) AS BIGINT) AS bin,
              |  COUNT(*) AS docs, CAST(SUM(ntok) AS BIGINT) AS tokens,
              |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-             |FROM c GROUP BY 1 ORDER BY bin""".stripMargin))
+             |FROM c GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // Benchmark decontamination: flag corpus documents sharing any
+    // exact token n-gram with an evaluation set (the GPT-3/PaLM-style
+    // leakage check every LLM pipeline runs before training). The eval
+    // side is always tiny relative to the corpus, so its distinct
+    // n-grams BROADCAST and the corpus side stays a single scan +
+    // explode — no shuffle of corpus text at any scale. Trigrams here
+    // (the fixtures' docs are short); production uses 8–13-grams, same
+    // plan.
+    QueryDef("q137_decontaminate",
+      (s, dir) => {
+        def grams(d: org.apache.spark.sql.DataFrame) = d
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', " +
+              "element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"))
+            .as("g"))
+        val docs = Tables.documents(s, dir)
+        val bench = grams(docs.filter(col("doc_id") < 5)).select("g").distinct()
+        grams(docs.filter(col("doc_id") >= 5))
+          .dropDuplicates("doc_id", "g")
+          .join(broadcast(bench), Seq("g"))
+          .groupBy("doc_id").agg(count(lit(1)).as("hit_grams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |g AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+             |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+             |            FROM toks WHERE len(t) >= 3)),
+             |bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 5),
+             |corpus AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id >= 5)
+             |SELECT doc_id, COUNT(*) AS hit_grams FROM corpus JOIN bench USING (g)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

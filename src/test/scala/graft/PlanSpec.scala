@@ -106,6 +106,14 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("q137: decontamination joins the corpus against a BROADCAST eval set") {
+    // the eval side is metadata-scale vs the corpus — if this ever
+    // degrades to a sort-merge join, the corpus n-grams shuffle and the
+    // plan dies at 100 TB
+    val plan = planOf("q137_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("q119: top-3-per-doc filter plans as a window group limit") {
     // the rank-then-filter idiom must push the limit into the window
     // sort (WindowGroupLimit), never rank every term then filter
