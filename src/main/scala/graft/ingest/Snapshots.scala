@@ -397,6 +397,76 @@ object Snapshots {
       .parquet(added.map(f => base.resolve(f).toString): _*)
   }
 
+  private def cdcDir(root: String, prefix: String, version: Int): Path =
+    Paths.get(s"$root/$prefix._cdc").resolve(f"v$version%05d")
+
+  /** Stage row-grain change records (already carrying `_change_type`)
+    * for a rewrite op, then move them into place once the snapshot
+    * version is known. Staged under a random name so a racing writer
+    * can't collide; the rename happens AFTER the snapshot commit, so a
+    * crash in between degrades that one version to file-grain change
+    * attribution (readChangeFeed's documented fallback) — it can never
+    * misattribute rows. */
+  private def writeCdc(root: String, prefix: String,
+                       changes: DataFrame)(commit: => Int): Int = {
+    val staging = Paths.get(s"$root/$prefix._cdc")
+      .resolve("staging-" + java.util.UUID.randomUUID().toString.take(8))
+    changes.write.mode("overwrite").parquet(staging.toString)
+    val v = commit
+    Files.move(staging, cdcDir(root, prefix, v))
+    v
+  }
+
+  /** Row-grain change feed (Delta CDF-style): every row added, updated,
+    * or deleted between `fromVersion` (exclusive) and `toVersion`
+    * (inclusive), tagged with `_change_type` ∈ {insert,
+    * update_postimage, delete} and `_commit_version`.
+    *
+    * Sources per commit: appends read their added files (file grain IS
+    * row grain for pure additions); merge/delete commits read the CDC
+    * records staged at write time — so the copied-along rows of a
+    * rewritten file never appear, fixing the file-grain caveat of
+    * [[readChanges]]. Compaction/clustering contribute nothing. A
+    * rewrite commit missing its CDC directory (pre-round-4 table, or a
+    * crash between commit and CDC rename) falls back to file-grain
+    * attribution of its added files, tagged `insert`. */
+  def readChangeFeed(spark: SparkSession, root: String, prefix: String,
+                     fromVersion: Int, toVersion: Option[Int] = None): DataFrame = {
+    require(snapshot(root, prefix, Some(fromVersion)).isDefined,
+      s"no snapshot v$fromVersion for $prefix")
+    val to = snapshot(root, prefix, toVersion).getOrElse(
+      sys.error(s"no snapshot for $prefix"))
+    val base = dataDir(root, prefix)
+    val cols = read(spark, root, prefix, Some(to.version)).columns.toSeq
+    def shape(df: DataFrame, v: Int): DataFrame =
+      df.select((cols.map(col) :+ col("_change_type") :+
+        org.apache.spark.sql.functions.lit(v).as("_commit_version")): _*)
+    val parts = versions(root, prefix)
+      .filter(v => v > fromVersion && v <= to.version)
+      .flatMap { v =>
+        val cur = snapshot(root, prefix, Some(v)).get
+        lazy val addedFiles = (cur.files.toSet --
+          snapshot(root, prefix, Some(v - 1)).map(_.files.toSet).getOrElse(Set.empty)).toSeq.sorted
+        def fromFiles(tag: String): Option[DataFrame] =
+          if (addedFiles.isEmpty) None
+          else Some(shape(spark.read.option("basePath", base.toString)
+            .parquet(addedFiles.map(f => base.resolve(f).toString): _*)
+            .withColumn("_change_type", org.apache.spark.sql.functions.lit(tag)), v))
+        cur.op match {
+          case "compact" => None
+          case "append" => fromFiles("insert")
+          case _ => // merge/delete: row-grain CDC records, else file-grain fallback
+            if (Files.isDirectory(cdcDir(root, prefix, v)))
+              Some(shape(spark.read.parquet(cdcDir(root, prefix, v).toString), v))
+            else fromFiles("insert")
+        }
+      }
+    if (parts.isEmpty)
+      shape(read(spark, root, prefix, Some(to.version))
+        .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert")), 0).limit(0)
+    else parts.reduce(_.unionByName(_))
+  }
+
   /** Compact the latest snapshot: per partition directory, rewrite its
     * small files into one, and commit a version that pins the rewritten
     * set and records the originals as superseded. Data is unchanged
@@ -526,11 +596,11 @@ object Snapshots {
             .toSeq.sorted
         }
       val before = listDataFiles(root, prefix).toSet
-      val survivors =
+      val oldMatched =
         if (matchedFiles.isEmpty) source.limit(0)
         else spark.read.option("basePath", base.toString)
           .parquet(matchedFiles.map(f => base.resolve(f).toString): _*)
-          .join(srcKeys, keys, "left_anti")
+      val survivors = oldMatched.join(srcKeys, keys, "left_anti")
       val out = survivors.unionByName(source)
       val writer = out.write.mode("append")
       (if (out.columns.contains("topic")) writer.partitionBy("topic") else writer)
@@ -543,8 +613,20 @@ object Snapshots {
         Files.move(abs, marked)
         base.relativize(marked).toString
       }
-      commitRewrite(root, prefix, "merge", matchedFiles.toSet, added,
-        matchedFiles, snap.maxPos, txn)
+      // row-grain change records: a source row whose key existed is an
+      // update post-image, otherwise an insert (cost is O(changes) —
+      // keys of the matched files only, never the table)
+      val oldKeys = oldMatched.select(keys.map(col): _*).distinct()
+        .withColumn("_graft_matched", org.apache.spark.sql.functions.lit(1))
+      val cdc = source.join(oldKeys, keys, "left")
+        .withColumn("_change_type",
+          org.apache.spark.sql.functions.when(col("_graft_matched").isNotNull,
+            "update_postimage").otherwise("insert"))
+        .drop("_graft_matched")
+      writeCdc(root, prefix, cdc) {
+        commitRewrite(root, prefix, "merge", matchedFiles.toSet, added,
+          matchedFiles, snap.maxPos, txn)
+      }
     }
   }
 
@@ -631,9 +713,9 @@ object Snapshots {
       if (matchedFiles.isEmpty) snap.version // nothing to delete
       else {
         val before = listDataFiles(root, prefix).toSet
-        val survivors = spark.read.option("basePath", base.toString)
+        val touched = spark.read.option("basePath", base.toString)
           .parquet(matchedFiles.map(f => base.resolve(f).toString): _*)
-          .filter(!matches)
+        val survivors = touched.filter(!matches)
         val writer = survivors.write.mode("append")
         (if (survivors.columns.contains("topic")) writer.partitionBy("topic") else writer)
           .parquet(base.toString)
@@ -643,8 +725,13 @@ object Snapshots {
           Files.move(abs, marked)
           base.relativize(marked).toString
         }
-        commitRewrite(root, prefix, "delete", matchedFiles.toSet, added,
-          matchedFiles, snap.maxPos, txn)
+        // row-grain change records: the deleted rows' pre-images
+        val cdc = touched.filter(matches)
+          .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete"))
+        writeCdc(root, prefix, cdc) {
+          commitRewrite(root, prefix, "delete", matchedFiles.toSet, added,
+            matchedFiles, snap.maxPos, txn)
+        }
       }
     }
   }
@@ -796,7 +883,22 @@ object Snapshots {
                      catch { case _: java.io.IOException => true })
       }
       .foreach(f => Files.deleteIfExists(base.resolve(f)))
-    vs.filter(_ < keepFrom).foreach(v =>
-      Files.deleteIfExists(logDir(root, prefix).resolve(f"v$v%05d.json")))
+    def rmTree(p: Path): Unit = if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+    }
+    vs.filter(_ < keepFrom).foreach { v =>
+      Files.deleteIfExists(logDir(root, prefix).resolve(f"v$v%05d.json"))
+      rmTree(cdcDir(root, prefix, v)) // change records die with their version
+    }
+    // CDC staging dirs are pre-commit state; one older than the grace
+    // window is crash garbage (its rewrite either committed — and the
+    // rename happened — or died)
+    val cdcRoot = Paths.get(s"$root/$prefix._cdc")
+    if (Files.isDirectory(cdcRoot))
+      Files.list(cdcRoot).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("staging-"))
+        .filter(p => try now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs
+                     catch { case _: java.io.IOException => false })
+        .foreach(rmTree)
   }
 }

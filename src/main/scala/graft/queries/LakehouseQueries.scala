@@ -148,6 +148,36 @@ object LakehouseQueries extends QueryRegistry {
       Some("""SELECT COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba
              |FROM range(0,1000) t(id)""".stripMargin)),
 
+    // Row-grain change feed (Delta CDF-style): merge/delete commits
+    // stage explicit change records at write time, so the feed carries
+    // exactly the upserted post-images and deleted pre-images — never
+    // the copied-along rows of rewritten files (the file-grain caveat
+    // readChanges documents). History: v0 append 0..999, v1 merge
+    // 500..1199 (500 updates + 200 inserts), v2 delete ba%10=0; the
+    // oracle replays that history arithmetically per change type.
+    QueryDef("q138_change_feed",
+      (s, _) => {
+        val root = staged(s, "cdf_v1") { tmp =>
+          ProduceJob.produceBatch(s, tmp, "f", topics = 1, numMessages = 1000)
+          Snapshots.merge(s, tmp, "f",
+            genRows(s, 500, 1200, "upd", "f", topics = 1), Seq("ba"),
+            txn = Some("q138m"))
+          Snapshots.delete(s, tmp, "f", col("ba") % 10 === 0, txn = Some("q138d"))
+          ()
+        }
+        Snapshots.readChangeFeed(s, root, "f", fromVersion = 0)
+          .groupBy("_change_type")
+          .agg(count(lit(1)).as("cnt"),
+            sum("ba").cast("bigint").as("sum_ba"))
+          .orderBy("_change_type")
+      },
+      Some("""WITH feed AS (
+             |  SELECT 'update_postimage' AS _change_type, id FROM range(500,1000) t(id)
+             |  UNION ALL SELECT 'insert', id FROM range(1000,1200) t(id)
+             |  UNION ALL SELECT 'delete', id FROM range(0,1200) t(id) WHERE id % 10 = 0)
+             |SELECT _change_type, COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba
+             |FROM feed GROUP BY 1 ORDER BY _change_type""".stripMargin)),
+
     // Z-order clustering (OPTIMIZE ZORDER BY x, y): after the rewrite,
     // every file covers a narrow range on BOTH derived dimensions, so
     // the conjunctive range read opens only overlapping files

@@ -419,6 +419,43 @@ class SnapshotSpec extends SparkTestBase {
     assert(Snapshots.readChanges(spark, root, "s22", 0, Some(v2)).count() == 100)
   }
 
+  test("change feed: row-grain inserts, update post-images, delete pre-images") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "s25", topics = 1, numMessages = 400) // v0
+    val src = ProduceJob.personProjection(
+      spark.range(300, 500).toDF("cnt"), "cnt", "s25", 1)
+      .withColumn("name", lit("upd"))
+    val vM = Snapshots.merge(spark, root, "s25", src, Seq("ba"))      // v1
+    val vD = Snapshots.delete(spark, root, "s25", col("ba") < 50)     // v2
+    val vC = Snapshots.compact(spark, root, "s25")                    // v3
+    val feed = Snapshots.readChangeFeed(spark, root, "s25", fromVersion = 0)
+    val byType = feed.groupBy("_change_type")
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // merge: ba 300..399 existed (post-images), 400..499 are inserts;
+    // delete: ba 0..49 pre-images; compaction contributes nothing
+    assert(byType == Map("update_postimage" -> 100L, "insert" -> 100L, "delete" -> 50L))
+    assert(feed.filter(col("_change_type") === "delete")
+      .agg(max("ba")).head().getLong(0) == 49L)
+    // commit attribution rides along
+    assert(feed.filter(col("_commit_version") === vM).count() == 200)
+    assert(feed.filter(col("_commit_version") === vD).count() == 50)
+    assert(feed.filter(col("_commit_version") === vC).count() == 0)
+    // narrowing the span narrows the feed
+    assert(Snapshots.readChangeFeed(spark, root, "s25", vM, Some(vD)).count() == 50)
+    // appends themselves are inserts when read from their own base
+    val full = Snapshots.readChangeFeed(spark, root, "s25", 0, Some(0))
+    assert(full.count() == 0) // (0,0] is empty — from is exclusive
+    // fallback: a rewrite whose CDC dir is missing degrades to
+    // file-grain insert attribution instead of failing
+    import scala.jdk.CollectionConverters._
+    val cdcV = java.nio.file.Paths.get(s"$root/s25._cdc")
+      .resolve(f"v$vD%05d")
+    Files.walk(cdcV).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+    val degraded = Snapshots.readChangeFeed(spark, root, "s25", vM, Some(vD))
+    assert(degraded.filter(col("_change_type") === "insert").count() == degraded.count())
+  }
+
   test("sortable keys preserve ordering for doubles, strings, binary prefixes") {
     val doubles = Seq(Double.MinValue, -1e300, -2.0, -1.0, -1e-300, -0.0,
       0.0, 1e-300, 1.0, 2.0, 1e300, Double.MaxValue)
