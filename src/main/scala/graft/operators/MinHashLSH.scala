@@ -149,6 +149,33 @@ object MinHashLSH {
       .distinct()
   }
 
+  /** Incremental near-dedup: candidate matches of a NEW batch against
+    * an already-ingested corpus — the steady-state shape of a training
+    * pipeline, where re-running all-pairs dedup per arrival would be
+    * quadratic in corpus history. The history side's (band, key, id,
+    * sig) rows are exactly what a persisted fingerprint store holds
+    * (at scale: a snapshot table bucketed by key, appended per batch —
+    * [[bucketRows]] run once per document ever); the batch side joins
+    * against it on the band bucket, so the per-arrival cost is
+    * O(batch + matched buckets), independent of corpus size.
+    *
+    * @return (new_id, hist_id, est_jaccard), distinct — only (long,
+    *   long, double) rows cross the final shuffle, never signatures
+    */
+  def incrementalCandidates(history: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
+    val h = bucketRows(history, idCol, textCol)
+      .select(col("band"), col("key"), col("id").as("hist_id"), col("sig").as("hsig"))
+    val b = bucketRows(batch, idCol, textCol)
+      .select(col("band"), col("key"), col("id").as("new_id"), col("sig").as("nsig"))
+    val est = aggregate(
+      zip_with(col("nsig"), col("hsig"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v) / lit(K.toDouble)
+    b.join(h, Seq("band", "key"))
+      .select(col("new_id"), col("hist_id"), est.as("est_jaccard"))
+      .distinct()
+  }
+
   /** The buckets a capped [[candidatePairs]] run drops, as
     * (band, key, n) — coverage loss is observable, never silent. */
   def droppedBuckets(docs: DataFrame, idCol: String, textCol: String,

@@ -516,6 +516,61 @@ object CurationQueries extends QueryRegistry {
               |  FROM sigs a JOIN sigs b
               |    ON a.vec_id < b.vec_id
               |   AND len(list_intersect(a.buckets, b.buckets)) > 0)
-              |WHERE sim > 0.2 ORDER BY a_id, b_id""".stripMargin))
+              |WHERE sim > 0.2 ORDER BY a_id, b_id""".stripMargin)),
+
+    // Incremental near-dedup: a NEW batch (docs 400+, plus injected
+    // near-exact copies of history docs) matched against the
+    // already-ingested corpus's fingerprint store — the steady-state
+    // pipeline shape where per-arrival cost must not grow with corpus
+    // history. The oracle replays the full signature arithmetic for
+    // both sides and the band-bucket join.
+    QueryDef("q139_incremental_dedup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val history = d.filter(col("doc_id") < 400)
+          .select(col("doc_id").as("id"), col("text"))
+        val batch = d.filter(col("doc_id") >= 400)
+          .select(col("doc_id").as("id"), col("text"))
+          .unionAll(d.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 200000).as("id"), col("text")))
+        MinHashLSH.incrementalCandidates(history, batch, "id", "text")
+          .filter(col("est_jaccard") >= 0.5)
+          .groupBy(col("new_id"))
+          .agg(count(lit(1)).as("matches"),
+            min("hist_id").as("first_match"),
+            max("est_jaccard").as("best_est"))
+          .orderBy("new_id")
+      },
+      Some({
+        val a = MinHashLSH.A.mkString("[", ",", "]")
+        val b = MinHashLSH.B.mkString("[", ",", "]")
+        s"""WITH allsides AS (
+           |  SELECT 'h' AS side, doc_id AS id, text FROM documents WHERE doc_id < 400
+           |  UNION ALL SELECT 'n', doc_id, text FROM documents WHERE doc_id >= 400
+           |  UNION ALL SELECT 'n', doc_id + 200000, text FROM documents WHERE doc_id < 10),
+           |sh AS (
+           |  SELECT side, id, list_distinct(list_transform(
+           |    generate_series(1, len(string_split(text,' ')) - 2),
+           |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+           |  FROM allsides WHERE len(string_split(text,' ')) >= 3),
+           |sigs AS (
+           |  SELECT side, id, list_transform(generate_series(0,15), i ->
+           |    list_min(list_transform(sh, s ->
+           |      ($a[i+1] * CAST(('0x' || substr(md5(s),1,8)) AS BIGINT) + $b[i+1]) % ${MinHashLSH.P}))) AS sig
+           |  FROM sh WHERE len(sh) > 0),
+           |buckets AS (
+           |  SELECT side, id, sig, j.j AS band,
+           |    md5(array_to_string(list_transform(list_slice(sig, j.j*4+1, j.j*4+4), v -> CAST(v AS VARCHAR)), '-')) AS key
+           |  FROM sigs, generate_series(0,3) j(j)),
+           |cand AS (
+           |  SELECT DISTINCT n.id AS new_id, h.id AS hist_id,
+           |    list_sum(list_transform(generate_series(1,16),
+           |      i -> CASE WHEN n.sig[i] = h.sig[i] THEN 1 ELSE 0 END)) / CAST(16 AS DOUBLE) AS est
+           |  FROM buckets n JOIN buckets h ON n.band = h.band AND n.key = h.key
+           |  WHERE n.side = 'n' AND h.side = 'h')
+           |SELECT new_id, COUNT(*) AS matches, MIN(hist_id) AS first_match,
+           |  CAST(MAX(est) AS DOUBLE) AS best_est
+           |FROM cand WHERE est >= 0.5 GROUP BY new_id ORDER BY new_id""".stripMargin
+      }))
   )
 }

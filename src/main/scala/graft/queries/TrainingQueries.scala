@@ -282,6 +282,46 @@ object TrainingQueries extends QueryRegistry {
              |bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 5),
              |corpus AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id >= 5)
              |SELECT doc_id, COUNT(*) AS hit_grams FROM corpus JOIN bench USING (g)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Vocabulary coverage / OOV rate: the corpus's top-100 tokens by
+    // global frequency (unique total order: count desc, token asc) form
+    // the vocabulary; each document reports what fraction of its token
+    // OCCURRENCES fall outside it — the tokenizer-fit metric training
+    // pipelines track per source. The vocabulary is metadata-scale by
+    // construction, so the per-document side joins against a BROADCAST
+    // and the corpus is scanned once for counting, once for scoring.
+    QueryDef("q140_oov_rate",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val vocab = d.select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok").asc).limit(100)
+          .select(col("tok"), lit(1).as("_in_vocab"))
+        d.filter(col("doc_id") < 300)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("_in_vocab").isNull, 1).otherwise(0)).cast("bigint").as("oov"),
+            (sum(when(col("_in_vocab").isNull, 1).otherwise(0)).cast("double") /
+              count(lit(1)).cast("double")).as("oov_rate"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |vocab AS (
+             |  SELECT tok FROM (
+             |    SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+             |    ORDER BY c DESC, tok LIMIT 100)),
+             |dt AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents WHERE doc_id < 300)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+             |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+             |FROM dt LEFT JOIN vocab v ON dt.tok = v.tok
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

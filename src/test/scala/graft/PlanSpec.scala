@@ -114,6 +114,11 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("q140: OOV scoring joins documents against a BROADCAST vocabulary") {
+    val plan = planOf("q140_oov_rate")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("q119: top-3-per-doc filter plans as a window group limit") {
     // the rank-then-filter idiom must push the limit into the window
     // sort (WindowGroupLimit), never rank every term then filter
