@@ -39,6 +39,8 @@ object DedupComponents {
     // cheap aggregate detects stability, no per-round diff join.
     // Summed as DECIMAL(38,0): a 64-bit sum could wrap at extreme id
     // scales and a wrap-to-equal would false-positive convergence.
+    // The sum rides the round's own materialization via observe(), so
+    // each round costs exactly one job, not a checkpoint + an agg.
     def labelSum(df: org.apache.spark.sql.DataFrame): BigDecimal =
       Option(df.agg(sum(col("comp").cast("decimal(38,0)")))
         .head().getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
@@ -50,11 +52,15 @@ object DedupComponents {
       // shuffle, so a hot hub node ships one row per partition)
       val nbrMin = edges.join(labels, edges("b_id") === labels("id"))
         .groupBy(edges("a_id").as("nid")).agg(min("comp").as("nbr"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+      val metric = s"graft_comp_sum_$iter"
+      val observed = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      val s = labelSum(updated)
+        .observe(metric, sum(col("comp").cast("decimal(38,0)")).as("s"))
+      val updated = observed.localCheckpoint(true)
+      val s = observed.queryExecution.observedMetrics.get(metric)
+        .flatMap(r => Option(r.getDecimal(0))).map(BigDecimal(_))
+        .getOrElse(labelSum(updated)) // defensive: observe missed → recount
       converged = s == prevSum
       prevSum = s
       labels = updated

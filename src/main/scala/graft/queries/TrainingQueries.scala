@@ -322,6 +322,51 @@ object TrainingQueries extends QueryRegistry {
              |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
              |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
              |FROM dt LEFT JOIN vocab v ON dt.tok = v.tok
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ANALYZE-style column profiling: one scan computes row count,
+    // null count, exact distinct count, and min/max for a set of
+    // columns, emitted one row per column (a single agg row restacked
+    // — never one scan per column). The profile a table catalog keeps
+    // for optimizer stats and a pipeline keeps for drift detection.
+    QueryDef("q141_profile",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val profiled = Seq("l_orderkey", "l_quantity", "l_returnflag")
+        val aggs = profiled.flatMap { c => Seq(
+          count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"))
+        }
+        val one = li.agg(count(lit(1)).as("n"), aggs: _*)
+        val stack = profiled.map(c =>
+          s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+        one.select(col("n"), expr(
+            s"stack(${profiled.size}, $stack) AS (column, non_null, n_distinct, min_s, max_s)"))
+          .select(col("column"), col("n").as("rows"),
+            (col("n") - col("non_null")).as("nulls"),
+            col("n_distinct"), col("min_s"), col("max_s"))
+          .orderBy("column")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'l_orderkey' AS "column", COUNT(*) AS rows,
+             |    COUNT(*) - COUNT(l_orderkey) AS nulls,
+             |    COUNT(DISTINCT l_orderkey) AS n_distinct,
+             |    CAST(MIN(l_orderkey) AS VARCHAR) AS min_s,
+             |    CAST(MAX(l_orderkey) AS VARCHAR) AS max_s
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+             |    COUNT(DISTINCT l_quantity),
+             |    CAST(CAST(MIN(l_quantity) AS DECIMAL(18,1)) AS VARCHAR),
+             |    CAST(CAST(MAX(l_quantity) AS DECIMAL(18,1)) AS VARCHAR)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+             |    COUNT(DISTINCT l_returnflag),
+             |    MIN(l_returnflag), MAX(l_returnflag)
+             |  FROM lineitem)
+             |ORDER BY "column"""".stripMargin))
   )
 }
