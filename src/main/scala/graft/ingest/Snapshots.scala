@@ -343,6 +343,87 @@ object Snapshots {
       .filter(pred)
   }
 
+  /** Predicate-driven pruned read: the filter a caller would hand to
+    * `.filter(...)` anyway, analyzed for manifest skipping. Top-level
+    * AND conjuncts of the shape `column (=|<|<=|>|>=) literal` (either
+    * operand order) on INT64/DOUBLE/STRING columns become stat ranges;
+    * everything else is ignored for pruning. The FULL predicate is
+    * re-applied after the scan, so unrecognized conjuncts cost skipping
+    * opportunities, never correctness — the same contract a DSv2
+    * SupportsPushDownFilters source gives the optimizer. */
+  def readWhere(spark: SparkSession, root: String, prefix: String,
+                predicate: org.apache.spark.sql.Column,
+                version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val table = read(spark, root, prefix, version)
+    // the ANALYZED filter condition: attributes resolved, literal casts
+    // inserted — the same tree a DSv2 pushdown would receive
+    val predExpr = table.filter(predicate).queryExecution.analyzed
+      .collectFirst { case f: LFilter => f.condition }
+      .getOrElse(return table.filter(predicate))
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: Attribute => Some(a.name)
+      case _ => None
+    }
+    // a comparison operand is usable when it folds to a scalar (covers
+    // bare literals and the analyzer's inserted casts around them)
+    def litVal(e: Expression): Option[Any] =
+      if (e.foldable) Option(e.eval(null)) else None
+    def keyed(v: Any): Option[(Long, String)] = v match {
+      case l: Long => Some((l, "L"))
+      case i: Int => Some((i.toLong, "L"))
+      case s: Short => Some((s.toLong, "L"))
+      case d: Double => if (d.isNaN) None else Some((SortKeys.doubleKey(d), "D"))
+      case f: Float => if (f.isNaN) None else Some((SortKeys.doubleKey(f.toDouble), "D"))
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        Some((SortKeys.bytesKey(u.getBytes), "S"))
+      case _ => None
+    }
+    // one conjunct → (column, loKey, hiKey, typ) in stat-key space
+    def range(e: Expression): Option[(String, Long, Long, String)] = {
+      def bound(a: Expression, v: Expression, lower: Boolean, upper: Boolean) =
+        for {
+          c <- attrName(a)
+          value <- litVal(v)
+          (k, t) <- keyed(value)
+        } yield (c, if (lower) k else Long.MinValue, if (upper) k else Long.MaxValue, t)
+      e match {
+        case EqualTo(a, v) => bound(a, v, lower = true, upper = true)
+          .orElse(bound(v, a, lower = true, upper = true))
+        case GreaterThan(a, v) => bound(a, v, lower = true, upper = false)
+          .orElse(bound(v, a, lower = false, upper = true))
+        case GreaterThanOrEqual(a, v) => bound(a, v, lower = true, upper = false)
+          .orElse(bound(v, a, lower = false, upper = true))
+        case LessThan(a, v) => bound(a, v, lower = false, upper = true)
+          .orElse(bound(v, a, lower = true, upper = false))
+        case LessThanOrEqual(a, v) => bound(a, v, lower = false, upper = true)
+          .orElse(bound(v, a, lower = true, upper = false))
+        case _ => None
+      }
+    }
+    // intersect all bounds per (column, typ): strict bounds are safe to
+    // widen to inclusive — stat overlap checks are conservative anyway
+    val ranges = conjuncts(predExpr).flatMap(range(_))
+      .groupBy(r => (r._1, r._4)).map { case ((c, t), rs) =>
+        StatRange(c, t, rs.map(_._2).max, rs.map(_._3).min,
+          org.apache.spark.sql.functions.lit(true))
+      }.toSeq
+    val base = dataDir(root, prefix)
+    val files =
+      if (ranges.isEmpty) snapshot(root, prefix, version).map(_.files).getOrElse(Seq.empty)
+      else pruneFilesMulti(root, prefix, ranges, version)
+    if (files.isEmpty) table.filter(predicate).limit(0)
+    else spark.read
+      .option("basePath", base.toString)
+      .parquet(files.map(f => base.resolve(f).toString): _*)
+      .filter(predicate)
+  }
+
   /** Read the table as of a version (default latest): exactly the
     * committed file set, regardless of files appended since. */
   def read(spark: SparkSession, root: String, prefix: String,

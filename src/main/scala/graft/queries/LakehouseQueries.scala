@@ -47,6 +47,21 @@ object LakehouseQueries extends QueryRegistry {
       ()
     }
 
+  /** Z-ordered two-dimension table shared by q136/q142: 16384 rows,
+    * x = id%128 and y = id/128 independent, hash-shuffled then
+    * clusterZOrder(x, y) into 16 files. */
+  private def stagedZorderTable(s: SparkSession): String =
+    staged(s, "zorder_v1") { tmp =>
+      s.range(16384)
+        .select(col("id").as("ba"),
+          expr("id % 128").as("x"), expr("id DIV 128").as("y"))
+        .repartition(16) // hash-shuffled: worst pre-Z layout
+        .write.parquet(graft.ingest.Topics.tableDir(tmp, "z"))
+      Snapshots.commit(tmp, "z", 16383)
+      Snapshots.clusterZOrder(s, tmp, "z", Seq("x", "y"), targetFiles = 16)
+      ()
+    }
+
   /** A1 generator rows for [lo, hi) with an overridden name column —
     * the deterministic merge/upsert source. */
   private def genRows(s: SparkSession, lo: Long, hi: Long, name: String,
@@ -186,16 +201,7 @@ object LakehouseQueries extends QueryRegistry {
     // semantics — it replays the dimension arithmetic directly).
     QueryDef("q136_zorder_pruned_read",
       (s, _) => {
-        val root = staged(s, "zorder_v1") { tmp =>
-          s.range(16384)
-            .select(col("id").as("ba"),
-              expr("id % 128").as("x"), expr("id DIV 128").as("y"))
-            .repartition(16) // hash-shuffled: worst pre-Z layout
-            .write.parquet(graft.ingest.Topics.tableDir(tmp, "z"))
-          Snapshots.commit(tmp, "z", 16383)
-          Snapshots.clusterZOrder(s, tmp, "z", Seq("x", "y"), targetFiles = 16)
-          ()
-        }
+        val root = stagedZorderTable(s)
         Snapshots.readPrunedMulti(s, root, "z", Seq(
             Snapshots.StatRange.longRange("x", 0, 15),
             Snapshots.StatRange.longRange("y", 0, 15)))
@@ -209,6 +215,28 @@ object LakehouseQueries extends QueryRegistry {
              |CAST(MAX(id // 128) AS BIGINT) AS max_y
              |FROM range(0,16384) t(id)
              |WHERE id % 128 BETWEEN 0 AND 15 AND id // 128 BETWEEN 0 AND 15""".stripMargin)),
+
+    // Predicate-driven pruning (readWhere): the caller hands the same
+    // filter it would pass to .filter(...); range conjuncts are
+    // extracted from the analyzed Catalyst tree and turned into
+    // manifest skips, unrecognized conjuncts just ride along — the
+    // DSv2 pushdown contract over the snapshot manifest. The oracle
+    // replays the predicate arithmetically.
+    QueryDef("q142_pruned_where",
+      (s, _) => {
+        val root = stagedZorderTable(s)
+        Snapshots.readWhere(s, root, "z",
+            col("x") >= 16 && col("x") <= 31 && col("y") < 8 && col("ba") % 2 === 0)
+          .agg(count(lit(1)).as("cnt"),
+            sum("ba").cast("bigint").as("sum_ba"),
+            min("x").cast("bigint").as("min_x"),
+            max("y").cast("bigint").as("max_y"))
+      },
+      Some("""SELECT COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba,
+             |CAST(MIN(id % 128) AS BIGINT) AS min_x,
+             |CAST(MAX(id // 128) AS BIGINT) AS max_y
+             |FROM range(0,16384) t(id)
+             |WHERE id % 128 BETWEEN 16 AND 31 AND id // 128 < 8 AND id % 2 = 0""".stripMargin)),
 
     // CHECK constraints (Delta-style): a merge whose source violates a
     // registered predicate is refused before any file is written, so

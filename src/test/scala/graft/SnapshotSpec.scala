@@ -500,6 +500,46 @@ class SnapshotSpec extends SparkTestBase {
     assert(full.select("ba").except(sRead.select("ba")).count() == 0)
   }
 
+  test("readWhere prunes from arbitrary predicates across column types") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    import spark.implicits._
+    (0L until 4000L).map(i => (i, i / 40.0, f"doc${i}%06d", s"r$i"))
+      .toDF("ba", "weight", "doc_id", "payload")
+      .repartitionByRange(8, col("ba"))
+      .write.parquet(graft.ingest.Topics.tableDir(root, "s26"))
+    Snapshots.commit(root, "s26", 3999)
+    val nFiles = Snapshots.snapshot(root, "s26").get.files.size
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles")).map { m =>
+          df.count() // force execution so metrics populate
+          m.value
+        }.headOption.getOrElse(-1L)
+    // compound predicate: long range + double bound + an unprunable
+    // conjunct (endsWith) — pruning uses the first two, semantics all
+    val pred = col("ba") >= 100 && col("ba") < 200 &&
+      col("weight") <= lit(4.9) && col("payload").endsWith("9")
+    val pruned = Snapshots.readWhere(spark, root, "s26", pred)
+    assert(filesRead(pruned) < nFiles)
+    val full = Snapshots.read(spark, root, "s26").filter(pred)
+    assert(pruned.count() == full.count() && pruned.count() > 0)
+    assert(pruned.select("ba").except(full.select("ba")).count() == 0)
+    assert(full.select("ba").except(pruned.select("ba")).count() == 0)
+    // string equality prunes on prefix-key stats
+    val sPred = col("doc_id") === "doc000123"
+    val sRead = Snapshots.readWhere(spark, root, "s26", sPred)
+    assert(filesRead(sRead) < nFiles)
+    assert(sRead.count() == 1)
+    // literal-first orientation and contradictory bounds
+    assert(Snapshots.readWhere(spark, root, "s26", lit(300L) > col("ba")).count() == 300)
+    assert(Snapshots.readWhere(spark, root, "s26",
+      col("ba") > 100 && col("ba") < 50).count() == 0)
+    // unprunable-only predicate falls back to the full file set, same rows
+    assert(Snapshots.readWhere(spark, root, "s26",
+      col("payload").startsWith("r39")).count() ==
+      Snapshots.read(spark, root, "s26").filter(col("payload").startsWith("r39")).count())
+  }
+
   test("Z-order clustering makes pruning compose across columns") {
     val root = Files.createTempDirectory("graft_snap").toString
     import spark.implicits._
