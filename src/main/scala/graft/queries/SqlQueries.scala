@@ -491,6 +491,60 @@ object SqlQueries extends QueryRegistry {
              |WHERE EXISTS (SELECT 1 FROM orders
              |              WHERE o_custkey = c.c_custkey AND o_totalprice > 400000)
              |   OR c_acctbal > 9000
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep duplicate
+    // multiplicity (q31 covers the DISTINCT variants) — identical text
+    // both engines, canonical multiplicities re-counted in the output
+    QueryDef("q143_except_all", sqlBoth(
+      """SELECT l_suppkey, COUNT(*) AS multiplicity FROM (
+        |  SELECT l_suppkey FROM lineitem WHERE l_quantity >= 10
+        |  EXCEPT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+    QueryDef("q143_intersect_all", sqlBoth(
+      """SELECT l_suppkey, COUNT(*) AS multiplicity FROM (
+        |  SELECT l_suppkey FROM lineitem WHERE l_quantity >= 10
+        |  INTERSECT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
+    // LATERAL correlated derived table: top-2 orders per high-balance
+    // customer — the decorrelation path ORDER BY + LIMIT inside a
+    // correlated subquery exercises (Catalyst plans a per-key group
+    // limit, not an all-orders sort)
+    QueryDef("q144_lateral_topk", sqlBoth(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |  LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |           WHERE o_custkey = c.c_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_acctbal > 9900
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)),
+
+    // Null-safe equality join: <=> (Spark) vs IS NOT DISTINCT FROM
+    // (DuckDB) — NULL keys MATCH each other, unlike '=' which drops
+    // them. Derived nullable keys make the NULL-match arm non-empty.
+    QueryDef("q145_nullsafe_join", sql(
+      """WITH a AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |                       ELSE o_orderkey % 100 END AS k,
+        |                  o_orderkey FROM orders WHERE o_orderkey < 300),
+        |b AS (SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |                  ELSE o_orderkey % 100 END AS k,
+        |             o_orderkey AS rhs_key FROM orders WHERE o_orderkey < 300)
+        |SELECT a.k, COUNT(*) AS matches,
+        |  CAST(SUM(a.o_orderkey + b.rhs_key) AS BIGINT) AS key_sum
+        |FROM a JOIN b ON a.k <=> b.k
+        |GROUP BY a.k ORDER BY a.k NULLS FIRST""".stripMargin),
+      Some("""WITH a AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+             |                       ELSE o_orderkey % 100 END AS k,
+             |                  o_orderkey FROM orders WHERE o_orderkey < 300),
+             |b AS (SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+             |                  ELSE o_orderkey % 100 END AS k,
+             |             o_orderkey AS rhs_key FROM orders WHERE o_orderkey < 300)
+             |SELECT a.k, COUNT(*) AS matches,
+             |  CAST(SUM(a.o_orderkey + b.rhs_key) AS BIGINT) AS key_sum
+             |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+             |GROUP BY a.k ORDER BY a.k NULLS FIRST""".stripMargin))
   )
 }

@@ -114,6 +114,11 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("q144: LATERAL top-k decorrelates to a window group limit, not a full sort") {
+    val plan = planOf("q144_lateral_topk")
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("q140: OOV scoring joins documents against a BROADCAST vocabulary") {
     val plan = planOf("q140_oov_rate")
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
