@@ -94,6 +94,37 @@ object PipelineQueries extends QueryRegistry {
              |FROM e CROSS JOIN p
              |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // Batched ANN: MANY probes answered in one corpus scan — the
+    // serving shape (per-query scans don't amortize; a probe BATCH
+    // broadcasts and every corpus partition scores all probes in one
+    // pass). Per-probe top-3 goes through the rank-filter idiom, which
+    // plans as WindowGroupLimit — never a full sort of probes×corpus.
+    QueryDef("q146_batched_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
+        val probes = broadcast(e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+        e.crossJoin(probes)
+          .select(col("probe_id"), col("vec_id"),
+            (dot(col("v"), col("pv")) /
+              sqrt(dot(col("v"), col("v")) * dot(col("pv"), col("pv")))).as("sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3).drop("rn")
+          .orderBy(col("probe_id"), col("sim").desc, col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+             |s AS (SELECT probe_id, vec_id,
+             |        list_dot_product(v, pv)
+             |          / sqrt(list_dot_product(v, v) * list_dot_product(pv, pv)) AS sim
+             |      FROM e CROSS JOIN p)
+             |SELECT probe_id, vec_id, sim FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+             |  FROM s)
+             |WHERE rn <= 3 ORDER BY probe_id, sim DESC, vec_id""".stripMargin)),
+
     // Rule-lexicon polarity classification (AmazonReview semantics,
     // reference: AmazonReview.java:10-14). Lexicon words are drawn from
     // the synthetic corpus vocabulary — a stand-in for a real sentiment

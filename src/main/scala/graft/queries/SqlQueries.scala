@@ -522,6 +522,17 @@ object SqlQueries extends QueryRegistry {
         |WHERE c.c_acctbal > 9900
         |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)),
 
+    // Error-safe casting surface: TRY_CAST returns NULL instead of
+    // failing on malformed input (identical semantics both engines) —
+    // the ingestion posture for dirty columns at scale, where one bad
+    // row must not kill a 100 TB job
+    QueryDef("q147_try_cast", sqlBoth(
+      """SELECT o_orderkey,
+        |  TRY_CAST(o_orderstatus AS INTEGER) AS status_int,
+        |  TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+        |  TRY_CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
+
     // Null-safe equality join: <=> (Spark) vs IS NOT DISTINCT FROM
     // (DuckDB) — NULL keys MATCH each other, unlike '=' which drops
     // them. Derived nullable keys make the NULL-match arm non-empty.
