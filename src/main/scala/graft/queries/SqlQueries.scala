@@ -533,6 +533,27 @@ object SqlQueries extends QueryRegistry {
         |  TRY_CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE): transitive closure over a
+    // derived containment chain — identical text both engines; the
+    // recursion is driver-bounded by the anchor's fan-out, not a
+    // hand-rolled loop
+    QueryDef("q149_recursive_cte", sqlBoth(
+      """WITH RECURSIVE chain(orderkey, depth) AS (
+        |  SELECT o_orderkey, 0 FROM orders WHERE o_orderkey >= 1 AND o_orderkey < 10
+        |  UNION ALL
+        |  SELECT orderkey * 2, depth + 1 FROM chain WHERE orderkey * 2 <= 1000
+        |)
+        |SELECT orderkey, MAX(depth) AS max_depth FROM chain
+        |GROUP BY orderkey ORDER BY orderkey""".stripMargin)),
+
+    // Histogram binning via portable floor arithmetic (DuckDB lacks
+    // width_bucket): equi-width price buckets with per-bucket mass
+    QueryDef("q150_histogram", sqlBoth(
+      """SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bucket,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Null-safe equality join: <=> (Spark) vs IS NOT DISTINCT FROM
     // (DuckDB) — NULL keys MATCH each other, unlike '=' which drops
     // them. Derived nullable keys make the NULL-match arm non-empty.
