@@ -9,9 +9,9 @@ object SparkEntry {
   /** All declared queries (SURVEY.md §2B), one registry per category. */
   val registries: Seq[QueryRegistry] = Seq(
     ScanQueries, JoinQueries, AggQueries, WindowQueries,
-    SetQueries, ScalarQueries, SqlQueries, PipelineQueries,
-    CurationQueries, UdxQueries, StreamingQueries, LakehouseQueries,
-    TrainingQueries)
+    SetQueries, ScalarQueries, SqlQueries, ModernSqlQueries,
+    PipelineQueries, CurationQueries, UdxQueries, StreamingQueries,
+    LakehouseQueries, TrainingQueries)
 
   val defs: Seq[QueryDef] = registries.flatMap(_.defs)
 
