@@ -171,6 +171,35 @@ object JoinQueries extends QueryRegistry {
       (s, dir) => Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
         .select("r_name", "n_name").orderBy("r_name", "n_name"),
       Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
-             |ORDER BY r_name, n_name""".stripMargin))
+             |ORDER BY r_name, n_name""".stripMargin)),
+
+    // Dynamic partition pruning: the fact table is laid out
+    // partitioned by month; joining it to a filtered month dimension
+    // must prune fact partitions AT RUNTIME from the dim's broadcast
+    // result (DynamicPruningExpression in the scan — asserted in
+    // PlanSpec). At 100 TB this is the difference between scanning 3
+    // months and scanning all of them whenever the selective filter
+    // sits on the dimension, not the fact.
+    QueryDef("q156_dynamic_partition_pruning",
+      (s, dir) => {
+        val fact = "/tmp/graft/q156_fact"
+        val dim = "/tmp/graft/q156_dim"
+        val o = Tables.orders(s, dir).withColumn("o_month",
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int"))
+        o.write.mode("overwrite").partitionBy("o_month").parquet(fact)
+        o.select(col("o_month"), month(col("o_orderdate")).cast("int").as("moy"))
+          .distinct().write.mode("overwrite").parquet(dim)
+        s.read.parquet(fact)
+          .join(s.read.parquet(dim).filter(col("moy") <= 3), "o_month")
+          .groupBy(col("o_month").cast("bigint").as("o_month"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(round(col("o_totalprice") * 100).cast("long")).cast("bigint").as("cents"))
+          .orderBy("o_month")
+      },
+      Some("""SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS o_month,
+             |  COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders WHERE month(o_orderdate) <= 3
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -397,6 +397,128 @@ object TrainingQueries extends QueryRegistry {
              |FROM (SELECT source, doc_id,
              |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
              |      FROM documents)
-             |WHERE rn <= 20 GROUP BY source ORDER BY source""".stripMargin))
+             |WHERE rn <= 20 GROUP BY source ORDER BY source""".stripMargin)),
+
+    // C4-style heuristic quality rules adapted to the word-token
+    // fixtures (the original's sentence/punctuation rules have no
+    // signal here): minimum word count, mean word length within
+    // bounds, no over-long token, and bounded stopword fraction.
+    // Each rule is a pure column expression over one scan — rule
+    // evaluation costs one pass no matter the corpus size.
+    QueryDef("q158_c4_quality_rules",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val nWords = size(toks)
+        val meanLen = (length(col("text")) - nWords + 1).cast("double") / nWords
+        val maxLen = array_max(transform(toks, t => length(t)))
+        val stopFrac = size(filter(toks, t => t.isin("the", "a"))).cast("double") / nWords
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            (nWords >= 10).as("r_min_words"),
+            (meanLen >= lit(2.0) && meanLen <= lit(10.0)).as("r_mean_len"),
+            (maxLen <= 15).as("r_max_word"),
+            (stopFrac <= lit(0.3)).as("r_stopwords"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("docs"),
+            sum(when(col("r_min_words") && col("r_mean_len") &&
+              col("r_max_word") && col("r_stopwords"), 1L).otherwise(0L))
+              .cast("bigint").as("kept"),
+            sum(when(!col("r_min_words"), 1L).otherwise(0L)).cast("bigint").as("fail_min_words"),
+            sum(when(!col("r_stopwords"), 1L).otherwise(0L)).cast("bigint").as("fail_stopwords"))
+          .orderBy("lang")
+      },
+      Some("""WITH r AS (
+             |  SELECT lang,
+             |    len(string_split(text, ' ')) >= 10 AS r_min_words,
+             |    CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+             |      / len(string_split(text, ' ')) BETWEEN 2.0 AND 10.0 AS r_mean_len,
+             |    list_max(list_transform(string_split(text, ' '), t -> length(t))) <= 15 AS r_max_word,
+             |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+             |      / len(string_split(text, ' ')) <= 0.3 AS r_stopwords
+             |  FROM documents)
+             |SELECT lang, COUNT(*) AS docs,
+             |  CAST(SUM(CASE WHEN r_min_words AND r_mean_len AND r_max_word AND r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             |  CAST(SUM(CASE WHEN NOT r_min_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_min_words,
+             |  CAST(SUM(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords
+             |FROM r GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Deterministic global shuffle + sharding: every epoch order and
+    // shard assignment derives from a seeded content-independent hash
+    // of the stable doc key — reproducible across runs, machines, and
+    // engine versions (Spark's own shuffle/rand ordering is neither).
+    // The shard histogram + per-shard id checksums + the first docs
+    // of shard 0 pin both the assignment AND the within-shard order.
+    QueryDef("q159_shuffle_shard",
+      (s, dir) => {
+        val h = MinHashLSH.baseHash(
+          concat(lit("epoch7:"), col("doc_id").cast("string")))
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), pmod(h, lit(8)).cast("int").as("shard"), h.as("pos"))
+        val w = Window.partitionBy("shard").orderBy("pos", "doc_id")
+        d.withColumn("rn", row_number().over(w))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("docs"),
+            sum("doc_id").cast("bigint").as("sum_id"),
+            min(when(col("rn") === 1, col("doc_id"))).as("first_doc"))
+          .orderBy("shard")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substr(md5('epoch7:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS pos
+             |  FROM documents),
+             |a AS (SELECT doc_id, pos, CAST(pos % 8 AS INT) AS shard,
+             |        ROW_NUMBER() OVER (PARTITION BY pos % 8 ORDER BY pos, doc_id) AS rn
+             |      FROM h)
+             |SELECT shard, COUNT(*) AS docs, CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+             |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS first_doc
+             |FROM a GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // Leakage-free train/validation split: membership is a pure
+    // function of the doc key (hash bucket < 95 → train), so re-runs,
+    // backfills, and incremental arrivals never move a document
+    // across the split — the property that keeps eval sets honest.
+    QueryDef("q160_train_val_split",
+      (s, dir) => {
+        val bucket = pmod(MinHashLSH.baseHash(
+          concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
+        Tables.documents(s, dir)
+          .select(col("lang"),
+            when(bucket < 95, "train").otherwise("val").as("split"),
+            col("doc_id"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("docs"), sum("doc_id").cast("bigint").as("sum_id"))
+          .orderBy("split", "lang")
+      },
+      Some("""SELECT CASE WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95
+             |         THEN 'train' ELSE 'val' END AS split,
+             |  lang, COUNT(*) AS docs, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+             |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)),
+
+    // Domain-mix rebalancing (DoReMi-style, static variant): per-source
+    // token counts → the sampling weight that moves each source toward
+    // a uniform token budget. Weights are exact rational arithmetic
+    // floored to micros — no engine-divergent ln/double chains. One
+    // scan + one tiny aggregate at any corpus size.
+    QueryDef("q165_domain_mix",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+          .groupBy("source").agg(sum("toks").as("src_toks"))
+        val tot = d.agg(sum("src_toks").cast("double").as("total"),
+          count(lit(1)).cast("double").as("nsrc"))
+        d.crossJoin(broadcast(tot))
+          .select(col("source"), col("src_toks").cast("bigint").as("src_toks"),
+            floor(lit(1e6) * col("total") / (col("nsrc") * col("src_toks")))
+              .cast("bigint").as("weight_micro"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS src_toks
+             |  FROM documents GROUP BY source),
+             |t AS (SELECT CAST(SUM(src_toks) AS DOUBLE) AS total,
+             |        CAST(COUNT(*) AS DOUBLE) AS nsrc FROM d)
+             |SELECT source, src_toks,
+             |  CAST(FLOOR(1e6 * total / (nsrc * src_toks)) AS BIGINT) AS weight_micro
+             |FROM d CROSS JOIN t ORDER BY source""".stripMargin))
   )
 }

@@ -124,6 +124,14 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("q156: dim filter prunes fact partitions at runtime (DPP)") {
+    // the month dim's filter must reach the partitioned fact scan as
+    // a DynamicPruningExpression — without it every partition of a
+    // 100 TB fact is listed and read no matter how selective the dim
+    val plan = planOf("q156_dynamic_partition_pruning")
+    assert(plan.contains("dynamicpruning"), plan.take(3000))
+  }
+
   test("q119: top-3-per-doc filter plans as a window group limit") {
     // the rank-then-filter idiom must push the limit into the window
     // sort (WindowGroupLimit), never rank every term then filter
