@@ -271,6 +271,47 @@ object AggQueries extends QueryRegistry {
              |UNION ALL SELECT 'present_all_found', TRUE
              |ORDER BY contract""".stripMargin)),
 
+    // Mergeable distinct-count sketches (Apache DataSketches HLL via
+    // Spark 4's hll_sketch_agg/hll_union_agg): one sketch per nation
+    // partial, then a union of the 25 sketches — the 100 TB pattern
+    // where per-partition/per-day sketches are persisted once and
+    // unioned in O(sketch bytes) instead of re-shuffling raw keys for
+    // every COUNT(DISTINCT) consumer. lgConfigK=14 → ~0.8% RSE; the
+    // contract asserts a 5% envelope against the exact count computed
+    // in the same job (sketches are deterministic for fixed input, so
+    // the boolean is stable run-over-run).
+    QueryDef("q166_hll_sketch_union",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val est = c.groupBy("c_nationkey")
+          .agg(expr("hll_sketch_agg(c_custkey, 14)").as("sk"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est"))
+        val exact = c.agg(count_distinct(col("c_custkey")).as("exact_distinct"))
+        est.crossJoin(exact).select(
+          col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.05).as("within_5pct"))
+      },
+      Some("SELECT COUNT(DISTINCT c_custkey) AS exact_distinct, TRUE AS within_5pct FROM customer")),
+
+    // Mergeable heavy-hitters (DataSketches frequent-items behind
+    // Spark 4's approx_top_k_*): per-day partial sketches, combined
+    // then estimated — the streaming/partitioned top-k shape where
+    // each ingest slice keeps a tiny sketch and the global answer is
+    // a sketch merge, never a full re-count. event_type has 5 distinct
+    // values ≪ maxItemsTracked, so the sketch is exact here and the
+    // oracle is the plain GROUP BY — at real cardinality the same plan
+    // degrades gracefully to ε-approximate counts.
+    QueryDef("q167_approx_top_k",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("approx_top_k_accumulate(event_type, 10)").as("state"))
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(state, 64), 5)").as("topk"))
+        .select(explode(col("topk")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("event_type")),
+      Some("SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type ORDER BY cnt DESC, event_type")),
+
     QueryDef("q23_filtered_agg",
       (s, dir) => Tables.events(s, dir)
         .groupBy("event_type")

@@ -200,6 +200,35 @@ object JoinQueries extends QueryRegistry {
              |  COUNT(*) AS cnt,
              |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
              |FROM orders WHERE month(o_orderdate) <= 3
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Co-located bucketed join: both sides written bucketBy(16) +
+    // sortBy on the join key, so the sort-merge join needs NO exchange
+    // and NO sort on either side — the shuffle is paid once at write
+    // time and amortized over every subsequent join. At 100 TB this is
+    // THE fact⋈fact strategy: bucket the big tables on their join key
+    // at ingest and every downstream join/aggregation on that key is
+    // exchange-free. (PlanSpec asserts the exchange-free physical
+    // plan; the merge hint pins SMJ so the small local fixture can't
+    // flip to broadcast and silently skip the layout under test.)
+    QueryDef("q168_bucketed_join",
+      (s, dir) => {
+        graft.TableIO.writeBucketed(
+          Tables.orders(s, dir), "graft_orders_bkt", "o_custkey", 16)
+        graft.TableIO.writeBucketed(
+          Tables.customer(s, dir), "graft_customer_bkt", "c_custkey", 16)
+        s.table("graft_orders_bkt").hint("merge")
+          .join(s.table("graft_customer_bkt"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .cast("bigint").as("cents"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS cnt,
+             |CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

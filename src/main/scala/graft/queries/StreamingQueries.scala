@@ -393,6 +393,27 @@ object StreamingQueries extends QueryRegistry {
       },
       Some(s"""SELECT c_mktsegment, COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value
               |FROM events JOIN customer ON user_id = c_custkey
-              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Bounded-state streaming dedup: q48's dropDuplicates keeps every
+    // key forever (state grows without bound — a non-starter on an
+    // unbounded 100 TB stream); dropDuplicatesWithinWatermark evicts
+    // keys once the watermark passes them, so state is bounded by the
+    // watermark horizon. Two independent readers of the same staged
+    // dir make every event arrive twice (identical event-time twins);
+    // the 35-day delay covers the fixture's 30-day span, so nothing is
+    // evicted mid-replay and the result is exactly the distinct set —
+    // deterministic, while still exercising the bounded-state
+    // operator's eviction bookkeeping end-to-end.
+    QueryDef("q169_stream_dedup_bounded",
+      (s, dir) => {
+        def side = eventStream(s, dir, maxFilesPerTrigger = 4)
+          .withWatermark("ts", "35 days")
+        val dedup = side.unionAll(side).dropDuplicatesWithinWatermark("event_id")
+        runToMemory(s, dedup, "append")
+          .agg(count(lit(1)).as("cnt"),
+            sum("event_id").cast("bigint").as("sum_id"))
+      },
+      Some("SELECT COUNT(*) AS cnt, CAST(SUM(event_id) AS BIGINT) AS sum_id FROM (SELECT DISTINCT event_id FROM events)"))
   )
 }

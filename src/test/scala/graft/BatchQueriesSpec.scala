@@ -107,6 +107,20 @@ class BatchQueriesSpec extends SparkTestBase {
     assert(sims.nonEmpty && sims.forall(j => j >= 0.0 && j <= 1.0))
   }
 
+  test("q166 HLL sketch union lands inside the 5% envelope") {
+    val r = run("q166_hll_sketch_union").head()
+    assert(r.getAs[Long]("exact_distinct") == 150L)
+    assert(r.getAs[Boolean]("within_5pct"))
+  }
+
+  test("q167 approx top-k is exact at 5 distinct event types") {
+    val rows = run("q167_approx_top_k").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("cnt")).sum == 1000L) // conservation
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("dedup idempotence: distinct twice equals distinct once") {
     val once = Tables.documents(spark, sf).select("text").distinct()
     assert(once.distinct().count() == once.count())

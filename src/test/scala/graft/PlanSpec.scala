@@ -77,6 +77,15 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("q168: the only hash exchange is the final aggregate, not the join") {
+    val plan = planOf("q168_bucketed_join")
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    // bucketed layout feeds the SMJ directly; the lone hashpartitioning
+    // exchange belongs to the 5-group mktsegment aggregate above it
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n" + plan.take(2500))
+  }
+
   test("q18: partial aggregation runs before the shuffle") {
     val plan = planOf("q18_groupby_multi_agg")
     // partial_ functions indicate map-side combine

@@ -62,6 +62,14 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("q169 bounded dedup over a doubled stream equals the distinct set") {
+    val r = run("q169_stream_dedup_bounded").head()
+    val batch = Tables.events(spark, sf).select("event_id").distinct()
+      .agg(count(lit(1)), sum("event_id").cast("bigint")).head()
+    assert(r.getAs[Long]("cnt") == batch.getLong(0))
+    assert(r.getAs[Long]("sum_id") == batch.getLong(1))
+  }
+
   test("q48 property: dropDuplicatesWithinWatermark is exactly-once under replay") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
