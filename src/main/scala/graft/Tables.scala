@@ -17,8 +17,19 @@ import org.apache.spark.sql.types.LongType
 object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Fixture DataFrames are cached per (session, dir, table): the
+    * fixtures are read-only, so the file listing + footer schema read
+    * that `spark.read.parquet` performs eagerly never changes — but it
+    * costs tens of ms per table per call, and every declared query
+    * re-reads its inputs through here (a full Verify/Bench pass makes
+    * hundreds of such calls). The cached plan is immutable and safe to
+    * share across queries; sessions per JVM are few, so the strong
+    * keys don't accumulate. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   private def read(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(path(dir, name))
+    cache.computeIfAbsent((s, dir, name), _ => s.read.parquet(path(dir, name)))
 
   def region(s: SparkSession, dir: String): DataFrame   = read(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame   = read(s, dir, "nation")

@@ -31,21 +31,35 @@ object ModernSqlQueries extends QueryRegistry {
   def defs: Seq[QueryDef] = Seq(
 
     // Linear regression per group WITHOUT regr_* (order-dependent
-    // double sums): exact decimal moments -> double coefficients.
-    // Chained double arithmetic may differ in the last ulp across
-    // engines (C++ FMA contraction), so the coefficients funnel
-    // through the proven ROUND(x*10^k)->BIGINT absorber (q86's
-    // pattern) — nano-precision, order-independent, engine-portable.
+    // double sums): order-independent moments -> double coefficients.
+    // Moments are BIGINT sums of per-row integer micro/cent units —
+    // each row's unit value is the same IEEE double rounded the same
+    // way on both engines, and long addition is exact in any order, so
+    // the moments are bit-deterministic AND stay in whole-stage
+    // codegen (the previous DECIMAL(38,6) sums ran the BigDecimal slow
+    // path: 4.5 s -> this shape is a plain long-sum scan). Headroom:
+    // the largest term (price² cents ≈ 1.1e12) sums to ~6.6e18 at sf1,
+    // inside int64; beyond sf1 re-split the squared moments. The
+    // coefficients still funnel through the proven ROUND(x*10^k)->
+    // BIGINT absorber (q86's pattern) — nano-precision, portable.
     QueryDef("q151_regr_stats", sqlBoth(
-      """WITH m AS (
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CAST(ROUND(l_quantity * 1e6) AS BIGINT) AS q_micro,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p_cents,
+        |    CAST(ROUND(l_quantity * l_quantity * 1e6) AS BIGINT) AS qq_micro,
+        |    CAST(ROUND(l_extendedprice * l_extendedprice * 100) AS BIGINT) AS pp_cents,
+        |    CAST(ROUND(l_quantity * l_extendedprice * 100) AS BIGINT) AS qp_cents
+        |  FROM lineitem),
+        |m AS (
         |  SELECT l_returnflag,
         |    CAST(COUNT(*) AS DOUBLE) AS n,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
-        |  FROM lineitem GROUP BY l_returnflag)
+        |    CAST(SUM(q_micro) AS DOUBLE) / 1e6 AS sx,
+        |    CAST(SUM(p_cents) AS DOUBLE) / 1e2 AS sy,
+        |    CAST(SUM(qq_micro) AS DOUBLE) / 1e6 AS sxx,
+        |    CAST(SUM(pp_cents) AS DOUBLE) / 1e2 AS syy,
+        |    CAST(SUM(qp_cents) AS DOUBLE) / 1e2 AS sxy
+        |  FROM t GROUP BY l_returnflag)
         |SELECT l_returnflag,
         |  CAST(ROUND(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e6) AS BIGINT) AS slope_micro,
         |  CAST(ROUND(((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n) * 1e6) AS BIGINT) AS intercept_micro,
