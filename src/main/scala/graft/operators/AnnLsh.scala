@@ -84,6 +84,26 @@ object AnnLsh {
       .distinct() // collapse multi-table collisions
   }
 
+  /** Top-k neighbors for a BATCH of probe ids in one corpus pass:
+    * probes broadcast with their buckets, candidates are bucket-local,
+    * per-probe top-k via WindowGroupLimit. Cost is Σ|probe buckets|
+    * comparisons — independent of corpus size per probe, the serving
+    * shape for recall evaluation and bulk kNN labeling. */
+  def batchTopK(emb: DataFrame, idCol: String, vecCol: String,
+                probeIds: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kd = keyed(emb, idCol, vecCol)
+    val probes = broadcast(kd.filter(col("id").isInCollection(probeIds))
+      .select(col("id").as("probe_id"), col("bucket"), col("v").as("pv")))
+    kd.join(probes, Seq("bucket"))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"), cosine(col("v"), col("pv")).as("sim"))
+      .distinct() // collapse multi-table collisions (sim is pair-pure)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("sim").desc, col("id"))))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** Top-k neighbors of one probe id, searching only its buckets. */
   def probeTopK(emb: DataFrame, idCol: String, vecCol: String,
                 probeId: Long, k: Int): DataFrame = {

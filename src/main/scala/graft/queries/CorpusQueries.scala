@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryRegistry, Tables}
+import graft.operators.DuplicateSpans
+
+/** Corpus-preparation operators, round 4: exact duplicate-span
+  * coverage, context-window chunking, deterministic weighted domain
+  * mixing, per-user training-sequence construction, and winsorized
+  * robust statistics. All token-level work is explode → groupBy
+  * (shuffle linear in corpus tokens); all sampling is integer-hash
+  * deterministic (no RNG, task-retry safe). */
+object CorpusQueries extends QueryRegistry {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Exact duplicate-span coverage (the RefinedWeb "exact substring
+    // dedup" metric): fraction of each doc's 8-gram positions whose
+    // 8-gram occurs in ≥1 other doc. The operator's at-scale path
+    // shuffles xxhash64 longs; the declared query uses the string path
+    // so DuckDB replays it verbatim (CorpusSpec asserts both agree).
+    QueryDef("q170_duplicate_spans",
+      (s, dir) => DuplicateSpans
+        .coverage(Tables.documents(s, dir), "doc_id", "text", n = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+             |  ), g AS (
+             |  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+             |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+             |        FROM d WHERE len(toks) >= 8)),
+             |nd AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+             |SELECT g.doc_id, COUNT(*) AS n_grams,
+             |  CAST(SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+             |  SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS dup_frac
+             |FROM g JOIN nd USING (gram)
+             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
+
+    // Context-window chunking: split each doc into 64-token windows at
+    // stride 48 (16-token overlap), dropping tails under 16 tokens —
+    // the tokenize-and-chunk pass that turns a raw corpus into
+    // training examples. Pure per-row generate (posexplode over a
+    // sequence); no shuffle at all until the output sort.
+    QueryDef("q171_doc_chunking",
+      (s, dir) => {
+        val win = 64; val stride = 48; val minTail = 16
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        d.select(col("doc_id"), expr(
+            s"explode(transform(sequence(1, size(toks), $stride), i -> struct(i AS start, slice(toks, i, $win) AS chunk)))")
+            .as("c"))
+          .select(col("doc_id"), col("c.start").as("start"), col("c.chunk").as("chunk"))
+          .filter(size(col("chunk")) >= minTail)
+          .withColumn("chunk_idx",
+            row_number().over(Window.partitionBy("doc_id").orderBy("start")).cast("long"))
+          .select(col("doc_id"), col("chunk_idx"), col("start").cast("long").as("start"),
+            size(col("chunk")).cast("long").as("n_toks"),
+            element_at(col("chunk"), 1).as("first_tok"),
+            element_at(col("chunk"), -1).as("last_tok"))
+          .orderBy("doc_id", "start")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |c AS (
+             |  SELECT doc_id, i AS start, toks[i:i+63] AS chunk
+             |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 48)) AS i FROM d))
+             |SELECT doc_id,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start) AS BIGINT) AS chunk_idx,
+             |  start, CAST(len(chunk) AS BIGINT) AS n_toks,
+             |  chunk[1] AS first_tok, chunk[len(chunk)] AS last_tok
+             |FROM c WHERE len(chunk) >= 16
+             |ORDER BY doc_id, start""".stripMargin)),
+
+    // Deterministic weighted domain mixing: per-source keep rates
+    // (20%..100%, derived from the source id so the fixture needs no
+    // side table) applied as an integer-hash Bernoulli gate —
+    // `(doc_id * knuth) % 100 < rate`. All-integer, so the sample is
+    // identical across engines, retries, and partitionings; at 100 TB
+    // this is a stateless map-side filter (zero shuffle before the
+    // audit aggregation).
+    QueryDef("q172_domain_mix_sample",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("source"),
+          (lit(20) * (lit(1) + substring(col("source"), 4, 10).cast("int") % 5)).as("wpct"),
+          expr("(doc_id * 2654435761L) % 100").as("u"),
+          col("doc_id"))
+        d.groupBy("source")
+          .agg(max(col("wpct")).cast("long").as("wpct"),
+            count(lit(1)).as("total"),
+            sum(when(col("u") < col("wpct"), 1L).otherwise(0L)).as("kept"),
+            min(when(col("u") < col("wpct"), col("doc_id"))).as("min_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, source,
+             |    20 * (1 + (CAST(SUBSTR(source, 4) AS INT) % 5)) AS wpct,
+             |    (doc_id * 2654435761) % 100 AS u
+             |  FROM documents)
+             |SELECT source, CAST(MAX(wpct) AS BIGINT) AS wpct, COUNT(*) AS total,
+             |  CAST(SUM(CASE WHEN u < wpct THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             |  CAST(MIN(CASE WHEN u < wpct THEN doc_id END) AS BIGINT) AS min_kept
+             |FROM w GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Per-user training-sequence construction: each user's first 20
+    // events in (ts, event_id) order joined into one comma-separated
+    // id sequence — the session-history shape behind recommendation /
+    // behavioral-LM training rows. The cap is applied BEFORE
+    // collect_list, so per-group state is bounded (≤20 rows) no matter
+    // how hot a user is; the array_sort on (rn, id) makes the agg
+    // order-insensitive.
+    QueryDef("q173_user_sequences",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+        val e = Tables.events(s, dir).filter(col("user_id") < 50)
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("rn", row_number().over(w.orderBy(col("ts"), col("event_id"))))
+          .withColumn("total", count(lit(1)).over(w))
+        e.filter(col("rn") <= 20)
+          .groupBy("user_id")
+          .agg(
+            max(col("total")).as("n_events"),
+            count(lit(1)).as("n_kept"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("rn"), col("event_id").cast("string").as("e")))),
+                x => x.getField("e")),
+              ",").as("seq"),
+            (max(col("ts")).cast("timestamp").cast("long") -
+              min(col("ts")).cast("timestamp").cast("long")).as("span_s"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY user_id) AS total
+             |  FROM events WHERE user_id < 50)
+             |SELECT user_id, CAST(MAX(total) AS BIGINT) AS n_events,
+             |  COUNT(*) AS n_kept,
+             |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS seq,
+             |  CAST(date_diff('second', MIN(t), MAX(t)) AS BIGINT) AS span_s
+             |FROM e WHERE rn <= 20
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Winsorized group statistics: clip o_totalprice at the exact
+    // empirical p05/p95 of its priority group (type-1 quantile — an
+    // actual data value picked by row_number, NOT an interpolated
+    // percentile, so the clip thresholds are bit-identical on both
+    // engines), then an order-independent decimal-summed mean of the
+    // clipped values. Two scans of orders resolved by a broadcast of
+    // the 5-row threshold table.
+    QueryDef("q174_winsorize",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+        val ranked = o
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+        val thresholds = ranked
+          .filter(col("rn") === greatest(ceil(col("n") * 0.05), lit(1)) ||
+            col("rn") === least(ceil(col("n") * 0.95), col("n")))
+          .groupBy("o_orderpriority")
+          .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+        val clipped = least(greatest(col("o_totalprice"), col("lo")), col("hi"))
+        o.join(broadcast(thresholds), Seq("o_orderpriority"))
+          .groupBy("o_orderpriority")
+          .agg(
+            round(max("lo") * 1e3).cast("long").as("lo_milli"),
+            round(max("hi") * 1e3).cast("long").as("hi_milli"),
+            Qf.davg(clipped).as("wmean"),
+            sum(when(col("o_totalprice") < col("lo") || col("o_totalprice") > col("hi"), 1L)
+              .otherwise(0L)).as("clipped"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""WITH r AS (
+              |  SELECT o_orderpriority, o_totalprice,
+              |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+              |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+              |  FROM orders),
+              |q AS (
+              |  SELECT o_orderpriority, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+              |  FROM r
+              |  WHERE rn = GREATEST(CEIL(n * 0.05), 1) OR rn = LEAST(CEIL(n * 0.95), n)
+              |  GROUP BY o_orderpriority)
+              |SELECT o.o_orderpriority,
+              |  CAST(ROUND(MAX(q.lo) * 1e3) AS BIGINT) AS lo_milli,
+              |  CAST(ROUND(MAX(q.hi) * 1e3) AS BIGINT) AS hi_milli,
+              |  ${Qf.sqlDavg("LEAST(GREATEST(o.o_totalprice, q.lo), q.hi)")} AS wmean,
+              |  CAST(SUM(CASE WHEN o.o_totalprice < q.lo OR o.o_totalprice > q.hi THEN 1 ELSE 0 END) AS BIGINT) AS clipped
+              |FROM orders o JOIN q USING (o_orderpriority)
+              |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin))
+  )
+}

@@ -347,6 +347,62 @@ object CurationQueries extends QueryRegistry {
               |WHERE vec_id != 0 AND len(list_intersect(buckets, pbuckets)) > 0
               |ORDER BY sim DESC, id LIMIT 10""".stripMargin)),
 
+    // ANN quality measurement: recall@10 of the LSH-bucketed search
+    // against exact brute-force cosine, for a batch of 8 probes in ONE
+    // corpus pass each. The approximate side is the thing being
+    // graded, so BOTH sides are replayed in the oracle — bucket
+    // arithmetic and the exact ranking — making recall itself an
+    // oracle-checked quantity, not a local assertion.
+    QueryDef("q175_ann_recall",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, dir)
+        val probeIds = (0L until 8L)
+        val approx = AnnLsh.batchTopK(emb, "vec_id", "embedding", probeIds, k = 10)
+          .select(col("probe_id"), col("id").as("vec_id"), lit(1).as("hit"))
+        val e = emb.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        val probes = broadcast(e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv")))
+        val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+        val truth = e.crossJoin(probes)
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+            AnnLsh.cosine(col("v"), col("pv")).as("sim"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+          .select(col("probe_id"), col("vec_id"))
+        truth.join(approx, Seq("probe_id", "vec_id"), "left")
+          .groupBy("probe_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+          .select(col("probe_id"), col("hits"), (col("hits") / lit(10.0)).as("recall"))
+          .orderBy("probe_id")
+      },
+      Some(s"""WITH $annSigs,
+              |probes AS (SELECT vec_id AS probe_id, v AS pv, buckets AS pbuckets
+              |           FROM sigs WHERE vec_id < 8),
+              |cand AS (
+              |  SELECT probe_id, vec_id, $cosineSql AS sim
+              |  FROM sigs CROSS JOIN probes
+              |  WHERE vec_id != probe_id AND len(list_intersect(buckets, pbuckets)) > 0),
+              |approx AS (
+              |  SELECT probe_id, vec_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+              |    FROM cand) WHERE rn <= 10),
+              |truth AS (
+              |  SELECT probe_id, vec_id FROM (
+              |    SELECT probe_id, vec_id,
+              |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+              |    FROM (
+              |      SELECT p.probe_id, s.vec_id, $cosineSql AS sim
+              |      FROM sigs s CROSS JOIN (SELECT vec_id AS probe_id, v AS pv
+              |                              FROM sigs WHERE vec_id < 8) p
+              |      WHERE s.vec_id != p.probe_id) x) WHERE rn <= 10)
+              |SELECT t.probe_id,
+              |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+              |  SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0 AS recall
+              |FROM truth t LEFT JOIN approx a USING (probe_id, vec_id)
+              |GROUP BY t.probe_id ORDER BY t.probe_id""".stripMargin)),
+
     // Native codegen'd cosine Expression (Q40's declared fast path):
     // same oracle as q40 — bit-identical by construction, only the
     // physical plan differs (fused loop instead of HOF lambdas).

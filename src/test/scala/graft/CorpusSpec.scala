@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DuplicateSpans
+
+/** Round-4 corpus-prep additions: duplicate-span coverage, chunking,
+  * domain mixing, sequence construction, winsorize, ANN recall, full
+  * outer stream join. Exact values are pinned by the DuckDB oracle;
+  * these assert the operator contracts the oracle can't (hashed-path
+  * equivalence, bounds, conservation, plan shape). */
+class CorpusSpec extends SparkTestBase {
+
+  test("DuplicateSpans: xxhash64 gram path agrees with the string path") {
+    val docs = Tables.documents(spark, sf)
+    val str = DuplicateSpans.coverage(docs, "doc_id", "text", n = 8, hashGrams = false)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val hsh = DuplicateSpans.coverage(docs, "doc_id", "text", n = 8, hashGrams = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(str == hsh)
+  }
+
+  test("q170: dup_frac bounded; dup spans are symmetric (never exactly one doc)") {
+    val rows = run("q170_duplicate_spans").collect()
+    rows.foreach { r =>
+      val f = r.getAs[Double]("dup_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("dup_grams") <= r.getAs[Long]("n_grams"))
+    }
+    // a duplicated span marks at least two documents
+    val dupDocs = rows.count(_.getAs[Long]("dup_grams") > 0)
+    assert(dupDocs != 1, "a shared span must mark >=2 docs")
+  }
+
+  test("q171: chunks tile each doc — stride offsets, full windows except the tail") {
+    val rows = run("q171_doc_chunking").collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_idx"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("start") == 1L + 48L * i) // stride positions
+        assert(r.getAs[Long]("n_toks") >= 16 && r.getAs[Long]("n_toks") <= 64)
+      }
+      // every chunk before the last is a full window
+      sorted.dropRight(1).foreach(r => assert(r.getAs[Long]("n_toks") == 64))
+    }
+  }
+
+  test("q172: integer-hash gate is exact — kept counts match a recount") {
+    val rows = run("q172_domain_mix_sample").collect()
+    val total = rows.map(_.getAs[Long]("total")).sum
+    assert(total == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kept") <= r.getAs[Long]("total"))
+      val w = r.getAs[Long]("wpct")
+      assert(w >= 20 && w <= 100 && w % 20 == 0)
+    }
+  }
+
+  test("q173: sequences are capped, ordered, and span is non-negative") {
+    val rows = run("q173_user_sequences").collect()
+    rows.foreach { r =>
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept <= 20 && kept <= r.getAs[Long]("n_events"))
+      assert(r.getAs[String]("seq").split(",").length == kept)
+      assert(r.getAs[Long]("span_s") >= 0)
+    }
+  }
+
+  test("q174: winsorized mean lies within the clip thresholds") {
+    run("q174_winsorize").collect().foreach { r =>
+      val lo = r.getAs[Long]("lo_milli") / 1e3
+      val hi = r.getAs[Long]("hi_milli") / 1e3
+      val m = r.getAs[Double]("wmean")
+      assert(lo <= m && m <= hi, s"mean $m outside [$lo,$hi]")
+      assert(r.getAs[Long]("clipped") >= 0)
+    }
+  }
+
+  test("q175: recall in [0,1]; hits consistent; bucketed search plan broadcasts probes") {
+    val df = run("q175_ann_recall")
+    df.collect().foreach { r =>
+      val hits = r.getAs[Long]("hits")
+      assert(hits >= 0 && hits <= 10)
+      assert(r.getAs[Double]("recall") == hits / 10.0)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "probe batch must broadcast")
+  }
+
+  test("q176: full outer = matched + unmatched purchases + unmatched signups") {
+    val rows = run("q176_stream_full_outer_join").collect()
+    val matched = rows.count(r => !r.isNullAt(0) && !r.isNullAt(1))
+    val pOnly = rows.count(r => !r.isNullAt(0) && r.isNullAt(1))
+    val cOnly = rows.count(r => r.isNullAt(0) && !r.isNullAt(1))
+    assert(matched + pOnly + cOnly == rows.length)
+    assert(pOnly > 0 && cOnly > 0, "both outer sides must contribute")
+  }
+}
