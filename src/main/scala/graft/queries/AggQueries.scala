@@ -22,22 +22,25 @@ object AggQueries extends QueryRegistry {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           count(lit(1)).as("cnt"),
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-          davg(col("l_quantity")).as("avg_qty"),
-          davg(col("l_extendedprice")).as("avg_price"),
-          davg(col("l_discount")).as("avg_disc"))
+          // integer-micros sums (Qf.msum): exact, order-independent,
+          // and codegen'd LONG adds — the decimal path cost this
+          // flagship 3 s at sf0.1, the micros path is sub-second
+          msum(col("l_quantity")).as("sum_qty"),
+          msum(col("l_extendedprice")).as("sum_base"),
+          msum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          msum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          mavg(col("l_quantity")).as("avg_qty"),
+          mavg(col("l_extendedprice")).as("avg_price"),
+          mavg(col("l_discount")).as("avg_disc"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-              |${sqlDsum("l_quantity")} AS sum_qty,
-              |${sqlDsum("l_extendedprice")} AS sum_base,
-              |${sqlDsum("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
-              |${sqlDsum("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
-              |${sqlDavg("l_quantity")} AS avg_qty,
-              |${sqlDavg("l_extendedprice")} AS avg_price,
-              |${sqlDavg("l_discount")} AS avg_disc
+              |${sqlMsum("l_quantity")} AS sum_qty,
+              |${sqlMsum("l_extendedprice")} AS sum_base,
+              |${sqlMsum("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+              |${sqlMsum("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
+              |${sqlMavg("l_quantity")} AS avg_qty,
+              |${sqlMavg("l_extendedprice")} AS avg_price,
+              |${sqlMavg("l_discount")} AS avg_disc
               |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
               |GROUP BY l_returnflag, l_linestatus
               |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
@@ -323,7 +326,7 @@ object AggQueries extends QueryRegistry {
         .orderBy("event_type"),
       Some(s"""SELECT event_type, COUNT(*) AS cnt,
               |COUNT(*) FILTER (WHERE value > 100) AS cnt_big,
-              |CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE value > 100) AS DECIMAL(18,6)) AS DOUBLE) AS sum_big,
+              |CAST(SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS BIGINT)) FILTER (WHERE value > 100) AS DOUBLE) / 1e6 AS sum_big,
               |${sqlDsum("value")} AS sum_all
               |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )

@@ -45,11 +45,11 @@ object ModernSqlQueries extends QueryRegistry {
     QueryDef("q151_regr_stats", sqlBoth(
       """WITH t AS (
         |  SELECT l_returnflag,
-        |    CAST(ROUND(l_quantity * 1e6) AS BIGINT) AS q_micro,
-        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p_cents,
-        |    CAST(ROUND(l_quantity * l_quantity * 1e6) AS BIGINT) AS qq_micro,
-        |    CAST(ROUND(l_extendedprice * l_extendedprice * 100) AS BIGINT) AS pp_cents,
-        |    CAST(ROUND(l_quantity * l_extendedprice * 100) AS BIGINT) AS qp_cents
+        |    CAST(FLOOR(l_quantity * 1e6 + 0.5) AS BIGINT) AS q_micro,
+        |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p_cents,
+        |    CAST(FLOOR(l_quantity * l_quantity * 1e6 + 0.5) AS BIGINT) AS qq_micro,
+        |    CAST(FLOOR(l_extendedprice * l_extendedprice * 100 + 0.5) AS BIGINT) AS pp_cents,
+        |    CAST(FLOOR(l_quantity * l_extendedprice * 100 + 0.5) AS BIGINT) AS qp_cents
         |  FROM lineitem),
         |m AS (
         |  SELECT l_returnflag,
@@ -154,7 +154,7 @@ object ModernSqlQueries extends QueryRegistry {
         |  SELECT explode(sequence(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY)) AS day),
         |daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n,
-        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS total
+        |    CAST(SUM(CAST(FLOOR((o_totalprice) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS total
         |  FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
         |  GROUP BY 1)
@@ -165,7 +165,7 @@ object ModernSqlQueries extends QueryRegistry {
              |  SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY)) AS DATE) AS day),
              |daily AS (
              |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n,
-             |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS total
+             |    CAST(SUM(CAST(FLOOR((o_totalprice) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS total
              |  FROM orders
              |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
              |  GROUP BY 1)

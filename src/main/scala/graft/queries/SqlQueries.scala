@@ -27,7 +27,7 @@ object SqlQueries extends QueryRegistry {
 
   /** Order-stable average of a double column (see Qf.davg). */
   private def davgSql(e: String) =
-    s"CAST(CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) / COUNT(*)"
+    s"CAST(SUM(CAST(FLOOR(($e) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*)"
 
   /** Derived `partsupp` CTEs: the fixtures carry no partsupp table, so
     * the partsupp-dependent TPC-H shapes (Q11/Q16) run over a
@@ -78,7 +78,7 @@ object SqlQueries extends QueryRegistry {
     // TPC-H Q3 shape: segment filter → 3-way join → grouped revenue → top-k
     QueryDef("q71_tpch_q3_shape", sql(
       """SELECT o_orderkey,
-        |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue,
         |  o_orderdate
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -88,7 +88,7 @@ object SqlQueries extends QueryRegistry {
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
       Some("""SELECT o_orderkey,
-             |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+             |  CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue,
              |  o_orderdate
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |JOIN lineitem ON l_orderkey = o_orderkey
@@ -101,7 +101,7 @@ object SqlQueries extends QueryRegistry {
     // TPC-H Q5 shape: 6-way join, region filter, revenue per nation
     QueryDef("q72_tpch_q5_shape", sql(
       """SELECT n_name,
-        |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue,
         |  COUNT(*) AS cnt
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -111,7 +111,7 @@ object SqlQueries extends QueryRegistry {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin),
       Some("""SELECT n_name,
-             |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+             |  CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue,
              |  COUNT(*) AS cnt
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |JOIN lineitem ON l_orderkey = o_orderkey
@@ -140,7 +140,7 @@ object SqlQueries extends QueryRegistry {
     QueryDef("q76_tpch_q7_shape", sql(
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INT) AS l_year,
-        |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS volume
+        |  CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS volume
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -152,7 +152,7 @@ object SqlQueries extends QueryRegistry {
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
       Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
              |  CAST(year(l_shipdate) AS INT) AS l_year,
-             |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS volume
+             |  CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS volume
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -166,7 +166,7 @@ object SqlQueries extends QueryRegistry {
     // TPC-H Q10 shape: top customers by returned-item revenue
     QueryDef("q77_tpch_q10_shape", sql(
       """SELECT c_custkey, c_name, n_name,
-        |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -175,7 +175,7 @@ object SqlQueries extends QueryRegistry {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
       Some("""SELECT c_custkey, c_name, n_name,
-             |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+             |  CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue
              |FROM customer
              |JOIN orders ON c_custkey = o_custkey
              |JOIN lineitem ON l_orderkey = o_orderkey
@@ -188,28 +188,28 @@ object SqlQueries extends QueryRegistry {
     // of int64-backed decimal sums)
     QueryDef("q78_tpch_q14_shape", sql(
       """SELECT
-        |  CAST(CAST(SUM(CAST(CASE WHEN p_type = 'ECONOMY'
-        |        THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE)
-        |  / CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE)
+        |  CAST(SUM(CAST(FLOOR((CASE WHEN p_type = 'ECONOMY'
+        |        THEN l_extendedprice*(1-l_discount) ELSE 0 END) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+        |  / CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
         |  AS promo_ratio
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin),
       Some("""SELECT
-             |  CAST(CAST(SUM(CAST(CASE WHEN p_type = 'ECONOMY'
-             |        THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE)
-             |  / CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE)
+             |  CAST(SUM(CAST(FLOOR((CASE WHEN p_type = 'ECONOMY'
+             |        THEN l_extendedprice*(1-l_discount) ELSE 0 END) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+             |  / CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
              |  AS promo_ratio
              |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)),
 
     // TPC-H Q19 shape: OR-of-ANDs predicate (pushdown + CNF stress)
     QueryDef("q79_tpch_q19_shape", sql(
       """SELECT COUNT(*) AS cnt,
-        |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10)
         |   OR (p_type = 'SMALL' AND l_quantity < 5)""".stripMargin),
       Some("""SELECT COUNT(*) AS cnt,
-             |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+             |  CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
              |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10)
@@ -236,17 +236,17 @@ object SqlQueries extends QueryRegistry {
     // 3-day trailing window over daily totals honors calendar gaps
     QueryDef("q81_range_frame", sql(
       """SELECT d,
-        |  CAST(CAST(SUM(total) OVER (ORDER BY d RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS DOUBLE) AS trailing3d
+        |  CAST(SUM(total_micro) OVER (ORDER BY d RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6 AS trailing3d
         |FROM (
         |  SELECT CAST(datediff(o_orderdate, TIMESTAMP '1995-01-01') AS BIGINT) AS d,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS total
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS total_micro
         |  FROM orders GROUP BY 1)
         |ORDER BY d""".stripMargin),
       Some("""SELECT d,
-             |  CAST(CAST(SUM(total) OVER (ORDER BY d RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS DOUBLE) AS trailing3d
+             |  CAST(SUM(total_micro) OVER (ORDER BY d RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6 AS trailing3d
              |FROM (
              |  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
-             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS total
+             |    CAST(SUM(CAST(FLOOR(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS total_micro
              |  FROM orders GROUP BY 1)
              |ORDER BY d""".stripMargin)),
 
@@ -284,7 +284,7 @@ object SqlQueries extends QueryRegistry {
     QueryDef("q93_tpch_q15_shape", sqlBoth(
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
-        |    CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS total_revenue
+        |    CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
         |  GROUP BY l_suppkey)
@@ -297,7 +297,7 @@ object SqlQueries extends QueryRegistry {
     // l_quantity is integral-valued, so AVG is exact in any summation
     // order — the correlated threshold is engine-independent.
     QueryDef("q94_tpch_q17_shape", sqlBoth(
-      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) / 7.0 AS avg_yearly
+      """SELECT CAST(SUM(CAST(FLOOR((l_extendedprice) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / 7.0 AS avg_yearly
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         |WHERE p.p_brand = 'Brand#1' AND p.p_size < 20
         |  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
@@ -341,7 +341,7 @@ object SqlQueries extends QueryRegistry {
     // TPC-H Q6 shape: tight-range filter aggregate (the pure
     // predicate-pushdown + single-agg plan).
     QueryDef("q103_tpch_q6_shape", sqlBoth(
-      """SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+      """SELECT CAST(SUM(CAST(FLOOR((l_extendedprice * l_discount) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin)),
@@ -350,8 +350,8 @@ object SqlQueries extends QueryRegistry {
     // grouped sum (8-way join, two nation roles).
     QueryDef("q104_tpch_q8_shape", sqlBoth(
       """SELECT o_year,
-        |  CAST(CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE)
-        |  / CAST(CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS mkt_share
+        |  CAST(SUM(CAST(FLOOR((CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+        |  / CAST(SUM(CAST(FLOOR((volume) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS mkt_share
         |FROM (
         |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |    l_extendedprice * (1 - l_discount) AS volume,
@@ -370,8 +370,8 @@ object SqlQueries extends QueryRegistry {
     // stood in by p_retailprice — no partsupp table in the fixtures).
     QueryDef("q105_tpch_q9_shape", sqlBoth(
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-        |      - p_retailprice * l_quantity / 100 AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS profit
+        |  CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)
+        |      - p_retailprice * l_quantity / 100) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS profit
         |FROM part JOIN lineitem ON p_partkey = l_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN orders ON l_orderkey = o_orderkey
@@ -398,12 +398,12 @@ object SqlQueries extends QueryRegistry {
     // fixtures carry no phone column).
     QueryDef("q107_tpch_q22_shape", sqlBoth(
       """SELECT cntrycode, COUNT(*) AS numcust,
-        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DECIMAL(18,6)) AS DOUBLE) AS totacctbal
+        |  CAST(SUM(CAST(FLOOR((c_acctbal) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS totacctbal
         |FROM (
         |  SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
         |  FROM customer c
         |  WHERE c_acctbal > (
-        |    SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) / COUNT(*)
+        |    SELECT CAST(SUM(CAST(FLOOR((c2.c_acctbal) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*)
         |    FROM customer c2 WHERE c2.c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey))
         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)),
