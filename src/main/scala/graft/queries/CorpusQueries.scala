@@ -1,9 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryRegistry, Tables}
-import graft.operators.DuplicateSpans
+import graft.operators.{DuplicateSpans, MinHashLSH}
 
 /** Corpus-preparation operators, round 4: exact duplicate-span
   * coverage, context-window chunking, deterministic weighted domain
@@ -188,6 +189,123 @@ object CorpusQueries extends QueryRegistry {
               |  ${Qf.sqlDavg("LEAST(GREATEST(o.o_totalprice, q.lo), q.hi)")} AS wmean,
               |  CAST(SUM(CASE WHEN o.o_totalprice < q.lo OR o.o_totalprice > q.hi THEN 1 ELSE 0 END) AS BIGINT) AS clipped
               |FROM orders o JOIN q USING (o_orderpriority)
-              |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin))
+              |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin)),
+
+    // Dedup pair VERIFICATION features — the stage between candidate
+    // generation and the keep/drop decision: each MinHash candidate
+    // pair gets its signature estimate, the exact shingle Jaccard, the
+    // length ratio, and metadata agreement — the feature row a
+    // production pipeline feeds to its duplicate classifier. Exact
+    // Jaccard is computed ONLY on candidates (bounded by LSH), never
+    // all pairs; attributes join back by id (broadcast at this
+    // cardinality, shuffle join at corpus scale).
+    QueryDef("q177_pair_features",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val withDups = d.select(col("doc_id").as("id"), col("text"))
+          .unionAll(d.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 100000).as("id"), col("text")))
+        val pairs = MinHashLSH.candidatePairs(withDups, "id", "text")
+        def shingles(c: Column): Column = {
+          val toks = split(c, " ")
+          when(size(toks) >= 3,
+            array_distinct(transform(sequence(lit(0), size(toks) - 3),
+              i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
+            .otherwise(array().cast("array<string>"))
+        }
+        val attrs = withDups
+          .join(d.select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+            pmod(col("id"), lit(100000L)) === col("doc_id"))
+          .select(col("id"), shingles(col("text")).as("sh"),
+            col("lang"), col("source"), col("n_chars"))
+        val a = attrs.select(col("id").as("a_id"), col("sh").as("sa"),
+          col("lang").as("la"), col("source").as("srca"), col("n_chars").as("na"))
+        val b = attrs.select(col("id").as("b_id"), col("sh").as("sb"),
+          col("lang").as("lb"), col("source").as("srcb"), col("n_chars").as("nb"))
+        pairs.join(a, Seq("a_id")).join(b, Seq("b_id"))
+          .select(col("a_id"), col("b_id"), col("est_jaccard"),
+            (size(array_intersect(col("sa"), col("sb"))) /
+              size(array_union(col("sa"), col("sb"))).cast("double")).as("exact_jaccard"),
+            (least(col("na"), col("nb")) /
+              greatest(col("na"), col("nb")).cast("double")).as("len_ratio"),
+            (col("la") === col("lb")).cast("int").as("same_lang"),
+            (col("srca") === col("srcb")).cast("int").as("same_source"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH ${CurationQueries.mhCtes},
+              |attrs AS (
+              |  SELECT d.id, sh.sh, doc.lang, doc.source, doc.n_chars
+              |  FROM docs d
+              |  JOIN sh ON sh.id = d.id
+              |  JOIN documents doc ON doc.doc_id = d.id % 100000)
+              |SELECT p.a_id, p.b_id, ${CurationQueries.mhEst} AS est_jaccard,
+              |  len(list_intersect(a.sh, b.sh)) /
+              |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS exact_jaccard,
+              |  LEAST(a.n_chars, b.n_chars) / CAST(GREATEST(a.n_chars, b.n_chars) AS DOUBLE) AS len_ratio,
+              |  CAST(CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS INT) AS same_lang,
+              |  CAST(CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS INT) AS same_source
+              |FROM pairs p
+              |JOIN attrs a ON a.id = p.a_id
+              |JOIN attrs b ON b.id = p.b_id
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // One BPE merge step's statistics: global adjacent-token-pair
+    // frequencies over the corpus (the quantity a byte-pair/word-pair
+    // tokenizer maximizes per merge), top 25 with deterministic
+    // tie-break. explode → groupBy: the shuffle carries one row per
+    // (pair occurrence), partial-aggregated map-side — the only layout
+    // that survives a 100 TB corpus (per-doc array passes would be
+    // quadratic on long docs; a driver-side vocabulary would not
+    // distribute).
+    QueryDef("q178_bpe_pair_stats",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 2)
+        d.select(explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+            .as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(25)
+      },
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
+             |           WHERE len(string_split(text, ' ')) >= 2),
+             |p AS (
+             |  SELECT toks[i] || ' ' || toks[i+1] AS pair
+             |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t))
+             |SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair
+             |ORDER BY cnt DESC, pair LIMIT 25""".stripMargin)),
+
+    // Length-decile curriculum profile: corpus token-length deciles
+    // (ntile over ONE post-agg sort of 1 row/doc), then per-decile doc
+    // count, token mass, and share of total tokens — the table a
+    // length-curriculum sampler consumes. The unpartitioned ntile runs
+    // over doc-count cardinality (already reduced), not token rows.
+    QueryDef("q179_length_curriculum",
+      (s, dir) => {
+        val lens = Tables.documents(s, dir)
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+        val deciled = lens.withColumn("decile",
+          ntile(10).over(Window.orderBy(col("n_toks"), col("doc_id"))))
+        val total = lens.agg(sum("n_toks").cast("double").as("t"))
+        deciled.groupBy("decile")
+          .agg(count(lit(1)).as("docs"),
+            sum("n_toks").as("toks"),
+            min("n_toks").as("min_toks"),
+            max("n_toks").as("max_toks"))
+          .crossJoin(broadcast(total))
+          .withColumn("tok_share", col("toks") / col("t")).drop("t")
+          .orderBy("decile")
+      },
+      Some("""WITH lens AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+             |  FROM documents),
+             |d AS (SELECT *, NTILE(10) OVER (ORDER BY n_toks, doc_id) AS decile FROM lens),
+             |tot AS (SELECT CAST(SUM(n_toks) AS DOUBLE) AS t FROM lens)
+             |SELECT decile, COUNT(*) AS docs, CAST(SUM(n_toks) AS BIGINT) AS toks,
+             |  MIN(n_toks) AS min_toks, MAX(n_toks) AS max_toks,
+             |  CAST(SUM(n_toks) AS BIGINT) / (SELECT t FROM tot) AS tok_share
+             |FROM d GROUP BY decile ORDER BY decile""".stripMargin))
   )
 }

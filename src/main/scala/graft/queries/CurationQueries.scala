@@ -16,7 +16,7 @@ object CurationQueries extends QueryRegistry {
   /** The MinHash-LSH replay CTE chain (docs → shingles → signatures →
     * band buckets → candidate pairs), shared by the q55 oracle and the
     * q100 components oracle. */
-  private val mhCtes = {
+  private[queries] val mhCtes = {
     val a = MinHashLSH.A.mkString("[", ",", "]")
     val b = MinHashLSH.B.mkString("[", ",", "]")
     s"""docs AS (
@@ -51,7 +51,7 @@ object CurationQueries extends QueryRegistry {
        |)""".stripMargin
   }
 
-  private val mhEst =
+  private[queries] val mhEst =
     "list_sum(list_transform(generate_series(1,16), i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / CAST(16 AS DOUBLE)"
 
   private val mh =

@@ -87,6 +87,43 @@ class CorpusSpec extends SparkTestBase {
       "probe batch must broadcast")
   }
 
+  test("q177: feature bounds hold; exact jaccard of injected twins is 1.0") {
+    val rows = run("q177_pair_features").collect()
+    rows.foreach { r =>
+      Seq("est_jaccard", "exact_jaccard", "len_ratio").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c=$v out of range")
+      }
+    }
+    // the synthetic dup twins (id ± 100000) are exact copies
+    val twins = rows.filter(r =>
+      r.getAs[Long]("b_id") - r.getAs[Long]("a_id") == 100000L)
+    assert(twins.nonEmpty)
+    twins.foreach { r =>
+      assert(r.getAs[Double]("exact_jaccard") == 1.0)
+      assert(r.getAs[Int]("same_lang") == 1 && r.getAs[Int]("same_source") == 1)
+    }
+  }
+
+  test("q178: pair counts descend; every pair is two corpus tokens") {
+    val rows = run("q178_bpe_pair_stats").collect()
+    val counts = rows.map(_.getAs[Long]("cnt"))
+    assert(counts.sameElements(counts.sortBy(-_)))
+    rows.foreach(r => assert(r.getAs[String]("pair").split(" ").length == 2))
+  }
+
+  test("q179: deciles partition the corpus; shares sum to 1") {
+    val rows = run("q179_length_curriculum").collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
+    assert(rows.map(_.getAs[Long]("docs")).sum ==
+      Tables.documents(spark, sf).count())
+    val share = rows.map(_.getAs[Double]("tok_share")).sum
+    assert(math.abs(share - 1.0) < 1e-9)
+    // deciles are length-ordered: max_toks non-decreasing
+    val maxes = rows.sortBy(_.getAs[Int]("decile")).map(_.getAs[Long]("max_toks"))
+    assert(maxes.sameElements(maxes.sorted))
+  }
+
   test("q176: full outer = matched + unmatched purchases + unmatched signups") {
     val rows = run("q176_stream_full_outer_join").collect()
     val matched = rows.count(r => !r.isNullAt(0) && !r.isNullAt(1))

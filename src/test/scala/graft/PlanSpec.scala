@@ -149,4 +149,42 @@ class PlanSpec extends SparkTestBase {
     // the per-term df map rides a broadcast, not a full shuffle
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("q171: chunking is a pure per-row generate — no shuffle before the output sort") {
+    // context-window chunking must not shuffle the corpus: one scan,
+    // one Generate, then only the declared output ordering
+    val plan = planOf("q171_doc_chunking").split("\n")
+    val firstExchange = plan.indexWhere(_.contains("Exchange"))
+    val generate = plan.indexWhere(_.contains("Generate"))
+    assert(generate >= 0, plan.take(30).mkString("\n"))
+    // plans print top-down: the Generate must sit BELOW (after) every
+    // Exchange — i.e. no exchange between scan and chunk expansion
+    assert(firstExchange < generate, s"shuffle before Generate:\n${plan.take(30).mkString("\n")}")
+  }
+
+  test("q172: weighted sampling gate needs exactly one aggregation exchange") {
+    // the Bernoulli gate is map-side arithmetic; the only shuffle is
+    // the final per-source audit aggregate
+    val plan = planOf("q172_domain_mix_sample").toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"$exchanges hash exchanges\n${plan.take(2000)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan.take(2000))
+  }
+
+  test("q178: BPE pair counts partial-aggregate before the shuffle, top-k not global sort") {
+    val plan = planOf("q178_bpe_pair_stats")
+    assert(plan.contains("partial_count"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q179: corpus token total rides a broadcast, not a shuffle") {
+    val plan = planOf("q179_length_curriculum")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("q175: ANN probe batch broadcasts on both search paths") {
+    val plan = planOf("q175_ann_recall")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
 }
