@@ -224,12 +224,17 @@ object Snapshots {
     else {
       val next = prev.map(_.version + 1).getOrElse(0)
       val referenced = referencedFiles(root, prefix)
-      val files = (listDataFiles(root, prefix).toSet --
-        removedUpTo(root, prefix, next - 1))
+      // a commit = the CURRENT snapshot's state + files that appeared
+      // since (never-yet-referenced paths). Deriving from the current
+      // file set — not from "everything on disk minus everything ever
+      // removed" — keeps restore sound: a file removed by an undone
+      // delete and re-pinned by the restore stays in the set.
+      val newFiles = (listDataFiles(root, prefix).toSet -- referenced)
         // orphaned compaction rewrites (lost race / mid-compact crash)
-        // re-pack rows the originals still deliver — adopting them would
-        // double those rows, so only snapshot-referenced ones qualify
-        .filter(f => !isCompacted(f) || referenced(f))
+        // re-pack rows the originals still deliver — adopting them
+        // would double those rows
+        .filterNot(isCompacted)
+      val files = (prev.map(_.files.toSet).getOrElse(Set.empty) ++ newFiles)
         .toSeq.sorted
       val stats = assembleStats(dataDir(root, prefix), files,
         prev.map(_.stats).getOrElse(Seq.empty))
@@ -465,7 +470,7 @@ object Snapshots {
       .filter(v => v > fromVersion && v <= to.version)
       .flatMap { v =>
         val cur = snapshot(root, prefix, Some(v)).get
-        if (cur.op == "compact" || cur.op == "delete") Seq.empty
+        if (cur.op == "compact" || cur.op == "delete" || cur.op == "restore") Seq.empty
         else (cur.files.toSet --
           snapshot(root, prefix, Some(v - 1)).map(_.files.toSet).getOrElse(Set.empty)).toSeq
       }.distinct.sorted
@@ -534,7 +539,7 @@ object Snapshots {
             .parquet(addedFiles.map(f => base.resolve(f).toString): _*)
             .withColumn("_change_type", org.apache.spark.sql.functions.lit(tag)), v))
         cur.op match {
-          case "compact" => None
+          case "compact" | "restore" => None
           case "append" => fromFiles("insert")
           case _ => // merge/delete: row-grain CDC records, else file-grain fallback
             if (Files.isDirectory(cdcDir(root, prefix, v)))
@@ -546,6 +551,43 @@ object Snapshots {
       shape(read(spark, root, prefix, Some(to.version))
         .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert")), 0).limit(0)
     else parts.reduce(_.unionByName(_))
+  }
+
+  /** RESTORE TABLE … TO VERSION — Delta-style rollback: commits a NEW
+    * version whose file set, position watermark, and stats are exactly
+    * `toVersion`'s. History is preserved (the undone versions stay
+    * time-travel readable until [[vacuum]]); the restore itself is a
+    * normal concurrency-checked commit, so it serializes against
+    * racing writers (a racing append lands either before the restore —
+    * and is undone by it — or after, on top of the restored state; the
+    * log stays linear either way). `txns` carry over from the CURRENT
+    * version: idempotent-replay dedup tracks what was ever applied,
+    * not what the restored state contains.
+    *
+    * Change-feed contract (file grain, like compaction): a restore
+    * adds no NEW rows — every re-pinned file was delivered by the
+    * version that first added it — so [[readChanges]] /
+    * [[readChangeFeed]] skip restore commits. Consumers needing
+    * row-grain restore diffs should diff time-travel reads of the two
+    * versions.
+    */
+  def restore(root: String, prefix: String, toVersion: Int): Int = {
+    val target = snapshot(root, prefix, Some(toVersion)).getOrElse(
+      sys.error(s"no snapshot v$toVersion for $prefix"))
+    var attempts = 5
+    var committed = -1
+    while (committed < 0) {
+      val cur = snapshot(root, prefix, None).get
+      val removedNow = (cur.files.toSet -- target.files.toSet).toSeq.sorted
+      try committed = writeSnapshot(root, prefix, cur.version + 1,
+        target.maxPos, target.files, removedNow, "restore",
+        cur.txns, target.stats)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempts -= 1; if (attempts <= 0) throw e
+      }
+    }
+    committed
   }
 
   /** Compact the latest snapshot: per partition directory, rewrite its

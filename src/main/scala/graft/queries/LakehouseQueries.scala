@@ -38,6 +38,16 @@ object LakehouseQueries extends QueryRegistry {
     dir.getAbsolutePath
   }
 
+  /** Three-commit table shared by the restore and history queries:
+    * v0 append ba 0..999, v1 delete ba%10=0, v2 restore to v0. */
+  private def stagedRestoreTable(s: SparkSession): String =
+    staged(s, "restore_v1") { tmp =>
+      ProduceJob.produceBatch(s, tmp, "r", topics = 1, numMessages = 1000) // v0
+      Snapshots.delete(s, tmp, "r", col("ba") % 10 === 0, txn = Some("q180d")) // v1
+      Snapshots.restore(tmp, "r", toVersion = 0) // v2
+      ()
+    }
+
   /** Two-commit table shared by the incremental-read and time-travel
     * queries: v0 = ba 0..999, v1 appends ba 0..499 again. */
   private def stagedTravelTable(s: SparkSession): String =
@@ -134,6 +144,49 @@ object LakehouseQueries extends QueryRegistry {
       Some("""SELECT COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba,
              |CAST(MIN(id) AS BIGINT) AS min_ba
              |FROM range(0,2000) t(id) WHERE id % 7 <> 0""".stripMargin)),
+
+    // RESTORE TO VERSION (rollback): v0 appends 0..999, v1 deletes
+    // every 10th row, v2 restores to v0. The latest read must be
+    // exactly v0's rows again, the undone v1 must stay time-travel
+    // readable, and the change feed must NOT re-deliver the re-pinned
+    // files (restore adds no new rows). All three facts in one output
+    // row, each replayed arithmetically by the oracle.
+    QueryDef("q180_snapshot_restore",
+      (s, _) => {
+        val root = stagedRestoreTable(s)
+        val latest = Snapshots.read(s, root, "r").agg(
+          count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+        val undone = Snapshots.read(s, root, "r", version = Some(1)).agg(
+          count(lit(1)).as("v1_cnt"))
+        val feed = Snapshots.readChanges(s, root, "r", fromVersion = 1).agg(
+          count(lit(1)).as("feed_rows"))
+        latest.crossJoin(undone).crossJoin(feed)
+      },
+      Some("""SELECT COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba,
+             |  (SELECT COUNT(*) FROM range(0,1000) t(id) WHERE id % 10 <> 0) AS v1_cnt,
+             |  CAST(0 AS BIGINT) AS feed_rows
+             |FROM range(0,1000) t(id)""".stripMargin)),
+
+    // DESCRIBE HISTORY: the commit log itself as a queryable frame —
+    // version, operation, position watermark. The restore entry shows
+    // the rollback as a first-class audited commit (maxPos restored
+    // with the state). Metadata-scale: built from the manifest on the
+    // driver, never touching data files.
+    QueryDef("q181_table_history",
+      (s, _) => {
+        val root = stagedRestoreTable(s)
+        val rows = Snapshots.versions(root, "r").map { v =>
+          val sn = Snapshots.snapshot(root, "r", Some(v)).get
+          (sn.version, sn.op, sn.maxPos)
+        }
+        import s.implicits._
+        rows.toDF("version", "op", "max_pos").orderBy("version")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(0 AS INT), 'append',  CAST(999 AS BIGINT)),
+             |  (CAST(1 AS INT), 'delete',  CAST(999 AS BIGINT)),
+             |  (CAST(2 AS INT), 'restore', CAST(999 AS BIGINT)))
+             |t(version, op, max_pos) ORDER BY version""".stripMargin)),
 
     // Incremental (CDC-style) read: exactly the rows the second commit
     // added — consumers checkpointing a version get append-only change

@@ -582,4 +582,26 @@ class SnapshotSpec extends SparkTestBase {
       Snapshots.read(spark, root, "s4", Some(99))
     }
   }
+
+  test("restore rolls back to a version, preserves history, and feeds no rows") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "s25", topics = 1, numMessages = 1000) // v0
+    Snapshots.delete(spark, root, "s25", col("ba") % 10 === 0) // v1: 900 left
+    assert(Snapshots.read(spark, root, "s25").count() == 900)
+    val v2 = Snapshots.restore(root, "s25", toVersion = 0)
+    assert(v2 == 2)
+    // latest state is v0's again; undone v1 stays time-travel readable
+    assert(Snapshots.read(spark, root, "s25").count() == 1000)
+    assert(Snapshots.read(spark, root, "s25", Some(1)).count() == 900)
+    // watermark restored with the state
+    assert(Snapshots.snapshot(root, "s25", Some(v2)).get.maxPos ==
+      Snapshots.snapshot(root, "s25", Some(0)).get.maxPos)
+    // the re-pinned files carry no NEW rows: both feeds skip the restore
+    assert(Snapshots.readChanges(spark, root, "s25", fromVersion = 1).count() == 0)
+    assert(Snapshots.readChangeFeed(spark, root, "s25", fromVersion = 1)
+      .filter(col("_commit_version") === v2).count() == 0)
+    // writes continue on top of the restored state
+    ProduceJob.produceBatch(spark, root, "s25", topics = 1, numMessages = 100) // v3
+    assert(Snapshots.read(spark, root, "s25").count() == 1100)
+  }
 }
