@@ -18,9 +18,10 @@ object CorpusQueries extends QueryRegistry {
 
     // Exact duplicate-span coverage (the RefinedWeb "exact substring
     // dedup" metric): fraction of each doc's 8-gram positions whose
-    // 8-gram occurs in ≥1 other doc. The operator's at-scale path
-    // shuffles xxhash64 longs; the declared query uses the string path
-    // so DuckDB replays it verbatim (CorpusSpec asserts both agree).
+    // 8-gram occurs in ≥1 other doc. Grams shuffle as md5-derived
+    // 60-bit longs (8 bytes/row instead of ~8-token strings), and the
+    // oracle replays that exact key; CorpusSpec asserts the md5,
+    // xxhash64, and raw-string paths agree on the fixtures.
     QueryDef("q170_duplicate_spans",
       (s, dir) => DuplicateSpans
         .coverage(Tables.documents(s, dir), "doc_id", "text", n = 8)
@@ -29,13 +30,14 @@ object CorpusQueries extends QueryRegistry {
       Some("""WITH d AS (
              |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
              |  ), g AS (
-             |  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+             |  SELECT doc_id,
+             |    CAST(('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT) AS gram
              |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
              |        FROM d WHERE len(toks) >= 8)),
-             |nd AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+             |nd AS (SELECT gram, MIN(doc_id) <> MAX(doc_id) AS dup FROM g GROUP BY gram)
              |SELECT g.doc_id, COUNT(*) AS n_grams,
-             |  CAST(SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
-             |  SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS dup_frac
+             |  CAST(SUM(CASE WHEN nd.dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+             |  SUM(CASE WHEN nd.dup THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS dup_frac
              |FROM g JOIN nd USING (gram)
              |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
 
@@ -213,7 +215,14 @@ object CorpusQueries extends QueryRegistry {
               i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
             .otherwise(array().cast("array<string>"))
         }
+        // shingle ONLY candidate-pair members: the semi join runs on
+        // raw (id, text) rows BEFORE the shingle projection, so the
+        // expensive per-token work is paid for ~|candidates| docs, not
+        // the corpus (measured 2× on this query)
+        val candIds = pairs
+          .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
         val attrs = withDups
+          .join(candIds, Seq("id"), "left_semi")
           .join(d.select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
             pmod(col("id"), lit(100000L)) === col("doc_id"))
           .select(col("id"), shingles(col("text")).as("sh"),

@@ -237,6 +237,46 @@ object JoinQueries extends QueryRegistry {
       Some("""SELECT c_mktsegment, COUNT(*) AS cnt,
              |CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // SCD2 point-in-time dimension join (the warehouse staple): each
+    // fact row joins the dimension version whose validity interval
+    // contains the fact's date. The derived two-version customer dim
+    // stands in for a real history table. Scale shape: the EQUALITY
+    // key (custkey) carries the join — SMJ/broadcast like any
+    // equi-join — and the validity interval is a residual filter;
+    // never a range join, because with versioned dims every key has
+    // few versions and the residual rejects all but one.
+    QueryDef("q182_scd2_join",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val split = lit("1996-01-01").cast("timestamp_ntz")
+        val dim = c.select(col("c_custkey"), col("c_acctbal").as("bal"),
+            lit("1990-01-01").cast("timestamp_ntz").as("valid_from"),
+            split.as("valid_to"), lit(1).as("ver"))
+          .unionAll(c.select(col("c_custkey"), (col("c_acctbal") + 100).as("bal"),
+            split.as("valid_from"),
+            lit("2999-01-01").cast("timestamp_ntz").as("valid_to"), lit(2).as("ver")))
+        Tables.orders(s, dir).join(dim,
+            col("o_custkey") === col("c_custkey") &&
+              col("o_orderdate") >= col("valid_from") &&
+              col("o_orderdate") < col("valid_to"))
+          .groupBy("ver")
+          .agg(count(lit(1)).as("cnt"), Qf.msum(col("bal")).as("sum_bal"))
+          .orderBy("ver")
+      },
+      Some(s"""WITH dim AS (
+              |  SELECT c_custkey, c_acctbal AS bal,
+              |    TIMESTAMP '1990-01-01' AS valid_from, TIMESTAMP '1996-01-01' AS valid_to, 1 AS ver
+              |  FROM customer
+              |  UNION ALL
+              |  SELECT c_custkey, c_acctbal + 100 AS bal,
+              |    TIMESTAMP '1996-01-01', TIMESTAMP '2999-01-01', 2 AS ver
+              |  FROM customer)
+              |SELECT ver, COUNT(*) AS cnt, ${Qf.sqlMsum("bal")} AS sum_bal
+              |FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+              |  AND CAST(o.o_orderdate AS TIMESTAMP) >= d.valid_from
+              |  AND CAST(o.o_orderdate AS TIMESTAMP) < d.valid_to
+              |GROUP BY ver ORDER BY ver""".stripMargin))
   )
 }

@@ -10,13 +10,14 @@ import graft.operators.DuplicateSpans
   * equivalence, bounds, conservation, plan shape). */
 class CorpusSpec extends SparkTestBase {
 
-  test("DuplicateSpans: xxhash64 gram path agrees with the string path") {
+  test("DuplicateSpans: md5, xxhash64, and raw-string gram keys agree") {
     val docs = Tables.documents(spark, sf)
-    val str = DuplicateSpans.coverage(docs, "doc_id", "text", n = 8, hashGrams = false)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val hsh = DuplicateSpans.coverage(docs, "doc_id", "text", n = 8, hashGrams = true)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(str == hsh)
+    def cov(key: String) =
+      DuplicateSpans.coverage(docs, "doc_id", "text", n = 8, gramKey = key)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val str = cov("string")
+    assert(cov("md5") == str)
+    assert(cov("xxhash64") == str)
   }
 
   test("q170: dup_frac bounded; dup spans are symmetric (never exactly one doc)") {
