@@ -37,7 +37,9 @@ object Bench {
     "q68_correlated_subquery", "q76_tpch_q7_shape", "q77_tpch_q10_shape",
     "q89_stream_stream_join", "q91_tpch_q2_shape", "q96_tpch_q21_shape",
     "q100_dedup_components", "q101_corpus_curation", "q113_snapshot_merge",
-    "q116_repetition_filter", "q119_tfidf_top_terms")
+    "q116_repetition_filter", "q119_tfidf_top_terms",
+    "q170_duplicate_spans", "q175_ann_recall", "q177_pair_features",
+    "q180_snapshot_restore", "q182_scd2_join")
 
   private def fmt(v: Double): String = BigDecimal(v)
     .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

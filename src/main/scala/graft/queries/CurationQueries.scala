@@ -347,6 +347,40 @@ object CurationQueries extends QueryRegistry {
               |WHERE vec_id != 0 AND len(list_intersect(buckets, pbuckets)) > 0
               |ORDER BY sim DESC, id LIMIT 10""".stripMargin)),
 
+    // Triangle count + closure rate over the near-dup candidate graph:
+    // how cohesive are the LSH clusters? (A high closure rate means
+    // candidates form tight cliques — safe to collapse via connected
+    // components; a low rate warns of chain-shaped false-positive
+    // merges.) Edges are oriented a<b at generation, so each wedge
+    // x<y<z is enumerated once and each triangle counted once — the
+    // standard edge-ordered enumeration, two hash joins, no node ever
+    // sees more than its neighborhood (at corpus scale: shuffle on the
+    // wedge pivot, bounded by the LSH bucket cap).
+    QueryDef("q183_triangle_count",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val withDups = d.select(col("doc_id").as("id"), col("text"))
+          .unionAll(d.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 100000).as("id"), col("text")))
+        val e = MinHashLSH.candidatePairs(withDups, "id", "text")
+          .select(col("a_id").as("x"), col("b_id").as("y"))
+        val wedges = e.as("ab").join(e.as("bc"), col("ab.y") === col("bc.x"))
+          .select(col("ab.x").as("x"), col("ab.y").as("y"), col("bc.y").as("z"))
+        val closed = wedges.as("w").join(e.as("ac"),
+          col("w.x") === col("ac.x") && col("w.z") === col("ac.y"), "left_semi")
+        wedges.agg(count(lit(1)).as("wedges")).crossJoin(
+          closed.agg(count(lit(1)).as("triangles")))
+          .select(col("wedges"), col("triangles"),
+            (col("triangles") / col("wedges").cast("double")).as("closure_rate"))
+      },
+      Some(s"""WITH $mhCtes,
+              |e AS (SELECT a_id AS x, b_id AS y FROM pairs),
+              |w AS (SELECT ab.x, ab.y, bc.y AS z FROM e ab JOIN e bc ON ab.y = bc.x),
+              |t AS (SELECT w.x FROM w JOIN e ac ON w.x = ac.x AND w.z = ac.y)
+              |SELECT (SELECT COUNT(*) FROM w) AS wedges,
+              |       (SELECT COUNT(*) FROM t) AS triangles,
+              |       (SELECT COUNT(*) FROM t) / CAST((SELECT COUNT(*) FROM w) AS DOUBLE) AS closure_rate""".stripMargin)),
+
     // ANN quality measurement: recall@10 of the LSH-bucketed search
     // against exact brute-force cosine, for a batch of 8 probes in ONE
     // corpus pass each. The approximate side is the thing being

@@ -171,6 +171,26 @@ object ModernSqlQueries extends QueryRegistry {
              |  GROUP BY 1)
              |SELECT spine.day, COALESCE(daily.n, 0) AS n, COALESCE(daily.total, 0.0) AS total
              |FROM spine LEFT JOIN daily ON spine.day = daily.day
-             |ORDER BY spine.day""".stripMargin))
+             |ORDER BY spine.day""".stripMargin)),
+
+    // Keyset-free pagination: ORDER BY + LIMIT/OFFSET. Spark plans a
+    // global top-(limit+offset) (CollectLimit with offset), never a
+    // full sort — the total order over ALL output columns makes page
+    // contents deterministic (lineitem has no unique key).
+    QueryDef("q184_limit_offset", sqlBoth(
+      """SELECT o_orderkey, o_orderpriority
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 20""".stripMargin)),
+
+    // GROUP BY ALL / ORDER BY ALL (Spark 4 + DuckDB): grouping keys
+    // inferred from the non-aggregate select list — identical text,
+    // identical inference, on both engines.
+    QueryDef("q185_group_by_all", sqlBoth(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(FLOOR((o_totalprice) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS total
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin))
   )
 }

@@ -125,6 +125,26 @@ class CorpusSpec extends SparkTestBase {
     assert(maxes.sameElements(maxes.sorted))
   }
 
+  test("q182: SCD2 join matches every order exactly once, as an equi-join") {
+    val df = run("q182_scd2_join")
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("cnt")).sum == Tables.orders(spark, sf).count())
+    // the equality key must carry the join — a nested-loop range join
+    // here would be quadratic at scale
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("q183: closure rate bounded; triangles never exceed wedges") {
+    val r = run("q183_triangle_count").head()
+    val (w, t) = (r.getAs[Long]("wedges"), r.getAs[Long]("triangles"))
+    assert(t <= w && w > 0)
+    val rate = r.getAs[Double]("closure_rate")
+    assert(rate >= 0.0 && rate <= 1.0)
+  }
+
   test("q176: full outer = matched + unmatched purchases + unmatched signups") {
     val rows = run("q176_stream_full_outer_join").collect()
     val matched = rows.count(r => !r.isNullAt(0) && !r.isNullAt(1))

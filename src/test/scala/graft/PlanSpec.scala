@@ -187,4 +187,9 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  test("q184: LIMIT/OFFSET plans as top-k with offset, never a global sort") {
+    val plan = planOf("q184_limit_offset")
+    assert(plan.contains("TakeOrderedAndProject(limit=30"), plan.take(2000))
+  }
 }

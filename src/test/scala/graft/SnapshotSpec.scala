@@ -604,4 +604,17 @@ class SnapshotSpec extends SparkTestBase {
     ProduceJob.produceBatch(spark, root, "s25", topics = 1, numMessages = 100) // v3
     assert(Snapshots.read(spark, root, "s25").count() == 1100)
   }
+
+  test("vacuum after restore keeps the re-pinned files") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "s26", topics = 1, numMessages = 500) // v0
+    Snapshots.delete(spark, root, "s26", col("ba") >= 250) // v1: rewrite drops half
+    val v2 = Snapshots.restore(root, "s26", toVersion = 0)
+    // vacuum away the undone history: the restore's snapshot references
+    // v0's ORIGINAL files, so they must survive even though v0 and the
+    // delete's survivor rewrite are collected
+    Snapshots.vacuum(root, "s26", keepFrom = v2, orphanGraceMs = 0)
+    assert(Snapshots.versions(root, "s26") == Seq(v2))
+    assert(Snapshots.read(spark, root, "s26").count() == 500)
+  }
 }
