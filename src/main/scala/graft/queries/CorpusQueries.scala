@@ -315,6 +315,57 @@ object CorpusQueries extends QueryRegistry {
              |SELECT decile, COUNT(*) AS docs, CAST(SUM(n_toks) AS BIGINT) AS toks,
              |  MIN(n_toks) AS min_toks, MAX(n_toks) AS max_toks,
              |  CAST(SUM(n_toks) AS BIGINT) / (SELECT t FROM tot) AS tok_share
-             |FROM d GROUP BY decile ORDER BY decile""".stripMargin))
+             |FROM d GROUP BY decile ORDER BY decile""".stripMargin)),
+
+    // Zipf slope of the corpus vocabulary: least-squares fit of
+    // ln(freq) on ln(rank) over the top-100 terms — the standard
+    // "is this corpus natural-language-shaped?" diagnostic (natural
+    // text ≈ −1; templated/synthetic corpora flatten). Portability is
+    // the q151 recipe: each ln is quantized to integer micros per row
+    // (FLOOR(x*1e6+0.5) — pure IEEE, and a 1-ulp libm divergence sits
+    // ~9 orders of magnitude below the quantum), the moments are exact
+    // BIGINT sums, and the slope is the same two IEEE ops on both
+    // engines. The global window runs over vocabulary cardinality
+    // (post-agg), never token rows.
+    QueryDef("q186_zipf_slope",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("term"))
+        val freq = tok.groupBy("term").agg(count(lit(1)).as("f"))
+        val ranked = freq
+          .withColumn("r", row_number().over(Window.orderBy(col("f").desc, col("term"))))
+          .orderBy(col("f").desc, col("term")).limit(100)
+        val q = ranked.select(
+          floor(log(col("r")) * lit(1e6) + lit(0.5)).as("x"),
+          floor(log(col("f")) * lit(1e6) + lit(0.5)).as("y"))
+        q.agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(col("x")).cast("double").as("sx"),
+            sum(col("y")).cast("double").as("sy"),
+            sum(col("x") * col("x")).cast("double").as("sxx"),
+            sum(col("x") * col("y")).cast("double").as("sxy"))
+          .select(col("n").cast("long").as("n_terms"),
+            floor(((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))) * lit(1e6) + lit(0.5))
+              .as("slope_micro"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+             |freq AS (SELECT term, COUNT(*) AS f FROM tok GROUP BY term),
+             |ranked AS (
+             |  SELECT term, f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS r
+             |  FROM freq ORDER BY f DESC, term LIMIT 100),
+             |q AS (
+             |  SELECT CAST(FLOOR(ln(r) * 1e6 + 0.5) AS BIGINT) AS x,
+             |         CAST(FLOOR(ln(f) * 1e6 + 0.5) AS BIGINT) AS y
+             |  FROM ranked),
+             |m AS (
+             |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             |         CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(x*y) AS DOUBLE) AS sxy
+             |  FROM q)
+             |SELECT CAST(n AS BIGINT) AS n_terms,
+             |  CAST(FLOOR(((n*sxy - sx*sy) / (n*sxx - sx*sx)) * 1e6 + 0.5) AS BIGINT) AS slope_micro
+             |FROM m""".stripMargin))
   )
 }

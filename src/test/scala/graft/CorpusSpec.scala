@@ -20,6 +20,25 @@ class CorpusSpec extends SparkTestBase {
     assert(cov("xxhash64") == str)
   }
 
+  test("DuplicateSpans: an exact copy drives both twins to full coverage") {
+    val d = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val withCopies = d.unionAll(
+      d.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val cov = DuplicateSpans.coverage(withCopies, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("dup_frac")).toMap
+    (0L until 5L).filter(cov.contains).foreach { id => // short docs drop out
+      assert(cov(id) == 1.0, s"original $id: ${cov(id)}")
+      assert(cov(id + 100000) == 1.0, s"copy of $id: ${cov(id + 100000)}")
+    }
+  }
+
+  test("q186: slope is negative (frequency decreases with rank)") {
+    val r = run("q186_zipf_slope").head()
+    assert(r.getAs[Long]("n_terms") > 2)
+    assert(r.getAs[Long]("slope_micro") < 0)
+  }
+
   test("q170: dup_frac bounded; dup spans are symmetric (never exactly one doc)") {
     val rows = run("q170_duplicate_spans").collect()
     rows.foreach { r =>
