@@ -84,14 +84,15 @@ object StreamingQueries extends QueryRegistry {
   private def runToMemory(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
     // every stateful operator opens one state store PER shuffle
-    // partition; at the replay's state volume (≤100k rows) the batch
-    // default of 32 pays 4× the store setup for no parallelism win, so
-    // the stream runs at 8 (a production deployment sizes this to
-    // throughput — it is fixed at the first checkpoint, which each
-    // replay recreates). Restored afterwards; batch plans unaffected.
+    // partition PER micro-batch; at the replay's state volume (≤100k
+    // rows) store setup dominates compute, so the stream runs at 2
+    // partitions (8 → 2 cut the stream-stream joins ~35%). A
+    // production deployment sizes this to state volume / throughput —
+    // the value is fixed at the first checkpoint, which each replay
+    // recreates. Restored afterwards; batch plans unaffected.
     val key = "spark.sql.shuffle.partitions"
     val prior = s.conf.get(key)
-    s.conf.set(key, "8")
+    s.conf.set(key, "2")
     try {
       val q = df.writeStream
         .format("memory").queryName(name)
