@@ -38,6 +38,19 @@ object LakehouseQueries extends QueryRegistry {
     dir.getAbsolutePath
   }
 
+  /** Three-commit CDC table shared by the change-feed and CDC-apply
+    * queries: v0 append 0..999, v1 merge 500..1199 (500 updates + 200
+    * inserts), v2 delete ba%10=0. */
+  private def stagedCdfTable(s: SparkSession): String =
+    staged(s, "cdf_v1") { tmp =>
+      ProduceJob.produceBatch(s, tmp, "f", topics = 1, numMessages = 1000)
+      Snapshots.merge(s, tmp, "f",
+        genRows(s, 500, 1200, "upd", "f", topics = 1), Seq("ba"),
+        txn = Some("q138m"))
+      Snapshots.delete(s, tmp, "f", col("ba") % 10 === 0, txn = Some("q138d"))
+      ()
+    }
+
   /** Three-commit table shared by the restore and history queries:
     * v0 append ba 0..999, v1 delete ba%10=0, v2 restore to v0. */
   private def stagedRestoreTable(s: SparkSession): String =
@@ -225,14 +238,7 @@ object LakehouseQueries extends QueryRegistry {
     // oracle replays that history arithmetically per change type.
     QueryDef("q138_change_feed",
       (s, _) => {
-        val root = staged(s, "cdf_v1") { tmp =>
-          ProduceJob.produceBatch(s, tmp, "f", topics = 1, numMessages = 1000)
-          Snapshots.merge(s, tmp, "f",
-            genRows(s, 500, 1200, "upd", "f", topics = 1), Seq("ba"),
-            txn = Some("q138m"))
-          Snapshots.delete(s, tmp, "f", col("ba") % 10 === 0, txn = Some("q138d"))
-          ()
-        }
+        val root = stagedCdfTable(s)
         Snapshots.readChangeFeed(s, root, "f", fromVersion = 0)
           .groupBy("_change_type")
           .agg(count(lit(1)).as("cnt"),
@@ -245,6 +251,47 @@ object LakehouseQueries extends QueryRegistry {
              |  UNION ALL SELECT 'delete', id FROM range(0,1200) t(id) WHERE id % 10 = 0)
              |SELECT _change_type, COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba
              |FROM feed GROUP BY 1 ORDER BY _change_type""".stripMargin)),
+
+    // CDC APPLY — the consumer side of the change feed: reconstruct
+    // the table on a replica purely from (base version + change rows),
+    // applying each commit's deletes/upserts keyed on ba in version
+    // order. The output proves the feed is SUFFICIENT for replication:
+    // the replica must match the source table exactly (both exceptAll
+    // directions empty), not just on aggregates. Per-version apply is
+    // anti-join + union (the standard CDC merge shape); lineage is cut
+    // per applied version so the plan stays O(1) in history length.
+    QueryDef("q187_cdc_apply",
+      (s, _) => {
+        val root = stagedCdfTable(s)
+        val base = Snapshots.read(s, root, "f", version = Some(0))
+        val feed = Snapshots.readChangeFeed(s, root, "f", fromVersion = 0)
+        val cols = base.columns.toSeq
+        val vs = feed.select("_commit_version").distinct()
+          .collect().map(_.getInt(0)).sorted // metadata-scale: one int per commit
+        var replica = base
+        for (v <- vs) {
+          val ch = feed.filter(col("_commit_version") === v)
+          val touched = ch.select(col("ba")).distinct()
+          val upserts = ch
+            .filter(col("_change_type").isin("insert", "update_postimage"))
+            .select(cols.map(col): _*)
+          replica = replica.join(touched, Seq("ba"), "left_anti")
+            .unionByName(upserts)
+            .localCheckpoint(true)
+        }
+        val latest = Snapshots.read(s, root, "f")
+        val extra = replica.exceptAll(latest).agg(count(lit(1))).head().getLong(0)
+        val missing = latest.exceptAll(replica).agg(count(lit(1))).head().getLong(0)
+        replica.agg(
+          count(lit(1)).as("cnt"),
+          sum("ba").cast("bigint").as("sum_ba"),
+          lit(extra).as("rows_not_in_table"),
+          lit(missing).as("rows_missing"))
+      },
+      Some("""SELECT COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba,
+             |  CAST(0 AS BIGINT) AS rows_not_in_table,
+             |  CAST(0 AS BIGINT) AS rows_missing
+             |FROM range(0,1200) t(id) WHERE id % 10 <> 0""".stripMargin)),
 
     // Z-order clustering (OPTIMIZE ZORDER BY x, y): after the rewrite,
     // every file covers a narrow range on BOTH derived dimensions, so
