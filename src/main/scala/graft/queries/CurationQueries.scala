@@ -347,6 +347,69 @@ object CurationQueries extends QueryRegistry {
               |WHERE vec_id != 0 AND len(list_intersect(buckets, pbuckets)) > 0
               |ORDER BY sim DESC, id LIMIT 10""".stripMargin)),
 
+    // REAL image decode (JDK ImageIO — no external libs): media is
+    // GENERATED deterministically per doc (grayscale PNG, pixel(x,y) =
+    // (x*7+y*13+id)%256), decoded back on executors, and every decoded
+    // fact — dimensions, pixel sum, 4×4 nearest-neighbor resample sum —
+    // is integer arithmetic of the id that the oracle replays without
+    // any codec (PNG is lossless: decode∘encode = id). This upgrades
+    // the multimodal path from a stub to a real codec round-trip; the
+    // decode UDF is the declared codec boundary (inherently JVM work,
+    // one projection, no shuffle).
+    QueryDef("q188_image_decode",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir).filter(col("doc_id") < 64).select("doc_id")
+        ids.select(col("doc_id"),
+            Multimodal.decodePngUdf(Multimodal.makePngUdf(col("doc_id"))).as("d"))
+          .select(col("doc_id"), col("d.width").as("width"), col("d.height").as("height"),
+            col("d.sum_v").as("sum_v"), col("d.resample_sum").as("resample_sum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+             |  FROM documents WHERE doc_id < 64),
+             |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims),
+             |xy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+             |px AS (
+             |  SELECT doc_id, w, h, SUM((x*7 + y*13 + doc_id) % 256) AS sum_v
+             |  FROM xy GROUP BY doc_id, w, h),
+             |rs AS (
+             |  SELECT doc_id,
+             |    SUM((((i.i*w)//4)*7 + ((j.j*h)//4)*13 + doc_id) % 256) AS resample_sum
+             |  FROM dims, generate_series(0,3) i(i), generate_series(0,3) j(j)
+             |  GROUP BY doc_id)
+             |SELECT p.doc_id, CAST(p.w AS INT) AS width, CAST(p.h AS INT) AS height,
+             |  CAST(p.sum_v AS BIGINT) AS sum_v,
+             |  CAST(r.resample_sum AS BIGINT) AS resample_sum
+             |FROM px p JOIN rs r USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // REAL audio decode (JDK javax.sound — WAV/PCM): 16-bit mono PCM
+    // generated per doc (s(t) = (t*37 + id*11) % 2001 − 1000), written
+    // as a WAV container, decoded back, and summarized as exact
+    // integers (Σ s² energy — deliberately NOT RMS, so no sqrt/libm
+    // hazard; frame count; max amplitude; sample rate from the decoded
+    // header). Same contract as q188: lossless codec round-trip whose
+    // facts the oracle replays arithmetically.
+    QueryDef("q189_audio_decode",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir).filter(col("doc_id") < 64).select("doc_id")
+        ids.select(col("doc_id"),
+            Multimodal.decodeWavUdf(Multimodal.makeWavUdf(col("doc_id"))).as("d"))
+          .select(col("doc_id"), col("d.sample_rate").as("sample_rate"),
+            col("d.frames").as("frames"), col("d.energy").as("energy"),
+            col("d.max_amp").as("max_amp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (
+             |  SELECT doc_id, 64 + doc_id % 64 AS n
+             |  FROM documents WHERE doc_id < 64),
+             |ts AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS t FROM n),
+             |s AS (SELECT doc_id, ((t*37 + doc_id*11) % 2001) - 1000 AS s FROM ts)
+             |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, COUNT(*) AS frames,
+             |  CAST(SUM(s*s) AS BIGINT) AS energy,
+             |  CAST(MAX(ABS(s)) AS INT) AS max_amp
+             |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Triangle count + closure rate over the near-dup candidate graph:
     // how cohesive are the LSH clusters? (A high closure rate means
     // candidates form tight cliques — safe to collapse via connected

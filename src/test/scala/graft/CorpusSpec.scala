@@ -164,6 +164,21 @@ class CorpusSpec extends SparkTestBase {
     assert(rate >= 0.0 && rate <= 1.0)
   }
 
+  test("real codecs: PNG and WAV round-trips are lossless and header-faithful") {
+    import graft.operators.Multimodal._
+    for (seed <- Seq(0L, 7L, 63L)) {
+      val img = decodePng(makePng(seed))
+      assert(img.width == 8 + (seed % 9).toInt && img.height == 8 + (seed % 7).toInt)
+      val expectSum = (for {
+        y <- 0 until img.height; x <- 0 until img.width
+      } yield (x * 7 + y * 13 + seed) % 256).sum
+      assert(img.sum_v == expectSum)
+      val wav = decodeWav(makeWav(seed))
+      assert(wav.sample_rate == 8000 && wav.frames == 64 + seed % 64)
+      assert(wav.max_amp <= 1000)
+    }
+  }
+
   test("q176: full outer = matched + unmatched purchases + unmatched signups") {
     val rows = run("q176_stream_full_outer_join").collect()
     val matched = rows.count(r => !r.isNullAt(0) && !r.isNullAt(1))
