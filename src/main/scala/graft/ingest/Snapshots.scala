@@ -77,12 +77,6 @@ object Snapshots {
       .toSeq.sorted
   }
 
-  /** Every file any snapshot ≤ `upTo` superseded via compaction. */
-  private def removedUpTo(root: String, prefix: String, upTo: Int): Set[String] =
-    versions(root, prefix).filter(_ <= upTo)
-      .flatMap(v => snapshot(root, prefix, Some(v)).map(_.removed).getOrElse(Seq.empty))
-      .toSet
-
   /** Every file any committed snapshot pins. */
   private def referencedFiles(root: String, prefix: String): Set[String] =
     versions(root, prefix)
@@ -574,6 +568,14 @@ object Snapshots {
   def restore(root: String, prefix: String, toVersion: Int): Int = {
     val target = snapshot(root, prefix, Some(toVersion)).getOrElse(
       sys.error(s"no snapshot v$toVersion for $prefix"))
+    // Delta-style RESTORE safety: refuse to pin files vacuum already
+    // deleted — otherwise the restore commits fine but the new latest
+    // version is unreadable.
+    val base = dataDir(root, prefix)
+    val missing = target.files.filterNot(f => Files.isRegularFile(base.resolve(f)))
+    if (missing.nonEmpty)
+      sys.error(s"restore $prefix to v$toVersion: ${missing.size} pinned file(s) " +
+        s"no longer on disk (vacuumed?): ${missing.take(3).mkString(", ")}")
     var attempts = 5
     var committed = -1
     while (committed < 0) {

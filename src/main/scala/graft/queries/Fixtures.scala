@@ -17,10 +17,16 @@ import graft.Tables
   * never leave a half-staged dir a later run would trust. */
 object Fixtures {
 
-  /** Hash of the source table's identity + content stamp. */
+  /** Hash of the source table's identity + content stamp. Folds every
+    * file's (name, mtime, size) — not just the parent dir's — so
+    * regenerating fixture data in place (same part-file names
+    * overwritten, parent mtime untouched) still changes the key. */
   private def contentKey(dir: String, table: String): String = {
     val f = new java.io.File(Tables.path(dir, table))
-    Integer.toHexString((dir + "@" + f.lastModified + ":" + f.length).hashCode)
+    val perFile = Option(f.listFiles())
+      .map(_.sortBy(_.getName).map(c => s"${c.getName}:${c.lastModified}:${c.length}").mkString(","))
+      .getOrElse("")
+    Integer.toHexString((dir + "@" + f.lastModified + ":" + f.length + "|" + perFile).hashCode)
   }
 
   /** Returns a directory staged by `build` exactly once per

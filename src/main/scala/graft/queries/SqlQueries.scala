@@ -185,18 +185,19 @@ object SqlQueries extends QueryRegistry {
              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
 
     // TPC-H Q14 shape: promo revenue ratio (order-stable double division
-    // of int64-backed decimal sums)
+    // of int64-backed decimal sums; the 1e6 micros scale cancels in the
+    // ratio, so no /1e6 rescale — avoids a precedence trap)
     QueryDef("q78_tpch_q14_shape", sql(
       """SELECT
         |  CAST(SUM(CAST(FLOOR((CASE WHEN p_type = 'ECONOMY'
-        |        THEN l_extendedprice*(1-l_discount) ELSE 0 END) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
-        |  / CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+        |        THEN l_extendedprice*(1-l_discount) ELSE 0 END) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+        |  / CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
         |  AS promo_ratio
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin),
       Some("""SELECT
              |  CAST(SUM(CAST(FLOOR((CASE WHEN p_type = 'ECONOMY'
-             |        THEN l_extendedprice*(1-l_discount) ELSE 0 END) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
-             |  / CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+             |        THEN l_extendedprice*(1-l_discount) ELSE 0 END) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+             |  / CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
              |  AS promo_ratio
              |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)),
 
@@ -350,8 +351,8 @@ object SqlQueries extends QueryRegistry {
     // grouped sum (8-way join, two nation roles).
     QueryDef("q104_tpch_q8_shape", sqlBoth(
       """SELECT o_year,
-        |  CAST(SUM(CAST(FLOOR((CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
-        |  / CAST(SUM(CAST(FLOOR((volume) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS mkt_share
+        |  CAST(SUM(CAST(FLOOR((CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+        |  / CAST(SUM(CAST(FLOOR((volume) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) AS mkt_share
         |FROM (
         |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |    l_extendedprice * (1 - l_discount) AS volume,
