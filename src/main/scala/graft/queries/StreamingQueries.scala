@@ -61,6 +61,21 @@ object StreamingQueries extends QueryRegistry {
     staged.getAbsolutePath
   }
 
+  /** A predicate that Catalyst cannot push below an EventTimeWatermark
+    * node: `PushPredicateThroughNonJoin` pushes any conjunct that does
+    * not reference the watermark column, so a plain
+    * `event_type = 'x'` filter written AFTER withWatermark still ends
+    * up BELOW it — and the watermark then tracks only that type's
+    * events. With a sparse type (signups), the global watermark stalls
+    * hours behind the source and outer-join/timer emissions never
+    * happen (observed: q176 lost its last 3 unmatched rows this way).
+    * Adding a `ts IS NULL` disjunct makes the conjunct reference the
+    * event-time column, pinning it above the watermark; it is inert
+    * (null ts never reaches the join — `ts < cutoff` is null-rejecting)
+    * and not constant-foldable while ts is nullable. */
+  private def unpushedTypeIs(t: String) =
+    col("ts").isNull || col("event_type") === t
+
   /** Stream `events` (schema from the batch file; ts arrives as Long
     * nanos → TIMESTAMP — watermarks require the instant type, so the
     * NTZ normalization happens on the *output* side of each query). */
@@ -149,23 +164,36 @@ object StreamingQueries extends QueryRegistry {
               |FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(k)
               |GROUP BY 1 ORDER BY wstart""".stripMargin)),
 
-    // Session windows (30 min gap) per user. The DuckDB oracle replays
-    // the sessionization in SQL: a session breaks when the gap to the
+    // Session windows (30 min gap) per user, in APPEND mode — the
+    // scale-safe formulation: a session emits exactly once, when the
+    // watermark passes its end, and leaves the state store. (Complete
+    // mode would re-materialize every session ever seen per micro-batch
+    // — unbounded output on an unbounded stream.) The q176 cutoff
+    // technique makes the final state batch-expressible: only events
+    // older than max(ts)−3h enter the aggregation, while the watermark
+    // node (placed BEFORE the filter) still sees the full flow, so the
+    // final watermark max(ts) provably passes every session end
+    // (< cutoff+30min). The DuckDB oracle replays the sessionization in
+    // SQL under the same cutoff: a session breaks when the gap to the
     // previous event is >= the gap duration (Spark's session end is
     // exclusive: [start, last+gap)), sessions are numbered by a running
-    // sum of break flags, then grouped. Batch-equivalence is separately
-    // asserted in StreamingSpec.
+    // sum of break flags, then grouped.
     QueryDef("q46_stream_session_window",
       (s, dir) => {
+        val maxNanos = s.read.parquet(Tables.path(dir, "events"))
+          .agg(max("ts")).head().getLong(0)
+        val cutoff = timestamp_micros(lit(maxNanos / 1000 - 3L * 3600 * 1000000))
         val agg = eventStream(s, dir, maxFilesPerTrigger = 4)
           .withWatermark("ts", "0 seconds")
+          .filter(col("ts") < cutoff)
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).as("cnt"))
-        runToMemory(s, agg, "complete")
+        runToMemory(s, agg, "append")
           .select(col("session_window.start").cast("timestamp_ntz").as("sstart"), col("user_id"), col("cnt"))
           .orderBy("user_id", "sstart")
       },
-      Some("""SELECT MIN(ts) AS sstart, user_id, COUNT(*) AS cnt FROM (
+      Some("""WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 3 HOUR AS cutoff FROM events)
+             |SELECT MIN(ts) AS sstart, user_id, COUNT(*) AS cnt FROM (
              |  SELECT user_id, ts,
              |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
              |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
@@ -174,9 +202,63 @@ object StreamingQueries extends QueryRegistry {
              |      CASE WHEN CAST(ts AS TIMESTAMP)
              |                  - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
              |                < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
-             |    FROM events))
+             |    FROM events, m WHERE CAST(ts AS TIMESTAMP) < m.cutoff))
              |GROUP BY user_id, sess
              |ORDER BY user_id, sstart""".stripMargin)),
+
+    // Timer-driven sessionization (SessionTimeoutProcessor on
+    // transformWithState + TimeMode.EventTime, append mode): the
+    // pattern session_window can't express — arbitrary per-session
+    // payload and a data-decided emission deadline. Each open session
+    // re-arms an event-time timer at (last event + gap); the WATERMARK
+    // firing the timer emits the closed session and clears its state,
+    // so the store holds only OPEN sessions (state tracks concurrent
+    // activity, not history — the 100 TB bound). Same q176 cutoff as
+    // q46 so every session provably closes. Session bounds emit as
+    // epoch millis (the processor's clock), which the oracle replays
+    // via epoch_ms().
+    QueryDef("q46b_session_timers",
+      (s, dir) => {
+        import s.implicits._
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prior = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val maxNanos = s.read.parquet(Tables.path(dir, "events"))
+            .agg(max("ts")).head().getLong(0)
+          val cutoff = timestamp_micros(lit(maxNanos / 1000 - 3L * 3600 * 1000000))
+          val sessions = eventStream(s, dir, maxFilesPerTrigger = 4)
+            .withWatermark("ts", "0 seconds")
+            .filter(col("ts") < cutoff)
+            .select(col("user_id"), col("ts"))
+            .as[(Long, java.sql.Timestamp)]
+            .groupByKey(_._1)
+            .transformWithState(new graft.streaming.SessionTimeoutProcessor(gapMs = 30L * 60 * 1000),
+              org.apache.spark.sql.streaming.TimeMode.EventTime(),
+              org.apache.spark.sql.streaming.OutputMode.Append())
+            .toDF("user_id", "cnt", "start_ms", "end_ms")
+          runToMemory(s, sessions, "append")
+            .orderBy("user_id", "start_ms")
+        } finally prior match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+      },
+      Some("""WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 3 HOUR AS cutoff FROM events)
+             |SELECT user_id, COUNT(*) AS cnt,
+             |  epoch_ms(MIN(ts)) AS start_ms, epoch_ms(MAX(ts)) AS end_ms FROM (
+             |  SELECT user_id, ts,
+             |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             |  FROM (
+             |    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |      CASE WHEN CAST(ts AS TIMESTAMP)
+             |                  - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+             |                < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+             |    FROM events, m WHERE CAST(ts AS TIMESTAMP) < m.cutoff))
+             |GROUP BY user_id, sess
+             |ORDER BY user_id, start_ms""".stripMargin)),
 
     // Watermark semantics (A7): aggregate with a 10-minute watermark in
     // append mode — only windows the watermark has passed emit. That
@@ -235,13 +317,18 @@ object StreamingQueries extends QueryRegistry {
         // 1h watermark mean state eviction only ever removes rows that
         // can no longer match, so the joined set is batch-count
         // independent — and each extra batch pays two state stores
+        // watermark first, then an unpushable type filter: a filter
+        // below the watermark node would stall the watermark at the
+        // filtered type's max ts — harmless to an inner join's OUTPUT
+        // (less eviction, never wrong matches) but state would be
+        // retained far past its match horizon at scale
         val p = eventStream(s, dir, maxFilesPerTrigger = 4)
-          .filter(col("event_type") === "purchase")
           .withWatermark("ts", "1 hour")
+          .filter(unpushedTypeIs("purchase"))
           .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
         val c = eventStream(s, dir, maxFilesPerTrigger = 4)
-          .filter(col("event_type") === "click")
           .withWatermark("ts", "1 hour")
+          .filter(unpushedTypeIs("click"))
           .select(col("event_id").as("c_id"), col("user_id").as("c_uid"), col("ts").as("c_ts"))
         val joined = p.join(c,
           col("user_id") === col("c_uid") &&
@@ -279,14 +366,16 @@ object StreamingQueries extends QueryRegistry {
         val cutoff = timestamp_micros(lit(maxNanos / 1000 - 3L * 3600 * 1000000))
         // watermark BEFORE the filters: the watermark node must see the
         // full event flow, otherwise the purchase side's own watermark
-        // stalls at the cutoff and the outer rows near it never emit
+        // stalls at the cutoff and the outer rows near it never emit —
+        // and the type filters use unpushedTypeIs so Catalyst can't
+        // quietly push them back below the watermark node
         val p = eventStream(s, dir, maxFilesPerTrigger = 4)
           .withWatermark("ts", "1 hour")
-          .filter(col("event_type") === "purchase" && col("ts") < cutoff)
+          .filter(unpushedTypeIs("purchase") && col("ts") < cutoff)
           .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
         val c = eventStream(s, dir, maxFilesPerTrigger = 4)
           .withWatermark("ts", "1 hour")
-          .filter(col("event_type") === "click")
+          .filter(unpushedTypeIs("click"))
           .select(col("event_id").as("c_id"), col("user_id").as("c_uid"), col("ts").as("c_ts"))
         val joined = p.join(c,
           col("user_id") === col("c_uid") &&
@@ -432,11 +521,11 @@ object StreamingQueries extends QueryRegistry {
         val cutoff = timestamp_micros(lit(maxNanos / 1000 - 3L * 3600 * 1000000))
         val p = eventStream(s, dir, maxFilesPerTrigger = 4)
           .withWatermark("ts", "1 hour")
-          .filter(col("event_type") === "purchase" && col("ts") < cutoff)
+          .filter(unpushedTypeIs("purchase") && col("ts") < cutoff)
           .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
         val c = eventStream(s, dir, maxFilesPerTrigger = 4)
           .withWatermark("ts", "1 hour")
-          .filter(col("event_type") === "signup" && col("ts") < cutoff)
+          .filter(unpushedTypeIs("signup") && col("ts") < cutoff)
           .select(col("event_id").as("c_id"), col("user_id").as("c_uid"), col("ts").as("c_ts"))
         val joined = p.join(c,
           col("user_id") === col("c_uid") &&

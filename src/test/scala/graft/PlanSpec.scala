@@ -192,4 +192,31 @@ class PlanSpec extends SparkTestBase {
     val plan = planOf("q184_limit_offset")
     assert(plan.contains("TakeOrderedAndProject(limit=30"), plan.take(2000))
   }
+
+  test("streaming type filters stay above the watermark node (no pushdown stall)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, Filter}
+    import org.apache.spark.sql.functions.col
+    // rate source: (timestamp, value). A plain value filter written
+    // after withWatermark gets pushed BELOW the watermark node by
+    // PushPredicateThroughNonJoin — the watermark then tracks only the
+    // filtered subset (a sparse event type stalls it for hours; q176
+    // lost rows to exactly this). The guard disjunct references the
+    // event-time column, which pins the filter above the watermark.
+    def optimized(f: org.apache.spark.sql.Column) = {
+      val df = spark.readStream.format("rate").load()
+        .withWatermark("timestamp", "1 hour")
+        .filter(f)
+      // run the optimizer directly: .optimizedPlan on a streaming frame
+      // trips the batch-execution check before ever optimizing
+      spark.sessionState.optimizer.execute(df.queryExecution.analyzed)
+    }
+    def filterBelowWatermark(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      plan.collect { case w: EventTimeWatermark => w }
+        .exists(w => w.child.collect { case f: Filter => f }.nonEmpty)
+    // negative control: the hazard is real — a value-only predicate sinks
+    assert(filterBelowWatermark(optimized(col("value") % 7 === 0)))
+    // the guard pattern stays above (same shape as unpushedTypeIs)
+    assert(!filterBelowWatermark(optimized(
+      col("timestamp").isNull || col("value") % 7 === 0)))
+  }
 }

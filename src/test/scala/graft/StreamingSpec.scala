@@ -218,8 +218,22 @@ class StreamingSpec extends SparkTestBase {
   test("q46 session windows merge events within the 30-minute gap") {
     val rows = run("q46_stream_session_window").collect()
     assert(rows.nonEmpty)
-    // session count conservation
+    // session count conservation over the cutoff-bounded domain
+    // (append mode only aggregates events older than max(ts) − 3h)
+    // raw parquet read: ts is Long nanos there (Tables.events converts
+    // to NTZ timestamp); mirror the query's micros-truncated comparison
+    val ev = spark.read.parquet(Tables.path(sf, "events"))
+    val maxNanos = ev.agg(max("ts")).head().getLong(0)
+    val inDomain = ev.filter(expr("ts div 1000") < lit(maxNanos / 1000 - 3L * 3600 * 1000000L)).count()
     val total = rows.map(_.getAs[Long]("cnt")).sum
-    assert(total == Tables.events(spark, sf).count())
+    assert(total == inDomain)
+  }
+
+  test("q46b timer sessions agree with q46's session-window bounds") {
+    val a = run("q46_stream_session_window").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cnt"))).sorted
+    val b = run("q46b_session_timers").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cnt"))).sorted
+    assert(a.toSeq == b.toSeq) // two independent sessionizations, same sessions
   }
 }
