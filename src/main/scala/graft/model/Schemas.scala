@@ -19,6 +19,15 @@ final case class AmazonReview(polarity: String, title: String, text: String)
 final case class Student(name: String, age: Int, payload: String,
                          address: String, number: Long)
 
+/** Student after a registry-mediated schema evolution (writer v2):
+  * adds a nullable `email` (default null) and `grade` (default 0) —
+  * the add-column-with-default drift every long-lived lakehouse hits
+  * (reference: the registry wiring at UrsaKafkaProducerOnCloud.java:39-41
+  * is what lets old readers keep consuming). */
+final case class StudentV2(name: String, age: Int, payload: String,
+                           address: String, number: Long,
+                           email: Option[String], grade: Int)
+
 /** Driver testdata `events` row (FIXTURES.md §B). */
 final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                        event_type: String, value: Double, props: String)

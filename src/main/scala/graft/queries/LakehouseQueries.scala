@@ -253,32 +253,31 @@ object LakehouseQueries extends QueryRegistry {
              |FROM feed GROUP BY 1 ORDER BY _change_type""".stripMargin)),
 
     // CDC APPLY — the consumer side of the change feed: reconstruct
-    // the table on a replica purely from (base version + change rows),
-    // applying each commit's deletes/upserts keyed on ba in version
-    // order. The output proves the feed is SUFFICIENT for replication:
-    // the replica must match the source table exactly (both exceptAll
-    // directions empty), not just on aggregates. Per-version apply is
-    // anti-join + union (the standard CDC merge shape); lineage is cut
-    // per applied version so the plan stays O(1) in history length.
+    // the table on a replica purely from (base version + change rows).
+    // Single-pass apply: a key's final state is decided by its LAST
+    // change — within a commit an upsert outranks a delete (a merge
+    // may delete-then-reinsert a key), across commits the highest
+    // version wins. One window over the feed, one anti-join against
+    // base, one union — cost independent of history depth, unlike the
+    // per-version anti-join+union loop it replaces (O(versions)
+    // full-table rewrites). The output proves the feed is SUFFICIENT
+    // for replication: the replica must match the source table exactly
+    // (both exceptAll directions empty), not just on aggregates.
     QueryDef("q187_cdc_apply",
       (s, _) => {
         val root = stagedCdfTable(s)
         val base = Snapshots.read(s, root, "f", version = Some(0))
         val feed = Snapshots.readChangeFeed(s, root, "f", fromVersion = 0)
         val cols = base.columns.toSeq
-        val vs = feed.select("_commit_version").distinct()
-          .collect().map(_.getInt(0)).sorted // metadata-scale: one int per commit
-        var replica = base
-        for (v <- vs) {
-          val ch = feed.filter(col("_commit_version") === v)
-          val touched = ch.select(col("ba")).distinct()
-          val upserts = ch
-            .filter(col("_change_type").isin("insert", "update_postimage"))
-            .select(cols.map(col): _*)
-          replica = replica.join(touched, Seq("ba"), "left_anti")
-            .unionByName(upserts)
-            .localCheckpoint(true)
-        }
+        val isUpsert = col("_change_type").isin("insert", "update_postimage")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("ba")
+          .orderBy(col("_commit_version").desc, isUpsert.cast("int").desc)
+        val lastChange = feed.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+        val replica = base
+          .join(feed.select("ba").distinct(), Seq("ba"), "left_anti")
+          .unionByName(lastChange.filter(isUpsert).select(cols.map(col): _*))
+          .localCheckpoint(true) // reused by both exceptAll probes + final agg
         val latest = Snapshots.read(s, root, "f")
         val extra = replica.exceptAll(latest).agg(count(lit(1))).head().getLong(0)
         val missing = latest.exceptAll(replica).agg(count(lit(1))).head().getLong(0)

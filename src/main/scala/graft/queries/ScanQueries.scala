@@ -119,6 +119,46 @@ object ScanQueries extends QueryRegistry {
              |CAST(SUM((18+id)%100) AS BIGINT) AS sum_age,
              |MIN('hangc') AS min_name FROM range(0,1000) t(id)""".stripMargin)),
 
+    // Registry-mediated schema evolution (reference:
+    // UrsaKafkaProducerOnCloud.java:39-41): a MIXED stream — even rows
+    // written under Student v1, odd rows under v2 (adds email/grade
+    // with defaults) — decoded BOTH ways. Reader v2 fills defaults for
+    // v1 bodies (email null, grade 0); reader v1 resolves v2's added
+    // fields away, so old consumers keep working. The oracle replays
+    // the generator arithmetic for both reader views; any resolution
+    // fault (wrong defaults, misaligned fields) breaks the hash.
+    QueryDef("q191_avro_schema_evolution",
+      (s, _) => {
+        import s.implicits._
+        val v1 = graft.ingest.AvroWire.encodeStudents(
+          s.range(0, 1000).filter(_ % 2 == 0).map(i => graft.model.Student(
+            "s" + (i % 7), ((18 + i) % 60).toInt, "p" + (i % 3), "addr" + (i % 5), i)))
+        val v2 = graft.ingest.AvroWire.encodeStudentsV2(
+          s.range(0, 1000).filter(_ % 2 == 1).map(i => graft.model.StudentV2(
+            "s" + (i % 7), ((18 + i) % 60).toInt, "p" + (i % 3), "addr" + (i % 5), i,
+            Some("u" + i + "@x"), (i % 5).toInt)))
+        val mixed = v1.unionAll(v2)
+        val asV2 = graft.ingest.AvroWire.decodeStudentsAsV2(mixed).toDF()
+        val asV1 = graft.ingest.AvroWire.decodeStudentsAsV1(mixed).toDF()
+        asV2.agg(
+          count(lit(1)).as("cnt"),
+          sum("number").cast("bigint").as("sum_number"),
+          count(when(col("email").isNull, 1)).as("v1_defaulted"),
+          sum("grade").cast("bigint").as("sum_grade"),
+          min("email").as("min_email"))
+          .crossJoin(asV1.agg(
+            count(lit(1)).as("cnt_v1reader"),
+            sum("age").cast("bigint").as("sum_age")))
+      },
+      Some("""SELECT COUNT(*) AS cnt,
+             |  CAST(SUM(id) AS BIGINT) AS sum_number,
+             |  COUNT(CASE WHEN id % 2 = 0 THEN 1 END) AS v1_defaulted,
+             |  CAST(SUM(CASE WHEN id % 2 = 1 THEN id % 5 ELSE 0 END) AS BIGINT) AS sum_grade,
+             |  MIN(CASE WHEN id % 2 = 1 THEN 'u' || CAST(id AS VARCHAR) || '@x' END) AS min_email,
+             |  COUNT(*) AS cnt_v1reader,
+             |  CAST(SUM((18 + id) % 60) AS BIGINT) AS sum_age
+             |FROM range(0,1000) t(id)""".stripMargin)),
+
     // JSON-lines source: doubles survive the text round-trip exactly
     // (shortest-representation printing), proven through the cents sum.
     QueryDef("q125_json_source",

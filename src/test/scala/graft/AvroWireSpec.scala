@@ -60,4 +60,45 @@ class AvroWireSpec extends SparkTestBase {
     assert(AvroWire.decodeStudents(AvroWire.encodeStudents(students))
       .collect().sortBy(_.number).sameElements(students.collect().sortBy(_.number)))
   }
+
+  test("schema evolution: v1 bodies under reader v2 fill the defaults") {
+    import spark.implicits._
+    val v1 = AvroWire.encodeStudents(
+      Seq(Student("n", 21, "p", "a", 7L)).toDS())
+    val out = AvroWire.decodeStudentsAsV2(v1).collect()
+    assert(out.toSeq == Seq(
+      graft.model.StudentV2("n", 21, "p", "a", 7L, None, 0)))
+  }
+
+  test("schema evolution: v2 bodies under reader v1 drop the added fields") {
+    import spark.implicits._
+    val v2 = AvroWire.encodeStudentsV2(
+      Seq(graft.model.StudentV2("n", 21, "p", "a", 7L, Some("e@x"), 4)).toDS())
+    // frame carries the v2 registry id
+    assert(v2.head().take(5).sameElements(
+      Array[Byte](0, 0, 0, 0, AvroWire.StudentSchemaIdV2.toByte)))
+    assert(AvroWire.decodeStudentsAsV1(v2).collect().toSeq ==
+      Seq(Student("n", 21, "p", "a", 7L)))
+  }
+
+  test("schema evolution: a mixed-writer stream decodes per-frame by registry id") {
+    import spark.implicits._
+    val mixed = AvroWire.encodeStudents(
+        Seq(Student("old", 1, "p", "a", 1L)).toDS())
+      .unionAll(AvroWire.encodeStudentsV2(
+        Seq(graft.model.StudentV2("new", 2, "p", "a", 2L, Some("e@x"), 9)).toDS()))
+    val out = AvroWire.decodeStudentsAsV2(mixed).collect().sortBy(_.number)
+    assert(out.toSeq == Seq(
+      graft.model.StudentV2("old", 1, "p", "a", 1L, None, 0),
+      graft.model.StudentV2("new", 2, "p", "a", 2L, Some("e@x"), 9)))
+  }
+
+  test("unknown registry id fails loudly, not with misdecoded rows") {
+    import spark.implicits._
+    val bogus = Seq(Array[Byte](0, 0, 0, 0, 99, 0x02, 0x00)).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      AvroWire.decodeStudentsAsV2(bogus).collect()
+    }
+    assert(e.getMessage.contains("99") || Option(e.getCause).exists(_.getMessage.contains("99")))
+  }
 }
