@@ -54,22 +54,35 @@ object TextAnalysis {
     uniqueRatio(text) * 2 + stopwordRatio(text, stop) * 3 -
       abs(meanTokenLen(text) - 5.0) / 5.0
 
-  /** Language profiles: marker tokens per language (stand-in for char
-    * n-gram profiles; the scoring machinery is what matters). */
+  /** Character n-gram language profiles (Cavnar–Trenkle n-gram
+    * categorization): the highest-frequency character trigrams of each
+    * language per published frequency tables, space-padded so word
+    * boundaries count ("he " ≠ "he" mid-word). zh profiles on single
+    * characters — the top characters of modern Chinese text — since
+    * trigram statistics need segmentation Chinese doesn't mark. */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and"),
-    "es" -> Seq("el", "la", "de", "y"),
-    "de" -> Seq("der", "die", "und", "das"),
-    "fr" -> Seq("le", "la", "et", "les"),
-    "zh" -> Seq("的", "是", "了", "在"))
+    "en" -> Seq("the", " th", "he ", "and", "nd ", " an", "ing", "ng ", " of", "of ", "ed ", "er "),
+    "es" -> Seq(" de", "de ", "os ", " la", "la ", "el ", "que", " qu", "ue ", " en", "en ", "ar "),
+    "de" -> Seq("en ", "er ", "der", " de", "die", " di", "ie ", "und", " un", "nd ", "sch", "ein"),
+    "fr" -> Seq(" de", "de ", "le ", " le", "ent", "nt ", "es ", " la", "la ", " et", "et ", "ion"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "中"))
 
-  /** Predicted language: argmax profile hits, ties → alphabetical
+  /** Per-language profile score: total occurrences of the language's
+    * profile grams in the space-padded text. Occurrences are counted
+    * with the replace trick — (len(t) − len(replace(t, g, ''))) ∕
+    * len(g) — a pure per-row expression chain: no shuffle, no UDF,
+    * O(|profiles|·|text|) map-side work at any corpus size. */
+  private def profileScore(padded: Column, grams: Seq[String]): Column =
+    grams.map { g =>
+      ((length(padded) - length(replace(padded, lit(g), lit("")))) / g.length).cast("int")
+    }.reduce(_ + _)
+
+  /** Predicted language: argmax profile score, ties → alphabetical
     * profile order, zero hits → "und". */
   def langId(text: Column): Column = {
-    val t = tokens(text)
-    val scores = LangProfiles.map { case (lang, words) =>
-      val wArr = array(words.map(lit): _*)
-      lang -> size(filter(t, x => array_contains(wArr, x)))
+    val padded = concat(lit(" "), text, lit(" "))
+    val scores = LangProfiles.map { case (lang, grams) =>
+      lang -> profileScore(padded, grams)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.sortBy(_._1).foldRight(lit("und")) { case ((lang, s), acc) =>

@@ -85,11 +85,16 @@ object CurationQueries extends QueryRegistry {
   private val cosineSql =
     "list_dot_product(v, pv) / sqrt(list_dot_product(v, v) * list_dot_product(pv, pv))"
 
-  /** DuckDB twin of TextAnalysis.langId (argmax profile hits, ties →
-    * alphabetical, zero hits → 'und'); shared by q58 and q101. */
+  /** DuckDB twin of TextAnalysis.langId (argmax char-n-gram profile
+    * score via the replace occurrence-count trick, ties → alphabetical,
+    * zero hits → 'und'); shared by q58 and q101. Expects a column `pt`
+    * (the space-padded text, `' ' || text || ' '`) in scope — the
+    * splicing query's CTE provides it. */
   private val langCaseSql: String = {
-    val scores = TextAnalysis.LangProfiles.map { case (lang, words) =>
-      lang -> s"len(list_filter(string_split(text,' '), t -> list_contains(${words.mkString("['", "','", "']")}, t)))"
+    val scores = TextAnalysis.LangProfiles.map { case (lang, grams) =>
+      lang -> grams.map { g =>
+        s"CAST((length(pt) - length(replace(pt, '$g', ''))) / ${g.length} AS INT)"
+      }.mkString("(", " + ", ")")
     }
     val best = scores.map(_._2).mkString("greatest(", ", ", ")")
     val cases = scores.sortBy(_._1)
@@ -97,6 +102,24 @@ object CurationQueries extends QueryRegistry {
       .mkString(" ")
     s"CASE $cases ELSE 'und' END"
   }
+
+  /** Embedded natural-language sample sentences (one per profile
+    * language), unioned with the synthetic corpus in q58: the corpus
+    * text is domain vocabulary in every row regardless of its `lang`
+    * label, so these rows are what exercises each profile's diagonal.
+    * Plain ASCII for the Latin scripts; shared verbatim with the
+    * oracle's VALUES list. */
+  private val LangSamples: Seq[(String, String)] = Seq(
+    ("en", "the quick brown fox jumps over the lazy dog and runs off to the hills"),
+    ("en", "reading a good book in the evening is one of the joys of living"),
+    ("es", "el perro corre por la calle y la nina juega en la casa de madera"),
+    ("es", "lo que la vida nos ensena es que los suenos quedan en el corazon"),
+    ("de", "der hund und die katze spielen in dem garten und die kinder lachen schon"),
+    ("de", "die schule ist ein gebaeude und der lehrer schreibt ein buch ueber sprache"),
+    ("fr", "le chien et le chat jouent dans le jardin de la maison et la fille chante"),
+    ("fr", "les enfants vont a la plage et le soleil brille sur la mer toute la journee"),
+    ("zh", "我们在学校学习中文因为中文是很有用的语言"),
+    ("zh", "他说了他是中国人我们在北京见面了一起吃饭"))
 
   private val simhashSql =
     """list_transform(string_split(text,' '), t -> CAST(('0x' || substr(md5(t),1,15)) AS BIGINT))"""
@@ -173,13 +196,29 @@ object CurationQueries extends QueryRegistry {
               |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
               |ORDER BY a_id, b_id""".stripMargin)),
 
+    // Language ID with real char-trigram profiles (Cavnar–Trenkle):
+    // corpus rows (domain vocabulary — realistic noise for a langid
+    // pass) plus embedded natural-language samples per language, so
+    // every profile's diagonal is exercised. The (lang, predicted)
+    // confusion matrix is the declared output; the oracle replays the
+    // profile arithmetic over the identical union.
     QueryDef("q58_langid",
-      (s, dir) => Tables.documents(s, dir)
-        .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
-        .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
-        .orderBy("lang", "predicted"),
-      Some(s"""SELECT lang, predicted, COUNT(*) AS cnt FROM (
-              |  SELECT lang, $langCaseSql AS predicted FROM documents)
+      (s, dir) => {
+        import s.implicits._
+        val corpus = Tables.documents(s, dir).select(col("lang"), col("text"))
+        val samples = LangSamples.toDF("lang", "text")
+        corpus.unionByName(samples)
+          .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+          .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
+          .orderBy("lang", "predicted")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT lang, text FROM documents
+              |  UNION ALL SELECT * FROM (VALUES ${
+                LangSamples.map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
+              }) v(lang, text)),
+              |p AS (SELECT lang, ' ' || text || ' ' AS pt FROM u)
+              |SELECT lang, $langCaseSql AS predicted, COUNT(*) AS cnt FROM p
               |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin)),
 
     // End-to-end curation pipeline (the north-star composition): exact
@@ -201,7 +240,8 @@ object CurationQueries extends QueryRegistry {
           .agg(count(lit(1)).as("cnt"), davg(col("score")).as("avg_score"))
           .orderBy("predicted")
       },
-      Some(s"""WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents),
+      Some(s"""WITH t AS (SELECT doc_id, text, ' ' || text || ' ' AS pt,
+              |            string_split(text,' ') AS toks FROM documents),
               |m AS (
               |  SELECT doc_id, text, $langCaseSql AS predicted,
               |    CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END * 2

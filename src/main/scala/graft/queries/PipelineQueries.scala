@@ -32,6 +32,40 @@ object PipelineQueries extends QueryRegistry {
   /** embedding as array<double> (promote before any accumulation). */
   private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** AFINN-111 subset (Finn Årup Nielsen's public sentiment lexicon):
+    * real words with their published integer valences, embedded as a
+    * literal table and shared verbatim with the oracle's VALUES list. */
+  private val Afinn: Seq[(String, Int)] = Seq(
+    "good" -> 3, "great" -> 3, "excellent" -> 3, "amazing" -> 4,
+    "awesome" -> 4, "fantastic" -> 4, "wonderful" -> 4, "love" -> 3,
+    "loved" -> 3, "best" -> 3, "better" -> 2, "nice" -> 3, "happy" -> 3,
+    "perfect" -> 3, "recommend" -> 2, "win" -> 4, "wow" -> 4, "fun" -> 4,
+    "impressive" -> 3, "solid" -> 2, "superb" -> 5, "outstanding" -> 5,
+    "brilliant" -> 4, "useful" -> 2,
+    "bad" -> -3, "terrible" -> -3, "awful" -> -3, "horrible" -> -3,
+    "hate" -> -3, "hated" -> -3, "worst" -> -3, "poor" -> -2,
+    "disappointing" -> -2, "disappointed" -> -2, "broken" -> -1,
+    "problem" -> -2, "problems" -> -2, "fail" -> -2, "failed" -> -2,
+    "failure" -> -2, "wrong" -> -2, "sad" -> -2, "angry" -> -3,
+    "waste" -> -1, "worse" -> -3, "useless" -> -2, "boring" -> -3,
+    "annoying" -> -2, "frustrating" -> -2, "damn" -> -4)
+
+  /** Embedded review-style sentences (AmazonReview semantics —
+    * reference: AmazonReview.java:10-14): the synthetic corpus is
+    * domain vocabulary with no sentiment words, so these rows are what
+    * gives the classifier non-degenerate pos/neg mass. Shared verbatim
+    * with the oracle. */
+  private val SampleReviews: Seq[String] = Seq(
+    "excellent product works great and the quality is amazing",
+    "absolutely love it best purchase this year highly recommend",
+    "solid build nice design and fun to use every day",
+    "superb value outstanding battery life brilliant screen",
+    "terrible experience the item arrived broken and support was awful",
+    "worst purchase ever complete waste of money very disappointed",
+    "horrible quality it failed after one week useless and frustrating",
+    "the manual was boring but the device itself works fine",
+    "shipping was on time and the box contained the item")
+
   /** Left fold dot-product of two double arrays; bit-identical to
     * DuckDB's list_dot_product (sequential double accumulation). */
   private def dot(a: Column, b: Column): Column =
@@ -126,28 +160,47 @@ object PipelineQueries extends QueryRegistry {
              |WHERE rn <= 3 ORDER BY probe_id, sim DESC, vec_id""".stripMargin)),
 
     // Rule-lexicon polarity classification (AmazonReview semantics,
-    // reference: AmazonReview.java:10-14). Lexicon words are drawn from
-    // the synthetic corpus vocabulary — a stand-in for a real sentiment
-    // lexicon; determinism is what's under test.
+    // reference: AmazonReview.java:10-14) with a REAL lexicon: an
+    // AFINN-111 subset scored per document as the valence sum of its
+    // matched tokens. Corpus rows (no sentiment vocabulary → score 0 →
+    // neu) union embedded review sentences (pos/neg mass). Shape:
+    // explode → broadcast-join the ~50-word lexicon → per-doc sum —
+    // the lexicon side is metadata-scale at any corpus size, and the
+    // left join keeps zero-match docs in the denominator.
     QueryDef("q41_text_classify",
       (s, dir) => {
-        val toks = split(col("text"), " ")
-        val pos = array(lit("join"), lit("hash"))
-        val neg = array(lit("slow"), lit("merge"))
-        val score = size(filter(toks, t => array_contains(pos, t))) -
-          size(filter(toks, t => array_contains(neg, t)))
-        Tables.documents(s, dir)
-          .select(when(score > 0, "pos").when(score < 0, "neg").otherwise("neu").as("label"))
+        import s.implicits._
+        val lex = broadcast(Afinn.toDF("word", "valence"))
+        val reviews = SampleReviews.zipWithIndex
+          .map { case (t, i) => (1000000L + i, t) }.toDF("doc_id", "text")
+        val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .unionByName(reviews)
+        corpus
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .join(lex, Seq("word"), "left")
+          .groupBy("doc_id")
+          .agg(sum(coalesce(col("valence"), lit(0))).as("score"))
+          .select(when(col("score") > 0, "pos")
+            .when(col("score") < 0, "neg").otherwise("neu").as("label"))
           .groupBy("label").agg(count(lit(1)).as("cnt"))
           .orderBy("label")
       },
-      Some("""SELECT label, COUNT(*) AS cnt FROM (
-             |  SELECT CASE WHEN score > 0 THEN 'pos' WHEN score < 0 THEN 'neg' ELSE 'neu' END AS label
-             |  FROM (
-             |    SELECT len(list_filter(string_split(text,' '), t -> list_contains(['join','hash'], t)))
-             |         - len(list_filter(string_split(text,' '), t -> list_contains(['slow','merge'], t))) AS score
-             |    FROM documents))
-             |GROUP BY label ORDER BY label""".stripMargin)),
+      Some(s"""WITH lex(word, valence) AS (VALUES ${
+                Afinn.map { case (w, v) => s"('$w', $v)" }.mkString(", ")
+              }),
+             |corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT * FROM (VALUES ${
+                SampleReviews.zipWithIndex
+                  .map { case (t, i) => s"(${1000000L + i}, '$t')" }.mkString(", ")
+              }) v(doc_id, text)),
+             |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus),
+             |scored AS (
+             |  SELECT t.doc_id, SUM(COALESCE(l.valence, 0)) AS score
+             |  FROM toks t LEFT JOIN lex l USING (word) GROUP BY t.doc_id)
+             |SELECT CASE WHEN score > 0 THEN 'pos' WHEN score < 0 THEN 'neg' ELSE 'neu' END AS label,
+             |  COUNT(*) AS cnt
+             |FROM scored GROUP BY 1 ORDER BY label""".stripMargin)),
 
     QueryDef("q42_doc_stats",
       (s, dir) => Tables.documents(s, dir)
