@@ -61,6 +61,15 @@ object IvfIndex {
     (indexed, cs.map(_.toSeq))
   }
 
+  /** Persist the index partitioned by cell: each cell becomes its own
+    * partition directory, so a probe's `cell IN (...)` filter prunes
+    * at the FILE-LISTING level — the search opens nprobe/k of the
+    * corpus's files, never scan-then-discard. (Doubles round-trip
+    * parquet bit-exactly, so a search over the persisted table equals
+    * one over the in-memory frame.) */
+  def persist(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("cell").parquet(path)
+
   /** Search: scan only the nprobe cells nearest to the probe vector.
     * On a partitioned index table the cell filter prunes partitions. */
   def search(index: DataFrame, cs: Seq[Seq[Double]], probe: Seq[Double],

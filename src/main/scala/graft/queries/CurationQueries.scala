@@ -598,7 +598,18 @@ object CurationQueries extends QueryRegistry {
     QueryDef("q67_ann_ivf",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val (index, cs) = IvfIndex.build(emb, "vec_id", "embedding", k = 16)
+        // centroid recompute is deterministic and metadata-cheap; the
+        // partitioned index table itself is staged once per fixture
+        // content — searches go through the TABLE so the cell filter
+        // prunes at the file-listing level (asserted in PlanSpec)
+        val cs = IvfIndex.centroids(emb, "vec_id", "embedding", k = 16)
+        val path = Fixtures.stagedDir(dir, "embeddings", "ivf_index") { tmp =>
+          IvfIndex.persist(IvfIndex.assignCells(
+            emb.select(col("vec_id").as("id"),
+              transform(col("embedding"), x => x.cast("double")).as("v")),
+            "v", cs.map(_.toIndexedSeq).toIndexedSeq), tmp)
+        }
+        val index = s.read.parquet(path)
         val probe = emb.filter(col("vec_id") === 0)
           .select(transform(col("embedding"), x => x.cast("double")))
           .head().getSeq[Double](0)

@@ -193,6 +193,25 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject(limit=30"), plan.take(2000))
   }
 
+  test("q67: IVF probe prunes the persisted index to nprobe partitions at file listing") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = run("q67_ann_ivf")
+    df.collect() // materialize so scan metrics are populated
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val idx = scans(df.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("ivf_index")))
+    assert(idx.nonEmpty, df.queryExecution.executedPlan.toString.take(2000))
+    // nprobe = 4 of k = 16 cells: the listing must touch exactly 4
+    // partition directories — pruning happened before any file read
+    assert(idx.head.metrics("numPartitions").value == 4,
+      idx.head.metrics.map { case (k, m) => s"$k=${m.value}" }.mkString(", "))
+  }
+
   test("streaming type filters stay above the watermark node (no pushdown stall)") {
     import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, Filter}
     import org.apache.spark.sql.functions.col
