@@ -6,14 +6,10 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: opaque `binary` payloads + typed
   * metadata, with feature extraction running distributed per-partition.
-  *
-  * The real decode step (image/audio codecs) is STUBBED — the
-  * container ships no media libraries — behind [[decodeStub]], a
-  * deterministic fake with the exact shape a codec UDF would have
-  * (bytes → fixed-length float features). Everything around it —
-  * schema, batching, partition-parallel execution, feature schema —
-  * is real Spark plumbing: swap [[decodeStub]] for a JNI/codec call
-  * and nothing else changes.
+  * All three modalities decode with REAL codecs the JDK ships: PNG via
+  * javax.imageio, WAV/PCM via javax.sound.sampled, and motion-PNG
+  * clips (the MJPEG container shape) via container parsing + the
+  * per-frame image codec.
   */
 object Multimodal {
 
@@ -29,15 +25,15 @@ object Multimodal {
       .add("height", IntegerType)
       .add("duration_ms", LongType))
 
-  /** STUB decode: bytes → FeatureDim floats. Deterministic fake
-    * (byte-sum moments over stripes) standing in for a codec; the
-    * signature (Array[Byte] => Array[Float]) is the contract a real
-    * decoder would fill. */
-  val decodeStub: Array[Byte] => Array[Float] = { bytes =>
+  /** Codec-free binary featurization: striped byte-sum moments, a
+    * cheap content signature for payloads of ANY mime type (the
+    * modality-specific decoders below extract richer features when the
+    * type is known). Exact integer sums per stripe, single double
+    * division, one float rounding — reproducible bit-for-bit by any
+    * engine. */
+  val byteMoments: Array[Byte] => Array[Float] = { bytes =>
     val out = new Array[Float](FeatureDim)
     if (bytes != null && bytes.nonEmpty) {
-      // exact integer sums per stripe, single double division, one
-      // float rounding — reproducible bit-for-bit by any engine
       val sums = new Array[Long](FeatureDim)
       var i = 0
       while (i < bytes.length) {
@@ -50,7 +46,7 @@ object Multimodal {
     out
   }
 
-  private val decodeUdf = udf(decodeStub)
+  private val decodeUdf = udf(byteMoments)
 
   /** Wrap a text table as a multimodal table (UTF-8 payloads) — the
     * fixture path until binary fixtures exist. */
@@ -62,18 +58,21 @@ object Multimodal {
       struct(lit(0).as("width"), lit(0).as("height"),
         length(col(textCol)).cast("long").as("duration_ms")).as("meta"))
 
-  /** STUB resize: stride-k downsample of the payload byte stream —
-    * the shape of a real image resize (subsample + digest), expressed
-    * as pure column ops so it stays distributed and codegen-friendly.
-    * Operates on the payload's character view (fixture payloads are
-    * ASCII text; a codec build would swap in byte-level ops). */
+  /** Stride-k stream downsample as pure column ops (distributed,
+    * codegen-friendly; no UDF): the subsample+digest shape over a
+    * payload's character view. The codec-true image resize is
+    * [[decodePng]]'s nearest-neighbor resample; this is the generic
+    * payload-agnostic variant. */
   def resizeStride(payload: Column, k: Int): Column = {
     val chars = filter(split(payload.cast("string"), ""), c => c =!= "")
     array_join(filter(chars, (_, i) => i % k === 0), "")
   }
 
-  /** STUB frame-sample: cut the payload into fixed-size frames and
-    * keep every `every`-th one (a video keyframe-sampling shape). */
+  /** Fixed-length frame sampling as pure column ops: cut the payload
+    * into frameLen-sized frames, keep every `every`-th. The codec-true
+    * variant (container parsing + per-frame decode) is [[decodeClip]];
+    * this one covers fixed-stride formats (raw PCM, uncompressed
+    * frames) without leaving whole-stage codegen. */
   def sampleFrames(payload: Column, frameLen: Int, every: Int): Column = {
     val s = payload.cast("string")
     val nFrames = ceil(length(s) / lit(frameLen.toDouble)).cast("int")
@@ -92,12 +91,15 @@ object Multimodal {
 
   // ------------------------------------------------------------------
   // REAL codecs — the JDK ships them (javax.imageio for PNG,
-  // javax.sound.sampled for WAV), so image and audio decode need no
-  // external libraries. Media is GENERATED deterministically from a
-  // seed, and every decoded fact is integer arithmetic of that seed —
-  // PNG and WAV are lossless, so decode(encode(x)) == x and a SQL
-  // oracle can replay the decoded values without any codec. Video
-  // remains stubbed (no video codec in the JDK).
+  // javax.sound.sampled for WAV), so no external libraries. Media is
+  // GENERATED deterministically from a seed, and every decoded fact is
+  // integer arithmetic of that seed — PNG and WAV are lossless, so
+  // decode(encode(x)) == x and a SQL oracle can replay the decoded
+  // values without any codec. Video uses the same contract: a clip is
+  // an MJPEG-SHAPED container (whole still frames back-to-back) with
+  // PNG frames instead of JPEGs — JPEG's lossy DCT would break the
+  // cross-engine oracle replay, while the container parsing, frame
+  // sampling, and per-frame decode are identical work.
   // ------------------------------------------------------------------
 
   /** Deterministic grayscale PNG: w = 8+seed%9, h = 8+seed%7,
@@ -195,4 +197,69 @@ object Multimodal {
   val decodePngUdf = udf(decodePng)
   val makeWavUdf = udf(makeWav)
   val decodeWavUdf = udf(decodeWav)
+
+  /** Deterministic motion-PNG clip: nFrames = 4 + seed % 4, frame f
+    * encoded by makePng(seed + f), frames concatenated back-to-back
+    * (the MJPEG container shape). */
+  val makeClip: Long => Array[Byte] = { seed =>
+    val n = (4 + seed % 4).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < n) { bos.write(makePng(seed + f)); f += 1 }
+    bos.toByteArray
+  }
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Frame boundaries by PARSING the container — signature, then the
+    * chunk walk (length + type + data + CRC) to each frame's IEND —
+    * never a byte-pattern scan, which compressed frame bodies could
+    * spoof. Malformed streams fail loudly with the offset. */
+  def splitFrames(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    val out = IndexedSeq.newBuilder[Array[Byte]]
+    var i = 0
+    while (i < bytes.length) {
+      val start = i
+      require(i + 8 <= bytes.length && PngSig.indices.forall(k => bytes(i + k) == PngSig(k)),
+        s"not a PNG frame at offset $i")
+      i += 8
+      var done = false
+      while (!done) {
+        require(i + 8 <= bytes.length, s"truncated chunk header at offset $i")
+        val len = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+          ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+        val typ = new String(bytes, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        i += 12 + len
+        require(i <= bytes.length, s"chunk $typ overruns the stream")
+        if (typ == "IEND") done = true
+      }
+      out += java.util.Arrays.copyOfRange(bytes, start, i)
+    }
+    out.result()
+  }
+
+  /** Decoded clip facts: total frames, sampled (every-k-th) frames,
+    * and exact integer sums of the SAMPLED frames' decoded pixels and
+    * widths — keyframe sampling with real pixel access. */
+  case class VideoFacts(n_frames: Int, n_sampled: Int, sum_v: Long, sum_w: Long)
+
+  def decodeClip(every: Int): Array[Byte] => VideoFacts = { bytes =>
+    val frames = splitFrames(bytes)
+    var sv = 0L
+    var sw = 0L
+    var n = 0
+    var f = 0
+    while (f < frames.length) {
+      if (f % every == 0) {
+        val facts = decodePng(frames(f))
+        sv += facts.sum_v; sw += facts.width; n += 1
+      }
+      f += 1
+    }
+    VideoFacts(frames.length, n, sv, sw)
+  }
+
+  val makeClipUdf = udf(makeClip)
+  val decodeClipUdf = udf(decodeClip(every = 2))
 }

@@ -450,6 +450,44 @@ object CurationQueries extends QueryRegistry {
              |  CAST(MAX(ABS(s)) AS INT) AS max_amp
              |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // REAL video decode: a motion-PNG clip (the MJPEG container shape —
+    // whole still frames concatenated; PNG frames keep the stream
+    // lossless so the oracle can replay decoded pixels from seed
+    // arithmetic, where JPEG's DCT could not). decodeClip PARSES the
+    // container (chunk walk to each frame's IEND), samples every 2nd
+    // frame, and decodes real pixels per kept frame via the JDK image
+    // codec. Facts are exact integers: frame count, sampled count,
+    // Σ pixel-sum and Σ width over sampled frames.
+    QueryDef("q190_video_decode",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir).filter(col("doc_id") < 48).select("doc_id")
+        ids.select(col("doc_id"),
+            Multimodal.decodeClipUdf(Multimodal.makeClipUdf(col("doc_id"))).as("d"))
+          .select(col("doc_id"), col("d.n_frames").as("n_frames"),
+            col("d.n_sampled").as("n_sampled"), col("d.sum_v").as("sum_v"),
+            col("d.sum_w").as("sum_w"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, 4 + doc_id % 4 AS nf
+             |  FROM documents WHERE doc_id < 48),
+             |fr AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS f FROM d),
+             |sf AS (SELECT doc_id, nf, f, doc_id + f AS seed,
+             |         8 + (doc_id + f) % 9 AS w, 8 + (doc_id + f) % 7 AS h
+             |       FROM fr WHERE f % 2 = 0),
+             |xs AS (SELECT doc_id, f, seed, w, h, unnest(generate_series(0, w - 1)) AS x FROM sf),
+             |xy AS (SELECT doc_id, f, seed, w, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+             |px AS (
+             |  SELECT doc_id, SUM((x*7 + y*13 + seed) % 256) AS sum_v
+             |  FROM xy GROUP BY doc_id),
+             |ws AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_sampled, SUM(w) AS sum_w
+             |  FROM sf GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(d.nf AS INT) AS n_frames, ws.n_sampled,
+             |  CAST(px.sum_v AS BIGINT) AS sum_v, CAST(ws.sum_w AS BIGINT) AS sum_w
+             |FROM d JOIN px USING (doc_id) JOIN ws USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Triangle count + closure rate over the near-dup candidate graph:
     // how cohesive are the LSH clusters? (A high closure rate means
     // candidates form tight cliques — safe to collapse via connected

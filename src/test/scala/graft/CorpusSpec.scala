@@ -179,6 +179,28 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("motion-PNG clips: container parse recovers the exact frames") {
+    import graft.operators.Multimodal._
+    for (seed <- Seq(0L, 3L, 47L)) {
+      val frames = splitFrames(makeClip(seed))
+      assert(frames.length == 4 + (seed % 4).toInt)
+      // each recovered frame is byte-identical to its source encoding
+      frames.zipWithIndex.foreach { case (f, i) =>
+        assert(f.sameElements(makePng(seed + i)), s"frame $i of clip $seed")
+      }
+      // sampled decode = direct decode of every 2nd frame
+      val facts = decodeClip(2)(makeClip(seed))
+      val direct = frames.indices.filter(_ % 2 == 0).map(i => decodePng(frames(i)))
+      assert(facts.n_frames == frames.length && facts.n_sampled == direct.length)
+      assert(facts.sum_v == direct.map(_.sum_v).sum)
+      assert(facts.sum_w == direct.map(_.width.toLong).sum)
+    }
+    // malformed stream fails loudly, never silently misparses
+    intercept[IllegalArgumentException] {
+      splitFrames(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))
+    }
+  }
+
   test("q176: full outer = matched + unmatched purchases + unmatched signups") {
     val rows = run("q176_stream_full_outer_join").collect()
     val matched = rows.count(r => !r.isNullAt(0) && !r.isNullAt(1))
