@@ -23,48 +23,71 @@ import org.apache.spark.sql.functions._
 object DedupComponents {
 
   /** @param pairs edges as (a_id, b_id) — undirected, any orientation
-    * @param maxIter safety bound on propagation rounds
+    * @param maxIter safety bound on propagation STEPS (not jobs)
+    * @param stepsPerJob propagation steps fused into one
+    *   materialization: each job's plan applies the join+groupBy step
+    *   this many times before checkpointing. Fusing halves job count —
+    *   the dominant cost when per-job setup outweighs the join work
+    *   (always true for the dense, small-diameter graphs LSH dedup
+    *   produces). Convergence detection costs one full job either way,
+    *   so at diameter d the loop runs ⌈d/stepsPerJob⌉+1 jobs. Set 1 for
+    *   adversarial graphs where a fused step's doubled join work
+    *   outweighs a job; past ~2 the plan depth grows without saving
+    *   jobs proportionally.
     * @return (id, comp) — comp is the min id reachable from id
     */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 20, stepsPerJob: Int = 2): DataFrame = {
     val edges = pairs.select(col("a_id"), col("b_id"))
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .distinct()
       .localCheckpoint(true) // reused every round — compute the pair graph once
-    var labels = edges.select(col("a_id").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
     // labels only ever DECREASE (least of own and neighbor min), so
     // the label sum is strictly decreasing until convergence — one
     // cheap aggregate detects stability, no per-round diff join.
     // Summed as DECIMAL(38,0): a 64-bit sum could wrap at extreme id
     // scales and a wrap-to-equal would false-positive convergence.
-    // The sum rides the round's own materialization via observe(), so
-    // each round costs exactly one job, not a checkpoint + an agg.
-    def labelSum(df: org.apache.spark.sql.DataFrame): BigDecimal =
-      Option(df.agg(sum(col("comp").cast("decimal(38,0)")))
-        .head().getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
-    var prevSum = labelSum(labels)
+    // Sums ride each materialization via observe(), so every job's
+    // convergence evidence is free.
+    val sumExpr = sum(col("comp").cast("decimal(38,0)")).as("s")
+    def observedSum(df: DataFrame, metric: String, fallback: DataFrame): BigDecimal =
+      df.queryExecution.observedMetrics.get(metric)
+        .flatMap(r => Option(r.getDecimal(0))).map(BigDecimal(_))
+        .getOrElse { // defensive: observe missed → recount
+          Option(fallback.agg(sum(col("comp").cast("decimal(38,0)")))
+            .head().getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+        }
+    // one propagation step: min label among self + neighbors (partial
+    // agg runs map-side before the shuffle, so a hot hub node ships
+    // one row per partition). Unique qualifiers per application keep
+    // nested (fused) self-joins unambiguous.
+    var stepN = 0
+    def step(lbl: DataFrame): DataFrame = {
+      stepN += 1
+      val (e, l, m) = (s"e$stepN", s"l$stepN", s"m$stepN")
+      val nbrMin = edges.as(e).join(lbl.as(l), col(s"$e.b_id") === col(s"$l.id"))
+        .groupBy(col(s"$e.a_id").as("nid")).agg(min(col(s"$l.comp")).as("nbr"))
+      lbl.as(m).join(nbrMin, col(s"$m.id") === col("nid"), "left")
+        .select(col(s"$m.id").as("id"),
+          least(col(s"$m.comp"), coalesce(col("nbr"), col(s"$m.comp"))).as("comp"))
+    }
+    val init = edges.select(col("a_id").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .observe("graft_comp_sum_init", sumExpr)
+    var labels = init.localCheckpoint(true)
+    var prevSum = observedSum(init, "graft_comp_sum_init", labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // min label among neighbors (partial agg runs map-side before the
-      // shuffle, so a hot hub node ships one row per partition)
-      val nbrMin = edges.join(labels, edges("b_id") === labels("id"))
-        .groupBy(edges("a_id").as("nid")).agg(min("comp").as("nbr"))
       val metric = s"graft_comp_sum_$iter"
-      val observed = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-        .observe(metric, sum(col("comp").cast("decimal(38,0)")).as("s"))
-      val updated = observed.localCheckpoint(true)
-      val s = observed.queryExecution.observedMetrics.get(metric)
-        .flatMap(r => Option(r.getDecimal(0))).map(BigDecimal(_))
-        .getOrElse(labelSum(updated)) // defensive: observe missed → recount
+      val fusedSteps = math.min(stepsPerJob, maxIter - iter)
+      val advanced = (1 to fusedSteps).foldLeft(labels)((l, _) => step(l))
+        .observe(metric, sumExpr)
+      val updated = advanced.localCheckpoint(true)
+      val s = observedSum(advanced, metric, updated)
       converged = s == prevSum
       prevSum = s
       labels = updated
-      iter += 1
+      iter += fusedSteps
     }
     // a maxIter exit means labels are PARTIAL (graph diameter exceeded
     // the bound) — silent partial components are wrong dedup clusters,

@@ -54,6 +54,19 @@ object AggQueries extends QueryRegistry {
       Some("""SELECT COUNT(*) AS cnt, COUNT(DISTINCT l_orderkey) AS n_orders,
              |MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship FROM lineitem""".stripMargin)),
 
+    // Protocol headroom (sf≥1000): 1e6 rows of ~5e9-unit values make
+    // the plain int64 micros sum ≈5e21 — past the 9.2e18 wrap point —
+    // while msumWide's high/low word split accumulates exactly. The
+    // oracle replays the identical split arithmetic (DuckDB's HUGEINT
+    // sums make its side trivially exact — agreement proves the split
+    // recombination, not just the sum).
+    QueryDef("q192_wide_sum_headroom",
+      (s, _) => s.range(0, 1000000)
+        .select((lit(5.0e9) + col("id").cast("double")).as("x"))
+        .agg(Qf.msumWide(col("x")).as("total"), count(lit(1)).as("cnt")),
+      Some(s"""SELECT ${Qf.sqlMsumWide("5e9 + CAST(id AS DOUBLE)")} AS total,
+              |COUNT(*) AS cnt FROM range(0, 1000000) t(id)""".stripMargin)),
+
     QueryDef("q20_distinct_agg",
       (s, dir) => Tables.orders(s, dir)
         .groupBy("o_orderstatus")

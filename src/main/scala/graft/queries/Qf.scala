@@ -66,4 +66,30 @@ object Qf {
 
   /** SQL text twin of [[mavg]]. */
   def sqlMavg(e: String): String = s"${sqlMsum(e)} / COUNT(*)"
+
+  /** [[msum]] with sf≥1000 headroom: per-row micros split into
+    * high/low words (arithmetic shift ≫20 / mask — exact two's-
+    * complement floor-split, negatives included), each word summed in
+    * its own LONG. The low sum holds 2^20-bounded words for ~2^43 rows
+    * per group; the high sum carries the magnitude with 2^20 of its
+    * range reclaimed — together exact where a single int64 micros sum
+    * wraps (Σ ≳ 9.2e12 units, e.g. sf1000 global revenue ≈ 1e14).
+    * Recombination is two double converts + one FMA-free multiply-add,
+    * identical IEEE ops on both engines (past 2^53 the FINAL double
+    * rounds — identically — while accumulation stays exact, the same
+    * caveat msum already carries). Slot this in for msum when a
+    * group's micros sum can exceed int64; it costs one extra LONG of
+    * agg state. */
+  def msumWide(c: Column): Column = {
+    val m = floor(c * lit(1e6) + lit(0.5))
+    (sum(shiftright(m, 20)).cast("double") * lit(1048576.0) +
+      sum(m.bitwiseAND(lit(1048575L))).cast("double")) / lit(1e6)
+  }
+
+  /** SQL text twin of [[msumWide]] (DuckDB sums BIGINT into HUGEINT —
+    * never wraps — so the twin is trivially exact; the shared shape
+    * keeps the recombination arithmetic bit-identical). */
+  def sqlMsumWide(e: String): String =
+    s"(CAST(SUM((CAST(FLOOR(($e) * 1e6 + 0.5) AS BIGINT)) >> 20) AS DOUBLE) * 1048576.0" +
+      s" + CAST(SUM((CAST(FLOOR(($e) * 1e6 + 0.5) AS BIGINT)) & 1048575) AS DOUBLE)) / 1e6"
 }

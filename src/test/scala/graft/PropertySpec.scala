@@ -158,4 +158,34 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("msumWide stays exact where the int64 micros sum wraps (sf>=1000 headroom)") {
+    import org.apache.spark.sql.functions._
+    // 1000 rows of ~5e12 units: Σ micros ≈ 5e21 ≫ 2^63 ≈ 9.2e18 — the
+    // plain msum's LONG accumulator wraps; the wide split must not.
+    val df = spark.range(0, 1000)
+      .select((lit(5.0e12) + col("id").cast("double")).as("x"))
+    val wide = df.agg(graft.queries.Qf.msumWide(col("x"))).head().getDouble(0)
+    // ANSI mode (Spark 4 default): the plain micros sum overflows its
+    // LONG accumulator and the job FAILS — loud, but still a dead end
+    // at sf≥1000; the wide split is the fix, not a bigger error message
+    val plainFails = intercept[Exception] {
+      df.agg(graft.queries.Qf.msum(col("x"))).head()
+    }
+    assert((plainFails.getMessage != null && plainFails.getMessage.contains("overflow")) ||
+      Option(plainFails.getCause).exists(c => Option(c.getMessage).exists(_.contains("overflow"))))
+    // expected: replicate the declared arithmetic exactly (per-row
+    // floor to micros, two's-complement >>20 / &mask split, LONG sums,
+    // double recombination)
+    var hi = 0L
+    var lo = 0L
+    (0 until 1000).foreach { i =>
+      val m = math.floor((5.0e12 + i) * 1e6 + 0.5).toLong
+      hi += (m >> 20); lo += (m & 1048575L)
+    }
+    val expected = (hi.toDouble * 1048576.0 + lo.toDouble) / 1e6
+    assert(wide == expected)
+    // sanity on magnitude: Σ units ≈ 5.0e15 + 499500
+    assert(math.abs(wide - (5.0e15 + 499500.0)) < 1e6)
+  }
 }
