@@ -23,25 +23,28 @@ import org.apache.spark.sql.functions._
 object DedupComponents {
 
   /** @param pairs edges as (a_id, b_id) — undirected, any orientation
-    * @param maxIter safety bound on propagation STEPS (not jobs)
+    * @param maxIter safety bound on propagation steps
     * @param stepsPerJob propagation steps fused into one
-    *   materialization: each job's plan applies the join+groupBy step
-    *   this many times before checkpointing. Fusing halves job count —
-    *   the dominant cost when per-job setup outweighs the join work
-    *   (always true for the dense, small-diameter graphs LSH dedup
-    *   produces). Convergence detection costs one full job either way,
-    *   so at diameter d the loop runs ⌈d/stepsPerJob⌉+1 jobs. Set 1 for
-    *   adversarial graphs where a fused step's doubled join work
-    *   outweighs a job; past ~2 the plan depth grows without saving
-    *   jobs proportionally.
+    *   materialization (plan applies the join+groupBy step this many
+    *   times before checkpointing). MEASURED round 5 at sf0.1: fusing
+    *   (2) was a net LOSS (~+15%) — each fused step doubles join work
+    *   and deepens the codegen plan, which outweighs the saved job
+    *   setup even on tiny LSH graphs; default stays 1. The knob
+    *   remains for genuinely job-bound deployments (thousands of tiny
+    *   rounds on a busy cluster scheduler).
     * @return (id, comp) — comp is the min id reachable from id
     */
-  def components(pairs: DataFrame, maxIter: Int = 20, stepsPerJob: Int = 2): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 20, stepsPerJob: Int = 1): DataFrame = {
     val edges = pairs.select(col("a_id"), col("b_id"))
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .distinct()
+    // self-loops fold "own label" into the neighbor aggregate: each
+    // step becomes ONE join + partial-agg groupBy — no outer re-join
+    // against the label table to mix the node's own label back in
+    val edgesS = edges
+      .unionAll(edges.select(col("a_id"), col("a_id").as("b_id")).distinct())
       .localCheckpoint(true) // reused every round — compute the pair graph once
-    // labels only ever DECREASE (least of own and neighbor min), so
+    // labels only ever DECREASE (min of self and neighbor labels), so
     // the label sum is strictly decreasing until convergence — one
     // cheap aggregate detects stability, no per-round diff join.
     // Summed as DECIMAL(38,0): a 64-bit sum could wrap at extreme id
@@ -56,26 +59,25 @@ object DedupComponents {
           Option(fallback.agg(sum(col("comp").cast("decimal(38,0)")))
             .head().getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
         }
-    // one propagation step: min label among self + neighbors (partial
+    // one propagation step: min label over self + neighbors (partial
     // agg runs map-side before the shuffle, so a hot hub node ships
     // one row per partition). Unique qualifiers per application keep
     // nested (fused) self-joins unambiguous.
     var stepN = 0
     def step(lbl: DataFrame): DataFrame = {
       stepN += 1
-      val (e, l, m) = (s"e$stepN", s"l$stepN", s"m$stepN")
-      val nbrMin = edges.as(e).join(lbl.as(l), col(s"$e.b_id") === col(s"$l.id"))
-        .groupBy(col(s"$e.a_id").as("nid")).agg(min(col(s"$l.comp")).as("nbr"))
-      lbl.as(m).join(nbrMin, col(s"$m.id") === col("nid"), "left")
-        .select(col(s"$m.id").as("id"),
-          least(col(s"$m.comp"), coalesce(col("nbr"), col(s"$m.comp"))).as("comp"))
+      val (e, l) = (s"e$stepN", s"l$stepN")
+      edgesS.as(e).join(lbl.as(l), col(s"$e.b_id") === col(s"$l.id"))
+        .groupBy(col(s"$e.a_id").as("id")).agg(min(col(s"$l.comp")).as("comp"))
     }
-    val init = edges.select(col("a_id").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // the identity init would cost the same shuffle as a step (distinct
+    // over edges ≈ groupBy over edges) — so take step 1 IN the init:
+    // label(v) = min(v, neighbors), one round ahead for free
+    val init = edgesS.groupBy(col("a_id").as("id")).agg(min("b_id").as("comp"))
       .observe("graft_comp_sum_init", sumExpr)
     var labels = init.localCheckpoint(true)
     var prevSum = observedSum(init, "graft_comp_sum_init", labels)
-    var iter = 0
+    var iter = 1 // init consumed step 1
     var converged = false
     while (!converged && iter < maxIter) {
       val metric = s"graft_comp_sum_$iter"
