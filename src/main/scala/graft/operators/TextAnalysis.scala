@@ -77,17 +77,56 @@ object TextAnalysis {
       ((length(padded) - length(replace(padded, lit(g), lit("")))) / g.length).cast("int")
     }.reduce(_ + _)
 
-  /** Predicted language: argmax profile score, ties → alphabetical
-    * profile order, zero hits → "und". */
-  def langId(text: Column): Column = {
+  /** The five per-language profile scores, alphabetical by language
+    * code, as named columns. Intended for the two-projection pattern:
+    * select these once (their replace() chains stay in one codegen'd
+    * Project), then feed attribute references into [[argmaxLang]] in
+    * the projection above. CollapseProject will NOT re-inline them —
+    * each score alias is a non-cheap expression referenced more than
+    * once by the argmax — so the plan keeps one copy of each chain
+    * without an explicit Exchange fence. */
+  def langScores(text: Column): Seq[(String, Column)] = {
     val padded = concat(lit(" "), text, lit(" "))
-    val scores = LangProfiles.map { case (lang, grams) =>
+    LangProfiles.sortBy(_._1).map { case (lang, grams) =>
       lang -> profileScore(padded, grams)
     }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.sortBy(_._1).foldRight(lit("und")) { case ((lang, s), acc) =>
+  }
+
+  /** Argmax over (lang, score) pairs: ties → alphabetical profile
+    * order, zero hits → "und". Pass plain attribute references (the
+    * [[langScores]] columns materialized one projection below) — with
+    * attributes the inlined `greatest` in every CASE branch is free;
+    * with raw score chains it duplicates them ~12× each (measured:
+    * 594 replace() nodes in one Project, 2.3× the query time). */
+  def argmaxLang(scores: Seq[(String, Column)]): Column = {
+    val sorted = scores.sortBy(_._1)
+    val best = sorted.map(_._2).reduce((a, b) => greatest(a, b))
+    sorted.foldRight(lit("und")) { case ((lang, s), acc) =>
       when(best > 0 && s === best, lang).otherwise(acc)
     }
+  }
+
+  /** Predicted language: argmax profile score, ties → alphabetical
+    * profile order, zero hits → "und".
+    *
+    * Single-Column convenience form: one `aggregate` over an array of
+    * (score, lang) structs, so each profile-score chain appears
+    * exactly once in the expression tree. The HOF keeps the tree
+    * small but takes the projection off the codegen path — for hot
+    * queries prefer [[langScores]] + [[argmaxLang]] across two
+    * projections, which stays whole-stage-codegen'd AND single-copy.
+    * The alphabetical iteration with a strict `>` keeps the first
+    * (alphabetically smallest) maximum — identical tie-break — and
+    * the (0, "und") seed reproduces the zero-hits fallback. */
+  def langId(text: Column): Column = {
+    val scored = array(langScores(text).map { case (lang, s) =>
+      struct(s.as("s"), lit(lang).as("lang"))
+    }: _*)
+    aggregate(
+      scored,
+      struct(lit(0).as("s"), lit("und").as("lang")),
+      (acc, x) => when(x("s") > acc("s"), x).otherwise(acc)
+    )("lang")
   }
 
   /** Polynomial rolling-hash fingerprint of the character stream:

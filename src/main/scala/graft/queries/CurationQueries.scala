@@ -207,8 +207,13 @@ object CurationQueries extends QueryRegistry {
         import s.implicits._
         val corpus = Tables.documents(s, dir).select(col("lang"), col("text"))
         val samples = LangSamples.toDF("lang", "text")
+        // two-projection langid: score chains materialize once in a
+        // codegen'd Project; the argmax above sees only attribute refs
+        val scoreCols = TextAnalysis.langScores(col("text"))
+        val scoreRefs = scoreCols.map { case (l, _) => l -> col(s"_ls_$l") }
         corpus.unionByName(samples)
-          .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+          .select(col("lang") +: scoreCols.map { case (l, c) => c.as(s"_ls_$l") }: _*)
+          .select(col("lang"), TextAnalysis.argmaxLang(scoreRefs).as("predicted"))
           .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
           .orderBy("lang", "predicted")
       },
@@ -229,9 +234,15 @@ object CurationQueries extends QueryRegistry {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val stop = Seq("the", "a", "of", "and")
+        // two-projection langid (see q58): scores codegen'd once below,
+        // argmax over attribute refs above
+        val scoreCols = TextAnalysis.langScores(col("text"))
+        val scoreRefs = scoreCols.map { case (l, _) => l -> col(s"_ls_$l") }
         Tables.documents(s, dir)
+          .select(Seq(col("doc_id"), col("text")) ++
+            scoreCols.map { case (l, c) => c.as(s"_ls_$l") }: _*)
           .select(col("doc_id"), col("text"),
-            TextAnalysis.langId(col("text")).as("predicted"),
+            TextAnalysis.argmaxLang(scoreRefs).as("predicted"),
             TextAnalysis.qualityScore(col("text"), stop).as("score"))
           .withColumn("keep_id", min("doc_id").over(Window.partitionBy("text")))
           .filter(col("doc_id") === col("keep_id") &&
