@@ -70,6 +70,35 @@ object IvfIndex {
   def persist(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Centroid sidecar inside the index dir. The underscore prefix
+    * keeps it out of Spark's parquet file listing (same convention as
+    * _SUCCESS), so the index table and its quantizer travel as ONE
+    * staged artifact: a search run reads k·dim doubles from the
+    * sidecar instead of recomputing the quantizer (a seed-collect plus
+    * a Lloyd-pass aggregation — two driver jobs) on every probe. */
+  private val CentroidFile = "_centroids.txt"
+
+  /** Write centroids next to the index files. One line per centroid,
+    * comma-separated `Double.toString` values — `toString/parseDouble`
+    * round-trips doubles bit-exactly, so a reloaded quantizer assigns
+    * identical cells. */
+  def writeCentroids(cs: Seq[Seq[Double]], indexPath: String): Unit = {
+    val body = cs.map(_.mkString(",")).mkString("\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(indexPath, CentroidFile),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Read the centroid sidecar written by [[writeCentroids]]. */
+  def readCentroids(indexPath: String): Seq[Seq[Double]] =
+    new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(indexPath, CentroidFile)),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq
+      .map(_.split(",").toSeq.map(_.toDouble))
+
   /** Search: scan only the nprobe cells nearest to the probe vector.
     * On a partitioned index table the cell filter prunes partitions. */
   def search(index: DataFrame, cs: Seq[Seq[Double]], probe: Seq[Double],
