@@ -48,6 +48,23 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.min(32).toString)
+
+    // contended records are not comparable (r5: +13% from a concurrent
+    // oracle replay) — stamp the start load into the record and refuse
+    // to run when the machine is already busy. Override the threshold
+    // with SPARK_GRAFT_MAX_LOAD (<= 0 disables the check, keeps the
+    // stamp).
+    val load1 = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val maxLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD").map(_.toDouble)
+      .getOrElse(Runtime.getRuntime.availableProcessors / 2.0)
+    if (maxLoad > 0 && load1 > maxLoad) {
+      System.err.println(
+        f"[bench] REFUSING to run: load1=$load1%.2f > $maxLoad%.2f " +
+          "(set SPARK_GRAFT_MAX_LOAD to override) — a contended record " +
+          "would not be comparable round-over-round")
+      sys.exit(3)
+    }
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32"))
@@ -119,7 +136,7 @@ object Bench {
       .mkString("{", ",", "}")
     val rcFull = results.map { case (k, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qsFull,"rows":$rcFull,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"load1":${fmt(load1)},"queries":$qsFull,"rows":$rcFull,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_FULL.json")
     try Files.write(Paths.get(detailPath),
       full.getBytes(StandardCharsets.UTF_8))
@@ -128,7 +145,7 @@ object Bench {
     val byName = results.map { case (k, v, _) => k -> v }.toMap
     val qs = Headline.flatMap(h => byName.get(h).map(v => "\"" + h + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"load1":${fmt(load1)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
