@@ -25,13 +25,18 @@ object DedupComponents {
   /** @param pairs edges as (a_id, b_id) — undirected, any orientation
     * @param maxIter safety bound on propagation steps
     * @param stepsPerJob propagation steps fused into one
-    *   materialization (plan applies the join+groupBy step this many
-    *   times before checkpointing). MEASURED round 5 at sf0.1: fusing
-    *   (2) was a net LOSS (~+15%) — each fused step doubles join work
-    *   and deepens the codegen plan, which outweighs the saved job
-    *   setup even on tiny LSH graphs; default stays 1. The knob
-    *   remains for genuinely job-bound deployments (thousands of tiny
-    *   rounds on a busy cluster scheduler).
+    *   materialization. Each fused step carries its OWN observe()d
+    *   label sum, so convergence evidence for every step rides the one
+    *   job — min-propagation is idempotent at the fixpoint, so steps
+    *   fused past convergence leave labels unchanged. MEASURED round 6
+    *   at sf0.1 (JobCount, 3 runs each): k=2 saves one job but the
+    *   past-fixpoint step's shuffles cost more than the saved setup
+    *   (3.66 s vs 3.2 s) — AQE already runs each shuffle stage as its
+    *   own job, so fusing shrinks job COUNT less than expected.
+    *   Default stays 1; the knob remains for genuinely
+    *   scheduler-bound deployments. (The round-5 fusion loss also
+    *   reproduced; its extra recount jobs are now gone — the
+    *   remaining cost is the overshoot shuffle itself.)
     * @return (id, comp) — comp is the min id reachable from id
     */
   def components(pairs: DataFrame, maxIter: Int = 20, stepsPerJob: Int = 1): DataFrame = {
@@ -52,13 +57,15 @@ object DedupComponents {
     // Sums ride each materialization via observe(), so every job's
     // convergence evidence is free.
     val sumExpr = sum(col("comp").cast("decimal(38,0)")).as("s")
-    def observedSum(df: DataFrame, metric: String, fallback: DataFrame): BigDecimal =
+    // intermediate fused sums have no recount fallback (their frames
+    // are not checkpointed) — a missed observe is treated as unknown
+    // (conservative: at worst one extra loop, never a wrong answer)
+    def observedSum(df: DataFrame, metric: String): Option[BigDecimal] =
       df.queryExecution.observedMetrics.get(metric)
         .flatMap(r => Option(r.getDecimal(0))).map(BigDecimal(_))
-        .getOrElse { // defensive: observe missed → recount
-          Option(fallback.agg(sum(col("comp").cast("decimal(38,0)")))
-            .head().getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
-        }
+    def recount(df: DataFrame): BigDecimal =
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)")))
+        .head().getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
     // one propagation step: min label over self + neighbors (partial
     // agg runs map-side before the shuffle, so a hot hub node ships
     // one row per partition). Unique qualifiers per application keep
@@ -72,24 +79,40 @@ object DedupComponents {
     }
     // the identity init would cost the same shuffle as a step (distinct
     // over edges ≈ groupBy over edges) — so take step 1 IN the init:
-    // label(v) = min(v, neighbors), one round ahead for free
-    val init = edgesS.groupBy(col("a_id").as("id")).agg(min("b_id").as("comp"))
-      .observe("graft_comp_sum_init", sumExpr)
-    var labels = init.localCheckpoint(true)
-    var prevSum = observedSum(init, "graft_comp_sum_init", labels)
-    var iter = 1 // init consumed step 1
+    // label(v) = min(v, neighbors), one round ahead for free. The init
+    // is NOT its own job: it fuses into the first propagation job like
+    // any other step.
+    def initStep(): DataFrame = {
+      stepN += 1
+      edgesS.groupBy(col("a_id").as("id")).agg(min("b_id").as("comp"))
+    }
+    var labels: DataFrame = null
+    var prevSum: Option[BigDecimal] = None
+    var taken = 0
     var converged = false
-    while (!converged && iter < maxIter) {
-      val metric = s"graft_comp_sum_$iter"
-      val fusedSteps = math.min(stepsPerJob, maxIter - iter)
-      val advanced = (1 to fusedSteps).foldLeft(labels)((l, _) => step(l))
-        .observe(metric, sumExpr)
-      val updated = advanced.localCheckpoint(true)
-      val s = observedSum(advanced, metric, updated)
-      converged = s == prevSum
-      prevSum = s
+    while (!converged && taken < maxIter) {
+      val k = math.max(1, math.min(stepsPerJob, maxIter - taken))
+      var metrics = Vector.empty[String]
+      var plan = labels
+      for (_ <- 1 to k) {
+        plan = if (plan == null) initStep() else step(plan)
+        taken += 1
+        val m = s"graft_comp_sum_$taken"
+        metrics :+= m
+        plan = plan.observe(m, sumExpr)
+      }
+      val updated = plan.localCheckpoint(true)
+      val sums = metrics.map(m => observedSum(plan, m))
+      val lastSum = sums.last.getOrElse(recount(updated))
+      // converged iff any adjacent step pair in the sum chain is equal
+      // (prev job's last sum vs this job's first included)
+      val chain = prevSum.map(Some(_)).toVector ++ sums.dropRight(1) :+ Some(lastSum)
+      converged = chain.sliding(2).exists {
+        case Vector(Some(a), Some(b)) => a == b
+        case _ => false
+      }
+      prevSum = Some(lastSum)
       labels = updated
-      iter += fusedSteps
     }
     // a maxIter exit means labels are PARTIAL (graph diameter exceeded
     // the bound) — silent partial components are wrong dedup clusters,
