@@ -191,10 +191,13 @@ object Snapshots {
                             maxPos: Long, files: Seq[String],
                             removed: Seq[String], op: String = "append",
                             txns: Seq[String] = Seq.empty,
-                            stats: Seq[FileStat] = Seq.empty): Int = {
+                            stats: Seq[FileStat] = Seq.empty,
+                            extraFields: Seq[(String, String)] = Seq.empty): Int = {
     def arr(xs: Seq[String]) = xs.map(f => "\"" + f + "\"").mkString("[", ", ", "]")
+    val extras = extraFields
+      .map { case (k, v) => s""", "$k": "$v"""" }.mkString
     val json =
-      s"""{"version": $version, "op": "$op", "maxPos": $maxPos, "files": ${arr(files)}, "removed": ${arr(removed)}, "txns": ${arr(txns)}, "stats": ${arr(stats.map(_.encoded))}}"""
+      s"""{"version": $version, "op": "$op", "maxPos": $maxPos, "files": ${arr(files)}, "removed": ${arr(removed)}, "txns": ${arr(txns)}, "stats": ${arr(stats.map(_.encoded))}$extras}"""
     Files.createDirectories(logDir(root, prefix))
     try {
       Files.writeString(logDir(root, prefix).resolve(f"v$version%05d.json"), json,
@@ -245,7 +248,8 @@ object Snapshots {
                             files: Seq[String], removed: Seq[String],
                             op: String = "append",
                             txns: Seq[String] = Seq.empty,
-                            stats: Seq[FileStat] = Seq.empty)
+                            stats: Seq[FileStat] = Seq.empty,
+                            addedCol: Option[String] = None)
 
   /** Load a snapshot (latest if version is None). */
   def snapshot(root: String, prefix: String, version: Option[Int] = None): Option[Snapshot] = {
@@ -266,8 +270,100 @@ object Snapshots {
       // pre-"op" snapshots (rounds 1-2): a removed list meant compaction
       val op = "\"op\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
         .getOrElse(if (removed.nonEmpty) "compact" else "append")
+      val addedCol = "\"addedCol\":\\s*\"([^\"]*)\"".r.findFirstMatchIn(s).map(_.group(1))
       Snapshot(ver, maxPos, files, removed, op,
-        arr("txns"), arr("stats").flatMap(FileStat.decode))
+        arr("txns"), arr("stats").flatMap(FileStat.decode), addedCol)
+    }
+  }
+
+  /** One schema-evolution event: `name` of type `ddlType` was added at
+    * `version`; `preFiles` are the files pinned at that moment — every
+    * row in them predates the column and reads as `defaultSql` (NULL
+    * when absent). Files added later carry the column physically, so
+    * an explicitly-written NULL stays NULL — Iceberg's initial-default
+    * semantics, which read-time fill can deliver without rewriting a
+    * single old file. */
+  final case class AddedColumn(version: Int, name: String, ddlType: String,
+                               defaultSql: Option[String],
+                               preFiles: Set[String]) {
+    def fillExpr: org.apache.spark.sql.Column =
+      defaultSql.map(org.apache.spark.sql.functions.expr)
+        .getOrElse(org.apache.spark.sql.functions.lit(null))
+        .cast(ddlType)
+    def nullExpr: org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.lit(null).cast(ddlType)
+  }
+
+  /** Schema-evolution events up to `upTo` (inclusive; None = all),
+    * oldest first. */
+  def addedColumns(root: String, prefix: String,
+                   upTo: Option[Int] = None): Seq[AddedColumn] =
+    versions(root, prefix)
+      .filter(v => upTo.forall(v <= _))
+      .flatMap(v => snapshot(root, prefix, Some(v)))
+      .filter(_.op == "addcol")
+      .flatMap { s =>
+        s.addedCol.map(_.split('|')).collect {
+          case Array(n, t) => AddedColumn(s.version, n, t, None, s.files.toSet)
+          case Array(n, t, d) => AddedColumn(s.version, n, t, Some(d), s.files.toSet)
+        }
+      }
+
+  /** ALTER TABLE … ADD COLUMN (Delta/Iceberg schema evolution): commit
+    * a new version declaring `name ddlType`, optionally with a default
+    * SQL literal. No data file is touched — the read path fills the
+    * default (or NULL) for every file pinned BEFORE this commit, while
+    * files written after carry the column physically. Old readers
+    * (time travel to an earlier version) see the old schema untouched.
+    */
+  def addColumn(root: String, prefix: String, name: String, ddlType: String,
+                defaultSql: Option[String] = None, retries: Int = 5): Int = {
+    require(!name.contains("|") && !ddlType.contains("|"),
+      "column name/type must not contain '|'")
+    require(defaultSql.forall(d => !d.contains("\"") && !d.contains("\\") && !d.contains("|")),
+      "default must be a simple SQL literal (no double quotes, backslashes, or '|')")
+    val prev = snapshot(root, prefix, None).getOrElse(
+      sys.error(s"no snapshot for $prefix — commit data before evolving the schema"))
+    require(!addedColumns(root, prefix).exists(_.name == name),
+      s"column $name already added to $prefix")
+    val encoded = (Seq(name, ddlType) ++ defaultSql).mkString("|")
+    try writeSnapshot(root, prefix, prev.version + 1, prev.maxPos, prev.files,
+      Seq.empty, "addcol", prev.txns, prev.stats,
+      extraFields = Seq("addedCol" -> encoded))
+    catch {
+      case e: ConcurrentCommitException =>
+        if (retries > 0) addColumn(root, prefix, name, ddlType, defaultSql, retries - 1)
+        else throw e
+    }
+  }
+
+  /** Schema-aware file read: groups `files` by which added columns
+    * they predate, fills each group (default for pre-epoch files, NULL
+    * for post-epoch files a writer left without the column), and
+    * unions by name — one scan per epoch group, no shuffle, so
+    * evolution costs nothing at any table size. Column order: oldest
+    * group's physical order, then added columns in version order. */
+  private def readFilesFilled(spark: SparkSession, root: String, prefix: String,
+                              files: Seq[String],
+                              adds: Seq[AddedColumn]): DataFrame = {
+    val base = dataDir(root, prefix)
+    def plain(fs: Seq[String]) = spark.read
+      .option("basePath", base.toString)
+      .parquet(fs.map(f => base.resolve(f).toString): _*)
+    if (files.isEmpty) spark.emptyDataFrame
+    else if (adds.isEmpty) plain(files)
+    else {
+      val groups = files.groupBy(f => adds.map(a => a.preFiles.contains(f)))
+        .toSeq
+        // oldest epoch (predates everything) first — canonical order
+        .sortBy { case (k, _) => k.map(b => if (b) '0' else '1').mkString }
+      val frames = groups.map { case (predates, fs) =>
+        adds.zip(predates).foldLeft(plain(fs)) { case (df, (a, pre)) =>
+          if (df.columns.contains(a.name)) df
+          else df.withColumn(a.name, if (pre) a.fillExpr else a.nullExpr)
+        }
+      }
+      frames.reduce(_.unionByName(_))
     }
   }
 
@@ -332,14 +428,14 @@ object Snapshots {
                       version: Option[Int] = None): DataFrame = {
     require(ranges.nonEmpty, "readPrunedMulti needs at least one range")
     val files = pruneFilesMulti(root, prefix, ranges, version)
-    val base = dataDir(root, prefix)
     val pred = ranges.map(_.predicate).reduce(_ && _)
     if (files.isEmpty)
       read(spark, root, prefix, version).filter(pred).limit(0)
-    else spark.read
-      .option("basePath", base.toString)
-      .parquet(files.map(f => base.resolve(f).toString): _*)
-      .filter(pred)
+    else {
+      val ver = snapshot(root, prefix, version).map(_.version)
+      readFilesFilled(spark, root, prefix, files,
+        addedColumns(root, prefix, ver)).filter(pred)
+    }
   }
 
   /** Predicate-driven pruned read: the filter a caller would hand to
@@ -412,29 +508,29 @@ object Snapshots {
         StatRange(c, t, rs.map(_._2).max, rs.map(_._3).min,
           org.apache.spark.sql.functions.lit(true))
       }.toSeq
-    val base = dataDir(root, prefix)
     val files =
       if (ranges.isEmpty) snapshot(root, prefix, version).map(_.files).getOrElse(Seq.empty)
       else pruneFilesMulti(root, prefix, ranges, version)
     if (files.isEmpty) table.filter(predicate).limit(0)
-    else spark.read
-      .option("basePath", base.toString)
-      .parquet(files.map(f => base.resolve(f).toString): _*)
-      .filter(predicate)
+    else {
+      val ver = snapshot(root, prefix, version).map(_.version)
+      readFilesFilled(spark, root, prefix, files,
+        addedColumns(root, prefix, ver)).filter(predicate)
+    }
   }
 
   /** Read the table as of a version (default latest): exactly the
-    * committed file set, regardless of files appended since. */
+    * committed file set, regardless of files appended since. Columns
+    * added by [[addColumn]] at or before the version are present for
+    * every row — filled with their declared default (or NULL) for
+    * files that predate the column. */
   def read(spark: SparkSession, root: String, prefix: String,
            version: Option[Int] = None): DataFrame = {
     val snap = snapshot(root, prefix, version).getOrElse(
       sys.error(s"no snapshot for $prefix${version.map(" v" + _).getOrElse("")}"))
-    val base = dataDir(root, prefix)
     if (snap.files.isEmpty) spark.emptyDataFrame
-    else spark.read
-      // partition-column recovery needs the table root
-      .option("basePath", base.toString)
-      .parquet(snap.files.map(f => base.resolve(f).toString): _*)
+    else readFilesFilled(spark, root, prefix, snap.files,
+      addedColumns(root, prefix, Some(snap.version)))
   }
 
   /** Incremental read (CDC-style): exactly the rows ADDED between
@@ -468,13 +564,11 @@ object Snapshots {
         else (cur.files.toSet --
           snapshot(root, prefix, Some(v - 1)).map(_.files.toSet).getOrElse(Set.empty)).toSeq
       }.distinct.sorted
-    val base = dataDir(root, prefix)
     if (added.isEmpty) {
       // empty frame with the table's schema
       read(spark, root, prefix, Some(to.version)).limit(0)
-    } else spark.read
-      .option("basePath", base.toString)
-      .parquet(added.map(f => base.resolve(f).toString): _*)
+    } else readFilesFilled(spark, root, prefix, added,
+      addedColumns(root, prefix, Some(to.version)))
   }
 
   private def cdcDir(root: String, prefix: String, version: Int): Path =
@@ -516,11 +610,18 @@ object Snapshots {
       s"no snapshot v$fromVersion for $prefix")
     val to = snapshot(root, prefix, toVersion).getOrElse(
       sys.error(s"no snapshot for $prefix"))
-    val base = dataDir(root, prefix)
     val cols = read(spark, root, prefix, Some(to.version)).columns.toSeq
-    def shape(df: DataFrame, v: Int): DataFrame =
-      df.select((cols.map(col) :+ col("_change_type") :+
+    val adds = addedColumns(root, prefix, Some(to.version))
+    def shape(df: DataFrame, v: Int): DataFrame = {
+      // rows committed before a column existed (CDC records staged
+      // pre-evolution, or an addcol inside the window) read as the
+      // column's default — the same rule as the table read path
+      val filled = adds.foldLeft(df)((d, a) =>
+        if (d.columns.contains(a.name)) d
+        else d.withColumn(a.name, if (v <= a.version) a.fillExpr else a.nullExpr))
+      filled.select((cols.map(col) :+ col("_change_type") :+
         org.apache.spark.sql.functions.lit(v).as("_commit_version")): _*)
+    }
     val parts = versions(root, prefix)
       .filter(v => v > fromVersion && v <= to.version)
       .flatMap { v =>
@@ -529,8 +630,7 @@ object Snapshots {
           snapshot(root, prefix, Some(v - 1)).map(_.files.toSet).getOrElse(Set.empty)).toSeq.sorted
         def fromFiles(tag: String): Option[DataFrame] =
           if (addedFiles.isEmpty) None
-          else Some(shape(spark.read.option("basePath", base.toString)
-            .parquet(addedFiles.map(f => base.resolve(f).toString): _*)
+          else Some(shape(readFilesFilled(spark, root, prefix, addedFiles, adds)
             .withColumn("_change_type", org.apache.spark.sql.functions.lit(tag)), v))
         cur.op match {
           case "compact" | "restore" => None
@@ -601,6 +701,13 @@ object Snapshots {
     val snap = snapshot(root, prefix, None).getOrElse(
       sys.error(s"nothing to compact for $prefix"))
     val base = dataDir(root, prefix)
+    // schema-aware group read: a compaction AFTER an addColumn
+    // materializes the evolved schema (defaults filled) into the
+    // rewritten files — rewrites always write the CURRENT schema, so
+    // a compacted file's rows keep their pre-evolution defaults even
+    // though the file itself postdates the column (Delta's rewrite
+    // rule)
+    val adds = addedColumns(root, prefix, Some(snap.version))
     val byDir = snap.files.groupBy(f =>
       Option(Paths.get(f).getParent).map(_.toString).getOrElse(""))
     val keep = Seq.newBuilder[String]
@@ -609,8 +716,7 @@ object Snapshots {
       if (fs.size <= 1) keep ++= fs // already one file — nothing to win
       else {
         val before = listDataFiles(root, prefix).toSet
-        val df = spark.read.option("basePath", base.toString)
-          .parquet(fs.map(f => base.resolve(f).toString): _*)
+        val df = readFilesFilled(spark, root, prefix, fs, adds)
         // partition values live in the directory name — drop the
         // recovered column before writing back INTO that directory
         val dirCols = dir.split("/").filter(_.contains("=")).map(_.split("=")(0))
@@ -721,10 +827,13 @@ object Snapshots {
             .toSeq.sorted
         }
       val before = listDataFiles(root, prefix).toSet
+      // schema-aware rewrite read: matched files may predate an
+      // addColumn — fill defaults so the rewritten files materialize
+      // the current schema
       val oldMatched =
         if (matchedFiles.isEmpty) source.limit(0)
-        else spark.read.option("basePath", base.toString)
-          .parquet(matchedFiles.map(f => base.resolve(f).toString): _*)
+        else readFilesFilled(spark, root, prefix, matchedFiles,
+          addedColumns(root, prefix, Some(snap.version)))
       val survivors = oldMatched.join(srcKeys, keys, "left_anti")
       val out = survivors.unionByName(source)
       val writer = out.write.mode("append")
@@ -826,8 +935,10 @@ object Snapshots {
       // to false so attribution and survivorship agree on null rows.
       val matches = org.apache.spark.sql.functions.coalesce(
         predicate, org.apache.spark.sql.functions.lit(false))
-      val withFile = spark.read.option("basePath", base.toString)
-        .parquet(snap.files.map(f => base.resolve(f).toString): _*)
+      // schema-aware: the delete predicate may reference an added
+      // column (matching its default on pre-evolution rows)
+      val adds = addedColumns(root, prefix, Some(snap.version))
+      val withFile = readFilesFilled(spark, root, prefix, snap.files, adds)
         .withColumn("_graft_file", input_file_name())
       val matchedFiles = withFile.filter(matches)
         .select("_graft_file").distinct()

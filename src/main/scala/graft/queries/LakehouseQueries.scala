@@ -93,6 +93,23 @@ object LakehouseQueries extends QueryRegistry {
       s.range(lo, hi).toDF("cnt"), "cnt", prefix, topics)
       .withColumn("name", lit(name))
 
+  /** Schema-evolved table shared by q193: v0 appends ba 0..999 (old
+    * schema), v1 ALTER TABLE ADD COLUMN tier STRING DEFAULT 'std', v2
+    * appends ba 1000..1499 carrying tier physically ('even' for even
+    * ba, explicit NULL otherwise — proving written NULLs survive while
+    * pre-evolution rows read the default). */
+  private def stagedEvoTable(s: SparkSession): String =
+    staged(s, "evo_v1") { tmp =>
+      ProduceJob.produceBatch(s, tmp, "e", topics = 1, numMessages = 1000) // v0
+      Snapshots.addColumn(tmp, "e", "tier", "STRING", Some("'std'")) // v1
+      genRows(s, 1000, 1500, "new", "e", topics = 1)
+        .withColumn("tier", when(col("ba") % 2 === 0, lit("even")))
+        .write.mode("append").partitionBy("topic")
+        .parquet(graft.ingest.Topics.tableDir(tmp, "e"))
+      Snapshots.commit(tmp, "e", 1499) // v2
+      ()
+    }
+
   def defs: Seq[QueryDef] = Seq(
 
     // MERGE INTO (copy-on-write upsert): ba 500-999 updated in place,
@@ -179,6 +196,32 @@ object LakehouseQueries extends QueryRegistry {
              |  (SELECT COUNT(*) FROM range(0,1000) t(id) WHERE id % 10 <> 0) AS v1_cnt,
              |  CAST(0 AS BIGINT) AS feed_rows
              |FROM range(0,1000) t(id)""".stripMargin)),
+
+    // ALTER TABLE ADD COLUMN (schema evolution): commits span two
+    // schemas; pre-evolution rows read the declared default, the
+    // post-evolution append's values (including explicit NULLs) read
+    // as written, and the change feed across the boundary carries the
+    // evolved schema. No data file was rewritten — fill happens at
+    // read time (Iceberg initial-default semantics). SnapshotSpec
+    // covers the old-reader view and rewrite materialization.
+    QueryDef("q193_schema_evolution",
+      (s, _) => {
+        val root = stagedEvoTable(s)
+        val latest = Snapshots.read(s, root, "e")
+          .groupBy("tier")
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+        val feed = Snapshots.readChangeFeed(s, root, "e", fromVersion = 0)
+          .agg(count(lit(1)).as("feed_rows"),
+            count(when(col("tier") === "even", 1)).as("feed_even"))
+        latest.crossJoin(feed).orderBy(asc_nulls_first("tier"))
+      },
+      Some("""SELECT tier, COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba,
+             |  (SELECT COUNT(*) FROM range(1000,1500)) AS feed_rows,
+             |  (SELECT COUNT(*) FROM range(1000,1500) t(id) WHERE id % 2 = 0) AS feed_even
+             |FROM (SELECT id, CASE WHEN id < 1000 THEN 'std'
+             |                      WHEN id % 2 = 0 THEN 'even' END AS tier
+             |      FROM range(0,1500) t(id))
+             |GROUP BY tier ORDER BY tier NULLS FIRST""".stripMargin)),
 
     // DESCRIBE HISTORY: the commit log itself as a queryable frame —
     // version, operation, position watermark. The restore entry shows

@@ -63,6 +63,61 @@ class SnapshotSpec extends SparkTestBase {
     assert(merged.count() == 200)
   }
 
+  test("addColumn: default fill for old files, physical values for new, old readers untouched") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "ev", topics = 1, numMessages = 100) // v0
+    assert(Snapshots.addColumn(root, "ev", "tier", "STRING", Some("'std'")) == 1)
+    // post-evolution append carries the column physically, with
+    // explicit NULLs on odd keys
+    ProduceJob.personProjection(spark.range(100, 200).toDF("cnt"), "cnt", "ev", 1)
+      .withColumn("tier", when(col("ba") % 2 === 0, lit("even")))
+      .write.mode("append").partitionBy("topic")
+      .parquet(graft.ingest.Topics.tableDir(root, "ev"))
+    Snapshots.commit(root, "ev", 199) // v2
+
+    // old reader view: time travel before the addcol shows the old schema
+    assert(!Snapshots.read(spark, root, "ev", Some(0)).columns.contains("tier"))
+    // at the addcol version every (pre-existing) row reads the default
+    assert(Snapshots.read(spark, root, "ev", Some(1))
+      .filter(col("tier") === "std").count() == 100)
+    // latest: old rows default, new rows physical, explicit NULL stays NULL
+    val latest = Snapshots.read(spark, root, "ev")
+    assert(latest.filter(col("tier") === "std").count() == 100)
+    assert(latest.filter(col("tier") === "even").count() == 50)
+    assert(latest.filter(col("tier").isNull).count() == 50)
+    // data skipping on another column still composes with the fill
+    assert(Snapshots.readWhere(spark, root, "ev", col("ba") < 10 && col("tier") === "std")
+      .count() == 10)
+  }
+
+  test("addColumn: CDC across the boundary; rewrites materialize the evolved schema") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "ev2", topics = 1, numMessages = 100) // v0
+    Snapshots.addColumn(root, "ev2", "tier", "STRING", Some("'std'")) // v1
+    // merge AFTER evolution updates two pre-evolution rows
+    val src = ProduceJob.personProjection(spark.range(0, 2).toDF("cnt"), "cnt", "ev2", 1)
+      .withColumn("name", lit("upd")).withColumn("tier", lit("gold"))
+    Snapshots.merge(spark, root, "ev2", src, Seq("ba"), txn = Some("evo-m")) // v2
+    // change feed across the schema boundary carries the evolved schema
+    val feed = Snapshots.readChangeFeed(spark, root, "ev2", fromVersion = 0)
+    assert(feed.columns.contains("tier"))
+    assert(feed.filter(col("_change_type") === "update_postimage" &&
+      col("tier") === "gold").count() == 2)
+    // the merge rewrote one file: its copied-along pre-evolution rows
+    // must keep the default (the rewrite materialized the fill)
+    val latest = Snapshots.read(spark, root, "ev2")
+    assert(latest.filter(col("tier") === "gold").count() == 2)
+    assert(latest.filter(col("tier") === "std").count() == 98)
+    // compaction after evolution preserves semantics
+    Snapshots.compact(spark, root, "ev2")
+    val compacted = Snapshots.read(spark, root, "ev2")
+    assert(compacted.filter(col("tier") === "std").count() == 98)
+    assert(compacted.filter(col("tier") === "gold").count() == 2)
+    // delete by the added column's default removes exactly the old rows
+    Snapshots.delete(spark, root, "ev2", col("tier") === "std", txn = Some("evo-d"))
+    assert(Snapshots.read(spark, root, "ev2").count() == 2)
+  }
+
   test("compaction rewrites small files, preserves data and time travel") {
     val root = Files.createTempDirectory("graft_snap").toString
     ProduceJob.produceBatch(spark, root, "s6", topics = 2, numMessages = 400)
