@@ -972,6 +972,129 @@ object Snapshots {
     }
   }
 
+  /** Apply a change-feed increment to a replica table in ONE
+    * copy-on-write pass (the q187 single-pass rule, incremental): the
+    * LAST change per key wins — within a commit an upsert outranks a
+    * delete, across commits the highest version — then one rewrite
+    * replaces/removes exactly the touched keys' files. Cost is
+    * O(changes + matched files), never the table. `txn` makes replays
+    * no-ops — the exactly-once hook for [[replicateStream]]. */
+  def applyChangeBatch(spark: SparkSession, root: String, prefix: String,
+                       feed: DataFrame, keys: Seq[String],
+                       txn: Option[String] = None): Int = {
+    require(keys.nonEmpty, "applyChangeBatch needs at least one key column")
+    val snap = snapshot(root, prefix, None).getOrElse(
+      sys.error(s"nothing to apply into for $prefix"))
+    if (txn.exists(snap.txns.contains)) snap.version
+    else {
+      val base = dataDir(root, prefix)
+      val isUpsert = col("_change_type").isin("insert", "update_postimage")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(col("_commit_version").desc, isUpsert.cast("int").desc)
+      val last = feed
+        .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("_rn") === 1)
+        .localCheckpoint(true) // reused by keys + upserts below
+      if (last.isEmpty) snap.version // empty increment — no new version
+      else {
+        val tableCols = read(spark, root, prefix, Some(snap.version)).columns.toSeq
+        val changedKeys = last.select(keys.map(col): _*).distinct()
+          .localCheckpoint(true)
+        val upserts = last.filter(isUpsert).select(tableCols.map(col): _*)
+        // manifest pruning + exact attribution, the merge() two-stage
+        // file location: only files holding a changed key are rewritten
+        val candidates = snap.stats.find(s => s.column == keys.head && s.typ == "L") match {
+          case Some(_) =>
+            val mm = changedKeys.agg(
+              org.apache.spark.sql.functions.min(keys.head),
+              org.apache.spark.sql.functions.max(keys.head)).head()
+            if (mm.isNullAt(0)) Seq.empty
+            else pruneFiles(root, prefix, keys.head, mm.getLong(0), mm.getLong(1), Some(snap.version))
+          case None => snap.files
+        }
+        val matchedFiles: Seq[String] =
+          if (candidates.isEmpty) Seq.empty
+          else {
+            val withFile = readFilesFilled(spark, root, prefix, candidates,
+              addedColumns(root, prefix, Some(snap.version)))
+              .withColumn("_graft_file", input_file_name())
+            withFile.join(changedKeys, keys, "left_semi")
+              .select("_graft_file").distinct()
+              .collect().map(_.getString(0))
+              .map(uri => snap.files.find(f => uri.endsWith(f)).getOrElse(
+                sys.error(s"unattributable file $uri")))
+              .toSeq.sorted
+          }
+        val before = listDataFiles(root, prefix).toSet
+        val oldMatched =
+          if (matchedFiles.isEmpty) upserts.limit(0)
+          else readFilesFilled(spark, root, prefix, matchedFiles,
+            addedColumns(root, prefix, Some(snap.version)))
+        val survivors = oldMatched.join(changedKeys, keys, "left_anti")
+        val out = survivors.unionByName(upserts)
+        val writer = out.write.mode("append")
+        (if (out.columns.contains("topic")) writer.partitionBy("topic") else writer)
+          .parquet(base.toString)
+        val added = (listDataFiles(root, prefix).toSet -- before).toSeq.map { rel =>
+          val abs = base.resolve(rel)
+          val marked = abs.resolveSibling(CompactedPrefix + abs.getFileName)
+          Files.move(abs, marked)
+          base.relativize(marked).toString
+        }
+        // row-grain CDC for the replica rides the feed increment itself
+        // (change types preserved — a downstream replica can chain)
+        writeCdc(root, prefix, last.drop("_rn", "_commit_version")) {
+          commitRewrite(root, prefix, "merge", matchedFiles.toSet, added,
+            matchedFiles, snap.maxPos, txn)
+        }
+      }
+    }
+  }
+
+  /** Highest source version a [[replicateStream]] replica has applied,
+    * parsed from its `cdc:<from>:<to>` transaction ids. */
+  def appliedSourceVersion(root: String, prefix: String): Option[Int] =
+    snapshot(root, prefix, None).toSeq.flatMap(_.txns)
+      .flatMap {
+        case s if s.startsWith("cdc:") =>
+          s.split(':') match {
+            case Array(_, _, to) => try Some(to.toInt) catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        case _ => None
+      }.maxOption
+
+  /** Continuous CDC replication — the streaming consumer side of the
+    * change feed (reference semantics: the A9 at-least-once ack loop
+    * turned exactly-once). Each micro-batch applies every source
+    * commit the replica has not yet applied, as ONE
+    * [[applyChangeBatch]] under a window-derived transaction id: a
+    * replayed batch recomputes the same applied-version window from
+    * the replica's own log and no-ops. The tick stream only schedules
+    * work (any stream works — rate, file arrivals, a Kafka control
+    * topic); its rows are ignored, so replication progress is driven
+    * by the SOURCE log, not by tick payloads. The replica must be
+    * seeded with the source's version-0 state before the stream
+    * starts. */
+  def replicateStream(tick: DataFrame, srcRoot: String, srcPrefix: String,
+                      dstRoot: String, dstPrefix: String, keys: Seq[String],
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    tick.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val applied = appliedSourceVersion(dstRoot, dstPrefix).getOrElse(0)
+        val latest = snapshot(srcRoot, srcPrefix, None).map(_.version).getOrElse(-1)
+        if (latest > applied) {
+          val feed = readChangeFeed(s, srcRoot, srcPrefix, applied, Some(latest))
+          applyChangeBatch(s, dstRoot, dstPrefix, feed, keys,
+            txn = Some(s"cdc:$applied:$latest"))
+          ()
+        }
+      }
+      .start()
+
   /** Streaming upsert sink with exactly-once semantics: each
     * micro-batch MERGEs into the snapshot table under a per-batch
     * transaction id, so a batch replayed after a crash/restart (the

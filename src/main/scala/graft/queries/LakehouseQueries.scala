@@ -335,6 +335,63 @@ object LakehouseQueries extends QueryRegistry {
              |  CAST(0 AS BIGINT) AS rows_missing
              |FROM range(0,1200) t(id) WHERE id % 10 <> 0""".stripMargin)),
 
+    // Streaming CDC apply — continuous replication: a replica seeded
+    // at source v0 follows the source through a live stream whose
+    // micro-batches each apply the not-yet-applied change-feed window
+    // in one copy-on-write pass (txn'd — replays no-op; the
+    // MemoryStream replay proof is in SnapshotSpec). Two genuinely
+    // incremental batches: the merge is applied while the source
+    // delete hasn't happened yet, then the delete arrives and a later
+    // batch of the SAME running stream applies it. The replica must
+    // equal the source exactly (both exceptAll probes empty).
+    QueryDef("q194_stream_cdc_apply",
+      (s, _) => {
+        val root = staged(s, "cdcstream_v1") { tmp =>
+          ProduceJob.produceBatch(s, tmp, "f", topics = 1, numMessages = 1000) // src v0
+          // replica seeded from source v0
+          Snapshots.read(s, tmp, "f", Some(0))
+            .write.mode("append").partitionBy("topic")
+            .parquet(graft.ingest.Topics.tableDir(tmp, "g"))
+          Snapshots.commit(tmp, "g", 999)
+          val ticks = s"$tmp/ticks"
+          def tick(i: Int): Unit = {
+            s.range(i, i + 1).coalesce(1).write.mode("append").parquet(ticks)
+            ()
+          }
+          // batch 1: the merge is committed before the first tick —
+          // the replica applies window (0, 1]
+          Snapshots.merge(s, tmp, "f",
+            genRows(s, 500, 1200, "upd", "f", topics = 1), Seq("ba"),
+            txn = Some("q194m"))
+          tick(0)
+          val stream = s.readStream.schema(s.read.parquet(ticks).schema)
+            .option("maxFilesPerTrigger", "1").parquet(ticks)
+          val q = Snapshots.replicateStream(stream, tmp, "f", tmp, "g",
+            Seq("ba"), checkpoint = s"$tmp/_cdc_ckpt")
+          q.processAllAvailable()
+          // batch 2: the delete lands later; the SAME running stream
+          // picks it up on the next tick
+          Snapshots.delete(s, tmp, "f", col("ba") % 10 === 0, txn = Some("q194d"))
+          tick(1)
+          q.processAllAvailable()
+          q.stop()
+          ()
+        }
+        val replica = Snapshots.read(s, root, "g").localCheckpoint(true)
+        val src = Snapshots.read(s, root, "f")
+        val extra = replica.exceptAll(src).agg(count(lit(1))).head().getLong(0)
+        val missing = src.exceptAll(replica).agg(count(lit(1))).head().getLong(0)
+        replica.agg(
+          count(lit(1)).as("cnt"),
+          sum("ba").cast("bigint").as("sum_ba"),
+          lit(extra).as("rows_not_in_source"),
+          lit(missing).as("rows_missing"))
+      },
+      Some("""SELECT COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba,
+             |  CAST(0 AS BIGINT) AS rows_not_in_source,
+             |  CAST(0 AS BIGINT) AS rows_missing
+             |FROM range(0,1200) t(id) WHERE id % 10 <> 0""".stripMargin)),
+
     // Z-order clustering (OPTIMIZE ZORDER BY x, y): after the rewrite,
     // every file covers a narrow range on BOTH derived dimensions, so
     // the conjunctive range read opens only overlapping files

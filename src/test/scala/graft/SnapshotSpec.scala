@@ -322,6 +322,72 @@ class SnapshotSpec extends SparkTestBase {
     assert(Snapshots.read(spark, root, "s15").count() == 160)
   }
 
+  test("applyChangeBatch replicates a feed window in one pass; replays are no-ops") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    // source: v0 append 0..99, v1 merge 50..119, v2 delete ba%10=0
+    ProduceJob.produceBatch(spark, root, "cs", topics = 1, numMessages = 100)
+    Snapshots.merge(spark, root, "cs",
+      ProduceJob.personProjection(spark.range(50, 120).toDF("cnt"), "cnt", "cs", 1)
+        .withColumn("name", lit("upd")), Seq("ba"), txn = Some("m"))
+    Snapshots.delete(spark, root, "cs", col("ba") % 10 === 0, txn = Some("d"))
+    // replica seeded at source v0
+    Snapshots.read(spark, root, "cs", Some(0))
+      .write.mode("append").partitionBy("topic")
+      .parquet(graft.ingest.Topics.tableDir(root, "cr"))
+    Snapshots.commit(root, "cr", 99)
+    val feed = Snapshots.readChangeFeed(spark, root, "cs", fromVersion = 0)
+    val v1 = Snapshots.applyChangeBatch(spark, root, "cr", feed, Seq("ba"),
+      txn = Some("cdc:0:2"))
+    // replica equals source exactly
+    val src = Snapshots.read(spark, root, "cs")
+    val rep = Snapshots.read(spark, root, "cr")
+    assert(rep.exceptAll(src).count() == 0 && src.exceptAll(rep).count() == 0)
+    // replay of the same batch (same txn) is a no-op: same version, same rows
+    val v2 = Snapshots.applyChangeBatch(spark, root, "cr", feed, Seq("ba"),
+      txn = Some("cdc:0:2"))
+    assert(v2 == v1)
+    assert(Snapshots.read(spark, root, "cr").count() == src.count())
+  }
+
+  test("replicateStream: incremental batches follow the source; a restarted stream no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "ss", topics = 1, numMessages = 100) // src v0
+    Snapshots.read(spark, root, "ss", Some(0))
+      .write.mode("append").partitionBy("topic")
+      .parquet(graft.ingest.Topics.tableDir(root, "sr"))
+    Snapshots.commit(root, "sr", 99) // replica seed
+    val ms = MemoryStream[Int]
+    val q = Snapshots.replicateStream(ms.toDF(), root, "ss", root, "sr",
+      Seq("ba"), checkpoint = s"$root/_ckpt1")
+    // batch 1: merge committed, tick arrives → applied
+    Snapshots.merge(spark, root, "ss",
+      ProduceJob.personProjection(spark.range(90, 130).toDF("cnt"), "cnt", "ss", 1)
+        .withColumn("name", lit("upd")), Seq("ba"), txn = Some("m"))
+    ms.addData(1); q.processAllAvailable()
+    assert(Snapshots.appliedSourceVersion(root, "sr").contains(1))
+    assert(Snapshots.read(spark, root, "sr").count() == 130)
+    // batch 2: delete lands later; the same stream picks it up
+    Snapshots.delete(spark, root, "ss", col("ba") % 2 === 0, txn = Some("d"))
+    ms.addData(2); q.processAllAvailable()
+    assert(Snapshots.appliedSourceVersion(root, "sr").contains(2))
+    val expected = Snapshots.read(spark, root, "ss")
+    val got = Snapshots.read(spark, root, "sr")
+    assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0)
+    q.stop()
+    val versionsBefore = Snapshots.versions(root, "sr")
+    // a fresh stream over the same ticks (fresh checkpoint = full
+    // replay of every batch) must re-apply nothing: the window is
+    // recomputed from the replica's own log
+    val ms2 = MemoryStream[Int]
+    val q2 = Snapshots.replicateStream(ms2.toDF(), root, "ss", root, "sr",
+      Seq("ba"), checkpoint = s"$root/_ckpt2")
+    ms2.addData(1, 2); q2.processAllAvailable(); q2.stop()
+    assert(Snapshots.versions(root, "sr") == versionsBefore)
+  }
+
   test("delete removes matching rows copy-on-write, untouched files survive") {
     val root = Files.createTempDirectory("graft_snap").toString
     ProduceJob.produceBatch(spark, root, "s17", topics = 1, numMessages = 1000)
