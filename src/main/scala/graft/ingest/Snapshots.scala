@@ -104,7 +104,11 @@ object Snapshots {
     * values, "D" = [[SortKeys.doubleKey]] of a DOUBLE column, "S" =
     * [[SortKeys.stringKey]] 8-byte prefix of a STRING column (prefix
     * keys are conservative: equal-prefix values collide, so pruning
-    * keeps extra files but never skips a match). */
+    * keeps extra files but never skips a match), "N" = the column's
+    * NULLNESS DOMAIN from footer null counts — min is 1 only when the
+    * file is all-null, max is 1 when it holds any null — so `IS NULL`
+    * prunes as the interval [1,1] and `IS NOT NULL` as [0,0] through
+    * the same overlap check as every other range. */
   final case class FileStat(file: String, column: String, min: Long, max: Long,
                             typ: String = "L") {
     def encoded: String = s"$file|$column|$min|$max|$typ"
@@ -134,7 +138,8 @@ object Snapshots {
       try {
         val blocks = rd.getFooter.getBlocks.asScala.toSeq
         if (blocks.isEmpty) Seq.empty
-        else blocks.head.getColumns.asScala
+        else {
+        val ranged = blocks.head.getColumns.asScala
           .filter(_.getPath.size == 1).toSeq
           .flatMap { c =>
             val name = c.getPath.toDotString
@@ -171,6 +176,25 @@ object Snapshots {
               case _ => None
             }
           }
+        val nullness = blocks.head.getColumns.asScala
+          .filter(_.getPath.size == 1).toSeq
+          .flatMap { c =>
+            val name = c.getPath.toDotString
+            val chunks = blocks.flatMap(_.getColumns.asScala
+              .filter(_.getPath.toDotString == name))
+            val sts = chunks.map(_.getStatistics)
+            if (sts.exists(s => s == null || !s.isNumNullsSet)) None
+            else {
+              val nulls = sts.map(_.getNumNulls).sum
+              val values = chunks.map(_.getValueCount).sum
+              if (values == 0) None
+              else Some(FileStat(rel, name,
+                if (nulls == values) 1L else 0L,
+                if (nulls > 0) 1L else 0L, "N"))
+            }
+          }
+        ranged ++ nullness
+        }
       } finally rd.close()
     } catch { case _: Throwable => Seq.empty } // stats are an optimization, never fatal
 
@@ -386,6 +410,14 @@ object Snapshots {
     def stringRange(column: String, lo: String, hi: String): StatRange =
       StatRange(column, "S", SortKeys.stringKey(lo), SortKeys.stringKey(hi),
         col(column) >= lo && col(column) <= hi)
+    /** `IS NULL` in nullness-domain key space: only files holding at
+      * least one null (N-stat max = 1) can match. */
+    def isNull(column: String): StatRange =
+      StatRange(column, "N", 1L, 1L, col(column).isNull)
+    /** `IS NOT NULL`: only files holding at least one non-null value
+      * (N-stat min = 0) can match — an all-null file is skipped. */
+    def isNotNull(column: String): StatRange =
+      StatRange(column, "N", 0L, 0L, col(column).isNotNull)
   }
 
   /** The files of a snapshot that can hold `column` values in
@@ -449,7 +481,7 @@ object Snapshots {
   def readWhere(spark: SparkSession, root: String, prefix: String,
                 predicate: org.apache.spark.sql.Column,
                 version: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     val table = read(spark, root, prefix, version)
     // the ANALYZED filter condition: attributes resolved, literal casts
@@ -498,6 +530,10 @@ object Snapshots {
           .orElse(bound(v, a, lower = true, upper = false))
         case LessThanOrEqual(a, v) => bound(a, v, lower = false, upper = true)
           .orElse(bound(v, a, lower = true, upper = false))
+        // nullness conjuncts prune through the N-stat's nullness
+        // domain — the same interval machinery as value ranges
+        case IsNull(a) => attrName(a).map(c => (c, 1L, 1L, "N"))
+        case IsNotNull(a) => attrName(a).map(c => (c, 0L, 0L, "N"))
         case _ => None
       }
     }

@@ -621,6 +621,39 @@ class SnapshotSpec extends SparkTestBase {
     assert(full.select("ba").except(sRead.select("ba")).count() == 0)
   }
 
+  test("null-count stats: IS NULL / IS NOT NULL conjuncts skip files") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    val dir = graft.ingest.Topics.tableDir(root, "nn")
+    def put(lo: Int, hi: Int, v: org.apache.spark.sql.Column): Unit = {
+      ProduceJob.personProjection(spark.range(lo, hi).toDF("cnt"), "cnt", "nn", 1)
+        .withColumn("v", v).coalesce(1)
+        .write.mode("append").partitionBy("topic").parquet(dir)
+      Snapshots.commit(root, "nn", hi - 1)
+      ()
+    }
+    put(0, 100, lit(null).cast("long")) // all-null file
+    put(100, 200, col("ba")) // no-null file
+    put(200, 300, when(col("ba") % 2 === 0, col("ba"))) // mixed file
+    val snap = Snapshots.snapshot(root, "nn").get
+    assert(snap.files.size == 3)
+    // nullness domain recorded per file: {1}, {0}, {0,1}
+    assert(snap.stats.filter(s => s.column == "v" && s.typ == "N").size == 3)
+    // IS NOT NULL skips the all-null file; IS NULL skips the no-null file
+    assert(Snapshots.pruneFilesMulti(root, "nn",
+      Seq(Snapshots.StatRange.isNotNull("v"))).size == 2)
+    assert(Snapshots.pruneFilesMulti(root, "nn",
+      Seq(Snapshots.StatRange.isNull("v"))).size == 2)
+    // readWhere extracts the nullness conjuncts and stays correct
+    assert(Snapshots.readWhere(spark, root, "nn", col("v").isNotNull).count() == 150)
+    assert(Snapshots.readWhere(spark, root, "nn", col("v").isNull).count() == 150)
+    // composes with a value range on another column
+    assert(Snapshots.readWhere(spark, root, "nn",
+      col("v").isNotNull && col("ba") >= 100 && col("ba") < 200).count() == 100)
+    // contradictory nullness conjuncts prune to an empty (typed) frame
+    assert(Snapshots.readWhere(spark, root, "nn",
+      col("v").isNull && col("v").isNotNull).count() == 0)
+  }
+
   test("readWhere prunes from arbitrary predicates across column types") {
     val root = Files.createTempDirectory("graft_snap").toString
     import spark.implicits._
