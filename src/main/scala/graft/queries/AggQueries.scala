@@ -59,12 +59,21 @@ object AggQueries extends QueryRegistry {
     // while msumWide's high/low word split accumulates exactly. The
     // oracle replays the identical split arithmetic (DuckDB's HUGEINT
     // sums make its side trivially exact — agreement proves the split
-    // recombination, not just the sum).
+    // recombination, not just the sum). The signed column alternates
+    // sign per row: negatives exercise the two's-complement >>/&mask
+    // split cross-engine (both engines shift BIGINT arithmetically —
+    // verified, not assumed).
     QueryDef("q192_wide_sum_headroom",
       (s, _) => s.range(0, 1000000)
-        .select((lit(5.0e9) + col("id").cast("double")).as("x"))
-        .agg(Qf.msumWide(col("x")).as("total"), count(lit(1)).as("cnt")),
+        .select((lit(5.0e9) + col("id").cast("double")).as("x"),
+          (when(col("id") % 2 === 0, lit(1.0)).otherwise(lit(-1.0)) *
+            (lit(2.5e9) + col("id").cast("double"))).as("xs"))
+        .agg(Qf.msumWide(col("x")).as("total"),
+          Qf.msumWide(col("xs")).as("total_signed"),
+          count(lit(1)).as("cnt")),
       Some(s"""SELECT ${Qf.sqlMsumWide("5e9 + CAST(id AS DOUBLE)")} AS total,
+              |${Qf.sqlMsumWide(
+                "(CASE WHEN id % 2 = 0 THEN 1.0 ELSE -1.0 END) * (2.5e9 + CAST(id AS DOUBLE))")} AS total_signed,
               |COUNT(*) AS cnt FROM range(0, 1000000) t(id)""".stripMargin)),
 
     QueryDef("q20_distinct_agg",

@@ -17,16 +17,26 @@ import graft.Tables
   * never leave a half-staged dir a later run would trust. */
 object Fixtures {
 
-  /** Hash of the source table's identity + content stamp. Folds every
-    * file's (name, mtime, size) — not just the parent dir's — so
-    * regenerating fixture data in place (same part-file names
-    * overwritten, parent mtime untouched) still changes the key. */
-  private def contentKey(dir: String, table: String): String = {
+  /** Digest of the source table's identity + content stamp. Folds
+    * every file's (path, mtime, size) — walking partitioned/nested
+    * layouts recursively — so regenerating fixture data in place
+    * (same part-file names overwritten, parent mtime untouched) still
+    * changes the key. SHA-256 truncated to 96 bits: a 32-bit
+    * String.hashCode collision between two fixture contents would
+    * silently serve a stale staged layout (including q67's persisted
+    * IVF index, where staleness changes RESULTS with no error). */
+  private[queries] def contentKey(dir: String, table: String): String = {
     val f = new java.io.File(Tables.path(dir, table))
-    val perFile = Option(f.listFiles())
-      .map(_.sortBy(_.getName).map(c => s"${c.getName}:${c.lastModified}:${c.length}").mkString(","))
-      .getOrElse("")
-    Integer.toHexString((dir + "@" + f.lastModified + ":" + f.length + "|" + perFile).hashCode)
+    def walk(x: java.io.File): Seq[java.io.File] =
+      if (x.isDirectory)
+        Option(x.listFiles()).map(_.toSeq.sortBy(_.getName).flatMap(walk)).getOrElse(Seq.empty)
+      else Seq(x)
+    val perFile = walk(f)
+      .map(c => s"${c.getAbsolutePath}:${c.lastModified}:${c.length}").mkString(",")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest((dir + "@" + f.lastModified + ":" + f.length + "|" + perFile)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(12).map(b => f"$b%02x").mkString
   }
 
   /** Returns a directory staged by `build` exactly once per

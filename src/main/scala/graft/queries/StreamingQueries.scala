@@ -35,8 +35,7 @@ object StreamingQueries extends QueryRegistry {
     // stage into a temp dir renamed into place atomically, so an
     // interrupted run can never leave a half-staged dir that a later
     // run would silently re-append to (duplicating events).
-    val src = new java.io.File(Tables.path(dir, "events"))
-    val key = Integer.toHexString((dir + "@" + src.lastModified + ":" + src.length).hashCode)
+    val key = Fixtures.contentKey(dir, "events") // shared wide digest
     val staged = new java.io.File(s"/tmp/graft/stream_events_$key")
     if (!staged.isDirectory) {
       val tmp = new java.io.File(staged.getParent,

@@ -188,4 +188,26 @@ class PropertySpec extends SparkTestBase {
     // sanity on magnitude: Σ units ≈ 5.0e15 + 499500
     assert(math.abs(wide - (5.0e15 + 499500.0)) < 1e6)
   }
+
+  test("msumWide handles negative values exactly (two's-complement word split)") {
+    import org.apache.spark.sql.functions._
+    // alternating signs with large magnitudes: negative micros shift
+    // arithmetically (>>20 keeps the sign) while the mask word stays in
+    // [0, 2^20) — the split must reassemble to the exact signed sum
+    val df = spark.range(0, 10000)
+      .select((when(col("id") % 2 === 0, lit(1.0)).otherwise(lit(-1.0)) *
+        (lit(5.0e12) + col("id").cast("double"))).as("x"))
+    val wide = df.agg(graft.queries.Qf.msumWide(col("x"))).head().getDouble(0)
+    var hi = 0L
+    var lo = 0L
+    (0 until 10000).foreach { i =>
+      val sign = if (i % 2 == 0) 1.0 else -1.0
+      val m = math.floor(sign * (5.0e12 + i) * 1e6 + 0.5).toLong
+      hi += (m >> 20); lo += (m & 1048575L)
+    }
+    val expected = (hi.toDouble * 1048576.0 + lo.toDouble) / 1e6
+    assert(wide == expected)
+    // magnitude sanity: pairs cancel to −1 each → Σ units ≈ −5000
+    assert(math.abs(wide - -5000.0) < 1.0)
+  }
 }

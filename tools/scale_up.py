@@ -62,7 +62,12 @@ def main():
             for field in src.schema:
                 col = src.column(field.name)
                 if k > 0 and field.name in shifts:
-                    col = pc.add(col, pa.scalar(k * shifts[field.name], type=field.type))
+                    # add_checked: a narrow key column (int32) shifted
+                    # near its type max must ERROR, not wrap silently —
+                    # a wrapped key corrupts FK consistency with no
+                    # other symptom
+                    col = pc.add_checked(
+                        col, pa.scalar(k * shifts[field.name], type=field.type))
                 cols.append(col)
             copies.append(pa.table(cols, schema=src.schema))
         out = pa.concat_tables(copies)
