@@ -127,6 +127,16 @@ object StreamingQueries extends QueryRegistry {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // late-drop canary: the declared replays are time-ordered, so NO
+      // row may be dropped by a watermark. A nonzero count means an
+      // optimizer change re-pushed a filter below the watermark node
+      // (per-type stall → watermark races ahead of admissible data) or
+      // a watermark moved wrongly — silent row loss, not a perf issue.
+      val dropped = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .map(_.numRowsDroppedByWatermark).sum
+      require(dropped == 0,
+        s"$dropped row(s) dropped by watermark during a time-ordered replay")
       val out = s.table(name).localCheckpoint(true)
       s.catalog.dropTempView(name)
       out

@@ -3,44 +3,54 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Timer-driven sessionization on `transformWithState` with
-  * `TimeMode.EventTime`. Each key holds at most one OPEN session in a
-  * ValueState. Arriving events (sorted, micros precision) extend it or
-  * — when the gap to the previous event is >= the gap duration — close
-  * it: a session provably closed by a LATER event emits immediately
-  * from `handleInputRows`; only the trailing open session needs a
-  * timer, re-armed each batch at (last event + gap) and fired when the
-  * WATERMARK passes that instant. Closing on the watermark — never on
-  * wall-clock — keeps replays and test runs bit-deterministic.
+  * `TimeMode.EventTime`. Each key holds its PENDING sessions (open or
+  * closed-by-data but not yet watermark-safe) in a ListState, ascending
+  * by start. Arriving events merge-sweep into that list: events and
+  * sessions closer than the gap coalesce (counts add), so an event may
+  * extend a session, bridge two, or start its own — including an event
+  * EARLIER than every pending session, which the global watermark can
+  * still admit when it lags a key's activity. A session emits ONLY when
+  * the watermark passes (end + gap) — via an event-time timer armed at
+  * the earliest pending deadline — at which point no admissible event
+  * can touch its span again (any future row carries ts ≥ watermark >
+  * end + gap). Emission is therefore independent of how the stream is
+  * batched AND of cross-batch disorder: any batch-boundary placement of
+  * watermark-admissible events yields the same sessions. Closing on the
+  * watermark — never on wall-clock — keeps replays bit-deterministic.
   *
   * This is the pattern `session_window` can't express: arbitrary
   * per-session payload (here count/min/max, in general anything), an
   * emission deadline decided by the data, and state whose lifetime the
   * processor controls. (Spark restricts TTLConfig to
   * TimeMode.ProcessingTime — in event-time mode the timer IS the state
-  * bound: every open session carries one, and firing clears the state,
-  * so nothing can leak past the watermark.)
+  * bound: every pending session is covered by one, and firing clears
+  * what it emits, so nothing can leak past the watermark.)
   *
-  * Scale: state is (one tuple + one timer) per OPEN session — NOT per
-  * event — hash-partitioned by key across executors; closed sessions
-  * leave the store, so state size tracks concurrent activity, not
-  * history. Emission is independent of how the stream is batched:
-  * any micro-batch boundary placement yields the same sessions.
+  * Scale: state is one (count, start, end) tuple per PENDING session —
+  * NOT per event — hash-partitioned by key across executors; sessions
+  * leave the store as the watermark passes them, so state size tracks
+  * in-flight activity inside the watermark delay, not history.
   */
 class SessionTimeoutProcessor(gapMs: Long)
   extends StatefulProcessor[Long, (Long, Timestamp), (Long, Long, Long, Long)] {
 
   private val gapUs = gapMs * 1000L
 
-  @transient private var session: ValueState[(Long, Long, Long, Long)] = _
+  /** Pending sessions, ascending by start: (count, startUs, endUs) —
+    * pairwise ≥ gap apart (the merge-sweep invariant). */
+  @transient private var sessions: ListState[(Long, Long, Long)] = _
+  /** The armed timer instant, carried so the next batch can disarm it
+    * before re-arming at a possibly-earlier deadline. */
+  @transient private var armed: ValueState[Tuple1[Long]] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-    // (count, startUs, endUs, armedTimerMs) — the armed timer instant is
-    // carried in state so the next batch can disarm it before re-arming
-    session = getHandle.getValueState[(Long, Long, Long, Long)](
-      "openSession", Encoders.product[(Long, Long, Long, Long)], TTLConfig.NONE)
+    sessions = getHandle.getListState[(Long, Long, Long)](
+      "sessions", Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+    armed = getHandle.getValueState[Tuple1[Long]](
+      "armedTimer", Encoders.product[Tuple1[Long]], TTLConfig.NONE)
   }
 
   /** Full-precision event time: Timestamp.getTime is ms-truncated;
@@ -49,34 +59,49 @@ class SessionTimeoutProcessor(gapMs: Long)
   private def micros(ts: Timestamp): Long =
     ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
 
+  /** ms-granular timer instant for (end + gap); +1 ms so the coarse
+    * timer can't fire a hair before the micros-precise deadline. */
+  private def deadlineMs(hiUs: Long): Long = (hiUs + gapUs) / 1000 + 1
+
   override def handleInputRows(key: Long, rows: Iterator[(Long, Timestamp)],
                                timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
-    // events within a batch may be unordered; sessionization needs them
-    // in time order (a batch is bounded, so the sort is per-key-per-batch)
     val times = rows.map { case (_, ts) => micros(ts) }.toArray
     java.util.Arrays.sort(times)
-    var (n, lo, hi, armed) = Option(session.get()).getOrElse((0L, Long.MaxValue, Long.MinValue, -1L))
-    val closed = Seq.newBuilder[(Long, Long, Long, Long)]
-    times.foreach { t =>
-      if (n > 0 && t - hi >= gapUs) { // gap reached → previous session closed
-        closed += ((key, n, lo / 1000, hi / 1000))
-        n = 0; lo = Long.MaxValue; hi = Long.MinValue
-      }
-      n += 1; lo = math.min(lo, t); hi = math.max(hi, t)
+    // merge-sweep: pending sessions and the batch's events, ascending
+    // by start; consecutive pieces closer than the gap coalesce. The
+    // pending list is already sorted and disjoint, so this is one
+    // linear pass over (sessions + events).
+    val pieces = (sessions.get().toArray ++ times.map(t => (1L, t, t))).sortBy(_._2)
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    pieces.foreach { case p @ (n, lo, hi) =>
+      if (merged.nonEmpty && lo - merged.last._3 < gapUs) {
+        val (pn, plo, phi) = merged.last
+        merged(merged.size - 1) = (pn + n, plo, math.max(phi, hi))
+      } else merged += p
     }
-    if (armed >= 0) getHandle.deleteTimer(armed)
-    // +1ms guard: the ms-granular timer must not fire a hair before the
-    // micros-precise session end has actually passed
-    val deadline = (hi + gapUs) / 1000 + 1
+    sessions.clear()
+    sessions.put(merged.toArray)
+    Option(armed.get()).foreach(t => getHandle.deleteTimer(t._1))
+    val deadline = deadlineMs(merged.head._3) // earliest pending deadline
     getHandle.registerTimer(deadline)
-    session.update((n, lo, hi, deadline))
-    closed.result().iterator
+    armed.update(Tuple1(deadline))
+    Iterator.empty // emission is watermark-gated — see handleExpiredTimer
   }
 
   override def handleExpiredTimer(key: Long, timers: TimerValues,
                                   expired: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
-    val out = Option(session.get()).map { case (n, lo, hi, _) => (key, n, lo / 1000, hi / 1000) }
-    session.clear()
-    out.iterator
+    val wmMs = timers.getCurrentWatermarkInMs()
+    val pending = sessions.get().toArray
+    // sessions are ascending and ≥ gap apart, so ends ascend too: the
+    // watermark-safe ones are a prefix
+    val (ripe, rest) = pending.partition(s => deadlineMs(s._3) <= wmMs)
+    sessions.clear()
+    if (rest.nonEmpty) {
+      sessions.put(rest)
+      val next = deadlineMs(rest.head._3)
+      getHandle.registerTimer(next)
+      armed.update(Tuple1(next))
+    } else armed.clear()
+    ripe.iterator.map { case (n, lo, hi) => (key, n, lo / 1000, hi / 1000) }
   }
 }

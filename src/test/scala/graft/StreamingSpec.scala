@@ -215,6 +215,60 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("cross-batch disorder: admissible earlier events form their own sessions") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // two state variables (sessions list + armed timer) → multiple
+    // column families → RocksDB provider, like q46b
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(Long, Timestamp)]
+    val out = ms.toDS().toDF("user", "etime")
+      // 30-minute delay keeps the batch-2 stragglers admissible
+      .withWatermark("etime", "30 minutes")
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.SessionTimeoutProcessor(gapMs = 60000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+    val q = out.toDF("user", "n", "start_ms", "end_ms").writeStream
+      .format("memory").queryName("disorder_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def closed() = spark.table("disorder_sessions")
+        .filter(col("user") =!= 99L).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          new Timestamp(r.getLong(2)), new Timestamp(r.getLong(3)))).toSet
+      // batch 1: two sessions, the first closed BY DATA (20-min gap) —
+      // it must NOT emit yet (the watermark hasn't passed its end)
+      ms.addData((1L, ts("2024-01-01 00:10:00")), (1L, ts("2024-01-01 00:20:00")))
+      q.processAllAvailable()
+      assert(closed().isEmpty)
+      // batch 2, still admissible under the 30-min delay: an event
+      // EARLIER than everything (own session — must not merge backwards
+      // into the open one) and one extending the DATA-CLOSED first
+      // session (which is why early emission would have been wrong)
+      ms.addData((1L, ts("2024-01-01 00:05:00")), (1L, ts("2024-01-01 00:10:30")))
+      q.processAllAvailable()
+      // sentinels drag the watermark past every deadline (two steps:
+      // the watermark computed at batch end fires timers next batch)
+      ms.addData((99L, ts("2024-01-01 01:00:00"))); q.processAllAvailable()
+      ms.addData((99L, ts("2024-01-01 02:00:00"))); q.processAllAvailable()
+      assert(closed() == Set(
+        (1L, 1L, ts("2024-01-01 00:05:00"), ts("2024-01-01 00:05:00")),
+        (1L, 2L, ts("2024-01-01 00:10:00"), ts("2024-01-01 00:10:30")),
+        (1L, 1L, ts("2024-01-01 00:20:00"), ts("2024-01-01 00:20:00"))))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("q46 session windows merge events within the 30-minute gap") {
     val rows = run("q46_stream_session_window").collect()
     assert(rows.nonEmpty)
