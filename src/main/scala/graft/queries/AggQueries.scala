@@ -277,11 +277,16 @@ object AggQueries extends QueryRegistry {
     // false negatives on every present key, and the false-positive
     // rate on a disjoint probe range stays within the sizing bound.
     // The probe is a closure over the driver-built sketch — one bloom
-    // object broadcast, never a per-row driver call.
+    // object broadcast, never a per-row driver call. The filter is
+    // sized from the live row count, not a constant: a fixed capacity
+    // saturates the moment the table outgrows it (caught live at sf1,
+    // where a 200k-capacity bloom over 1.5M orders blew the fp bound)
+    // — 3% target fpp, asserted with 4x headroom.
     QueryDef("q123_bloom_property",
       (s, dir) => {
         val orders = Tables.orders(s, dir)
-        val bf = orders.stat.bloomFilter("o_orderkey", 200000L, 1000000L)
+        val bf = orders.stat.bloomFilter(
+          "o_orderkey", math.max(orders.count(), 1L), 0.03)
         val probe = udf((x: Long) => bf.mightContainLong(x))
         val present = orders
           .agg((sum(when(probe(col("o_orderkey")), 0).otherwise(1)) === 0).as("ok"))

@@ -5,7 +5,10 @@ NOT part of the shipped library (the Scala engine never calls this) —
 it pre-validates SparkEntry.oracleSql against Verify.scala output so
 oracle mismatches surface before the driver's round gate.
 
-Usage: check_oracle.py [sfDir] [verifyOutDir]
+Usage: check_oracle.py [sfDir] [verifyOutDir] [only]
+where `only` is an optional comma-separated query-name filter
+(mirrors Verify's dev-only 3rd arg) for incremental re-checks —
+a full sf1 replay runs ~50 min, a single query seconds.
 """
 import sys, json, math
 import duckdb
@@ -34,6 +37,9 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         try:
