@@ -51,6 +51,42 @@ class L2AndComponentsSpec extends SparkTestBase {
     assert(comp(20L) == 20L && comp(21L) == 20L)
   }
 
+  test("componentsStar agrees with components on the mixed fixture") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (20L, 21L)).toDF("a_id", "b_id")
+    val star = DedupComponents.componentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = DedupComponents.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+  }
+
+  test("componentsStar agrees with components on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(150)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }.toDF("a_id", "b_id")
+    val star = DedupComponents.componentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = DedupComponents.components(pairs, maxIter = 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+  }
+
+  test("componentsStar resolves a long path where propagation's round bound throws") {
+    import spark.implicits._
+    // a 64-node path has diameter 63: min-label propagation needs ~63
+    // rounds (> maxIter=20 -> loud failure), star contraction O(log n)
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    intercept[IllegalStateException] {
+      DedupComponents.components(pairs, maxIter = 20).collect()
+    }
+    val star = DedupComponents.componentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.keySet == (0L to 63L).toSet && star.values.forall(_ == 0L))
+  }
+
   test("canonical: one survivor per cluster with its size") {
     import spark.implicits._
     val pairs = Seq((5L, 6L), (6L, 7L), (30L, 31L)).toDF("a_id", "b_id")
