@@ -300,16 +300,26 @@ object Snapshots {
     }
   }
 
-  /** One schema-evolution event: `name` of type `ddlType` was added at
-    * `version`; `preFiles` are the files pinned at that moment — every
-    * row in them predates the column and reads as `defaultSql` (NULL
-    * when absent). Files added later carry the column physically, so
-    * an explicitly-written NULL stays NULL — Iceberg's initial-default
+  /** One schema-evolution event, ordered by commit version. The read
+    * path replays these over each file's PHYSICAL schema, so evolution
+    * never rewrites data: adds fill, renames re-label, drops hide.
+    * Partition columns (recovered from directory names, not footers)
+    * are outside this machinery — they cannot be renamed or dropped.
+    * `preFiles` (the files pinned when the event committed) define the
+    * event's epoch: the read path scans each epoch group separately so
+    * physically different schemas never share one parquet scan. */
+  sealed trait SchemaEvent { def version: Int; def preFiles: Set[String] }
+
+  /** ADD COLUMN: `name` of type `ddlType` was added at `version`;
+    * `preFiles` are the files pinned at that moment — every row in
+    * them predates the column and reads as `defaultSql` (NULL when
+    * absent). Files added later carry the column physically, so an
+    * explicitly-written NULL stays NULL — Iceberg's initial-default
     * semantics, which read-time fill can deliver without rewriting a
     * single old file. */
   final case class AddedColumn(version: Int, name: String, ddlType: String,
                                defaultSql: Option[String],
-                               preFiles: Set[String]) {
+                               preFiles: Set[String]) extends SchemaEvent {
     def fillExpr: org.apache.spark.sql.Column =
       defaultSql.map(org.apache.spark.sql.functions.expr)
         .getOrElse(org.apache.spark.sql.functions.lit(null))
@@ -318,20 +328,48 @@ object Snapshots {
       org.apache.spark.sql.functions.lit(null).cast(ddlType)
   }
 
+  /** RENAME COLUMN: rows keep their values; files written before the
+    * rename carry `from` physically and are re-labeled at read time,
+    * files written after carry `to`. Applying events in version order
+    * makes chains (a→b, b→c) and swaps (a→t, b→a, t→b) resolve
+    * correctly for every file epoch. */
+  final case class RenamedColumn(version: Int, from: String, to: String,
+                                 preFiles: Set[String]) extends SchemaEvent
+
+  /** DROP COLUMN: the column disappears from reads at `version`; old
+    * files keep the bytes (time travel still sees them) until a
+    * rewrite. A later [[addColumn]] of the same name is a NEW column —
+    * old values never resurface, because the drop is replayed before
+    * the add on every pre-drop file (Iceberg's field-id rule, delivered
+    * by event ordering instead of ids). */
+  final case class DroppedColumn(version: Int, name: String,
+                                 preFiles: Set[String]) extends SchemaEvent
+
   /** Schema-evolution events up to `upTo` (inclusive; None = all),
     * oldest first. */
-  def addedColumns(root: String, prefix: String,
-                   upTo: Option[Int] = None): Seq[AddedColumn] =
+  def schemaEvents(root: String, prefix: String,
+                   upTo: Option[Int] = None): Seq[SchemaEvent] =
     versions(root, prefix)
       .filter(v => upTo.forall(v <= _))
       .flatMap(v => snapshot(root, prefix, Some(v)))
-      .filter(_.op == "addcol")
       .flatMap { s =>
-        s.addedCol.map(_.split('|')).collect {
-          case Array(n, t) => AddedColumn(s.version, n, t, None, s.files.toSet)
-          case Array(n, t, d) => AddedColumn(s.version, n, t, Some(d), s.files.toSet)
+        (s.op, s.addedCol.map(_.split('|'))) match {
+          case ("addcol", Some(Array(n, t))) =>
+            Seq(AddedColumn(s.version, n, t, None, s.files.toSet))
+          case ("addcol", Some(Array(n, t, d))) =>
+            Seq(AddedColumn(s.version, n, t, Some(d), s.files.toSet))
+          case ("renamecol", Some(Array(f, t))) =>
+            Seq(RenamedColumn(s.version, f, t, s.files.toSet))
+          case ("dropcol", Some(Array(n))) =>
+            Seq(DroppedColumn(s.version, n, s.files.toSet))
+          case _ => Seq.empty
         }
       }
+
+  /** [[AddedColumn]] events only (compat accessor). */
+  def addedColumns(root: String, prefix: String,
+                   upTo: Option[Int] = None): Seq[AddedColumn] =
+    schemaEvents(root, prefix, upTo).collect { case a: AddedColumn => a }
 
   /** ALTER TABLE … ADD COLUMN (Delta/Iceberg schema evolution): commit
     * a new version declaring `name ddlType`, optionally with a default
@@ -348,8 +386,8 @@ object Snapshots {
       "default must be a simple SQL literal (no double quotes, backslashes, or '|')")
     val prev = snapshot(root, prefix, None).getOrElse(
       sys.error(s"no snapshot for $prefix — commit data before evolving the schema"))
-    require(!addedColumns(root, prefix).exists(_.name == name),
-      s"column $name already added to $prefix")
+    require(!currentColumns(root, prefix).contains(name),
+      s"column $name already exists in $prefix")
     val encoded = (Seq(name, ddlType) ++ defaultSql).mkString("|")
     try writeSnapshot(root, prefix, prev.version + 1, prev.maxPos, prev.files,
       Seq.empty, "addcol", prev.txns, prev.stats,
@@ -361,30 +399,121 @@ object Snapshots {
     }
   }
 
+  /** ALTER TABLE … RENAME COLUMN: a metadata-only commit; no file is
+    * touched. Validated against the resolved current schema, so chains
+    * compose and collisions fail loudly. Old readers (time travel
+    * before this version) keep the old name. Note manifest stats stay
+    * keyed by each file's PHYSICAL column name, so pruned reads on the
+    * new name keep pre-rename files conservatively (stats narrow IO,
+    * never semantics). */
+  def renameColumn(root: String, prefix: String, from: String, to: String,
+                   retries: Int = 5): Int = {
+    require(from != to, "rename requires distinct names")
+    require(Seq(from, to).forall(n =>
+      n.nonEmpty && !n.contains("|") && !n.contains("\"") && !n.contains("\\")),
+      "column names must be non-empty without '|', quotes, or backslashes")
+    val prev = snapshot(root, prefix, None).getOrElse(
+      sys.error(s"no snapshot for $prefix — commit data before evolving the schema"))
+    val cols = currentColumns(root, prefix)
+    require(cols.contains(from), s"cannot rename absent column $from (schema: ${cols.mkString(", ")})")
+    require(!cols.contains(to), s"rename target $to already exists in $prefix")
+    try writeSnapshot(root, prefix, prev.version + 1, prev.maxPos, prev.files,
+      Seq.empty, "renamecol", prev.txns, prev.stats,
+      extraFields = Seq("addedCol" -> s"$from|$to"))
+    catch {
+      case e: ConcurrentCommitException =>
+        if (retries > 0) renameColumn(root, prefix, from, to, retries - 1)
+        else throw e
+    }
+  }
+
+  /** ALTER TABLE … DROP COLUMN: metadata-only; the bytes stay until a
+    * rewrite, time travel before this version still reads them. */
+  def dropColumn(root: String, prefix: String, name: String,
+                 retries: Int = 5): Int = {
+    require(name.nonEmpty && !name.contains("|") && !name.contains("\"") &&
+      !name.contains("\\"),
+      "column name must be non-empty without '|', quotes, or backslashes")
+    val prev = snapshot(root, prefix, None).getOrElse(
+      sys.error(s"no snapshot for $prefix — commit data before evolving the schema"))
+    val cols = currentColumns(root, prefix)
+    require(cols.contains(name), s"cannot drop absent column $name (schema: ${cols.mkString(", ")})")
+    require(cols.size > 1, s"cannot drop the last column of $prefix")
+    try writeSnapshot(root, prefix, prev.version + 1, prev.maxPos, prev.files,
+      Seq.empty, "dropcol", prev.txns, prev.stats,
+      extraFields = Seq("addedCol" -> name))
+    catch {
+      case e: ConcurrentCommitException =>
+        if (retries > 0) dropColumn(root, prefix, name, retries - 1)
+        else throw e
+    }
+  }
+
+  /** Top-level column names in one data file's parquet footer. */
+  private def physicalColumns(base: Path, rel: String): Seq[String] = {
+    val in = HadoopInputFile.fromPath(
+      new HadoopPath(base.resolve(rel).toUri), new Configuration())
+    val rd = ParquetFileReader.open(in)
+    try rd.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+    finally rd.close()
+  }
+
+  /** The table's resolved logical column names at the latest version:
+    * one file's physical schema with every schema event folded on top
+    * (presence-guarded, so the answer is identical whichever epoch the
+    * sampled file comes from). Partition columns live in directory
+    * names, not footers, and are not included. */
+  def currentColumns(root: String, prefix: String): Seq[String] = {
+    val snap = snapshot(root, prefix, None).getOrElse(
+      sys.error(s"no snapshot for $prefix"))
+    val base = snap.files.headOption
+      .map(f => physicalColumns(dataDir(root, prefix), f))
+      .getOrElse(Seq.empty)
+    schemaEvents(root, prefix, Some(snap.version)).foldLeft(base) {
+      case (cs, a: AddedColumn) => if (cs.contains(a.name)) cs else cs :+ a.name
+      case (cs, r: RenamedColumn) => cs.map(c => if (c == r.from) r.to else c)
+      case (cs, d: DroppedColumn) => cs.filterNot(_ == d.name)
+    }
+  }
+
   /** Schema-aware file read: groups `files` by which added columns
-    * they predate, fills each group (default for pre-epoch files, NULL
-    * for post-epoch files a writer left without the column), and
-    * unions by name — one scan per epoch group, no shuffle, so
-    * evolution costs nothing at any table size. Column order: oldest
-    * group's physical order, then added columns in version order. */
+    * they predate, then replays ALL schema events in version order on
+    * each group — adds fill (default for pre-epoch files, NULL for
+    * post-epoch files a writer left without the column), renames
+    * re-label when the old name is physically present, drops hide —
+    * and unions by name: one scan per epoch group, no shuffle, so
+    * evolution costs nothing at any table size. Replaying in version
+    * order is what makes drop-then-readd yield the NEW column's
+    * default (never the dropped bytes) and rename chains resolve. */
   private def readFilesFilled(spark: SparkSession, root: String, prefix: String,
                               files: Seq[String],
-                              adds: Seq[AddedColumn]): DataFrame = {
+                              events: Seq[SchemaEvent]): DataFrame = {
     val base = dataDir(root, prefix)
     def plain(fs: Seq[String]) = spark.read
       .option("basePath", base.toString)
       .parquet(fs.map(f => base.resolve(f).toString): _*)
     if (files.isEmpty) spark.emptyDataFrame
-    else if (adds.isEmpty) plain(files)
+    else if (events.isEmpty) plain(files)
     else {
-      val groups = files.groupBy(f => adds.map(a => a.preFiles.contains(f)))
+      // group by the FULL event epoch vector: files on either side of
+      // any schema event have different physical schemas and must not
+      // share a parquet scan (the resolved schema would NULL out the
+      // other side's columns)
+      val groups = files.groupBy(f => events.map(e => e.preFiles.contains(f)))
         .toSeq
         // oldest epoch (predates everything) first — canonical order
         .sortBy { case (k, _) => k.map(b => if (b) '0' else '1').mkString }
       val frames = groups.map { case (predates, fs) =>
-        adds.zip(predates).foldLeft(plain(fs)) { case (df, (a, pre)) =>
-          if (df.columns.contains(a.name)) df
-          else df.withColumn(a.name, if (pre) a.fillExpr else a.nullExpr)
+        val pre = (events.zip(predates).toMap: Map[SchemaEvent, Boolean])
+        events.foldLeft(plain(fs)) {
+          case (df, a: AddedColumn) =>
+            if (df.columns.contains(a.name)) df
+            else df.withColumn(a.name, if (pre(a)) a.fillExpr else a.nullExpr)
+          case (df, r: RenamedColumn) =>
+            if (df.columns.contains(r.from)) df.withColumnRenamed(r.from, r.to)
+            else df
+          case (df, d: DroppedColumn) =>
+            if (df.columns.contains(d.name)) df.drop(d.name) else df
         }
       }
       frames.reduce(_.unionByName(_))
@@ -466,7 +595,7 @@ object Snapshots {
     else {
       val ver = snapshot(root, prefix, version).map(_.version)
       readFilesFilled(spark, root, prefix, files,
-        addedColumns(root, prefix, ver)).filter(pred)
+        schemaEvents(root, prefix, ver)).filter(pred)
     }
   }
 
@@ -551,7 +680,7 @@ object Snapshots {
     else {
       val ver = snapshot(root, prefix, version).map(_.version)
       readFilesFilled(spark, root, prefix, files,
-        addedColumns(root, prefix, ver)).filter(predicate)
+        schemaEvents(root, prefix, ver)).filter(predicate)
     }
   }
 
@@ -566,7 +695,7 @@ object Snapshots {
       sys.error(s"no snapshot for $prefix${version.map(" v" + _).getOrElse("")}"))
     if (snap.files.isEmpty) spark.emptyDataFrame
     else readFilesFilled(spark, root, prefix, snap.files,
-      addedColumns(root, prefix, Some(snap.version)))
+      schemaEvents(root, prefix, Some(snap.version)))
   }
 
   /** Incremental read (CDC-style): exactly the rows ADDED between
@@ -604,7 +733,7 @@ object Snapshots {
       // empty frame with the table's schema
       read(spark, root, prefix, Some(to.version)).limit(0)
     } else readFilesFilled(spark, root, prefix, added,
-      addedColumns(root, prefix, Some(to.version)))
+      schemaEvents(root, prefix, Some(to.version)))
   }
 
   private def cdcDir(root: String, prefix: String, version: Int): Path =
@@ -647,15 +776,23 @@ object Snapshots {
     val to = snapshot(root, prefix, toVersion).getOrElse(
       sys.error(s"no snapshot for $prefix"))
     val cols = read(spark, root, prefix, Some(to.version)).columns.toSeq
-    val adds = addedColumns(root, prefix, Some(to.version))
+    val events = schemaEvents(root, prefix, Some(to.version))
     def shape(df: DataFrame, v: Int): DataFrame = {
       // rows committed before a column existed (CDC records staged
       // pre-evolution, or an addcol inside the window) read as the
-      // column's default — the same rule as the table read path
-      val filled = adds.foldLeft(df)((d, a) =>
-        if (d.columns.contains(a.name)) d
-        else d.withColumn(a.name, if (v <= a.version) a.fillExpr else a.nullExpr))
-      filled.select((cols.map(col) :+ col("_change_type") :+
+      // column's default; renames/drops replay the same way the table
+      // read path replays them over old physical schemas
+      val evolved = events.foldLeft(df) {
+        case (d, a: AddedColumn) =>
+          if (d.columns.contains(a.name)) d
+          else d.withColumn(a.name, if (v <= a.version) a.fillExpr else a.nullExpr)
+        case (d, r: RenamedColumn) =>
+          if (d.columns.contains(r.from)) d.withColumnRenamed(r.from, r.to)
+          else d
+        case (d, dr: DroppedColumn) =>
+          if (d.columns.contains(dr.name)) d.drop(dr.name) else d
+      }
+      evolved.select((cols.map(col) :+ col("_change_type") :+
         org.apache.spark.sql.functions.lit(v).as("_commit_version")): _*)
     }
     val parts = versions(root, prefix)
@@ -666,7 +803,7 @@ object Snapshots {
           snapshot(root, prefix, Some(v - 1)).map(_.files.toSet).getOrElse(Set.empty)).toSeq.sorted
         def fromFiles(tag: String): Option[DataFrame] =
           if (addedFiles.isEmpty) None
-          else Some(shape(readFilesFilled(spark, root, prefix, addedFiles, adds)
+          else Some(shape(readFilesFilled(spark, root, prefix, addedFiles, events)
             .withColumn("_change_type", org.apache.spark.sql.functions.lit(tag)), v))
         cur.op match {
           case "compact" | "restore" => None
@@ -743,7 +880,7 @@ object Snapshots {
     // a compacted file's rows keep their pre-evolution defaults even
     // though the file itself postdates the column (Delta's rewrite
     // rule)
-    val adds = addedColumns(root, prefix, Some(snap.version))
+    val evs = schemaEvents(root, prefix, Some(snap.version))
     val byDir = snap.files.groupBy(f =>
       Option(Paths.get(f).getParent).map(_.toString).getOrElse(""))
     val keep = Seq.newBuilder[String]
@@ -752,7 +889,7 @@ object Snapshots {
       if (fs.size <= 1) keep ++= fs // already one file — nothing to win
       else {
         val before = listDataFiles(root, prefix).toSet
-        val df = readFilesFilled(spark, root, prefix, fs, adds)
+        val df = readFilesFilled(spark, root, prefix, fs, evs)
         // partition values live in the directory name — drop the
         // recovered column before writing back INTO that directory
         val dirCols = dir.split("/").filter(_.contains("=")).map(_.split("=")(0))
@@ -869,7 +1006,7 @@ object Snapshots {
       val oldMatched =
         if (matchedFiles.isEmpty) source.limit(0)
         else readFilesFilled(spark, root, prefix, matchedFiles,
-          addedColumns(root, prefix, Some(snap.version)))
+          schemaEvents(root, prefix, Some(snap.version)))
       val survivors = oldMatched.join(srcKeys, keys, "left_anti")
       val out = survivors.unionByName(source)
       val writer = out.write.mode("append")
@@ -973,8 +1110,8 @@ object Snapshots {
         predicate, org.apache.spark.sql.functions.lit(false))
       // schema-aware: the delete predicate may reference an added
       // column (matching its default on pre-evolution rows)
-      val adds = addedColumns(root, prefix, Some(snap.version))
-      val withFile = readFilesFilled(spark, root, prefix, snap.files, adds)
+      val evs = schemaEvents(root, prefix, Some(snap.version))
+      val withFile = readFilesFilled(spark, root, prefix, snap.files, evs)
         .withColumn("_graft_file", input_file_name())
       val matchedFiles = withFile.filter(matches)
         .select("_graft_file").distinct()
@@ -985,8 +1122,13 @@ object Snapshots {
       if (matchedFiles.isEmpty) snap.version // nothing to delete
       else {
         val before = listDataFiles(root, prefix).toSet
-        val touched = spark.read.option("basePath", base.toString)
-          .parquet(matchedFiles.map(f => base.resolve(f).toString): _*)
+        // filled read, not a plain one: survivors of a pre-evolution
+        // file must materialize their filled defaults into the rewrite
+        // (a plain read would write the old physical schema, and the
+        // rewritten file — which postdates the addcol — would NULL-fill
+        // where the default belonged); CDC pre-images below need the
+        // same shape
+        val touched = readFilesFilled(spark, root, prefix, matchedFiles, evs)
         val survivors = touched.filter(!matches)
         val writer = survivors.write.mode("append")
         (if (survivors.columns.contains("topic")) writer.partitionBy("topic") else writer)
@@ -1053,7 +1195,7 @@ object Snapshots {
           if (candidates.isEmpty) Seq.empty
           else {
             val withFile = readFilesFilled(spark, root, prefix, candidates,
-              addedColumns(root, prefix, Some(snap.version)))
+              schemaEvents(root, prefix, Some(snap.version)))
               .withColumn("_graft_file", input_file_name())
             withFile.join(changedKeys, keys, "left_semi")
               .select("_graft_file").distinct()
@@ -1066,7 +1208,7 @@ object Snapshots {
         val oldMatched =
           if (matchedFiles.isEmpty) upserts.limit(0)
           else readFilesFilled(spark, root, prefix, matchedFiles,
-            addedColumns(root, prefix, Some(snap.version)))
+            schemaEvents(root, prefix, Some(snap.version)))
         val survivors = oldMatched.join(changedKeys, keys, "left_anti")
         val out = survivors.unionByName(upserts)
         val writer = out.write.mode("append")

@@ -169,6 +169,35 @@ object CurationQueries extends QueryRegistry {
               |  SELECT re.id, e.b_id AS r FROM reach re JOIN edges e ON e.a_id = re.r)
               |SELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
+    // The same dedup graph resolved by alternating large-star /
+    // small-star contraction (Kiveris et al., SoCC '14) instead of
+    // min-label propagation: O(log n) rounds on ANY graph shape, the
+    // path for adversarial long-chain graphs where propagation needs
+    // diameter rounds. Identical oracle as q100 — both engines must
+    // agree on every (id, comp) pair, which also pins the two Spark
+    // implementations to each other through the shared hash check.
+    QueryDef("q195_components_star",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val withDups = d.select(col("doc_id").as("id"), col("text"))
+          .unionAll(d.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 100000).as("id"), col("text")))
+        val pairs = MinHashLSH.candidatePairs(withDups, "id", "text")
+          .filter(col("est_jaccard") >= 0.5)
+        DedupComponents.componentsStar(pairs.select("a_id", "b_id"))
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE $mhCtes,
+              |cand AS (SELECT a_id, b_id FROM pairs WHERE $mhEst >= 0.5),
+              |edges AS (SELECT a_id, b_id FROM cand
+              |          UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM cand),
+              |nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+              |reach AS (
+              |  SELECT id, id AS r FROM nodes
+              |  UNION
+              |  SELECT re.id, e.b_id AS r FROM reach re JOIN edges e ON e.a_id = re.r)
+              |SELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
     QueryDef("q56_simhash",
       (s, dir) => Tables.documents(s, dir)
         .filter(col("doc_id") < 200)

@@ -110,6 +110,33 @@ object LakehouseQueries extends QueryRegistry {
       ()
     }
 
+  /** Rename/drop-evolved table shared by q196: v0 appends ba 0..999
+    * (schema has `name`, `address`), v1 RENAME COLUMN name→label, v2
+    * appends ba 1000..1399 carrying `label` physically, v3 DROP COLUMN
+    * address, v4 ADD COLUMN address STRING DEFAULT 'redacted' (the
+    * drop-then-readd case: old 'GuangZhou' bytes must never
+    * resurface), v5 appends ba 1400..1499 with address='fresh'
+    * physically. */
+  private def stagedRndTable(s: SparkSession): String =
+    staged(s, "rnd_v1") { tmp =>
+      ProduceJob.produceBatch(s, tmp, "n", topics = 1, numMessages = 1000) // v0
+      Snapshots.renameColumn(tmp, "n", "name", "label") // v1
+      genRows(s, 1000, 1400, "new", "n", topics = 1)
+        .withColumnRenamed("name", "label")
+        .write.mode("append").partitionBy("topic")
+        .parquet(graft.ingest.Topics.tableDir(tmp, "n"))
+      Snapshots.commit(tmp, "n", 1399) // v2
+      Snapshots.dropColumn(tmp, "n", "address") // v3
+      Snapshots.addColumn(tmp, "n", "address", "STRING", Some("'redacted'")) // v4
+      genRows(s, 1400, 1500, "new2", "n", topics = 1)
+        .withColumnRenamed("name", "label")
+        .withColumn("address", lit("fresh"))
+        .write.mode("append").partitionBy("topic")
+        .parquet(graft.ingest.Topics.tableDir(tmp, "n"))
+      Snapshots.commit(tmp, "n", 1499) // v5
+      ()
+    }
+
   def defs: Seq[QueryDef] = Seq(
 
     // MERGE INTO (copy-on-write upsert): ba 500-999 updated in place,
@@ -222,6 +249,39 @@ object LakehouseQueries extends QueryRegistry {
              |                      WHEN id % 2 = 0 THEN 'even' END AS tier
              |      FROM range(0,1500) t(id))
              |GROUP BY tier ORDER BY tier NULLS FIRST""".stripMargin)),
+
+    // RENAME / DROP / re-ADD column evolution: six commits spanning
+    // three physical schemas, zero files rewritten. Pre-rename files
+    // re-label `name`→`label` at read time; the dropped `address`
+    // column's 'GuangZhou' bytes stay on disk but NEVER resurface —
+    // the re-added column reads its own default ('redacted') for every
+    // file that predates the re-add, and 'fresh' physically after. The
+    // old-reader scalar proves time travel still sees the ORIGINAL
+    // name untouched by three later schema changes.
+    QueryDef("q196_schema_rename_drop",
+      (s, _) => {
+        val root = stagedRndTable(s)
+        val latest = Snapshots.read(s, root, "n")
+          .groupBy("label")
+          .agg(count(lit(1)).as("cnt"),
+            sum("ba").cast("bigint").as("sum_ba"),
+            count(when(col("address") === "redacted", 1)).as("n_redacted"),
+            count(when(col("address") === "GuangZhou", 1)).as("n_resurfaced"))
+        val oldReader = Snapshots.read(s, root, "n", version = Some(0))
+          .agg(count(when(col("name") === "hangc" &&
+            col("address") === "GuangZhou", 1)).as("v0_rows"))
+        latest.crossJoin(oldReader).orderBy("label")
+      },
+      Some("""SELECT label, COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba,
+             |  COUNT(CASE WHEN addr = 'redacted' THEN 1 END) AS n_redacted,
+             |  CAST(0 AS BIGINT) AS n_resurfaced,
+             |  (SELECT COUNT(*) FROM range(0,1000)) AS v0_rows
+             |FROM (SELECT id,
+             |        CASE WHEN id < 1000 THEN 'hangc'
+             |             WHEN id < 1400 THEN 'new' ELSE 'new2' END AS label,
+             |        CASE WHEN id < 1400 THEN 'redacted' ELSE 'fresh' END AS addr
+             |      FROM range(0,1500) t(id))
+             |GROUP BY label ORDER BY label""".stripMargin)),
 
     // DESCRIBE HISTORY: the commit log itself as a queryable frame —
     // version, operation, position watermark. The restore entry shows

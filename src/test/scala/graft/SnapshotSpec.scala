@@ -118,6 +118,80 @@ class SnapshotSpec extends SparkTestBase {
     assert(Snapshots.read(spark, root, "ev2").count() == 2)
   }
 
+  test("renameColumn: old files re-label at read time, old readers keep the old name") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "rn", topics = 1, numMessages = 100) // v0
+    assert(Snapshots.currentColumns(root, "rn").contains("name"))
+    assert(Snapshots.renameColumn(root, "rn", "name", "full_name") == 1)
+    // post-rename append carries the NEW name physically
+    ProduceJob.personProjection(spark.range(100, 150).toDF("cnt"), "cnt", "rn", 1)
+      .withColumnRenamed("name", "full_name")
+      .write.mode("append").partitionBy("topic")
+      .parquet(graft.ingest.Topics.tableDir(root, "rn"))
+    Snapshots.commit(root, "rn", 149) // v2
+    val latest = Snapshots.read(spark, root, "rn")
+    assert(latest.columns.contains("full_name") && !latest.columns.contains("name"))
+    assert(latest.filter(col("full_name") === "hangc").count() == 150)
+    // time travel before the rename: the old name, untouched
+    val old = Snapshots.read(spark, root, "rn", Some(0))
+    assert(old.columns.contains("name") && !old.columns.contains("full_name"))
+    // change feed across the rename boundary carries the new name
+    val feed = Snapshots.readChangeFeed(spark, root, "rn", fromVersion = 0)
+    assert(feed.columns.contains("full_name"))
+    assert(feed.filter(col("full_name") === "hangc").count() == 50)
+    // pruned read on the renamed column: stats are keyed by physical
+    // names, so pre-rename files are kept conservatively — never wrong
+    assert(Snapshots.readWhere(spark, root, "rn",
+      col("ba") < 10 && col("full_name") === "hangc").count() == 10)
+    // validation: absent source, colliding target
+    intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(root, "rn", "name", "x") // already renamed away
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(root, "rn", "age", "full_name")
+    }
+    assert(Snapshots.currentColumns(root, "rn").contains("full_name"))
+  }
+
+  test("dropColumn hides values; re-adding the name yields defaults, never the dropped bytes") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "dr", topics = 1, numMessages = 100) // v0
+    assert(Snapshots.dropColumn(root, "dr", "address") == 1)
+    val afterDrop = Snapshots.read(spark, root, "dr")
+    assert(!afterDrop.columns.contains("address"))
+    assert(afterDrop.count() == 100)
+    // time travel before the drop still reads the bytes
+    assert(Snapshots.read(spark, root, "dr", Some(0))
+      .filter(col("address") === "GuangZhou").count() == 100)
+    // re-add the same name: a NEW column — old bytes must NOT resurface
+    Snapshots.addColumn(root, "dr", "address", "STRING", Some("'redacted'")) // v2
+    val readded = Snapshots.read(spark, root, "dr")
+    assert(readded.filter(col("address") === "redacted").count() == 100)
+    assert(readded.filter(col("address") === "GuangZhou").count() == 0)
+    // validation: absent column
+    intercept[IllegalArgumentException] {
+      Snapshots.dropColumn(root, "dr", "nope")
+    }
+  }
+
+  test("delete on a pre-evolution file materializes defaults into survivors") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "dm", topics = 1, numMessages = 100) // v0
+    Snapshots.addColumn(root, "dm", "tier", "STRING", Some("'std'")) // v1
+    // the deleted file predates the addcol; its survivor rewrite must
+    // carry tier='std' physically (a plain-read rewrite would lose the
+    // fill: the new file postdates the addcol, so NULLs would surface)
+    Snapshots.delete(spark, root, "dm", col("ba") < 10, txn = Some("dm-d")) // v2
+    val after = Snapshots.read(spark, root, "dm")
+    assert(after.count() == 90)
+    assert(after.filter(col("tier") === "std").count() == 90)
+    assert(after.filter(col("tier").isNull).count() == 0)
+    // the CDC pre-images of the deleted rows carry the default too
+    val feed = Snapshots.readChangeFeed(spark, root, "dm", fromVersion = 1)
+    assert(feed.filter(col("_change_type") === "delete" &&
+      col("tier") === "std").count() == 10)
+  }
+
   test("compaction rewrites small files, preserves data and time travel") {
     val root = Files.createTempDirectory("graft_snap").toString
     ProduceJob.produceBatch(spark, root, "s6", topics = 2, numMessages = 400)
