@@ -260,7 +260,8 @@ object Snapshots {
       val stats = assembleStats(dataDir(root, prefix), files,
         prev.map(_.stats).getOrElse(Seq.empty))
       try writeSnapshot(root, prefix, next, maxPos, files, Seq.empty, "append",
-        prev.map(_.txns).getOrElse(Seq.empty) ++ txn, stats)
+        prev.map(_.txns).getOrElse(Seq.empty) ++ txn, stats,
+        extraFields = dvField(prev.map(_.dv).getOrElse(Seq.empty)))
       catch {
         case e: ConcurrentCommitException =>
           if (retries > 0) commit(root, prefix, maxPos, retries - 1, txn) else throw e
@@ -273,7 +274,19 @@ object Snapshots {
                             op: String = "append",
                             txns: Seq[String] = Seq.empty,
                             stats: Seq[FileStat] = Seq.empty,
-                            addedCol: Option[String] = None)
+                            addedCol: Option[String] = None,
+                            dv: Seq[String] = Seq.empty)
+
+  /** Deletion-vector sidecar directories live OUTSIDE the data dir so
+    * directory-listing commits never adopt them as data. */
+  private def dvDir(root: String, prefix: String): Path =
+    Paths.get(s"$root/$prefix._dv")
+
+  /** Encode the active deletion-vector list for [[writeSnapshot]];
+    * every commit path must carry the CURRENT dv set forward (or the
+    * restore target's) — dropping it would silently resurrect rows. */
+  private def dvField(dv: Seq[String]): Seq[(String, String)] =
+    if (dv.isEmpty) Seq.empty else Seq("dv" -> dv.mkString(","))
 
   /** Load a snapshot (latest if version is None). */
   def snapshot(root: String, prefix: String, version: Option[Int] = None): Option[Snapshot] = {
@@ -295,8 +308,10 @@ object Snapshots {
       val op = "\"op\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
         .getOrElse(if (removed.nonEmpty) "compact" else "append")
       val addedCol = "\"addedCol\":\\s*\"([^\"]*)\"".r.findFirstMatchIn(s).map(_.group(1))
+      val dv = "\"dv\":\\s*\"([^\"]*)\"".r.findFirstMatchIn(s).map(_.group(1))
+        .toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
       Snapshot(ver, maxPos, files, removed, op,
-        arr("txns"), arr("stats").flatMap(FileStat.decode), addedCol)
+        arr("txns"), arr("stats").flatMap(FileStat.decode), addedCol, dv)
     }
   }
 
@@ -391,7 +406,7 @@ object Snapshots {
     val encoded = (Seq(name, ddlType) ++ defaultSql).mkString("|")
     try writeSnapshot(root, prefix, prev.version + 1, prev.maxPos, prev.files,
       Seq.empty, "addcol", prev.txns, prev.stats,
-      extraFields = Seq("addedCol" -> encoded))
+      extraFields = Seq("addedCol" -> encoded) ++ dvField(prev.dv))
     catch {
       case e: ConcurrentCommitException =>
         if (retries > 0) addColumn(root, prefix, name, ddlType, defaultSql, retries - 1)
@@ -419,7 +434,7 @@ object Snapshots {
     require(!cols.contains(to), s"rename target $to already exists in $prefix")
     try writeSnapshot(root, prefix, prev.version + 1, prev.maxPos, prev.files,
       Seq.empty, "renamecol", prev.txns, prev.stats,
-      extraFields = Seq("addedCol" -> s"$from|$to"))
+      extraFields = Seq("addedCol" -> s"$from|$to") ++ dvField(prev.dv))
     catch {
       case e: ConcurrentCommitException =>
         if (retries > 0) renameColumn(root, prefix, from, to, retries - 1)
@@ -441,7 +456,7 @@ object Snapshots {
     require(cols.size > 1, s"cannot drop the last column of $prefix")
     try writeSnapshot(root, prefix, prev.version + 1, prev.maxPos, prev.files,
       Seq.empty, "dropcol", prev.txns, prev.stats,
-      extraFields = Seq("addedCol" -> name))
+      extraFields = Seq("addedCol" -> name) ++ dvField(prev.dv))
     catch {
       case e: ConcurrentCommitException =>
         if (retries > 0) dropColumn(root, prefix, name, retries - 1)
@@ -487,13 +502,45 @@ object Snapshots {
     * default (never the dropped bytes) and rename chains resolve. */
   private def readFilesFilled(spark: SparkSession, root: String, prefix: String,
                               files: Seq[String],
-                              events: Seq[SchemaEvent]): DataFrame = {
+                              events: Seq[SchemaEvent],
+                              dv: Seq[String] = Seq.empty,
+                              keepPositions: Boolean = false): DataFrame = {
     val base = dataDir(root, prefix)
-    def plain(fs: Seq[String]) = spark.read
-      .option("basePath", base.toString)
-      .parquet(fs.map(f => base.resolve(f).toString): _*)
+    val withMeta = dv.nonEmpty || keepPositions
+    def plain(fs: Seq[String]): DataFrame = {
+      val scan = spark.read
+        .option("basePath", base.toString)
+        .parquet(fs.map(f => base.resolve(f).toString): _*)
+      if (!withMeta) scan
+      else {
+        // scheme-normalized file path + in-file row position: the
+        // deletion-vector key. row_index is the parquet reader's
+        // stable row ordinal, independent of split planning.
+        val scheme = "^[a-zA-Z0-9+.-]+:/+"
+        val keyed = scan.select(col("*"),
+          org.apache.spark.sql.functions.regexp_replace(
+            col("_metadata.file_path"), scheme, "/").as(DvPathCol),
+          col("_metadata.row_index").as(DvPosCol))
+        if (dv.isEmpty) keyed
+        else {
+          // anti-join against the sidecars: deleted (file, pos) pairs
+          // vanish. DVs are metadata-scale next to the table, so the
+          // join broadcasts — the scan itself never shuffles.
+          val dvRows = spark.read
+            .parquet(dv.map(d => dvDir(root, prefix).resolve(d).toString): _*)
+            .select(org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.lit(base.toString + "/"),
+              col("file")).as(DvPathCol),
+              col("pos").as(DvPosCol))
+          keyed.join(org.apache.spark.sql.functions.broadcast(dvRows),
+            Seq(DvPathCol, DvPosCol), "left_anti")
+        }
+      }
+    }
+    def strip(df: DataFrame): DataFrame =
+      if (withMeta && !keepPositions) df.drop(DvPathCol, DvPosCol) else df
     if (files.isEmpty) spark.emptyDataFrame
-    else if (events.isEmpty) plain(files)
+    else if (events.isEmpty) strip(plain(files))
     else {
       // group by the FULL event epoch vector: files on either side of
       // any schema event have different physical schemas and must not
@@ -516,9 +563,15 @@ object Snapshots {
             if (df.columns.contains(d.name)) df.drop(d.name) else df
         }
       }
-      frames.reduce(_.unionByName(_))
+      strip(frames.reduce(_.unionByName(_)))
     }
   }
+
+  /** Column names the DV-keyed read path attaches to carry each row's
+    * (file, position) identity; never visible to callers unless they
+    * ask for positions. */
+  private val DvPathCol = "_graft_dv_path"
+  private val DvPosCol = "_graft_dv_pos"
 
   /** One column-range predicate in manifest-stat key space, paired
     * with the exact Catalyst predicate the pruned read re-applies
@@ -593,9 +646,10 @@ object Snapshots {
     if (files.isEmpty)
       read(spark, root, prefix, version).filter(pred).limit(0)
     else {
-      val ver = snapshot(root, prefix, version).map(_.version)
+      val snap = snapshot(root, prefix, version)
       readFilesFilled(spark, root, prefix, files,
-        schemaEvents(root, prefix, ver)).filter(pred)
+        schemaEvents(root, prefix, snap.map(_.version)),
+        snap.map(_.dv).getOrElse(Seq.empty)).filter(pred)
     }
   }
 
@@ -678,9 +732,10 @@ object Snapshots {
       else pruneFilesMulti(root, prefix, ranges, version)
     if (files.isEmpty) table.filter(predicate).limit(0)
     else {
-      val ver = snapshot(root, prefix, version).map(_.version)
+      val snap = snapshot(root, prefix, version)
       readFilesFilled(spark, root, prefix, files,
-        schemaEvents(root, prefix, ver)).filter(predicate)
+        schemaEvents(root, prefix, snap.map(_.version)),
+        snap.map(_.dv).getOrElse(Seq.empty)).filter(predicate)
     }
   }
 
@@ -695,7 +750,7 @@ object Snapshots {
       sys.error(s"no snapshot for $prefix${version.map(" v" + _).getOrElse("")}"))
     if (snap.files.isEmpty) spark.emptyDataFrame
     else readFilesFilled(spark, root, prefix, snap.files,
-      schemaEvents(root, prefix, Some(snap.version)))
+      schemaEvents(root, prefix, Some(snap.version)), snap.dv)
   }
 
   /** Incremental read (CDC-style): exactly the rows ADDED between
@@ -725,7 +780,8 @@ object Snapshots {
       .filter(v => v > fromVersion && v <= to.version)
       .flatMap { v =>
         val cur = snapshot(root, prefix, Some(v)).get
-        if (cur.op == "compact" || cur.op == "delete" || cur.op == "restore") Seq.empty
+        if (cur.op == "compact" || cur.op == "delete" ||
+          cur.op == "deletemor" || cur.op == "restore") Seq.empty
         else (cur.files.toSet --
           snapshot(root, prefix, Some(v - 1)).map(_.files.toSet).getOrElse(Set.empty)).toSeq
       }.distinct.sorted
@@ -856,7 +912,10 @@ object Snapshots {
       val removedNow = (cur.files.toSet -- target.files.toSet).toSeq.sorted
       try committed = writeSnapshot(root, prefix, cur.version + 1,
         target.maxPos, target.files, removedNow, "restore",
-        cur.txns, target.stats)
+        cur.txns, target.stats,
+        // the TARGET's dv set, not the current one: a restore past a
+        // merge-on-read delete must bring the deleted rows back
+        extraFields = dvField(target.dv))
       catch {
         case e: ConcurrentCommitException =>
           attempts -= 1; if (attempts <= 0) throw e
@@ -889,7 +948,9 @@ object Snapshots {
       if (fs.size <= 1) keep ++= fs // already one file — nothing to win
       else {
         val before = listDataFiles(root, prefix).toSet
-        val df = readFilesFilled(spark, root, prefix, fs, evs)
+        // DV-filtered: compaction materializes merge-on-read deletions
+        // into the rewritten files (their stale dv entries then no-op)
+        val df = readFilesFilled(spark, root, prefix, fs, evs, snap.dv)
         // partition values live in the directory name — drop the
         // recovered column before writing back INTO that directory
         val dirCols = dir.split("/").filter(_.contains("=")).map(_.split("=")(0))
@@ -937,9 +998,13 @@ object Snapshots {
       if (claimed.nonEmpty)
         throw new RewriteConflictException(op, claimed.toSeq.sorted)
       val files = ((cur.files.toSet -- gone) ++ added).toSeq.sorted
+      // carry the dv set forward: entries for files leaving the set go
+      // stale harmlessly (the path join can't match them again), while
+      // entries for untouched files must keep deleting
       try committed = writeSnapshot(root, prefix, cur.version + 1,
         cur.maxPos max maxPosFloor, files, removed, op,
-        cur.txns ++ txn, assembleStats(base, files, cur.stats))
+        cur.txns ++ txn, assembleStats(base, files, cur.stats),
+        extraFields = dvField(cur.dv))
       catch {
         case e: ConcurrentCommitException =>
           attempts -= 1; if (attempts <= 0) throw e
@@ -1006,7 +1071,7 @@ object Snapshots {
       val oldMatched =
         if (matchedFiles.isEmpty) source.limit(0)
         else readFilesFilled(spark, root, prefix, matchedFiles,
-          schemaEvents(root, prefix, Some(snap.version)))
+          schemaEvents(root, prefix, Some(snap.version)), snap.dv)
       val survivors = oldMatched.join(srcKeys, keys, "left_anti")
       val out = survivors.unionByName(source)
       val writer = out.write.mode("append")
@@ -1111,10 +1176,13 @@ object Snapshots {
       // schema-aware: the delete predicate may reference an added
       // column (matching its default on pre-evolution rows)
       val evs = schemaEvents(root, prefix, Some(snap.version))
-      val withFile = readFilesFilled(spark, root, prefix, snap.files, evs)
-        .withColumn("_graft_file", input_file_name())
+      // position-keyed read, not input_file_name(): with deletion
+      // vectors active the plan holds two file sources and
+      // input_file_name() refuses to bind
+      val withFile = readFilesFilled(spark, root, prefix, snap.files, evs,
+        snap.dv, keepPositions = true)
       val matchedFiles = withFile.filter(matches)
-        .select("_graft_file").distinct()
+        .select(DvPathCol).distinct()
         .collect().map(_.getString(0))
         .map(uri => snap.files.find(f => uri.endsWith(f)).getOrElse(
           sys.error(s"unattributable file $uri")))
@@ -1128,7 +1196,7 @@ object Snapshots {
         // rewritten file — which postdates the addcol — would NULL-fill
         // where the default belonged); CDC pre-images below need the
         // same shape
-        val touched = readFilesFilled(spark, root, prefix, matchedFiles, evs)
+        val touched = readFilesFilled(spark, root, prefix, matchedFiles, evs, snap.dv)
         val survivors = touched.filter(!matches)
         val writer = survivors.write.mode("append")
         (if (survivors.columns.contains("topic")) writer.partitionBy("topic") else writer)
@@ -1145,6 +1213,88 @@ object Snapshots {
         writeCdc(root, prefix, cdc) {
           commitRewrite(root, prefix, "delete", matchedFiles.toSet, added,
             matchedFiles, snap.maxPos, txn)
+        }
+      }
+    }
+  }
+
+  /** DELETE (merge-on-read): rows matching `predicate` disappear from
+    * the next snapshot WITHOUT rewriting any data file — the commit
+    * records a deletion-vector sidecar of (file, row-position) pairs
+    * that every read path anti-joins away (Delta DV / Iceberg v2
+    * position-delete semantics). The inverse trade of [[delete]]: a
+    * point delete against a 100 TB table writes kilobytes instead of
+    * rewriting every file that holds one matched row; reads pay one
+    * broadcast anti-join until [[compact]] materializes the deletions.
+    * Use copy-on-write [[delete]] when the predicate hits a large row
+    * fraction — there the rewrite pays for itself.
+    *
+    * Row identity is the parquet reader's `_metadata.row_index`, which
+    * is the row's ordinal IN ITS FILE — stable across split planning
+    * and scan parallelism, the same anchor Delta's DVs use. Rewrites
+    * (compact/merge/delete) read DV-filtered and rename their outputs,
+    * so a stale entry for a rewritten file can never match again;
+    * conversely this commit CONFLICTS if a concurrent rewrite claimed
+    * any file it marked (the positions it computed no longer exist).
+    * Old versions keep reading the rows (snapshot isolation);
+    * [[restore]] past this commit restores its target's dv set, so
+    * the deletion is undone with it. */
+  def deleteMoR(spark: SparkSession, root: String, prefix: String,
+                predicate: org.apache.spark.sql.Column,
+                txn: Option[String] = None): Int = {
+    val snap = snapshot(root, prefix, None).getOrElse(
+      sys.error(s"nothing to delete from for $prefix"))
+    if (txn.exists(snap.txns.contains)) snap.version
+    else {
+      val base = dataDir(root, prefix)
+      // same null rule as DELETE: predicate NULL keeps the row
+      val matches = org.apache.spark.sql.functions.coalesce(
+        predicate, org.apache.spark.sql.functions.lit(false))
+      val evs = schemaEvents(root, prefix, Some(snap.version))
+      // one materialization reused three ways: sidecar rows, touched
+      // files for the conflict check, CDC pre-images. The hit set is
+      // what a MoR delete is FOR — small next to the table.
+      val hits = readFilesFilled(spark, root, prefix, snap.files, evs,
+        snap.dv, keepPositions = true)
+        .filter(matches).localCheckpoint(true)
+      if (hits.isEmpty) snap.version // nothing matched — no new version
+      else {
+        val relOffset = base.toString.length + 2 // past base and its '/'
+        val name = "dv-" + java.util.UUID.randomUUID().toString.take(8)
+        hits.select(
+          org.apache.spark.sql.functions.expr(
+            s"substring($DvPathCol, $relOffset)").as("file"),
+          col(DvPosCol).as("pos"))
+          // a sidecar is kilobytes-per-commit metadata: one file keeps
+          // the read path's broadcast build cheap
+          .coalesce(1)
+          .write.parquet(dvDir(root, prefix).resolve(name).toString)
+        val touched = hits.select(DvPathCol).distinct()
+          .collect().map(r => r.getString(0).substring(relOffset - 1)).toSet
+        val cdc = hits.drop(DvPathCol, DvPosCol)
+          .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete"))
+        writeCdc(root, prefix, cdc) {
+          var attempts = 5
+          var committed = -1
+          while (committed < 0) {
+            val cur = snapshot(root, prefix, None).get
+            // positions were computed against these files: a rewrite
+            // that claimed any of them relocated the rows, and this
+            // sidecar would silently miss them — abort, like any
+            // rewrite-rewrite race
+            val claimed = touched -- cur.files.toSet
+            if (claimed.nonEmpty)
+              throw new RewriteConflictException("deletemor", claimed.toSeq.sorted)
+            try committed = writeSnapshot(root, prefix, cur.version + 1,
+              cur.maxPos, cur.files, Seq.empty, "deletemor",
+              cur.txns ++ txn, cur.stats,
+              extraFields = dvField(cur.dv :+ name))
+            catch {
+              case e: ConcurrentCommitException =>
+                attempts -= 1; if (attempts <= 0) throw e
+            }
+          }
+          committed
         }
       }
     }
@@ -1195,10 +1345,10 @@ object Snapshots {
           if (candidates.isEmpty) Seq.empty
           else {
             val withFile = readFilesFilled(spark, root, prefix, candidates,
-              schemaEvents(root, prefix, Some(snap.version)))
-              .withColumn("_graft_file", input_file_name())
+              schemaEvents(root, prefix, Some(snap.version)), snap.dv,
+              keepPositions = true)
             withFile.join(changedKeys, keys, "left_semi")
-              .select("_graft_file").distinct()
+              .select(DvPathCol).distinct()
               .collect().map(_.getString(0))
               .map(uri => snap.files.find(f => uri.endsWith(f)).getOrElse(
                 sys.error(s"unattributable file $uri")))
@@ -1434,6 +1584,19 @@ object Snapshots {
     if (Files.isDirectory(cdcRoot))
       Files.list(cdcRoot).iterator().asScala.toSeq
         .filter(_.getFileName.toString.startsWith("staging-"))
+        .filter(p => try now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs
+                     catch { case _: java.io.IOException => false })
+        .foreach(rmTree)
+    // deletion-vector sidecars no kept version references are either
+    // dropped history or a lost-race deleteMoR; the grace window
+    // protects one whose commit is in flight
+    val keptDv = keepVs
+      .flatMap(v => snapshot(root, prefix, Some(v)).map(_.dv).getOrElse(Seq.empty))
+      .toSet
+    val dvRoot = dvDir(root, prefix)
+    if (Files.isDirectory(dvRoot))
+      Files.list(dvRoot).iterator().asScala.toSeq
+        .filterNot(p => keptDv(p.getFileName.toString))
         .filter(p => try now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs
                      catch { case _: java.io.IOException => false })
         .foreach(rmTree)

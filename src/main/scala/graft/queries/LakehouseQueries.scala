@@ -137,6 +137,24 @@ object LakehouseQueries extends QueryRegistry {
       ()
     }
 
+  /** Merge-on-read table shared by q197: v0 appends ba 0..1499 over
+    * two topics, v1 DELETE (merge-on-read) ba < 200 — a sidecar
+    * commit, zero files rewritten — v2 appends ba 1500..1799, v3 a
+    * second MoR delete ba % 7 = 0 whose vectors span BOTH appends'
+    * files. The table is left uncompacted so the read path itself
+    * (DV anti-join) is what the oracle checks. */
+  private def stagedMorTable(s: SparkSession): String =
+    staged(s, "mor_v1") { tmp =>
+      ProduceJob.produceBatch(s, tmp, "d", topics = 2, numMessages = 1500) // v0
+      Snapshots.deleteMoR(s, tmp, "d", col("ba") < 200, txn = Some("q197a")) // v1
+      genRows(s, 1500, 1800, "new", "d", topics = 2)
+        .write.mode("append").partitionBy("topic")
+        .parquet(graft.ingest.Topics.tableDir(tmp, "d"))
+      Snapshots.commit(tmp, "d", 1799) // v2
+      Snapshots.deleteMoR(s, tmp, "d", col("ba") % 7 === 0, txn = Some("q197b")) // v3
+      ()
+    }
+
   def defs: Seq[QueryDef] = Seq(
 
     // MERGE INTO (copy-on-write upsert): ba 500-999 updated in place,
@@ -282,6 +300,43 @@ object LakehouseQueries extends QueryRegistry {
              |        CASE WHEN id < 1400 THEN 'redacted' ELSE 'fresh' END AS addr
              |      FROM range(0,1500) t(id))
              |GROUP BY label ORDER BY label""".stripMargin)),
+
+    // DELETE via deletion vectors (merge-on-read): two MoR deletes
+    // stack sidecars over an append in between; the latest read
+    // anti-joins them away, time travel to v0 still sees every row,
+    // and the change feed carries row-grain delete pre-images — all
+    // with the ORIGINAL data files byte-identical on disk
+    // (mor_invariants pins that: no file removed, both sidecars
+    // active). The second delete's predicate only sees survivors, so
+    // ba < 200 rows are deleted once, not twice.
+    QueryDef("q197_delete_mor",
+      (s, _) => {
+        val root = stagedMorTable(s)
+        val latest = Snapshots.read(s, root, "d")
+          .groupBy("topic")
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+        val v0Rows = Snapshots.read(s, root, "d", version = Some(0))
+          .agg(count(lit(1)).as("v0_rows"))
+        val dels = Snapshots.readChangeFeed(s, root, "d", fromVersion = 0)
+          .filter(col("_change_type") === "delete")
+          .agg(count(lit(1)).as("n_deleted"))
+        val v0 = Snapshots.snapshot(root, "d", Some(0)).get
+        val cur = Snapshots.snapshot(root, "d", None).get
+        val untouched = v0.files.forall(cur.files.contains) &&
+          cur.removed.isEmpty && cur.dv.size == 2
+        latest.crossJoin(v0Rows).crossJoin(dels)
+          .withColumn("mor_invariants", lit(untouched))
+          .orderBy("topic")
+      },
+      Some("""SELECT topic, COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba,
+             |  (SELECT COUNT(*) FROM range(0,1500)) AS v0_rows,
+             |  (SELECT COUNT(*) FROM range(0,1800) t(id)
+             |    WHERE id < 200 OR id % 7 = 0) AS n_deleted,
+             |  TRUE AS mor_invariants
+             |FROM (SELECT id, 'd-' || CAST(id % 2 AS VARCHAR) AS topic
+             |      FROM range(0,1800) t(id)
+             |      WHERE id >= 200 AND id % 7 <> 0)
+             |GROUP BY topic ORDER BY topic""".stripMargin)),
 
     // DESCRIBE HISTORY: the commit log itself as a queryable frame —
     // version, operation, position watermark. The restore entry shows

@@ -192,6 +192,94 @@ class SnapshotSpec extends SparkTestBase {
       col("tier") === "std").count() == 10)
   }
 
+  test("deleteMoR hides rows via deletion vectors without touching a data file") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "mr", topics = 2, numMessages = 1000) // v0
+    val v0files = Snapshots.snapshot(root, "mr", Some(0)).get.files
+    val v1 = Snapshots.deleteMoR(spark, root, "mr", col("ba") < 100, txn = Some("mr-1"))
+    // no data file added, removed, or rewritten — only the sidecar
+    val s1 = Snapshots.snapshot(root, "mr", Some(v1)).get
+    assert(s1.files == v0files && s1.removed.isEmpty && s1.dv.size == 1)
+    assert(Snapshots.read(spark, root, "mr").count() == 900)
+    assert(Snapshots.read(spark, root, "mr").filter(col("ba") < 100).count() == 0)
+    // time travel still reads the rows; snapshot isolation holds
+    assert(Snapshots.read(spark, root, "mr", Some(0)).count() == 1000)
+    // txn replay is a no-op
+    assert(Snapshots.deleteMoR(spark, root, "mr", col("ba") < 500, txn = Some("mr-1")) == v1)
+    assert(Snapshots.read(spark, root, "mr").count() == 900)
+    // stacked MoR deletes compose (second sidecar, same files)
+    val v2 = Snapshots.deleteMoR(spark, root, "mr", col("ba") >= 900)
+    assert(Snapshots.snapshot(root, "mr", Some(v2)).get.dv.size == 2)
+    assert(Snapshots.read(spark, root, "mr").count() == 800)
+    // row-grain CDC: delete pre-images with the deleted values
+    val feed = Snapshots.readChangeFeed(spark, root, "mr", fromVersion = 0)
+    assert(feed.filter(col("_change_type") === "delete").count() == 200)
+    assert(feed.filter(col("_change_type") === "delete" && col("ba") < 100).count() == 100)
+    // pruned reads apply the vectors too
+    assert(Snapshots.readWhere(spark, root, "mr", col("ba") < 150).count() == 50)
+    // an empty match commits nothing
+    assert(Snapshots.deleteMoR(spark, root, "mr", col("ba") === -1) == v2)
+  }
+
+  test("rewrites materialize deletion vectors; restore past a MoR delete undoes it") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "mm", topics = 2, numMessages = 1000) // v0
+    val v1 = Snapshots.deleteMoR(spark, root, "mm", col("ba") < 100) // v1
+    // compaction applies the vectors into its rewrites — counts hold,
+    // deleted rows stay deleted even though the new files carry no dv
+    val v2 = Snapshots.compact(spark, root, "mm")
+    assert(Snapshots.read(spark, root, "mm", Some(v2)).count() == 900)
+    assert(Snapshots.read(spark, root, "mm", Some(v2)).filter(col("ba") < 100).count() == 0)
+    // copy-on-write delete over a DV'd table must not resurrect rows
+    val v3 = Snapshots.delete(spark, root, "mm", col("ba") >= 900)
+    assert(Snapshots.read(spark, root, "mm", Some(v3)).count() == 800)
+    assert(Snapshots.read(spark, root, "mm", Some(v3)).filter(col("ba") < 100).count() == 0)
+    // merge on a DV'd table: upsert touches files, deletions hold
+    ProduceJob.produceBatch(spark, root, "mg", topics = 1, numMessages = 100)
+    Snapshots.deleteMoR(spark, root, "mg", col("ba") < 10)
+    val src = Snapshots.read(spark, root, "mg", Some(0)).filter(col("ba") === 50)
+      .withColumn("name", lit("upserted"))
+    Snapshots.merge(spark, root, "mg", src, Seq("ba"))
+    val mg = Snapshots.read(spark, root, "mg")
+    assert(mg.count() == 90)
+    assert(mg.filter(col("ba") < 10).count() == 0)
+    assert(mg.filter(col("name") === "upserted").count() == 1)
+    // restore to before the MoR delete: rows return (dv set restored)
+    val v4 = Snapshots.restore(root, "mm", 0)
+    assert(Snapshots.read(spark, root, "mm", Some(v4)).count() == 1000)
+    assert(v1 < v2 && v2 < v3 && v3 < v4)
+  }
+
+  test("vacuum drops deletion-vector sidecars with the versions that pinned them") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "mv", topics = 1, numMessages = 100) // v0
+    val v1 = Snapshots.deleteMoR(spark, root, "mv", col("ba") < 10) // v1
+    Snapshots.compact(spark, root, "mv") // v2: materializes; dv carried but stale
+    val v3 = Snapshots.restore(root, "mv", 0) // v3: pre-delete state, no dv
+    val dvRoot = java.nio.file.Paths.get(s"$root/mv._dv")
+    assert(Files.list(dvRoot).iterator().asScala.size == 1)
+    // v1/v2 still pin the sidecar — a vacuum keeping them keeps it
+    Snapshots.vacuum(root, "mv", keepFrom = v1, orphanGraceMs = 0)
+    assert(Files.list(dvRoot).iterator().asScala.size == 1)
+    assert(Snapshots.read(spark, root, "mv", Some(v1)).count() == 90)
+    // vacuum past the restore: no kept version pins a dv — the
+    // sidecar dies with v1/v2, the restored table reads all rows
+    Snapshots.vacuum(root, "mv", keepFrom = v3, orphanGraceMs = 0)
+    assert(Files.list(dvRoot).iterator().asScala.isEmpty)
+    assert(Snapshots.read(spark, root, "mv").count() == 100)
+  }
+
+  test("deleteMoR fills added-column defaults before matching the predicate") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "me", topics = 1, numMessages = 100) // v0
+    Snapshots.addColumn(root, "me", "tier", "STRING", Some("'std'")) // v1
+    // every row predates the column: the predicate must see the fill
+    Snapshots.deleteMoR(spark, root, "me", col("tier") === "std" && col("ba") < 20)
+    val after = Snapshots.read(spark, root, "me")
+    assert(after.count() == 80)
+    assert(after.filter(col("tier") =!= "std").count() == 0)
+  }
+
   test("compaction rewrites small files, preserves data and time travel") {
     val root = Files.createTempDirectory("graft_snap").toString
     ProduceJob.produceBatch(spark, root, "s6", topics = 2, numMessages = 400)
