@@ -762,7 +762,9 @@ object Snapshots {
     * rescanning the table. */
   def readChanges(spark: SparkSession, root: String, prefix: String,
                   fromVersion: Int, toVersion: Option[Int] = None): DataFrame = {
-    require(snapshot(root, prefix, Some(fromVersion)).isDefined,
+    // -1 = "before the first commit": v0's files count as changes too
+    // (the stream-source bootstrap case)
+    require(fromVersion == -1 || snapshot(root, prefix, Some(fromVersion)).isDefined,
       s"no snapshot v$fromVersion for $prefix")
     val to = snapshot(root, prefix, toVersion).getOrElse(
       sys.error(s"no snapshot for $prefix"))

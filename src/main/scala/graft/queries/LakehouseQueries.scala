@@ -338,6 +338,39 @@ object LakehouseQueries extends QueryRegistry {
              |      WHERE id >= 200 AND id % 7 <> 0)
              |GROUP BY topic ORDER BY topic""".stripMargin)),
 
+    // The snapshot table AS a streaming source (Delta table-stream
+    // analog): commit versions are the offsets, one micro-batch per
+    // commit (maxVersionsPerTrigger=1), file grain = row grain for
+    // appends while the two merge-on-read delete commits deliver
+    // nothing — so the streamed replay is exactly the two appends'
+    // 1800 rows, independent of batch placement. The aggregation runs
+    // BATCH over the memory sink: the streamed path is pure transport,
+    // the same shape as a replica bootstrap.
+    QueryDef("q198_stream_table_source",
+      (s, _) => {
+        val root = stagedMorTable(s)
+        val name = "graft_snapsrc_" + UUID.randomUUID().toString.replace("-", "")
+        val q = s.readStream
+          .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+          .option("root", root).option("prefix", "d")
+          .option("maxVersionsPerTrigger", "1")
+          .load()
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val rows = s.table(name).localCheckpoint(true)
+        s.catalog.dropTempView(name)
+        rows.groupBy("topic")
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+          .orderBy("topic")
+      },
+      Some("""SELECT topic, COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba
+             |FROM (SELECT id, 'd-' || CAST(id % 2 AS VARCHAR) AS topic
+             |      FROM range(0,1800) t(id))
+             |GROUP BY topic ORDER BY topic""".stripMargin)),
+
     // DESCRIBE HISTORY: the commit log itself as a queryable frame —
     // version, operation, position watermark. The restore entry shows
     // the rollback as a first-class audited commit (maxPos restored

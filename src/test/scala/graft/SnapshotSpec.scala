@@ -280,6 +280,53 @@ class SnapshotSpec extends SparkTestBase {
     assert(after.filter(col("tier") =!= "std").count() == 0)
   }
 
+  test("snapshot stream source: commits are batches, checkpoint restart resumes exactly") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    ProduceJob.produceBatch(spark, root, "ss", topics = 1, numMessages = 300) // v0
+    ProduceJob.produceBatch(spark, root, "ss", topics = 1, numMessages = 200) // v1
+    Snapshots.deleteMoR(spark, root, "ss", col("ba") < 10) // v2: no files → empty batch
+    // a parquet sink: the memory sink cannot recover a checkpoint,
+    // and resume-exactly is the point of this test. Counts below are
+    // CUMULATIVE over the sink directory.
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    def drain(): Long = {
+      val q = spark.readStream
+        .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+        .option("root", root).option("prefix", "ss")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).count()
+    }
+    // full replay: both appends' rows, the MoR delete adds nothing
+    assert(drain() == 500)
+    // no new commits: resuming the checkpoint delivers nothing
+    assert(drain() == 500)
+    // a new append after the drain: ONLY its rows arrive on resume
+    ProduceJob.produceBatch(spark, root, "ss", topics = 1, numMessages = 100) // v3
+    assert(drain() == 600)
+    // startingVersion skips history without a checkpoint
+    val fromV1 = spark.readStream
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("root", root).option("prefix", "ss")
+      .option("startingVersion", "1")
+      .load()
+    val name = "ss_sink4"
+    val q4 = fromV1.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q4.awaitTermination()
+    assert(spark.table(name).count() == 300) // v1's 200 + v3's 100
+    spark.catalog.dropTempView(name)
+  }
+
   test("compaction rewrites small files, preserves data and time travel") {
     val root = Files.createTempDirectory("graft_snap").toString
     ProduceJob.produceBatch(spark, root, "s6", topics = 2, numMessages = 400)
