@@ -817,7 +817,11 @@ object Snapshots {
   /** Row-grain change feed (Delta CDF-style): every row added, updated,
     * or deleted between `fromVersion` (exclusive) and `toVersion`
     * (inclusive), tagged with `_change_type` ∈ {insert,
-    * update_postimage, delete} and `_commit_version`.
+    * update_preimage, update_postimage, delete} and `_commit_version`.
+    * Updates carry BOTH images: the pre-image is what lets a consumer
+    * subtract the replaced state (incremental aggregation needs it;
+    * replica apply ignores it — post-images outrank it in the
+    * last-change window).
     *
     * Sources per commit: appends read their added files (file grain IS
     * row grain for pure additions); merge/delete commits read the CDC
@@ -1088,15 +1092,23 @@ object Snapshots {
         base.relativize(marked).toString
       }
       // row-grain change records: a source row whose key existed is an
-      // update post-image, otherwise an insert (cost is O(changes) —
-      // keys of the matched files only, never the table)
+      // update post-image, otherwise an insert; the replaced old rows
+      // ride along as update pre-images (Delta CDF parity) so a
+      // downstream consumer can SUBTRACT the old state — the piece an
+      // incremental aggregate/materialized view cannot reconstruct
+      // from post-images alone. Cost stays O(changes): keys/rows of
+      // the matched files only, never the table.
       val oldKeys = oldMatched.select(keys.map(col): _*).distinct()
         .withColumn("_graft_matched", org.apache.spark.sql.functions.lit(1))
+      val preImages = oldMatched.join(srcKeys, keys, "left_semi")
+        .withColumn("_change_type",
+          org.apache.spark.sql.functions.lit("update_preimage"))
       val cdc = source.join(oldKeys, keys, "left")
         .withColumn("_change_type",
           org.apache.spark.sql.functions.when(col("_graft_matched").isNotNull,
             "update_postimage").otherwise("insert"))
         .drop("_graft_matched")
+        .unionByName(preImages)
       writeCdc(root, prefix, cdc) {
         commitRewrite(root, prefix, "merge", matchedFiles.toSet, added,
           matchedFiles, snap.maxPos, txn)
@@ -1373,7 +1385,12 @@ object Snapshots {
           base.relativize(marked).toString
         }
         // row-grain CDC for the replica rides the feed increment itself
-        // (change types preserved — a downstream replica can chain)
+        // (change types preserved — a downstream replica can chain).
+        // NET grain: only each key's last change is re-staged, so
+        // source update pre-images are not forwarded (a second-level
+        // incremental aggregate would need the REPLICA's own old rows
+        // as pre-images, not the source's intermediate ones — diff
+        // time-travel reads of the replica for that)
         writeCdc(root, prefix, last.drop("_rn", "_commit_version")) {
           commitRewrite(root, prefix, "merge", matchedFiles.toSet, added,
             matchedFiles, snap.maxPos, txn)

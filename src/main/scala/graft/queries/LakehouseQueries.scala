@@ -42,7 +42,7 @@ object LakehouseQueries extends QueryRegistry {
     * queries: v0 append 0..999, v1 merge 500..1199 (500 updates + 200
     * inserts), v2 delete ba%10=0. */
   private def stagedCdfTable(s: SparkSession): String =
-    staged(s, "cdf_v1") { tmp =>
+    staged(s, "cdf_v2") { tmp =>
       ProduceJob.produceBatch(s, tmp, "f", topics = 1, numMessages = 1000)
       Snapshots.merge(s, tmp, "f",
         genRows(s, 500, 1200, "upd", "f", topics = 1), Seq("ba"),
@@ -422,11 +422,12 @@ object LakehouseQueries extends QueryRegistry {
 
     // Row-grain change feed (Delta CDF-style): merge/delete commits
     // stage explicit change records at write time, so the feed carries
-    // exactly the upserted post-images and deleted pre-images — never
-    // the copied-along rows of rewritten files (the file-grain caveat
-    // readChanges documents). History: v0 append 0..999, v1 merge
-    // 500..1199 (500 updates + 200 inserts), v2 delete ba%10=0; the
-    // oracle replays that history arithmetically per change type.
+    // exactly the upserted post-images, the replaced pre-images, and
+    // deleted pre-images — never the copied-along rows of rewritten
+    // files (the file-grain caveat readChanges documents). History:
+    // v0 append 0..999, v1 merge 500..1199 (500 updates + 200
+    // inserts), v2 delete ba%10=0; the oracle replays that history
+    // arithmetically per change type.
     QueryDef("q138_change_feed",
       (s, _) => {
         val root = stagedCdfTable(s)
@@ -438,6 +439,7 @@ object LakehouseQueries extends QueryRegistry {
       },
       Some("""WITH feed AS (
              |  SELECT 'update_postimage' AS _change_type, id FROM range(500,1000) t(id)
+             |  UNION ALL SELECT 'update_preimage', id FROM range(500,1000) t(id)
              |  UNION ALL SELECT 'insert', id FROM range(1000,1200) t(id)
              |  UNION ALL SELECT 'delete', id FROM range(0,1200) t(id) WHERE id % 10 = 0)
              |SELECT _change_type, COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba
@@ -494,7 +496,7 @@ object LakehouseQueries extends QueryRegistry {
     // equal the source exactly (both exceptAll probes empty).
     QueryDef("q194_stream_cdc_apply",
       (s, _) => {
-        val root = staged(s, "cdcstream_v1") { tmp =>
+        val root = staged(s, "cdcstream_v2") { tmp =>
           ProduceJob.produceBatch(s, tmp, "f", topics = 1, numMessages = 1000) // src v0
           // replica seeded from source v0
           Snapshots.read(s, tmp, "f", Some(0))
@@ -539,6 +541,62 @@ object LakehouseQueries extends QueryRegistry {
              |  CAST(0 AS BIGINT) AS rows_not_in_source,
              |  CAST(0 AS BIGINT) AS rows_missing
              |FROM range(0,1200) t(id) WHERE id % 10 <> 0""".stripMargin)),
+
+    // Incremental materialized view — the consumer that NEEDS update
+    // pre-images: a grouped aggregate (cnt, sum_ba, summed name
+    // lengths per ba%7 stratum) is seeded from the v0 base and then
+    // maintained purely from the change feed with signed deltas
+    // (+post-images/inserts, −pre-images/deletes) — never rescanning
+    // the table. One pass over the feed plus an outer join against the
+    // 7-row MV state: cost is O(changes), independent of table size —
+    // the 100-TB shape for keeping aggregates fresh under updates.
+    // The merge flips name 'hangc'→'upd' (length 5→3), so a missing or
+    // mis-signed pre-image shifts sum_namelen (and cnt catches a
+    // missing subtraction outright); the exceptAll probes against a
+    // full recompute prove the incremental state exact, and the oracle
+    // replays the end-state arithmetic.
+    QueryDef("q200_incremental_mv",
+      (s, _) => {
+        val root = stagedCdfTable(s)
+        def mvOf(df: DataFrame): DataFrame = df
+          .groupBy((col("ba") % 7).as("grp"))
+          .agg(count(lit(1)).as("cnt"),
+            sum("ba").cast("bigint").as("sum_ba"),
+            sum(length(col("name"))).cast("bigint").as("sum_namelen"))
+        val mv0 = mvOf(Snapshots.read(s, root, "f", version = Some(0)))
+        val feed = Snapshots.readChangeFeed(s, root, "f", fromVersion = 0)
+        val sign = when(
+          col("_change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L)
+        val delta = feed
+          .groupBy((col("ba") % 7).as("grp"))
+          .agg(sum(sign).as("d_cnt"),
+            sum(sign * col("ba")).cast("bigint").as("d_sum_ba"),
+            sum(sign * length(col("name"))).cast("bigint").as("d_sum_namelen"))
+        def z(c: String) = coalesce(col(c), lit(0L))
+        val mv = mv0.join(delta, Seq("grp"), "full_outer")
+          .select(col("grp"),
+            (z("cnt") + z("d_cnt")).as("cnt"),
+            (z("sum_ba") + z("d_sum_ba")).as("sum_ba"),
+            (z("sum_namelen") + z("d_sum_namelen")).as("sum_namelen"))
+          .filter(col("cnt") > 0)
+          .localCheckpoint(true) // reused by both probes + the output
+        val full = mvOf(Snapshots.read(s, root, "f"))
+        val drift = mv.exceptAll(full).agg(count(lit(1))).head().getLong(0)
+        val miss = full.exceptAll(mv).agg(count(lit(1))).head().getLong(0)
+        mv.withColumn("mv_rows_wrong", lit(drift))
+          .withColumn("mv_rows_missing", lit(miss))
+          .orderBy("grp")
+      },
+      Some("""WITH t AS (
+             |  SELECT id, CASE WHEN id >= 500 THEN 3 ELSE 5 END AS namelen
+             |  FROM range(0,1200) t(id) WHERE id % 10 <> 0)
+             |SELECT id % 7 AS grp, COUNT(*) AS cnt,
+             |  CAST(SUM(id) AS BIGINT) AS sum_ba,
+             |  CAST(SUM(namelen) AS BIGINT) AS sum_namelen,
+             |  CAST(0 AS BIGINT) AS mv_rows_wrong,
+             |  CAST(0 AS BIGINT) AS mv_rows_missing
+             |FROM t GROUP BY 1 ORDER BY grp""".stripMargin)),
 
     // Z-order clustering (OPTIMIZE ZORDER BY x, y): after the rewrite,
     // every file covers a narrow range on BOTH derived dimensions, so

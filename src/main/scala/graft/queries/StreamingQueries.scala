@@ -35,12 +35,14 @@ object StreamingQueries extends QueryRegistry {
     // stage into a temp dir renamed into place atomically, so an
     // interrupted run can never leave a half-staged dir that a later
     // run would silently re-append to (duplicating events).
+    // Staged ts is ALWAYS Long epoch-µs (the `_us_` dir tag), whatever
+    // the fixture's physical type — see [[rawEventsMicros]].
     val key = Fixtures.contentKey(dir, "events") // shared wide digest
-    val staged = new java.io.File(s"/tmp/graft/stream_events_$key")
+    val staged = new java.io.File(s"/tmp/graft/stream_events_us_$key")
     if (!staged.isDirectory) {
       val tmp = new java.io.File(staged.getParent,
         staged.getName + ".tmp." + UUID.randomUUID().toString.take(8))
-      val ev = s.read.parquet(Tables.path(dir, "events")) // ts: Long nanos
+      val ev = rawEventsMicros(s, dir) // ts: Long micros
       val mm = ev.agg(min("ts"), max("ts")).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       for (i <- 0 until chunks) {
@@ -75,16 +77,39 @@ object StreamingQueries extends QueryRegistry {
   private def unpushedTypeIs(t: String) =
     col("ts").isNull || col("event_type") === t
 
-  /** Stream `events` (schema from the batch file; ts arrives as Long
-    * nanos → TIMESTAMP — watermarks require the instant type, so the
-    * NTZ normalization happens on the *output* side of each query). */
+  /** `events` with ts normalized to Long epoch-µs, whatever the
+    * fixture's physical type: earlier driver rounds wrote INT64
+    * TIMESTAMP(NANOS) (read as Long nanos under `nanosAsLong`), the
+    * current round writes timestamp[us] (read as TIMESTAMP_NTZ).
+    * Integer `div`, never float division: epoch-nanos ≈ 1.7e18
+    * exceeds double's 2⁵³ mantissa. The ntz branch casts through the
+    * instant type (identity under the UTC session) for unix_micros. */
+  private def rawEventsMicros(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(Tables.path(dir, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("ts div 1000"))
+      case _ =>
+        raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")))
+    }
+  }
+
+  /** Max event time as epoch-µs — the shared cutoff anchor the
+    * bounded-replay queries derive their watermark horizon from. */
+  private def maxTsMicros(s: SparkSession, dir: String): Long =
+    rawEventsMicros(s, dir).agg(max("ts")).head().getLong(0)
+
+  /** Stream `events` (schema from the staged µs-normalized files; the
+    * watermark needs the instant type, so ts becomes TIMESTAMP here and
+    * the NTZ normalization happens on the *output* side of each
+    * query). */
   private def eventStream(s: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
     val staged = stageEventsDir(s, dir)
-    val schema = s.read.parquet(Tables.path(dir, "events")).schema
+    val schema = s.read.parquet(staged).schema // ts: Long micros
     val raw = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(staged)
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.withColumn("ts", timestamp_micros(col("ts")))
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and
@@ -208,9 +233,7 @@ object StreamingQueries extends QueryRegistry {
     // sum of break flags, then grouped.
     QueryDef("q46_stream_session_window",
       (s, dir) => {
-        val maxNanos = s.read.parquet(Tables.path(dir, "events"))
-          .agg(max("ts")).head().getLong(0)
-        val cutoff = timestamp_micros(lit(maxNanos / 1000 - 3L * 3600 * 1000000))
+        val cutoff = timestamp_micros(lit(maxTsMicros(s, dir) - 3L * 3600 * 1000000))
         val agg = eventStream(s, dir, maxFilesPerTrigger = 4)
           .withWatermark("ts", "0 seconds")
           .filter(col("ts") < cutoff)
@@ -253,9 +276,7 @@ object StreamingQueries extends QueryRegistry {
         s.conf.set(providerKey,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
-          val maxNanos = s.read.parquet(Tables.path(dir, "events"))
-            .agg(max("ts")).head().getLong(0)
-          val cutoff = timestamp_micros(lit(maxNanos / 1000 - 3L * 3600 * 1000000))
+          val cutoff = timestamp_micros(lit(maxTsMicros(s, dir) - 3L * 3600 * 1000000))
           val sessions = eventStream(s, dir, maxFilesPerTrigger = 4)
             .withWatermark("ts", "0 seconds")
             .filter(col("ts") < cutoff)
@@ -389,9 +410,7 @@ object StreamingQueries extends QueryRegistry {
         // raw file ts is Long nanos (nanosAsLong); floor to micros like
         // eventStream, then back off 3h — identical to the oracle's
         // MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 3 HOUR (ns→µs truncates)
-        val maxNanos = s.read.parquet(Tables.path(dir, "events"))
-          .agg(max("ts")).head().getLong(0)
-        val cutoff = timestamp_micros(lit(maxNanos / 1000 - 3L * 3600 * 1000000))
+        val cutoff = timestamp_micros(lit(maxTsMicros(s, dir) - 3L * 3600 * 1000000))
         // watermark BEFORE the filters: the watermark node must see the
         // full event flow, otherwise the purchase side's own watermark
         // stalls at the cutoff and the outer rows near it never emit —
@@ -544,9 +563,7 @@ object StreamingQueries extends QueryRegistry {
     // purchases ∪ unmatched clicks under the same cutoff.
     QueryDef("q176_stream_full_outer_join",
       (s, dir) => {
-        val maxNanos = s.read.parquet(Tables.path(dir, "events"))
-          .agg(max("ts")).head().getLong(0)
-        val cutoff = timestamp_micros(lit(maxNanos / 1000 - 3L * 3600 * 1000000))
+        val cutoff = timestamp_micros(lit(maxTsMicros(s, dir) - 3L * 3600 * 1000000))
         val p = eventStream(s, dir, maxFilesPerTrigger = 4)
           .withWatermark("ts", "1 hour")
           .filter(unpushedTypeIs("purchase") && col("ts") < cutoff)

@@ -762,13 +762,20 @@ class SnapshotSpec extends SparkTestBase {
     val byType = feed.groupBy("_change_type")
       .agg(count(lit(1)).as("cnt")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // merge: ba 300..399 existed (post-images), 400..499 are inserts;
-    // delete: ba 0..49 pre-images; compaction contributes nothing
-    assert(byType == Map("update_postimage" -> 100L, "insert" -> 100L, "delete" -> 50L))
+    // merge: ba 300..399 existed (pre- AND post-images), 400..499 are
+    // inserts; delete: ba 0..49 pre-images; compaction contributes
+    // nothing
+    assert(byType == Map("update_postimage" -> 100L, "update_preimage" -> 100L,
+      "insert" -> 100L, "delete" -> 50L))
+    // pre-images carry the REPLACED payload, post-images the new one
+    assert(feed.filter(col("_change_type") === "update_preimage" &&
+      col("name") === "upd").count() == 0)
+    assert(feed.filter(col("_change_type") === "update_postimage" &&
+      col("name") === "upd").count() == 100)
     assert(feed.filter(col("_change_type") === "delete")
       .agg(max("ba")).head().getLong(0) == 49L)
     // commit attribution rides along
-    assert(feed.filter(col("_commit_version") === vM).count() == 200)
+    assert(feed.filter(col("_commit_version") === vM).count() == 300)
     assert(feed.filter(col("_commit_version") === vD).count() == 50)
     assert(feed.filter(col("_commit_version") === vC).count() == 0)
     // narrowing the span narrows the feed

@@ -273,12 +273,13 @@ class StreamingSpec extends SparkTestBase {
     val rows = run("q46_stream_session_window").collect()
     assert(rows.nonEmpty)
     // session count conservation over the cutoff-bounded domain
-    // (append mode only aggregates events older than max(ts) − 3h)
-    // raw parquet read: ts is Long nanos there (Tables.events converts
-    // to NTZ timestamp); mirror the query's micros-truncated comparison
-    val ev = spark.read.parquet(Tables.path(sf, "events"))
-    val maxNanos = ev.agg(max("ts")).head().getLong(0)
-    val inDomain = ev.filter(expr("ts div 1000") < lit(maxNanos / 1000 - 3L * 3600 * 1000000L)).count()
+    // (append mode only aggregates events older than max(ts) − 3h);
+    // Tables.events normalizes ts to µs NTZ whatever the fixture's
+    // physical type — mirror the query's micros cutoff on that
+    val ev = Tables.events(spark, sf)
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    val maxMicros = ev.agg(max("us")).head().getLong(0)
+    val inDomain = ev.filter(col("us") < lit(maxMicros - 3L * 3600 * 1000000L)).count()
     val total = rows.map(_.getAs[Long]("cnt")).sum
     assert(total == inDomain)
   }
