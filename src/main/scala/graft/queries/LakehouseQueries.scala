@@ -5,7 +5,7 @@ import java.util.UUID
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryRegistry}
-import graft.ingest.{ProduceJob, Snapshots}
+import graft.ingest.{AggView, ProduceJob, Snapshots}
 
 /** The transactional-table layer as declared queries: copy-on-write
   * MERGE INTO, manifest-stats data skipping, and the exactly-once
@@ -597,6 +597,64 @@ object LakehouseQueries extends QueryRegistry {
              |  CAST(0 AS BIGINT) AS mv_rows_wrong,
              |  CAST(0 AS BIGINT) AS mv_rows_missing
              |FROM t GROUP BY 1 ORDER BY grp""".stripMargin)),
+
+    // Streaming materialized-view maintenance — AggView.stream keeps a
+    // grouped aggregate (per-name cnt / sum_ba / sum_age) following
+    // the source's change feed: the first tick seeds the view at v0,
+    // the second applies the merge window (update pre-images subtract
+    // the replaced rows), the third applies the delete window — each
+    // as one O(window) refresh committed under a window-derived txn,
+    // so replays no-op (exactly-once over foreachBatch's at-least-once
+    // contract, the reference's ack-loop turn,
+    // PerformanceConsumer.java:253). The exceptAll probes pin the
+    // final view to a full recompute; the oracle replays the end-state
+    // arithmetic.
+    QueryDef("q201_stream_agg_view",
+      (s, _) => {
+        val root = staged(s, "aggview_v1") { tmp =>
+          ProduceJob.produceBatch(s, tmp, "f", topics = 1, numMessages = 1000) // v0
+          val ticks = s"$tmp/ticks"
+          def tick(i: Int): Unit = {
+            s.range(i, i + 1).coalesce(1).write.mode("append").parquet(ticks)
+            ()
+          }
+          tick(0)
+          val stream = s.readStream.schema(s.read.parquet(ticks).schema)
+            .option("maxFilesPerTrigger", "1").parquet(ticks)
+          val q = AggView.stream(stream, tmp, "f", tmp, "mv",
+            keys = Seq("name"), sums = Seq("ba", "age"),
+            checkpoint = s"$tmp/_agg_ckpt")
+          q.processAllAvailable() // batch 1: seed at v0
+          Snapshots.merge(s, tmp, "f",
+            genRows(s, 500, 1200, "upd", "f", topics = 1), Seq("ba"),
+            txn = Some("q201m"))
+          tick(1)
+          q.processAllAvailable() // batch 2: window (0,1] — the merge
+          Snapshots.delete(s, tmp, "f", col("ba") % 10 === 0, txn = Some("q201d"))
+          tick(2)
+          q.processAllAvailable() // batch 3: window (1,2] — the delete
+          q.stop()
+          ()
+        }
+        val mv = Snapshots.read(s, root, "mv").localCheckpoint(true)
+        val full = AggView.aggOf(Snapshots.read(s, root, "f"),
+          Seq("name"), Seq("ba", "age"))
+        val drift = mv.exceptAll(full).agg(count(lit(1))).head().getLong(0)
+        val miss = full.exceptAll(mv).agg(count(lit(1))).head().getLong(0)
+        mv.withColumn("mv_rows_wrong", lit(drift))
+          .withColumn("mv_rows_missing", lit(miss))
+          .orderBy("name")
+      },
+      Some("""WITH t AS (
+             |  SELECT id, CASE WHEN id >= 500 THEN 'upd' ELSE 'hangc' END AS name,
+             |    (18 + id) % 100 AS age
+             |  FROM range(0,1200) t(id) WHERE id % 10 <> 0)
+             |SELECT name, COUNT(*) AS cnt,
+             |  CAST(SUM(id) AS BIGINT) AS sum_ba,
+             |  CAST(SUM(age) AS BIGINT) AS sum_age,
+             |  CAST(0 AS BIGINT) AS mv_rows_wrong,
+             |  CAST(0 AS BIGINT) AS mv_rows_missing
+             |FROM t GROUP BY 1 ORDER BY name""".stripMargin)),
 
     // Z-order clustering (OPTIMIZE ZORDER BY x, y): after the rewrite,
     // every file covers a narrow range on BOTH derived dimensions, so

@@ -558,6 +558,38 @@ class SnapshotSpec extends SparkTestBase {
     assert(Snapshots.read(spark, root, "cr").count() == src.count())
   }
 
+  test("AggView: incremental refresh tracks updates/deletes; empty groups leave; replays no-op") {
+    import graft.ingest.AggView
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "av", topics = 1, numMessages = 100) // v0
+    // seed at v0: one group (hangc, 100)
+    AggView.refresh(spark, root, "av", root, "avm", Seq("name"), Seq("ba"))
+    def view() = Snapshots.read(spark, root, "avm")
+      .select("name", "cnt", "sum_ba").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(view() == Seq(("hangc", 100L, 4950L)))
+    // an up-to-date view refreshes to the SAME version (no empty commit)
+    val vSame = AggView.refresh(spark, root, "av", root, "avm", Seq("name"), Seq("ba"))
+    assert(vSame == Snapshots.snapshot(root, "avm", None).get.version)
+    // v1: move ba 0..49 into group 'x' — pre-images must subtract them
+    Snapshots.merge(spark, root, "av",
+      ProduceJob.personProjection(spark.range(0, 50).toDF("cnt"), "cnt", "av", 1)
+        .withColumn("name", lit("x")), Seq("ba"), txn = Some("avm1"))
+    AggView.refresh(spark, root, "av", root, "avm", Seq("name"), Seq("ba"))
+    assert(view() == Seq(("hangc", 50L, (50L until 100L).sum), ("x", 50L, (0L until 50L).sum)))
+    // v2+: delete ALL of group 'x' — the group must leave the view
+    Snapshots.delete(spark, root, "av", col("name") === "x", txn = Some("avd"))
+    val vAfter = AggView.refresh(spark, root, "av", root, "avm", Seq("name"), Seq("ba"))
+    assert(view() == Seq(("hangc", 50L, (50L until 100L).sum)))
+    // replayed refresh (crash-and-restart shape): same version, same rows
+    assert(AggView.refresh(spark, root, "av", root, "avm", Seq("name"), Seq("ba")) == vAfter)
+    assert(view() == Seq(("hangc", 50L, (50L until 100L).sum)))
+    // the view follows the source exactly at every step (recompute eq)
+    val full = AggView.aggOf(Snapshots.read(spark, root, "av"), Seq("name"), Seq("ba"))
+    val mv = Snapshots.read(spark, root, "avm")
+    assert(mv.exceptAll(full).count() == 0 && full.exceptAll(mv).count() == 0)
+  }
+
   test("replicateStream: incremental batches follow the source; a restarted stream no-ops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
