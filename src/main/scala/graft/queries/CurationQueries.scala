@@ -739,6 +739,78 @@ object CurationQueries extends QueryRegistry {
            |ORDER BY sim DESC, id LIMIT 10""".stripMargin
       }),
 
+    // Product-quantization ANN (IVF-PQ's storage half): 8 subspaces ×
+    // 16 micros-rounded centroids, vectors stored as 8 int codes (32×
+    // smaller than the floats — the memory lever for billion-vector
+    // search), probe answered by asymmetric-distance lookups against a
+    // 128-entry table. Codebooks/codes/ADC scores are all fixed-order
+    // exact-double arithmetic, so DuckDB replays the entire train →
+    // encode → search pipeline bit-for-bit. Index + codebook sidecar
+    // staged content-keyed (the q67 lesson: the timed path reads the
+    // artifact, never re-trains).
+    QueryDef("q202_ann_pq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val path = Fixtures.stagedDir(dir, "embeddings", "pq_index_v1") { tmp =>
+          val cb = PqIndex.codebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+          PqIndex.encode(emb, "vec_id", "embedding", cb)
+            .write.mode("overwrite").parquet(tmp)
+          PqIndex.writeCodebooks(cb, tmp)
+        }
+        val cb = PqIndex.readCodebooks(path, m = 8)
+        val encoded = s.read.parquet(path)
+        val probe = emb.filter(col("vec_id") === 0)
+          .select(transform(col("embedding"), x => x.cast("double")))
+          .head().getSeq[Double](0)
+        PqIndex.search(encoded.filter(col("id") =!= 0), cb, probe, topK = 10)
+      },
+      Some {
+        val d28 = (a: String, b: String) =>
+          s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1,8),
+             |      i -> ($a[i]-$b[i])*($a[i]-$b[i]))), (acc,x) -> acc+x)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |seeds AS (SELECT list(v ORDER BY vec_id) AS s
+           |          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+           |jj AS (SELECT j FROM generate_series(0,7) t(j)),
+           |ssv AS (SELECT j, list_transform(s, c -> c[j*8+1 : j*8+8]) AS sj
+           |        FROM seeds, jj),
+           |sv AS (SELECT vec_id, j, v[j*8+1 : j*8+8] AS sv FROM e, jj),
+           |a0 AS (
+           |  SELECT vec_id, j, sv, list_position(ds, list_min(ds)) - 1 AS cell
+           |  FROM (SELECT sv.vec_id, sv.j, sv.sv,
+           |    list_transform(sj, c -> ${d28("sv", "c")}) AS ds
+           |    FROM sv JOIN ssv USING (j))),
+           |m AS (
+           |  SELECT j, cell, list(mm ORDER BY pos) AS mean FROM (
+           |    SELECT j, cell, i.i AS pos, ROUND(AVG(sv[i.i]) * 1e6) / 1e6 AS mm
+           |    FROM a0, generate_series(1,8) i(i)
+           |    GROUP BY j, cell, i.i)
+           |  GROUP BY j, cell),
+           |cb AS (
+           |  SELECT jj.j, g.g AS k, COALESCE(m.mean, ssv.sj[g.g+1]) AS cent
+           |  FROM jj CROSS JOIN generate_series(0,15) g(g)
+           |  JOIN ssv ON ssv.j = jj.j
+           |  LEFT JOIN m ON m.j = jj.j AND m.cell = g.g),
+           |cbl AS (SELECT j, list(cent ORDER BY k) AS cl FROM cb GROUP BY j),
+           |enc AS (
+           |  SELECT vec_id, j, list_position(ds2, list_min(ds2)) - 1 AS code
+           |  FROM (SELECT sv.vec_id, sv.j, sv.sv,
+           |    list_transform(cl, c -> ${d28("sv", "c")}) AS ds2
+           |    FROM sv JOIN cbl USING (j))),
+           |probe AS (SELECT j, sv AS pv FROM sv WHERE vec_id = 0),
+           |lut AS (SELECT cb.j, cb.k, ${d28("pv", "cent")} AS pd
+           |        FROM cb JOIN probe ON probe.j = cb.j),
+           |dist AS (
+           |  SELECT vec_id, list_reduce(list_prepend(0.0, list(pd ORDER BY j)),
+           |    (acc,x) -> acc+x) AS d
+           |  FROM (SELECT enc.vec_id, enc.j, lut.pd
+           |        FROM enc JOIN lut ON lut.j = enc.j AND lut.k = enc.code)
+           |  GROUP BY vec_id)
+           |SELECT vec_id AS id, CAST(ROUND(d * 1e6) AS BIGINT) AS dist_micros
+           |FROM dist WHERE vec_id <> 0
+           |ORDER BY d, vec_id LIMIT 10""".stripMargin
+      }),
+
     // Native fused L2 distance (graft_l2): embedding-distance top-k
     // with one codegen'd loop; oracle replays the identical left fold.
     QueryDef("q98_l2_topk",

@@ -104,6 +104,35 @@ class CurationSpec extends SparkTestBase {
     assert(index.agg(org.apache.spark.sql.functions.countDistinct("id")).head().getLong(0) == n)
   }
 
+  test("q202 PQ: codes cover the corpus; self-probe attains the ADC minimum; codebook round-trips") {
+    val emb = Tables.embeddings(spark, sf)
+    val cb = PqIndex.codebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+    assert(cb.size == 8 && cb.forall(_.size == 16) && cb.forall(_.forall(_.size == 8)))
+    val enc = PqIndex.encode(emb, "vec_id", "embedding", cb).cache()
+    val n = emb.count()
+    assert(enc.count() == n)
+    // every code is a valid cell id — 8 ints replace 64 floats (32×)
+    assert(enc.filter(expr(
+      "exists(codes, c -> c < 0 OR c >= 16) OR size(codes) != 8")).count() == 0)
+    // ADC optimality: the probe's own codes hit the per-subspace minimum
+    // of the lookup table, so NO vector can score strictly below the
+    // probe itself — it must appear in the top-1 band of its own search
+    val probe = emb.filter(col("vec_id") === 7)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .head().getSeq[Double](0)
+    val top = PqIndex.search(enc, cb, probe, topK = 10).collect()
+    val selfScore = top.find(_.getLong(0) == 7L)
+    assert(selfScore.isDefined, "probe vector missing from its own top-10")
+    assert(top.head.getLong(1) == selfScore.get.getLong(1),
+      "a vector scored strictly below the probe's ADC lower bound")
+    // sidecar round-trip is bit-exact
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    PqIndex.writeCodebooks(cb, dir)
+    assert(PqIndex.readCodebooks(dir, m = 8) == cb)
+    enc.unpersist()
+    ()
+  }
+
   test("persisted IVF index prunes partitions on cell filter") {
     val (index, _) = operators.IvfIndex.build(
       Tables.embeddings(spark, sf), "vec_id", "embedding", k = 16)
