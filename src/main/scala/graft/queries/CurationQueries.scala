@@ -811,6 +811,95 @@ object CurationQueries extends QueryRegistry {
            |ORDER BY d, vec_id LIMIT 10""".stripMargin
       }),
 
+    // Incrementally-maintained IVF index on the snapshot layer: the
+    // coarse quantizer is trained ONCE on the base corpus and frozen;
+    // new arrivals are assigned under it and appended as a normal
+    // snapshot commit — no rebuild, which is the only viable shape
+    // when the corpus grows continuously at 100 TB (a nightly re-train
+    // re-clusters a fraction offline; serving appends between). Files
+    // are written range-partitioned by cell, so the INT64 manifest
+    // stats prune a probe's 4 cells at the FILE level across BOTH the
+    // base and the incremental commits. The oracle replays the q67
+    // k-means protocol with means over the BASE subset only (the
+    // frozen quantizer), then assigns the full corpus.
+    QueryDef("q203_ann_ivf_incremental",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val root = Fixtures.stagedDir(dir, "embeddings", "ivfinc_v3") { tmp =>
+          val base = emb.filter(col("vec_id") < 400)
+          val cb = IvfIndex.centroids(base, "vec_id", "embedding", k = 16)
+          val cs = cb.map(_.toIndexedSeq).toIndexedSeq
+          def assigned(df: org.apache.spark.sql.DataFrame) = IvfIndex.assignCells(
+            df.select(col("vec_id").as("id"),
+              transform(col("embedding"), x => x.cast("double")).as("v")), "v", cs)
+            .withColumn("cell", col("cell").cast("bigint")) // INT64 → manifest stats
+          assigned(base).repartitionByRange(8, col("cell"))
+            .write.parquet(graft.ingest.Topics.tableDir(tmp, "ix"))
+          graft.ingest.Snapshots.commit(tmp, "ix", maxPos = 0)
+          // incremental batch under the FROZEN quantizer
+          assigned(emb.filter(col("vec_id") >= 400)).repartitionByRange(4, col("cell"))
+            .write.mode("append").parquet(graft.ingest.Topics.tableDir(tmp, "ix"))
+          graft.ingest.Snapshots.commit(tmp, "ix", maxPos = 1)
+          IvfIndex.writeCentroids(cb, tmp)
+        }
+        val cs = IvfIndex.readCentroids(root)
+        val probe = emb.filter(col("vec_id") === 0)
+          .select(transform(col("embedding"), x => x.cast("double")))
+          .head().getSeq[Double](0)
+        val nearest = cs.zipWithIndex
+          .map { case (c, i) => i -> c.zip(probe).map { case (a, b) => (a - b) * (a - b) }.sum }
+          .sortBy(_._2).take(4).map(_._1)
+        val idx = nearest.map(c => graft.ingest.Snapshots.readPrunedMulti(
+            s, root, "ix",
+            Seq(graft.ingest.Snapshots.StatRange.longRange("cell", c, c))))
+          .reduce(_.unionByName(_))
+        idx.filter(col("id") =!= 0)
+          .select(col("id"), AnnLsh.cosine(col("v"), array(probe.map(lit): _*)).as("sim"))
+          .orderBy(col("sim").desc, col("id"))
+          .limit(10)
+      },
+      Some {
+        val d2 = (vec: String, cent: String) =>
+          s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1,64),
+             |      i -> ($vec[i]-$cent[i])*($vec[i]-$cent[i]))), (acc,x) -> acc+x)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |b AS (SELECT vec_id, v FROM e WHERE vec_id < 400),
+           |seeds AS (SELECT list(v ORDER BY vec_id) AS s
+           |          FROM (SELECT vec_id, v FROM b ORDER BY vec_id LIMIT 16)),
+           |a0 AS (
+           |  SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cell
+           |  FROM (SELECT vec_id, v,
+           |    list_transform(s, c -> ${d2("v", "c")}) AS ds
+           |    FROM b CROSS JOIN seeds)),
+           |m AS (
+           |  SELECT cell, list(mm ORDER BY pos) AS mean FROM (
+           |    SELECT cell, i.i AS pos, ROUND(AVG(v[i.i]) * 1e6) / 1e6 AS mm
+           |    FROM a0, generate_series(1,64) i(i)
+           |    GROUP BY cell, i.i)
+           |  GROUP BY cell),
+           |cents AS (
+           |  SELECT list(c ORDER BY cell) AS cs FROM (
+           |    SELECT g.g AS cell, COALESCE(m.mean, s.s[g.g+1]) AS c
+           |    FROM generate_series(0,15) g(g)
+           |    LEFT JOIN m ON m.cell = g.g
+           |    CROSS JOIN seeds s)),
+           |a1 AS (
+           |  SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cell
+           |  FROM (SELECT vec_id, v,
+           |    list_transform(cs, c -> ${d2("v", "c")}) AS ds
+           |    FROM e CROSS JOIN cents)),
+           |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+           |pcells AS (
+           |  SELECT cell FROM (
+           |    SELECT g.g AS cell, ${d2("pv", "cs[g.g+1]")} AS dist
+           |    FROM generate_series(0,15) g(g), cents, probe)
+           |  ORDER BY dist, cell LIMIT 4)
+           |SELECT vec_id AS id, $cosineSql AS sim
+           |FROM a1, probe
+           |WHERE vec_id != 0 AND cell IN (SELECT cell FROM pcells)
+           |ORDER BY sim DESC, id LIMIT 10""".stripMargin
+      }),
+
     // Native fused L2 distance (graft_l2): embedding-distance top-k
     // with one codegen'd loop; oracle replays the identical left fold.
     QueryDef("q98_l2_topk",

@@ -133,6 +133,28 @@ class CurationSpec extends SparkTestBase {
     ()
   }
 
+  test("q203 incremental IVF: appended commits keep manifest cell-pruning effective") {
+    import graft.ingest.Snapshots
+    val rows = run("q203_ann_ivf_incremental").collect() // stages the index
+    assert(rows.length == 10)
+    // same (content-keyed) staged root the query used; the build thunk
+    // must not run again
+    val root = graft.queries.Fixtures.stagedDir(sf, "embeddings", "ivfinc_v3")(
+      _ => fail("index should already be staged"))
+    val snap = Snapshots.snapshot(root, "ix", None).get
+    assert(snap.version == 1) // base commit + one incremental append
+    // a single-cell probe opens a strict subset of the files — across
+    // BOTH commits' files, since each was written range-clustered
+    val pruned = Snapshots.pruneFilesMulti(root, "ix",
+      Seq(Snapshots.StatRange.longRange("cell", 3, 3)))
+    assert(pruned.nonEmpty && pruned.size < snap.files.size,
+      s"pruned ${pruned.size} of ${snap.files.size}")
+    // incremental rows really are served by pruned reads
+    val all = Snapshots.read(spark, root, "ix")
+    assert(all.filter(col("id") >= 400).count() > 0)
+    assert(all.count() == Tables.embeddings(spark, sf).count())
+  }
+
   test("persisted IVF index prunes partitions on cell filter") {
     val (index, _) = operators.IvfIndex.build(
       Tables.embeddings(spark, sf), "vec_id", "embedding", k = 16)
