@@ -202,9 +202,14 @@ object TrainingQueries extends QueryRegistry {
             "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))"))
             .as("b"))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        // ctx and vocab derive FROM the pair counts, not from a fresh
+        // corpus pass: c1 = Σ_w2 c2 and V = |distinct w2 of pairs| are
+        // the same numbers, but the re-aggregation shuffles
+        // distinct-bigram-sized data (and shares the pair Exchange via
+        // reuse) instead of re-scanning and re-exploding the corpus
         val pair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-        val ctx = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-        val vocab = bg.agg(countDistinct("w2").as("vsz"))
+        val ctx = pair.groupBy("w1").agg(sum("c2").as("c1"))
+        val vocab = pair.agg(countDistinct("w2").as("vsz"))
         val model = pair.join(ctx, "w1").crossJoin(broadcast(vocab))
           .withColumn("lp", floor(lit(1000000000.0) * (col("c2") + lit(1)) /
             (col("c1") + col("vsz"))).cast("bigint"))
