@@ -187,4 +187,30 @@ object MinHashLSH {
     bucketRows(docs, idCol, textCol)
       .groupBy("band", "key").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucketSize)
+
+  /** Self-tuning bucket cap: the LARGEST cap from `caps` whose
+    * admitted pair work Σ_{|b| ≤ cap} C(|b|, 2) fits `pairBudget`
+    * (falling back to the smallest cap when even that overshoots).
+    * At a 100×-duplicated corpus the fixed [[DefaultMaxBucket]] admits
+    * quadratic pair blowup (BENCH_NOTES round-6 sf10: q55 154× at
+    * 100× data); a budget-driven cap keeps the emitted-pair volume —
+    * the true cost driver — bounded regardless of duplication rate.
+    *
+    * Cost: one extra pass over the bucket rows collapsed to a
+    * SIZE HISTOGRAM (distinct bucket sizes × counts — tens of rows at
+    * any corpus scale), so the driver decision is metadata-sized. The
+    * selection is deterministic integer arithmetic, replayable by an
+    * independent engine (q204's oracle). */
+  def adaptiveCap(docs: DataFrame, idCol: String, textCol: String,
+                  pairBudget: Long,
+                  caps: Seq[Int] = Seq(4, 8, 16, 32, 64, 128, 256)): Int = {
+    val hist = bucketRows(docs, idCol, textCol)
+      .groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .groupBy("n").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    def work(c: Int): Long =
+      hist.collect { case (n, cnt) if n <= c => cnt * (n * (n - 1) / 2) }.sum
+    caps.sorted.reverse.find(c => work(c) <= pairBudget).getOrElse(caps.min)
+  }
 }

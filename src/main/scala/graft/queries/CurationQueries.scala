@@ -16,12 +16,14 @@ object CurationQueries extends QueryRegistry {
   /** The MinHash-LSH replay CTE chain (docs → shingles → signatures →
     * band buckets → candidate pairs), shared by the q55 oracle and the
     * q100 components oracle. */
-  private[queries] val mhCtes = {
+  /** The MinHash band/bucket/pair CTE chain over a caller-supplied
+    * `docs AS (...)` body — q55/q100/q195 share the default injected
+    * corpus; q204 swaps in a heavier duplication pattern. */
+  private[queries] def mhCtesFor(docsSql: String): String = {
     val a = MinHashLSH.A.mkString("[", ",", "]")
     val b = MinHashLSH.B.mkString("[", ",", "]")
     s"""docs AS (
-       |  SELECT doc_id AS id, text FROM documents
-       |  UNION ALL SELECT doc_id + 100000 AS id, text FROM documents WHERE doc_id < 10
+       |$docsSql
        |),
        |sh AS (
        |  SELECT id, list_distinct(list_transform(
@@ -50,6 +52,10 @@ object CurationQueries extends QueryRegistry {
        |  JOIN bsz s ON s.band = a.band AND s.key = a.key
        |)""".stripMargin
   }
+
+  private[queries] val mhCtes: String = mhCtesFor(
+    """  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000 AS id, text FROM documents WHERE doc_id < 10""".stripMargin)
 
   private[queries] val mhEst =
     "list_sum(list_transform(generate_series(1,16), i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / CAST(16 AS DOUBLE)"
@@ -142,6 +148,56 @@ object CurationQueries extends QueryRegistry {
           .orderBy("a_id", "b_id")
       },
       Some(mh)),
+
+    // Self-tuning dedup cap (the round-6 sf10 lesson made executable):
+    // instead of a fixed bucket-size cap, pick the LARGEST cap whose
+    // admitted pair work Σ C(|bucket|,2) fits a pair budget — the
+    // emitted-pair volume, dedup's true cost driver, stays bounded at
+    // ANY duplication rate. The decision reads a bucket-size HISTOGRAM
+    // (tens of rows at any corpus scale), and both the selection and
+    // the capped pair enumeration are deterministic integer
+    // arithmetic the oracle replays end to end.
+    QueryDef("q204_adaptive_dedup_cap",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        // two duplication tiers: docs 0..9 gain 5 extra copies
+        // (bucket size 6), docs 10..19 gain 11 (bucket size 12) — the
+        // budget admits the first tier but not the second, so the
+        // chosen cap lands BETWEEN the steps and the oversized tier's
+        // buckets are dropped, exactly the 100x-duplication defense
+        def copies(n: Int, lo: Int, hi: Int) =
+          (1 to n).map(r => d.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .select((col("doc_id") + lit(r * 100000L)).as("id"), col("text")))
+            .reduce(_ unionAll _)
+        val withDups = d.select(col("doc_id").as("id"), col("text"))
+          .unionAll(copies(5, 0, 10))
+          .unionAll(copies(11, 10, 20))
+        val cap = MinHashLSH.adaptiveCap(withDups, "id", "text", pairBudget = 800L)
+        MinHashLSH.candidatePairs(withDups, "id", "text", maxBucketSize = cap)
+          .agg(lit(cap.toLong).as("cap"),
+            count(lit(1)).as("cand_pairs"),
+            countDistinct(col("a_id")).as("distinct_a"))
+      },
+      Some(s"""WITH ${mhCtesFor(
+                """  SELECT doc_id AS id, text FROM documents
+                  |  UNION ALL SELECT doc_id + r.r*100000 AS id, text
+                  |    FROM documents, generate_series(1,5) r(r) WHERE doc_id < 10
+                  |  UNION ALL SELECT doc_id + r.r*100000 AS id, text
+                  |    FROM documents, generate_series(1,11) r(r) WHERE doc_id >= 10 AND doc_id < 20""".stripMargin)},
+              |bszall AS (SELECT band, key, COUNT(*) AS n
+              |           FROM buckets GROUP BY band, key HAVING COUNT(*) >= 2),
+              |work AS (SELECT c.c, COALESCE(SUM(CASE WHEN n <= c.c THEN (n*(n-1))//2 END), 0) AS pw
+              |         FROM (VALUES (4),(8),(16),(32),(64),(128),(256)) c(c)
+              |         LEFT JOIN bszall ON true GROUP BY c.c),
+              |chosen AS (SELECT COALESCE(MAX(CASE WHEN pw <= 800 THEN c END), 4) AS cap FROM work),
+              |kept AS (SELECT band, key FROM bszall, chosen WHERE n <= cap),
+              |p2 AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+              |       FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+              |       JOIN kept k ON k.band = a.band AND k.key = a.key)
+              |SELECT (SELECT CAST(cap AS BIGINT) FROM chosen) AS cap,
+              |       COUNT(*) AS cand_pairs,
+              |       COUNT(DISTINCT a_id) AS distinct_a
+              |FROM p2""".stripMargin)),
 
     // Connected components over the MinHash candidate graph — pair
     // lists become transitive dedup clusters (the step survivorship

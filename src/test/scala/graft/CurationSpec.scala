@@ -133,6 +133,20 @@ class CurationSpec extends SparkTestBase {
     ()
   }
 
+  test("adaptiveCap is budget-monotonic and never admits more pair work than the budget") {
+    val d = Tables.documents(spark, sf).limit(300)
+      .select(col("doc_id").as("id"), col("text"))
+    val caps = Seq(4, 8, 16, 32, 64, 128, 256)
+    val small = MinHashLSH.adaptiveCap(d, "id", "text", pairBudget = 10L, caps)
+    val mid = MinHashLSH.adaptiveCap(d, "id", "text", pairBudget = 2000L, caps)
+    val huge = MinHashLSH.adaptiveCap(d, "id", "text", pairBudget = Long.MaxValue, caps)
+    assert(small <= mid && mid <= huge)
+    assert(huge == 256) // an unbounded budget admits every bucket
+    // the chosen cap's admitted work really fits the budget (or is the floor)
+    val sizes = MinHashLSH.candidatePairs(d, "id", "text", maxBucketSize = mid)
+    assert(sizes.count() <= 2000L || mid == caps.min)
+  }
+
   test("q203 incremental IVF: appended commits keep manifest cell-pruning effective") {
     import graft.ingest.Snapshots
     val rows = run("q203_ann_ivf_incremental").collect() // stages the index
