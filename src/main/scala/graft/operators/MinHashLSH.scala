@@ -121,7 +121,14 @@ object MinHashLSH {
     * @return (a_id, b_id, est_jaccard) for pairs sharing ≥1 band bucket
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                     maxBucketSize: Int = DefaultMaxBucket): DataFrame = {
+                     maxBucketSize: Int = DefaultMaxBucket): DataFrame =
+    pairsFromBucketRows(bucketRows(docs, idCol, textCol), maxBucketSize)
+
+  /** Pair enumeration over precomputed (id, sig, band, key) rows —
+    * shared by [[candidatePairs]] and the budgeted variant (which must
+    * reuse ONE materialized bucket pass for both the histogram and the
+    * enumeration). */
+  private def pairsFromBucketRows(rows: DataFrame, maxBucketSize: Int): DataFrame = {
     // One pass, one shuffle, no self-join: collect each (band, key)
     // bucket's members, then enumerate intra-bucket pairs with array
     // HOFs. A self-join formulation runs the signature pipeline (one
@@ -130,7 +137,7 @@ object MinHashLSH {
     // cap is a plain size filter (the round-1 formulation needed an
     // extra window for it). Members are sorted by id, so pair
     // orientation (a_id < b_id) falls out of the array order.
-    val members = bucketRows(docs, idCol, textCol)
+    val members = rows
       .groupBy("band", "key")
       .agg(array_sort(collect_list(struct(col("id"), col("sig")))).as("ms"))
       .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucketSize)
@@ -203,8 +210,11 @@ object MinHashLSH {
     * independent engine (q204's oracle). */
   def adaptiveCap(docs: DataFrame, idCol: String, textCol: String,
                   pairBudget: Long,
-                  caps: Seq[Int] = Seq(4, 8, 16, 32, 64, 128, 256)): Int = {
-    val hist = bucketRows(docs, idCol, textCol)
+                  caps: Seq[Int] = Seq(4, 8, 16, 32, 64, 128, 256)): Int =
+    capFromRows(bucketRows(docs, idCol, textCol), pairBudget, caps)
+
+  private def capFromRows(rows: DataFrame, pairBudget: Long, caps: Seq[Int]): Int = {
+    val hist = rows
       .groupBy("band", "key").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .groupBy("n").agg(count(lit(1)).as("cnt"))
@@ -212,5 +222,18 @@ object MinHashLSH {
     def work(c: Int): Long =
       hist.collect { case (n, cnt) if n <= c => cnt * (n * (n - 1) / 2) }.sum
     caps.sorted.reverse.find(c => work(c) <= pairBudget).getOrElse(caps.min)
+  }
+
+  /** [[adaptiveCap]] + [[candidatePairs]] fused over ONE bucket pass:
+    * the (id, sig, band, key) rows — the md5 shingle pipeline's output,
+    * the expensive part — are materialized once and serve both the
+    * histogram the cap decision reads and the pair enumeration.
+    * Returns (chosen cap, candidate pairs). */
+  def candidatePairsBudgeted(docs: DataFrame, idCol: String, textCol: String,
+                             pairBudget: Long,
+                             caps: Seq[Int] = Seq(4, 8, 16, 32, 64, 128, 256)): (Int, DataFrame) = {
+    val rows = bucketRows(docs, idCol, textCol).localCheckpoint(true)
+    val cap = capFromRows(rows, pairBudget, caps)
+    (cap, pairsFromBucketRows(rows, cap))
   }
 }

@@ -172,8 +172,9 @@ object CurationQueries extends QueryRegistry {
         val withDups = d.select(col("doc_id").as("id"), col("text"))
           .unionAll(copies(5, 0, 10))
           .unionAll(copies(11, 10, 20))
-        val cap = MinHashLSH.adaptiveCap(withDups, "id", "text", pairBudget = 800L)
-        MinHashLSH.candidatePairs(withDups, "id", "text", maxBucketSize = cap)
+        val (cap, pairs) = MinHashLSH.candidatePairsBudgeted(
+          withDups, "id", "text", pairBudget = 800L)
+        pairs
           .agg(lit(cap.toLong).as("cap"),
             count(lit(1)).as("cand_pairs"),
             countDistinct(col("a_id")).as("distinct_a"))
