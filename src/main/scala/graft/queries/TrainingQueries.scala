@@ -244,6 +244,92 @@ object TrainingQueries extends QueryRegistry {
              |WHERE b.doc_id < 60
              |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Trigram LM with stupid backoff (Brants et al., EMNLP '07 — the
+    // web-scale LM scoring recipe): the model trains on a HELD-OUT
+    // split (doc_id >= 60), so scored documents hit genuinely unseen
+    // trigrams and the λ=0.4 backoff to the add-one bigram path
+    // actually fires (n_backoff is part of the checked output). All
+    // scores stay integer-exact rationals: seen path
+    // floor(10⁹·c₃/c₁₂), backoff floor(0.4·10⁹·(c₂+1)/(c₁+V)) with
+    // unseen bigrams defaulting c₂=c₁=0 — no ln(), no engine-divergent
+    // float sums. Training is two explode→groupBy shuffles; scoring is
+    // left hash joins on the (tri/bi)gram keys — distributed at any
+    // corpus scale, no driver state.
+    QueryDef("q205_lm_backoff",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        def tri(df: org.apache.spark.sql.DataFrame) = df.filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(2, size(toks) - 1), i -> struct(toks[i-2] AS w1, toks[i-1] AS w2, toks[i] AS w3))"))
+            .as("t"))
+          .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+        def bg(df: org.apache.spark.sql.DataFrame) = df.filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS wa, toks[i] AS wb))"))
+            .as("b"))
+          .select(col("b.wa").as("wa"), col("b.wb").as("wb"))
+        val train = toks.filter(col("doc_id") >= 60)
+        val triM = tri(train).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+        val ctx12 = triM.groupBy("w1", "w2").agg(sum("c3").as("c12"))
+        val pairM = bg(train).groupBy("wa", "wb").agg(count(lit(1)).as("c2"))
+        val ctx1 = pairM.groupBy("wa").agg(sum("c2").as("c1"))
+        val vocab = pairM.agg(countDistinct("wb").as("vsz"))
+        val scored = tri(toks.filter(col("doc_id") < 60))
+          .join(triM, Seq("w1", "w2", "w3"), "left")
+          .join(ctx12, Seq("w1", "w2"), "left")
+          .join(pairM.withColumnRenamed("wa", "w2").withColumnRenamed("wb", "w3"),
+            Seq("w2", "w3"), "left")
+          .join(ctx1.withColumnRenamed("wa", "w2"), Seq("w2"), "left")
+          .crossJoin(broadcast(vocab))
+          .withColumn("st", when(col("c3").isNotNull,
+            floor(lit(1000000000.0) * col("c3") / col("c12")))
+            .otherwise(floor(lit(400000000.0) * (coalesce(col("c2"), lit(0L)) + lit(1)) /
+              (coalesce(col("c1"), lit(0L)) + col("vsz")))).cast("bigint"))
+        scored.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_trigrams"),
+            sum(when(col("c3").isNull, 1L).otherwise(0L)).as("n_backoff"),
+            sum("st").as("sum_st"))
+          .withColumn("fluency3",
+            floor(col("sum_st") / col("n_trigrams")).cast("bigint"))
+          .select(col("doc_id"), col("n_trigrams"), col("n_backoff"), col("fluency3"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |tr AS (
+             |  SELECT doc_id, toks[g] AS w1, toks[g + 1] AS w2, toks[g + 2] AS w3
+             |  FROM (SELECT doc_id, toks,
+             |          unnest(generate_series(1, len(toks) - 2)) AS g
+             |        FROM d WHERE len(toks) >= 3)),
+             |bgr AS (
+             |  SELECT doc_id, toks[g] AS wa, toks[g + 1] AS wb
+             |  FROM (SELECT doc_id, toks,
+             |          unnest(generate_series(1, len(toks) - 1)) AS g
+             |        FROM d WHERE len(toks) >= 2)),
+             |trim AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tr WHERE doc_id >= 60 GROUP BY 1, 2, 3),
+             |c12 AS (SELECT w1, w2, SUM(c3) AS c12 FROM trim GROUP BY 1, 2),
+             |pairm AS (SELECT wa, wb, COUNT(*) AS c2 FROM bgr WHERE doc_id >= 60 GROUP BY 1, 2),
+             |c1t AS (SELECT wa, SUM(c2) AS c1 FROM pairm GROUP BY 1),
+             |v AS (SELECT COUNT(DISTINCT wb) AS vsz FROM pairm),
+             |sc AS (
+             |  SELECT t.doc_id, t.w1, t.w2, t.w3, m.c3,
+             |    CAST(CASE WHEN m.c3 IS NOT NULL
+             |      THEN FLOOR(1000000000.0 * m.c3 / x.c12)
+             |      ELSE FLOOR(400000000.0 * (COALESCE(p.c2, 0) + 1) / (COALESCE(c.c1, 0) + v.vsz))
+             |    END AS BIGINT) AS st
+             |  FROM tr t
+             |  LEFT JOIN trim m ON m.w1 = t.w1 AND m.w2 = t.w2 AND m.w3 = t.w3
+             |  LEFT JOIN c12 x ON x.w1 = t.w1 AND x.w2 = t.w2
+             |  LEFT JOIN pairm p ON p.wa = t.w2 AND p.wb = t.w3
+             |  LEFT JOIN c1t c ON c.wa = t.w2
+             |  CROSS JOIN v
+             |  WHERE t.doc_id < 60)
+             |SELECT doc_id, COUNT(*) AS n_trigrams,
+             |  CAST(SUM(CASE WHEN c3 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+             |  CAST(FLOOR(SUM(st) * 1.0 / COUNT(*)) AS BIGINT) AS fluency3
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Int8 embedding quantization + quantized cosine top-k — the
     // storage/bandwidth lever for 100 TB embedding stores (4×
     // compression; the scale factor cancels out of cosine, so ranking
