@@ -182,6 +182,20 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("q199: LM pair counts partial-aggregate before the shuffle") {
+    val plan = planOf("q199_lm_fluency")
+    assert(plan.contains("partial_count"), plan.take(2000))
+  }
+
+  test("q202: ADC search reads only codes — no float vectors in the scored scan") {
+    val plan = planOf("q202_ann_pq")
+    // the encoded-index scan projects (id, codes); the 64-float
+    // embedding column must not appear in any scan the search touches
+    val scans = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(scans.contains("codes"), scans)
+    assert(!scans.contains("embedding"), scans)
+  }
+
   test("q175: ANN probe batch broadcasts on both search paths") {
     val plan = planOf("q175_ann_recall")
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
