@@ -11,7 +11,7 @@ object SparkEntry {
     ScanQueries, JoinQueries, AggQueries, WindowQueries,
     SetQueries, ScalarQueries, SqlQueries, ModernSqlQueries,
     PipelineQueries, CurationQueries, UdxQueries, StreamingQueries,
-    LakehouseQueries, TrainingQueries, CorpusQueries)
+    LakehouseQueries, TrainingQueries, CorpusQueries, AnalyticsQueries)
 
   val defs: Seq[QueryDef] = registries.flatMap(_.defs)
 

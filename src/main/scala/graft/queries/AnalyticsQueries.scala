@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryRegistry, Tables}
+
+/** Round-6 continuation: event-analytics and classification shapes the
+  * surface did not yet declare — ordered funnel conversion, weekly
+  * cohort retention, kNN majority-vote classification over embeddings,
+  * and PMI-style collocation mining. Reference grounding: the events
+  * stream is the consumer-side table of SURVEY §2A (A6/A7), and the
+  * classification/collocation ops extend the LLM-pipeline north star
+  * (SURVEY §2B "LLM-data-pipeline extension").
+  *
+  * Scale notes (100 TB):
+  *  - funnel: three sequential min-aggregates + joins, ALL keyed on
+  *    user_id — one hash partitioning reused across every stage
+  *    (exchange reuse), per-user state is O(1);
+  *  - retention: two shuffles on user_id then one on (cohort, offset);
+  *    the distinct-user count is partial-aggregated map-side;
+  *  - kNN: the probe batch broadcasts (bounded by construction), the
+  *    corpus streams once, per-probe top-k plans as WindowGroupLimit
+  *    — never a global sort;
+  *  - collocations: one explode shuffle for bigram counts, unigram
+  *    counts broadcast back (vocabulary ≪ corpus; Zipf), ranking is
+  *    integer-exact rational arithmetic (no ln(), the round-1 float
+  *    lesson — identical ordering to PMI at fixed N).
+  */
+object AnalyticsQueries extends QueryRegistry {
+
+  /** Epoch microseconds of an event ts (TIMESTAMP_NTZ under the UTC
+    * session, so the cast is an identity re-tag). */
+  private def usOf(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Left-fold dot product — bit-identical to DuckDB's
+    * list_dot_product (sequential double accumulation). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Ordered funnel: signup -> first view AFTER it -> first click
+    // AFTER that -> first purchase AFTER that. Strict event-time
+    // ordering per user (not mere presence), the standard product
+    // funnel. One row out: per-step user counts + summed end-to-end
+    // conversion latency.
+    QueryDef("q206_funnel_conversion",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+        def step(of: String, prev: org.apache.spark.sql.DataFrame,
+                 prevCol: String, out: String) =
+          e.filter(col("event_type") === of)
+            .join(prev.select("user_id", prevCol), "user_id")
+            .filter(col("ts") > col(prevCol))
+            .groupBy("user_id").agg(min("ts").as(out))
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val s2 = step("view", s1, "t1", "t2")
+        val s3 = step("click", s2, "t2", "t3")
+        val s4 = step("purchase", s3, "t3", "t4")
+        s1.join(s2.select("user_id", "t2"), Seq("user_id"), "left")
+          .join(s3.select("user_id", "t3"), Seq("user_id"), "left")
+          .join(s4.select("user_id", "t4"), Seq("user_id"), "left")
+          .agg(
+            count(col("t1")).as("n_signup"),
+            count(col("t2")).as("n_view"),
+            count(col("t3")).as("n_click"),
+            count(col("t4")).as("n_purchase"),
+            sum(usOf(col("t4")) - usOf(col("t1"))).cast("bigint").as("sum_latency_us"))
+      },
+      Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+             |       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+             |       WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1),
+             |s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+             |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1)
+             |SELECT COUNT(t1) AS n_signup, COUNT(t2) AS n_view,
+             |  COUNT(t3) AS n_click, COUNT(t4) AS n_purchase,
+             |  CAST(SUM(epoch_us(t4) - epoch_us(t1)) AS BIGINT) AS sum_latency_us
+             |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+             |LEFT JOIN s4 USING (user_id)""".stripMargin)),
+
+    // Weekly cohort retention matrix: cohort = epoch-week of a user's
+    // first event (pure integer epoch-µs arithmetic, no calendar
+    // semantics to drift between engines), offset = weeks since the
+    // cohort week, cell = distinct active users.
+    QueryDef("q207_retention_cohort",
+      (s, dir) => {
+        val wkUs = 604800000000L // 7 * 86400 * 1e6
+        val e = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr(s"unix_micros(cast(ts as timestamp)) div ${wkUs}L").as("wk"))
+        val first = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+        e.join(first, "user_id")
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+          .agg(countDistinct("user_id").as("active_users"))
+          .orderBy("cohort_wk", "offset_wk")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+             |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1)
+             |SELECT cohort_wk, wk - cohort_wk AS offset_wk,
+             |  COUNT(DISTINCT user_id) AS active_users
+             |FROM e JOIN f USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // kNN majority-vote classification: every 5th vector (id < 250,
+    // a bounded probe batch at ANY scale factor) is classified by its
+    // 10 nearest training neighbors under cosine; output is the label
+    // confusion matrix. The train side streams once; top-k per probe
+    // is the WindowGroupLimit rank-filter idiom (q146's shape).
+    QueryDef("q208_knn_classify",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"), vecD(col("embedding")).as("v"))
+        val test = broadcast(
+          e.filter(col("vec_id") % 5 === 0 && col("vec_id") < 250)
+            .select(col("vec_id").as("qid"), col("label").as("true_label"),
+              col("v").as("qv")))
+        val train = e.filter(!(col("vec_id") % 5 === 0 && col("vec_id") < 250))
+        val scored = train.crossJoin(test)
+          .select(col("qid"), col("true_label"), col("label"), col("vec_id"),
+            (dot(col("v"), col("qv")) /
+              sqrt(dot(col("v"), col("v")) * dot(col("qv"), col("qv")))).as("sim"))
+        val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        val votes = scored.withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 10)
+          .groupBy("qid", "true_label", "label")
+          .agg(count(lit(1)).as("n"))
+        val wVote = Window.partitionBy("qid").orderBy(col("n").desc, col("label"))
+        votes.withColumn("vr", row_number().over(wVote))
+          .filter(col("vr") === 1)
+          .groupBy(col("true_label"), col("label").as("pred_label"))
+          .agg(count(lit(1)).as("n_probes"))
+          .orderBy("true_label", "pred_label")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |test AS (SELECT vec_id AS qid, label AS true_label, v AS qv
+             |         FROM e WHERE vec_id % 5 = 0 AND vec_id < 250),
+             |train AS (SELECT * FROM e WHERE NOT (vec_id % 5 = 0 AND vec_id < 250)),
+             |scored AS (
+             |  SELECT qid, true_label, label, vec_id,
+             |    list_dot_product(v, qv) / sqrt(list_dot_product(v, v) * list_dot_product(qv, qv)) AS sim
+             |  FROM train CROSS JOIN test),
+             |votes AS (
+             |  SELECT qid, true_label, label, COUNT(*) AS n FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+             |    FROM scored) WHERE rn <= 10 GROUP BY 1, 2, 3)
+             |SELECT true_label, label AS pred_label, COUNT(*) AS n_probes FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY n DESC, label) AS vr
+             |  FROM votes) WHERE vr = 1
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Collocation mining: adjacent-pair lift, the PMI ranking in
+    // integer-exact rational form — score = floor(1e6·c_xy·N/(c_x·c_y)),
+    // monotone in PMI at fixed N so the top-k is the PMI top-k. The
+    // doc_id bound keeps every product inside BIGINT exactness at any
+    // scale factor; min-support 5 drops the noise floor.
+    QueryDef("q209_pmi_collocations",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).filter(col("doc_id") < 500)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val bg = d.filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2))"))
+            .as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val uni = d.select(explode(col("toks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val n = d.select(explode(col("toks")).as("w")).agg(count(lit(1)).as("n_tok"))
+        val cxy = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+          .filter(col("c_xy") >= 5)
+        cxy
+          .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_x"))), "w1")
+          .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_y"))), "w2")
+          .crossJoin(broadcast(n))
+          .select(col("w1"), col("w2"), col("c_xy"),
+            floor(lit(1000000L) * col("c_xy") * col("n_tok") / (col("c_x") * col("c_y")))
+              .cast("bigint").as("lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |           FROM documents WHERE doc_id < 500),
+             |bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM (
+             |         SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+             |         FROM d WHERE len(toks) >= 2)),
+             |uni AS (SELECT unnest(toks) AS w FROM d),
+             |cnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n_tok FROM uni),
+             |cxy AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+             |SELECT w1, w2, c_xy,
+             |  CAST(FLOOR(1000000 * c_xy * n_tok / (cx.c * cy.c)) AS BIGINT) AS lift_ppm
+             |FROM cxy
+             |JOIN cnt cx ON cx.w = cxy.w1
+             |JOIN cnt cy ON cy.w = cxy.w2
+             |CROSS JOIN n
+             |ORDER BY lift_ppm DESC, w1, w2 LIMIT 20""".stripMargin))
+  )
+}
