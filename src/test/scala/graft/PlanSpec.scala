@@ -252,4 +252,38 @@ class PlanSpec extends SparkTestBase {
     assert(!filterBelowWatermark(optimized(
       col("timestamp").isNull || col("value") % 7 === 0)))
   }
+
+  test("q208: probe batch broadcasts; per-probe top-k is WindowGroupLimit") {
+    // the kNN corpus scan must stream once against a broadcast probe
+    // batch — a shuffle here would repartition the full corpus — and
+    // the per-probe 10-NN must group-limit, never rank all pairs
+    val plan = planOf("q208_knn_classify")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("q209: unigram counts broadcast back onto bigram counts") {
+    // vocabulary ≪ corpus (Zipf): both count-table joins and the
+    // total-token staple must broadcast — a shuffle of the bigram
+    // table on a word key would be pure overhead
+    val plan = planOf("q209_pmi_collocations")
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q206: every funnel stage stays partitioned on user_id") {
+    // the four step-aggregates and three step-joins all key on
+    // user_id; no stage may introduce an exchange on any other key
+    // (the plan may re-shuffle user_id between stages — that's the
+    // join/agg boundary — but a foreign key would mean a misdesign)
+    // (string-level: AdaptiveSparkPlanExec hides its inner plan from
+    // TreeNode.collect, so walk the rendered plan instead)
+    val plan = planOf("q206_funnel_conversion")
+    val hashKeys = "hashpartitioning\\(([^,)]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(hashKeys.forall(_.contains("user_id")), hashKeys.mkString("; "))
+    // per-user step state aggregates map-side before any exchange
+    assert(plan.contains("partial_min"), plan.take(2000))
+  }
 }
