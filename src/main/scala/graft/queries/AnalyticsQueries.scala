@@ -198,6 +198,109 @@ object AnalyticsQueries extends QueryRegistry {
              |JOIN cnt cx ON cx.w = cxy.w1
              |JOIN cnt cy ON cy.w = cxy.w2
              |CROSS JOIN n
-             |ORDER BY lift_ppm DESC, w1, w2 LIMIT 20""".stripMargin))
+             |ORDER BY lift_ppm DESC, w1, w2 LIMIT 20""".stripMargin)),
+
+    // Per-user event-rate anomaly days: a day is an outlier when its
+    // event count sits more than 2σ from the user's own daily mean.
+    // The z-test runs in EXACT integer arithmetic — (n·x − s)² >
+    // 4·(n·Σx² − s²) is |x−μ| > 2σ cleared of divisions — so both
+    // engines agree bit-for-bit with no sqrt/float variance drift.
+    // Two shuffles total: (user, day) count, then user stats; the
+    // flag join re-uses the user partitioning.
+    QueryDef("q211_rate_outliers",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+          .groupBy("user_id", "day").agg(count(lit(1)).as("c"))
+        val stats = daily.groupBy("user_id").agg(
+          count(lit(1)).as("n"),
+          sum("c").as("s"),
+          sum(col("c") * col("c")).as("sq"))
+        daily.join(stats, "user_id")
+          .withColumn("is_outlier",
+            ((col("n") * col("c") - col("s")) * (col("n") * col("c") - col("s")) >
+              lit(4L) * (col("n") * col("sq") - col("s") * col("s"))).cast("int"))
+          .groupBy("user_id")
+          .agg(max("n").as("n_days"),
+            max("s").as("n_events"),
+            sum("is_outlier").cast("bigint").as("n_outlier_days"))
+          .orderBy("user_id")
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |stats AS (
+             |  SELECT user_id, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s,
+             |    CAST(SUM(c * c) AS BIGINT) AS sq
+             |  FROM daily GROUP BY 1)
+             |SELECT user_id, MAX(n) AS n_days, MAX(s) AS n_events,
+             |  CAST(SUM(CASE WHEN (n * c - s) * (n * c - s) > 4 * (n * sq - s * s)
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier_days
+             |FROM daily JOIN stats USING (user_id)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // PageRank, 3 statically-unrolled power iterations in integer-
+    // exact scaled arithmetic — r(v) = 0.15 + 0.85·Σ r(u)/deg(u),
+    // everything ×1e9 with floor division so both engines replay
+    // bit-for-bit (no float accumulation order to drift). The link
+    // topology is derived deterministically from the doc-id space
+    // (parent i÷2 + decimal shortcut i÷10 — a hub-forming citation
+    // shape; the text fixtures are i.i.d. word salad, so any graph
+    // mined from their CONTENT is provably near-regular and ranks
+    // constant). At scale each iteration is one shuffle on src (rank
+    // join) + one on dst (contribution sum); degrees ride with the
+    // rank state so the edge table is joined, never re-aggregated —
+    // the standard edge-partitioned PR layout.
+    QueryDef("q210_pagerank",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir)
+          .filter(col("doc_id") >= 1).select(col("doc_id").as("i"))
+        val ed = ids.select(col("i").as("u"), expr("i div 2").as("v"))
+          .unionAll(ids.filter(col("i") >= 10)
+            .select(col("i").as("u"), expr("i div 10").as("v")))
+          .filter(col("u") =!= col("v")).distinct()
+        val edges = ed.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(ed.select(col("v").as("src"), col("u").as("dst")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        var r = deg.select(col("src").as("id"), col("deg"),
+          lit(1000000000L).as("r"))
+        for (_ <- 1 to 3) {
+          val sums = edges.join(r, edges("src") === r("id"))
+            .select(col("dst"), expr("r div deg").as("c"))
+            .groupBy("dst").agg(sum("c").as("s"))
+          r = deg.select(col("src").as("id"), col("deg"))
+            .join(sums, col("id") === col("dst"), "left")
+            .select(col("id"), col("deg"),
+              (lit(150000000L) + expr("(85 * coalesce(s, 0L)) div 100"))
+                .as("r"))
+        }
+        r.orderBy(col("r").desc, col("id")).limit(10)
+      },
+      Some("""WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id >= 1),
+             |ed AS (SELECT DISTINCT u, v FROM (
+             |         SELECT i AS u, i // 2 AS v FROM ids
+             |         UNION ALL SELECT i, i // 10 FROM ids WHERE i >= 10)
+             |       WHERE u <> v),
+             |e0 AS (SELECT u AS src, v AS dst FROM ed
+             |       UNION ALL SELECT v, u FROM ed),
+             |deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY 1),
+             |r0 AS (SELECT src AS id, deg, CAST(1000000000 AS BIGINT) AS r FROM deg),
+             |r1 AS (SELECT d.src AS id, d.deg,
+             |         CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+             |       FROM deg d LEFT JOIN (
+             |         SELECT dst, CAST(SUM(r // deg) AS BIGINT) AS s
+             |         FROM e0 JOIN r0 ON e0.src = r0.id GROUP BY dst) s ON d.src = s.dst),
+             |r2 AS (SELECT d.src AS id, d.deg,
+             |         CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+             |       FROM deg d LEFT JOIN (
+             |         SELECT dst, CAST(SUM(r // deg) AS BIGINT) AS s
+             |         FROM e0 JOIN r1 ON e0.src = r1.id GROUP BY dst) s ON d.src = s.dst),
+             |r3 AS (SELECT d.src AS id, d.deg,
+             |         CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+             |       FROM deg d LEFT JOIN (
+             |         SELECT dst, CAST(SUM(r // deg) AS BIGINT) AS s
+             |         FROM e0 JOIN r2 ON e0.src = r2.id GROUP BY dst) s ON d.src = s.dst)
+             |SELECT id, deg, r FROM r3 ORDER BY r DESC, id LIMIT 10""".stripMargin))
   )
 }

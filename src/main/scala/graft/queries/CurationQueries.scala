@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryRegistry, Tables}
 import graft.operators._
@@ -1076,6 +1077,74 @@ object CurationQueries extends QueryRegistry {
            |SELECT new_id, COUNT(*) AS matches, MIN(hist_id) AS first_match,
            |  CAST(MAX(est) AS DOUBLE) AS best_est
            |FROM cand WHERE est >= 0.5 GROUP BY new_id ORDER BY new_id""".stripMargin
-      }))
+      })),
+
+    // Containment dedup: |A∩B| / min(|A|,|B|) over shingle sets — the
+    // asymmetric measure that catches SUB-document duplication (a
+    // fragment inside a larger doc), which symmetric Jaccard dilutes
+    // below any dedup threshold. Fixture injects 10 exact dups
+    // (+100000) and 10 prefix fragments at ~4/5 length (+200000); the
+    // output labels each LSH candidate pair, so the fragment rows'
+    // high-containment/lower-Jaccard split is itself oracle-checked —
+    // as is LSH's PARTIAL recall on fragments (banding probability
+    // falls with Jaccard; the honest limitation, measured not hidden).
+    QueryDef("q212_containment_dedup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val toks = split(col("text"), " ")
+        val fragText = concat_ws(" ",
+          slice(toks, lit(1), greatest(lit(3), expr("(size(split(text, ' ')) * 4) div 5").cast("int"))))
+        val corpus = d.select(col("doc_id").as("id"), col("text"))
+          .unionAll(d.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 100000).as("id"), col("text")))
+          .unionAll(d.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 200000).as("id"), fragText.as("text")))
+        val pairs = MinHashLSH.candidatePairs(corpus, "id", "text")
+          .select("a_id", "b_id")
+        def shingles(c: Column): Column = {
+          val t = split(c, " ")
+          when(size(t) >= 3,
+            array_distinct(transform(sequence(lit(0), size(t) - 3),
+              i => concat_ws(" ", slice(t, i + 1, lit(3))))))
+            .otherwise(array().cast("array<string>"))
+        }
+        val candIds = pairs
+          .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
+        val sh = corpus.join(candIds, Seq("id"), "left_semi")
+          .select(col("id"), shingles(col("text")).as("sh"))
+        pairs
+          .join(sh.select(col("id").as("a_id"), col("sh").as("sa")), Seq("a_id"))
+          .join(sh.select(col("id").as("b_id"), col("sh").as("sb")), Seq("b_id"))
+          .select(
+            when(col("b_id") >= 200000, "fragment")
+              .when(col("b_id") >= 100000, "dup")
+              .otherwise("natural").as("pair_type"),
+            col("a_id"), col("b_id"),
+            floor(lit(1000000L) * size(array_intersect(col("sa"), col("sb"))) /
+              size(array_union(col("sa"), col("sb")))).cast("bigint").as("jacc_ppm"),
+            floor(lit(1000000L) * size(array_intersect(col("sa"), col("sb"))) /
+              least(size(col("sa")), size(col("sb")))).cast("bigint").as("cont_ppm"))
+          .orderBy("pair_type", "a_id", "b_id")
+      },
+      Some(s"""WITH ${mhCtesFor(
+        """  SELECT doc_id AS id, text FROM documents
+          |  UNION ALL SELECT doc_id + 100000 AS id, text FROM documents WHERE doc_id < 10
+          |  UNION ALL SELECT doc_id + 200000 AS id,
+          |    array_to_string(list_slice(string_split(text, ' '), 1,
+          |      GREATEST(3, (len(string_split(text, ' ')) * 4) // 5)), ' ') AS text
+          |  FROM documents WHERE doc_id < 10""".stripMargin)}
+              |SELECT
+              |  CASE WHEN p.b_id >= 200000 THEN 'fragment'
+              |       WHEN p.b_id >= 100000 THEN 'dup'
+              |       ELSE 'natural' END AS pair_type,
+              |  p.a_id, p.b_id,
+              |  CAST(FLOOR(1000000 * len(list_intersect(a.sh, b.sh)) /
+              |    len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jacc_ppm,
+              |  CAST(FLOOR(1000000 * len(list_intersect(a.sh, b.sh)) /
+              |    LEAST(len(a.sh), len(b.sh))) AS BIGINT) AS cont_ppm
+              |FROM pairs p
+              |JOIN sh a ON a.id = p.a_id
+              |JOIN sh b ON b.id = p.b_id
+              |ORDER BY pair_type, a_id, b_id""".stripMargin))
   )
 }
