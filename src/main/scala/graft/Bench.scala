@@ -40,7 +40,8 @@ object Bench {
     "q116_repetition_filter", "q119_tfidf_top_terms",
     "q170_duplicate_spans", "q175_ann_recall", "q177_pair_features",
     "q180_snapshot_restore", "q182_scd2_join", "q199_lm_fluency",
-    "q200_incremental_mv", "q202_ann_pq")
+    "q200_incremental_mv", "q202_ann_pq",
+    "q206_funnel_conversion", "q210_pagerank")
 
   private def fmt(v: Double): String = BigDecimal(v)
     .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

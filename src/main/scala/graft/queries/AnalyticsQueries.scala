@@ -301,6 +301,46 @@ object AnalyticsQueries extends QueryRegistry {
              |       FROM deg d LEFT JOIN (
              |         SELECT dst, CAST(SUM(r // deg) AS BIGINT) AS s
              |         FROM e0 JOIN r2 ON e0.src = r2.id GROUP BY dst) s ON d.src = s.dst)
-             |SELECT id, deg, r FROM r3 ORDER BY r DESC, id LIMIT 10""".stripMargin))
+             |SELECT id, deg, r FROM r3 ORDER BY r DESC, id LIMIT 10""".stripMargin)),
+
+    // CEP-style pattern detection (the batch MATCH_RECOGNIZE shape):
+    // three CONSECUTIVE 'error' events in a user's stream within 24
+    // hours — consecutive in the full per-user sequence, so any
+    // non-error between them resets the run, which a mere
+    // count-per-window can't express. One shuffle (user partitioning
+    // for the window); ties on ts break by event_id so the sequence
+    // is total and both engines replay it identically.
+    QueryDef("q213_event_pattern",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+          .withColumn("p1", lag("event_type", 1).over(w))
+          .withColumn("p2", lag("event_type", 2).over(w))
+          .withColumn("t2", lag("ts", 2).over(w))
+        val bursts = e.filter(col("event_type") === "error" &&
+          col("p1") === "error" && col("p2") === "error" &&
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("t2").cast("timestamp")) <= 86400000000L)
+        bursts.groupBy("user_id")
+          .agg(count(lit(1)).as("n_bursts"),
+            min(unix_micros(col("t2").cast("timestamp"))).as("first_start_us"),
+            max(unix_micros(col("ts").cast("timestamp"))).as("last_end_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type, ts,
+             |    LAG(event_type, 1) OVER w AS p1,
+             |    LAG(event_type, 2) OVER w AS p2,
+             |    LAG(ts, 2) OVER w AS t2
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT user_id, COUNT(*) AS n_bursts,
+             |  MIN(epoch_us(t2)) AS first_start_us,
+             |  MAX(epoch_us(ts)) AS last_end_us
+             |FROM seq
+             |WHERE event_type = 'error' AND p1 = 'error' AND p2 = 'error'
+             |  AND epoch_us(ts) - epoch_us(t2) <= 86400000000
+             |GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

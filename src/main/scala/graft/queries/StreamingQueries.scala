@@ -594,6 +594,62 @@ object StreamingQueries extends QueryRegistry {
              |SELECT p_id, NULL AS c_id FROM p WHERE p_id NOT IN (SELECT p_id FROM matched)
              |UNION ALL
              |SELECT NULL AS p_id, c_id FROM c WHERE c_id NOT IN (SELECT c_id FROM matched)
-             |ORDER BY p_id NULLS LAST, c_id NULLS FIRST""".stripMargin))
+             |ORDER BY p_id NULLS LAST, c_id NULLS FIRST""".stripMargin)),
+
+    // Streaming funnel — q206's ordered state machine run continuously
+    // on transformWithState + event-time timers (FunnelProcessor): a
+    // conversion row emits the moment the watermark finalizes a user's
+    // signup→view→click→purchase chain. Events buffer until watermark-
+    // final, so the fold replays the batch min-recurrence under ANY
+    // admissible cross-batch disorder (the non-monotone-recurrence
+    // hazard the processor's doc derives). Same q46 cutoff so the
+    // final watermark provably finalizes every retained event; append
+    // mode, one row per converted user, replay-deterministic.
+    QueryDef("q214_stream_funnel",
+      (s, dir) => {
+        import s.implicits._
+        // transformWithState needs column families → RocksDB provider
+        // (same switch as q46b; restored after)
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prior = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val cutoff = timestamp_micros(lit(maxTsMicros(s, dir) - 3L * 3600 * 1000000))
+          val code = when(col("event_type") === "signup", 1)
+            .when(col("event_type") === "view", 2)
+            .when(col("event_type") === "click", 3)
+            .otherwise(4)
+          val conversions = eventStream(s, dir, maxFilesPerTrigger = 4)
+            .withWatermark("ts", "0 seconds")
+            .filter(col("ts") < cutoff &&
+              col("event_type").isin("signup", "view", "click", "purchase"))
+            .select(col("user_id"), code.as("step"), col("ts"))
+            .as[(Long, Int, java.sql.Timestamp)]
+            .groupByKey(_._1)
+            .transformWithState(new graft.streaming.FunnelProcessor(),
+              org.apache.spark.sql.streaming.TimeMode.EventTime(),
+              org.apache.spark.sql.streaming.OutputMode.Append())
+            .toDF("user_id", "t1_us", "t4_us", "latency_us")
+          runToMemory(s, conversions, "append").orderBy("user_id")
+        } finally prior match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+      },
+      Some("""WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 3 HOUR AS cutoff FROM events),
+             |ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+             |       FROM events, m WHERE CAST(ts AS TIMESTAMP) < m.cutoff),
+             |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e JOIN s1 USING (user_id)
+             |       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e JOIN s2 USING (user_id)
+             |       WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1),
+             |s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM ev e JOIN s3 USING (user_id)
+             |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1)
+             |SELECT s1.user_id, epoch_us(s1.t1) AS t1_us, epoch_us(s4.t4) AS t4_us,
+             |  epoch_us(s4.t4) - epoch_us(s1.t1) AS latency_us
+             |FROM s4 JOIN s1 USING (user_id)
+             |ORDER BY user_id""".stripMargin))
   )
 }
