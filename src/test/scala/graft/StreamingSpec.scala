@@ -291,4 +291,66 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cnt"))).sorted
     assert(a.toSeq == b.toSeq) // two independent sessionizations, same sessions
   }
+
+  test("funnel processor: cross-batch disorder folds in event-time order, emits once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorOpt = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(Long, Int, Timestamp)]
+    val out = ms.toDS().toDF("user", "step", "etime")
+      // 1-hour delay keeps the batch-2 signup admissible after the
+      // batch-1 purchase has advanced the watermark
+      .withWatermark("etime", "1 hour")
+      .as[(Long, Int, Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.FunnelProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+    val q = out.toDF("user", "t1_us", "t4_us", "latency_us").writeStream
+      .format("memory").queryName("funnel_disorder")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def rows() = spark.table("funnel_disorder")
+        .filter(col("user") =!= 99L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      def us(s: String) = ts(s).getTime * 1000L
+
+      // batch 1: user 1's view/click/purchase arrive BEFORE the signup
+      // (the non-monotone case: a naive arrival-order fold would
+      // consume none of them and never converge); user 2's view shares
+      // the signup's timestamp, so the strict > rule must reject it
+      ms.addData((1L, 2, ts("2024-01-01 00:10:00")),
+        (1L, 3, ts("2024-01-01 00:20:00")), (1L, 4, ts("2024-01-01 00:30:00")),
+        (2L, 1, ts("2024-01-01 00:10:00")), (2L, 2, ts("2024-01-01 00:10:00")),
+        (2L, 3, ts("2024-01-01 00:40:00")), (2L, 4, ts("2024-01-01 00:50:00")))
+      q.processAllAvailable()
+      // batch 2: the straggler signup, earlier than everything above
+      ms.addData((1L, 1, ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      assert(rows().isEmpty) // nothing watermark-final yet
+      // sentinel drags the watermark past every deadline (watermark
+      // computed at end-of-batch drives timers in the NEXT batch)
+      ms.addData((99L, 1, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      ms.addData((99L, 1, ts("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      // user 1 converts on the reordered chain; user 2 never does
+      // (equal-ts view can't chain, and the later view is absent)
+      assert(rows() == Set((1L, us("2024-01-01 00:05:00"),
+        us("2024-01-01 00:30:00"), 1500000000L)))
+      // further watermark advances must not re-emit (emitted flag)
+      ms.addData((99L, 1, ts("2024-01-01 04:00:00")))
+      q.processAllAvailable()
+      assert(rows().size == 1)
+    } finally {
+      q.stop()
+      priorOpt match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
