@@ -341,6 +341,59 @@ object AnalyticsQueries extends QueryRegistry {
              |FROM seq
              |WHERE event_type = 'error' AND p1 = 'error' AND p2 = 'error'
              |  AND epoch_us(ts) - epoch_us(t2) <= 86400000000
-             |GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // BM25 ranking (k1=1.2, b=0.75) for a 3-term query, in integer-
+    // exact rational arithmetic: multiplying the Robertson tf
+    // saturation through by 10·DL clears every fraction —
+    //   tf_part = 22·tf·DL / (10·DL·tf + 3·DL + 9·dl·N)
+    // — and idf stays the (2N−2df+1)/(2df+1) ratio, each scaled ×1e6
+    // and floored (monotone in true BM25; no ln()/double drift). The
+    // per-term postings join broadcasts (query terms ≪ corpus), doc
+    // lengths ride the tf table, corpus constants ride a broadcast
+    // staple — one explode shuffle total, the IR-engine shape.
+    QueryDef("q215_bm25",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).filter(col("doc_id") < 500)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val dl = d.select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"))
+        val tf = d.select(col("doc_id"), explode(col("toks")).as("term"))
+          .filter(col("term").isin("spark", "stream", "join"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val consts = broadcast(dl.agg(count(lit(1)).as("n_docs"),
+          sum("dl").as("total_dl")))
+        tf.join(dl, "doc_id")
+          .join(broadcast(dfreq), "term")
+          .crossJoin(consts)
+          .select(col("doc_id"), col("term"),
+            (floor(lit(1000000L) * (lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)) /
+              (lit(2) * col("df") + lit(1))) *
+              floor(lit(1000000L) * lit(22) * col("tf") * col("total_dl") /
+                (lit(10) * col("total_dl") * col("tf") + lit(3) * col("total_dl") +
+                  lit(9) * col("dl") * col("n_docs"))))
+              .cast("bigint").as("term_score"))
+          .groupBy("doc_id")
+          .agg(sum("term_score").cast("bigint").as("score"),
+            count(lit(1)).cast("bigint").as("n_terms"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(15)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |           FROM documents WHERE doc_id < 500),
+             |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
+             |         SELECT doc_id, unnest(toks) AS term FROM d)
+             |       WHERE term IN ('spark', 'stream', 'join') GROUP BY 1, 2),
+             |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |consts AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl)
+             |SELECT doc_id,
+             |  CAST(SUM(
+             |    FLOOR(1000000 * (2 * n_docs - 2 * df + 1) / (2 * df + 1)) *
+             |    FLOOR(1000000 * 22 * tf * total_dl /
+             |      (10 * total_dl * tf + 3 * total_dl + 9 * dl * n_docs))) AS BIGINT) AS score,
+             |  CAST(COUNT(*) AS BIGINT) AS n_terms
+             |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN consts
+             |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin))
   )
 }
