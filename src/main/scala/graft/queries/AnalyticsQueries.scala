@@ -394,6 +394,148 @@ object AnalyticsQueries extends QueryRegistry {
              |      (10 * total_dl * tf + 3 * total_dl + 9 * dl * n_docs))) AS BIGINT) AS score,
              |  CAST(COUNT(*) AS BIGINT) AS n_terms
              |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN consts
-             |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin))
+             |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin)),
+
+    // Weekly churn: of the users active in epoch-week w, how many
+    // stayed active in w+1 (retained) vs vanished (churned)? The
+    // consecutive-week comparison is a self-join of the distinct
+    // (user, week) activity table on (user, week+1) — partial-agg
+    // distinct then one user-keyed shuffle; no window state, so it
+    // scales as two aggregates however long the history grows.
+    QueryDef("q216_churn",
+      (s, dir) => {
+        val act = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr("unix_micros(cast(ts as timestamp)) div 604800000000").as("wk"))
+          .distinct()
+        val nxt = act.select(col("user_id"), (col("wk") - 1).as("wk"),
+          lit(1).as("retained"))
+        act.join(nxt, Seq("user_id", "wk"), "left")
+          .groupBy("wk")
+          .agg(count(lit(1)).as("active"),
+            sum(coalesce(col("retained"), lit(0))).cast("bigint").as("retained"),
+            (count(lit(1)) - sum(coalesce(col("retained"), lit(0))))
+              .cast("bigint").as("churned"))
+          .orderBy("wk")
+      },
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+             |nxt AS (SELECT user_id, wk - 1 AS wk, 1 AS retained FROM act)
+             |SELECT wk, COUNT(*) AS active,
+             |  CAST(SUM(COALESCE(retained, 0)) AS BIGINT) AS retained,
+             |  CAST(COUNT(*) - SUM(COALESCE(retained, 0)) AS BIGINT) AS churned
+             |FROM act LEFT JOIN nxt USING (user_id, wk)
+             |GROUP BY wk ORDER BY wk""".stripMargin)),
+
+    // Referential-integrity audit across the star schema: orphan FK
+    // rows per relation (lineitem→orders, lineitem→part,
+    // lineitem→supplier, orders→customer, customer→nation) in ONE
+    // union of anti-join counts. Each anti joins on the FK key —
+    // dimension sides broadcast where small, and the audit runs
+    // map-side against them; the fact scans prune to the key column.
+    // The fixtures are FK-consistent by construction, so two
+    // relations get deterministic orphans INJECTED (shifted copies of
+    // low keys) — the audit must count exactly those and nothing
+    // else; the other three prove clean at zero.
+    QueryDef("q217_fk_audit",
+      (s, dir) => {
+        def orphans(rel: String, keys: org.apache.spark.sql.DataFrame,
+                    dim: org.apache.spark.sql.DataFrame, pk: String) =
+          keys.join(dim.select(col(pk).cast("bigint").as("k")), Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+            .select(lit(rel).as("relation"), col("n_orphans"))
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val liOrd = li.select(col("l_orderkey").as("k"))
+          .unionAll(li.filter(col("l_orderkey") < 50)
+            .select((col("l_orderkey") + lit(900000000L)).as("k")))
+        val ordCust = o.select(col("o_custkey").as("k"))
+          .unionAll(o.filter(col("o_custkey") < 20)
+            .select((col("o_custkey") + lit(900000000L)).as("k")))
+        orphans("lineitem->orders", liOrd, o, "o_orderkey")
+          .unionAll(orphans("lineitem->part",
+            li.select(col("l_partkey").as("k")), Tables.part(s, dir), "p_partkey"))
+          .unionAll(orphans("lineitem->supplier",
+            li.select(col("l_suppkey").as("k")), Tables.supplier(s, dir), "s_suppkey"))
+          .unionAll(orphans("orders->customer", ordCust, c, "c_custkey"))
+          .unionAll(orphans("customer->nation",
+            c.select(col("c_nationkey").cast("bigint").as("k")),
+            Tables.nation(s, dir), "n_nationkey"))
+          .orderBy("relation")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'lineitem->orders' AS relation, COUNT(*) AS n_orphans FROM (
+             |    SELECT l_orderkey AS k FROM lineitem
+             |    UNION ALL SELECT l_orderkey + 900000000 FROM lineitem WHERE l_orderkey < 50)
+             |  WHERE k NOT IN (SELECT o_orderkey FROM orders)
+             |  UNION ALL
+             |  SELECT 'lineitem->part', COUNT(*) FROM lineitem
+             |  WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+             |  UNION ALL
+             |  SELECT 'lineitem->supplier', COUNT(*) FROM lineitem
+             |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+             |  UNION ALL
+             |  SELECT 'orders->customer', COUNT(*) FROM (
+             |    SELECT o_custkey AS k FROM orders
+             |    UNION ALL SELECT o_custkey + 900000000 FROM orders WHERE o_custkey < 20)
+             |  WHERE k NOT IN (SELECT c_custkey FROM customer)
+             |  UNION ALL
+             |  SELECT 'customer->nation', COUNT(*) FROM customer
+             |  WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+             |ORDER BY relation""".stripMargin)),
+
+    // Distribution drift between the first and last week of events:
+    // χ²-style statistic over 10 equal-width value bins. Protocol:
+    // bin shares first floor to ppm (p = 1e6·cnt div n — counts can
+    // reach 2.5e8/bin at sf1000, so the raw (n_b·e − n_a·o)² cross
+    // form would overflow BIGINT; ppm shares keep every product under
+    // 1e12), then the per-bin term is floor((p_b − p_a)²/p_a) — the
+    // χ²/PSI drift scale in exact integers. The monitoring shape: one
+    // bin groupBy over two filtered weeks, 10-row broadcast staples,
+    // no other shuffle.
+    QueryDef("q218_drift_chi2",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("value"),
+            expr("unix_micros(cast(ts as timestamp)) div 604800000000").as("wk"))
+        val bounds = e.agg(min("wk").as("wk_a"), max("wk").as("wk_b"))
+        val binned = e.crossJoin(broadcast(bounds))
+          .filter(col("wk") === col("wk_a") || col("wk") === col("wk_b"))
+          .select(when(col("wk") === col("wk_a"), "a").otherwise("b").as("side"),
+            least(floor(col("value") / 50.0).cast("bigint"), lit(9L)).as("bin"))
+        val counts = binned.groupBy("bin")
+          .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("e_cnt"),
+            sum(when(col("side") === "b", 1L).otherwise(0L)).as("o_cnt"))
+        val totals = broadcast(counts.agg(sum("e_cnt").as("n_a"), sum("o_cnt").as("n_b")))
+        counts.crossJoin(totals)
+          .select(col("bin"), col("e_cnt"), col("o_cnt"),
+            expr("(1000000 * e_cnt) div n_a").as("p_a"),
+            expr("(1000000 * o_cnt) div n_b").as("p_b"))
+          .filter(col("p_a") > 0)
+          .select(col("bin"), col("e_cnt"), col("o_cnt"),
+            expr("((p_b - p_a) * (p_b - p_a)) div p_a").as("drift_ppm"))
+          .orderBy("bin")
+      },
+      Some("""WITH e AS (SELECT value, epoch_us(ts) // 604800000000 AS wk FROM events),
+             |bounds AS (SELECT MIN(wk) AS wk_a, MAX(wk) AS wk_b FROM e),
+             |binned AS (
+             |  SELECT CASE WHEN wk = wk_a THEN 'a' ELSE 'b' END AS side,
+             |    LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bin
+             |  FROM e, bounds WHERE wk = wk_a OR wk = wk_b),
+             |counts AS (
+             |  SELECT bin,
+             |    CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS e_cnt,
+             |    CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt
+             |  FROM binned GROUP BY bin),
+             |totals AS (SELECT CAST(SUM(e_cnt) AS BIGINT) AS n_a,
+             |                  CAST(SUM(o_cnt) AS BIGINT) AS n_b FROM counts),
+             |shares AS (
+             |  SELECT bin, e_cnt, o_cnt,
+             |    (1000000 * e_cnt) // n_a AS p_a, (1000000 * o_cnt) // n_b AS p_b
+             |  FROM counts CROSS JOIN totals)
+             |SELECT bin, e_cnt, o_cnt,
+             |  ((p_b - p_a) * (p_b - p_a)) // p_a AS drift_ppm
+             |FROM shares WHERE p_a > 0 ORDER BY bin""".stripMargin))
   )
 }
