@@ -55,6 +55,15 @@ object MinHashLSH {
   def baseHash(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
+  /** Driver-side mirror of [[baseHash]] — md5 first 8 hex chars as a
+    * long — for computing partition keys of literal probe values
+    * (e.g. which index bucket a query term lives in) without a job. */
+  def baseHashJvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
   /** K-component MinHash signature of a hashed-shingle array.
     *
     * K independent `array_min(transform(...))` passes over the hashes.

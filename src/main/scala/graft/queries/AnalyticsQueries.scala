@@ -536,6 +536,44 @@ object AnalyticsQueries extends QueryRegistry {
              |  FROM counts CROSS JOIN totals)
              |SELECT bin, e_cnt, o_cnt,
              |  ((p_b - p_a) * (p_b - p_a)) // p_a AS drift_ppm
-             |FROM shares WHERE p_a > 0 ORDER BY bin""".stripMargin))
+             |FROM shares WHERE p_a > 0 ORDER BY bin""".stripMargin)),
+
+    // Inverted index ON the lakehouse: posting lists (term, doc, tf)
+    // persisted partitioned by a 16-way term-hash bucket, staged once
+    // per corpus content (the q67 IVF discipline, applied to text).
+    // Serving a term lookup computes the probe's bucket DRIVER-side
+    // (baseHashJvm — no job) and reads only that partition directory:
+    // the lookup cost is the bucket's fraction of the index however
+    // large the corpus grows. PlanSpec asserts the file listing
+    // touches exactly the probed buckets. Top-5 docs per term ranks
+    // inside the pruned read (WindowGroupLimit).
+    QueryDef("q219_inverted_index",
+      (s, dir) => {
+        import graft.operators.MinHashLSH
+        val path = Fixtures.stagedDir(dir, "documents", "inv_index") { tmp =>
+          Tables.documents(s, dir)
+            .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+            .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+            .withColumn("bucket", pmod(MinHashLSH.baseHash(col("term")), lit(16)))
+            .repartition(col("bucket"))
+            .write.partitionBy("bucket").parquet(tmp)
+        }
+        val probes = Seq("spark", "join")
+        val buckets = probes.map(t => MinHashLSH.baseHashJvm(t) % 16).distinct
+        val w = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+        s.read.parquet(path)
+          .filter(col("bucket").isin(buckets: _*) && col("term").isin(probes: _*))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("term"), col("doc_id"), col("tf"), col("rn"))
+          .orderBy("term", "rn")
+      },
+      Some("""WITH tf AS (
+             |  SELECT term, doc_id, COUNT(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+             |  WHERE term IN ('spark', 'join') GROUP BY 1, 2)
+             |SELECT term, doc_id, tf, CAST(rn AS INT) AS rn FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+             |  FROM tf) WHERE rn <= 5
+             |ORDER BY term, rn""".stripMargin))
   )
 }

@@ -286,4 +286,27 @@ class PlanSpec extends SparkTestBase {
     // per-user step state aggregates map-side before any exchange
     assert(plan.contains("partial_min"), plan.take(2000))
   }
+
+  test("q219: term lookup prunes the inverted index to the probed buckets") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = run("q219_inverted_index")
+    df.collect() // materialize so scan metrics are populated
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      // materialized AQE stages are leaves; descend into their plans
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val idx = scans(df.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("inv_index")))
+    assert(idx.nonEmpty, df.queryExecution.executedPlan.toString.take(2000))
+    val expected = Seq("spark", "join")
+      .map(t => operators.MinHashLSH.baseHashJvm(t) % 16).distinct.size
+    // the file listing must touch exactly the probe terms' bucket
+    // dirs — the driver-side hash pruned before any file was read
+    assert(idx.head.metrics("numPartitions").value == expected,
+      idx.head.metrics.map { case (k, m) => s"$k=${m.value}" }.mkString(", "))
+  }
 }
