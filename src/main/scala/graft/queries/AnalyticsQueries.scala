@@ -574,6 +574,99 @@ object AnalyticsQueries extends QueryRegistry {
              |SELECT term, doc_id, tf, CAST(rn AS INT) AS rn FROM (
              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
              |  FROM tf) WHERE rn <= 5
-             |ORDER BY term, rn""".stripMargin))
+             |ORDER BY term, rn""".stripMargin)),
+
+    // Time-weighted average value per (user, day) — each reading
+    // holds until the next one (step interpolation), so its weight is
+    // its duration. Exact protocol: values are cents (×100 exact in
+    // double — fixture values carry 2 decimals), durations are ms,
+    // and the TWAP is floor(Σ cents·dur_ms / Σ dur_ms) — bounded
+    // per-group products, order-independent integer sums, no float
+    // accumulation. One user-partitioned window (the lead), one
+    // grouped aggregate; top 20 user-days by TWAP.
+    QueryDef("q220_twap",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"),
+            unix_micros(col("ts").cast("timestamp")).as("us"))
+          .withColumn("next_us", lead("us", 1).over(w))
+          .filter(col("next_us").isNotNull)
+          .select(col("user_id"),
+            expr("us div 86400000000").as("day"),
+            round(col("value") * 100).cast("bigint").as("cents"),
+            ((col("next_us") - col("us")) / lit(1000)).cast("bigint").as("dur_ms"))
+          .filter(col("dur_ms") > 0)
+        e.groupBy("user_id", "day")
+          .agg(sum(col("cents") * col("dur_ms")).as("wsum"),
+            sum(col("dur_ms")).as("tsum"),
+            count(lit(1)).as("n_readings"))
+          .select(col("user_id"), col("day"),
+            expr("wsum div tsum").as("twap_cents"), col("n_readings"))
+          .orderBy(col("twap_cents").desc, col("user_id"), col("day"))
+          .limit(20)
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, epoch_us(ts) AS us, value,
+             |    LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+             |  FROM events),
+             |seg AS (
+             |  SELECT user_id, us // 86400000000 AS day,
+             |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             |    (next_us - us) // 1000 AS dur_ms
+             |  FROM r WHERE next_us IS NOT NULL AND (next_us - us) // 1000 > 0)
+             |SELECT user_id, day,
+             |  CAST(SUM(cents * dur_ms) AS BIGINT) // CAST(SUM(dur_ms) AS BIGINT) AS twap_cents,
+             |  COUNT(*) AS n_readings
+             |FROM seg GROUP BY 1, 2
+             |ORDER BY twap_cents DESC, user_id, day LIMIT 20""".stripMargin)),
+
+    // Last-touch attribution: every purchase is credited to the most
+    // recent preceding marketing touch (view or click) of the same
+    // user within 7 days — the as-of join put to its canonical
+    // product use. Revenue rolls up by touch channel (the touch's
+    // event_type) in exact cents. Both sides shuffle once on user_id;
+    // the per-purchase argmax is the rank-filter idiom, never a
+    // cross product wider than (purchases × their own touches).
+    QueryDef("q221_attribution",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"),
+            unix_micros(col("ts").cast("timestamp")).as("p_us"),
+            round(col("value") * 100).cast("bigint").as("cents"))
+        val touches = e.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("event_type").as("channel"),
+            col("event_id").as("t_id"),
+            unix_micros(col("ts").cast("timestamp")).as("t_us"))
+        val w = Window.partitionBy("p_id")
+          .orderBy(col("t_us").desc, col("t_id").desc)
+        val credited = purchases.join(touches, "user_id")
+          .filter(col("t_us") < col("p_us") &&
+            col("t_us") >= col("p_us") - lit(7L * 86400000000L))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        credited.groupBy("channel")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum("cents").cast("bigint").as("revenue_cents"))
+          .orderBy("channel")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us,
+             |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'),
+             |t AS (
+             |  SELECT user_id, event_type AS channel, event_id AS t_id, epoch_us(ts) AS t_us
+             |  FROM events WHERE event_type IN ('view', 'click')),
+             |credited AS (
+             |  SELECT channel, cents FROM (
+             |    SELECT t.channel, p.cents,
+             |      ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY t.t_us DESC, t.t_id DESC) AS rn
+             |    FROM p JOIN t USING (user_id)
+             |    WHERE t.t_us < p.p_us AND t.t_us >= p.p_us - 604800000000)
+             |  WHERE rn = 1)
+             |SELECT channel, COUNT(*) AS n_purchases,
+             |  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+             |FROM credited GROUP BY channel ORDER BY channel""".stripMargin))
   )
 }
