@@ -667,6 +667,57 @@ object AnalyticsQueries extends QueryRegistry {
              |  WHERE rn = 1)
              |SELECT channel, COUNT(*) AS n_purchases,
              |  CAST(SUM(cents) AS BIGINT) AS revenue_cents
-             |FROM credited GROUP BY channel ORDER BY channel""".stripMargin))
+             |FROM credited GROUP BY channel ORDER BY channel""".stripMargin)),
+
+    // Incremental inverted index: q219's posting lists as SNAPSHOT
+    // COMMITS (the q203 incremental-IVF discipline applied to text) —
+    // a base build plus a new-docs batch appended under the same
+    // 16-way term-hash bucketing, files range-clustered by bucket so
+    // INT64 manifest stats prune term lookups to the probed buckets
+    // across base AND incremental commits. Index freshness without
+    // rebuilds; serving merges postings from every commit (doc
+    // batches are disjoint, so the union IS the full posting list).
+    QueryDef("q222_inverted_incremental",
+      (s, dir) => {
+        import graft.operators.MinHashLSH
+        import graft.ingest.{Snapshots, Topics}
+        val root = Fixtures.stagedDir(dir, "documents", "invinc_v1") { tmp =>
+          def postings(df: org.apache.spark.sql.DataFrame) = df
+            .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+            .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+            .withColumn("bucket",
+              pmod(MinHashLSH.baseHash(col("term")), lit(16)).cast("bigint"))
+          val d = Tables.documents(s, dir)
+          postings(d.filter(col("doc_id") < 400))
+            .repartitionByRange(8, col("bucket"))
+            .write.parquet(Topics.tableDir(tmp, "inv"))
+          Snapshots.commit(tmp, "inv", maxPos = 0)
+          postings(d.filter(col("doc_id") >= 400))
+            .repartitionByRange(4, col("bucket"))
+            .write.mode("append").parquet(Topics.tableDir(tmp, "inv"))
+          Snapshots.commit(tmp, "inv", maxPos = 1)
+        }
+        val probes = Seq("spark", "join")
+        val buckets = probes.map(t => MinHashLSH.baseHashJvm(t) % 16).distinct.sorted
+        val idx = buckets.map(b => graft.ingest.Snapshots.readPrunedMulti(
+            s, root, "inv",
+            Seq(graft.ingest.Snapshots.StatRange.longRange("bucket", b, b))))
+          .reduce(_.unionByName(_))
+        val w = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+        idx.filter(col("term").isin(probes: _*))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("term"), col("doc_id"), col("tf"), col("rn"))
+          .orderBy("term", "rn")
+      },
+      // physical layout is invisible to the result: the oracle is the
+      // straight posting-list top-5 over the whole corpus (q219's)
+      Some("""WITH tf AS (
+             |  SELECT term, doc_id, COUNT(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+             |  WHERE term IN ('spark', 'join') GROUP BY 1, 2)
+             |SELECT term, doc_id, tf, CAST(rn AS INT) AS rn FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+             |  FROM tf) WHERE rn <= 5
+             |ORDER BY term, rn""".stripMargin))
   )
 }

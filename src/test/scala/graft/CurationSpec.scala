@@ -169,6 +169,24 @@ class CurationSpec extends SparkTestBase {
     assert(all.count() == Tables.embeddings(spark, sf).count())
   }
 
+  test("q222 incremental inverted index: bucket stats prune across both commits") {
+    import graft.ingest.Snapshots
+    val rows = run("q222_inverted_incremental").collect() // stages the index
+    assert(rows.length == 10)
+    val root = graft.queries.Fixtures.stagedDir(sf, "documents", "invinc_v1")(
+      _ => fail("index should already be staged"))
+    val snap = Snapshots.snapshot(root, "inv", None).get
+    assert(snap.version == 1) // base commit + one incremental append
+    // a single-bucket term lookup opens a strict subset of the files
+    val pruned = Snapshots.pruneFilesMulti(root, "inv",
+      Seq(Snapshots.StatRange.longRange("bucket", 3, 3)))
+    assert(pruned.nonEmpty && pruned.size < snap.files.size,
+      s"pruned ${pruned.size} of ${snap.files.size}")
+    // incremental postings really are served (new docs present)
+    val all = Snapshots.read(spark, root, "inv")
+    assert(all.filter(col("doc_id") >= 400).count() > 0)
+  }
+
   test("persisted IVF index prunes partitions on cell filter") {
     val (index, _) = operators.IvfIndex.build(
       Tables.embeddings(spark, sf), "vec_id", "embedding", k = 16)
