@@ -718,6 +718,70 @@ object AnalyticsQueries extends QueryRegistry {
              |SELECT term, doc_id, tf, CAST(rn AS INT) AS rn FROM (
              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
              |  FROM tf) WHERE rn <= 5
-             |ORDER BY term, rn""".stripMargin))
+             |ORDER BY term, rn""".stripMargin)),
+
+    // BPE merge APPLICATION — the step after q178's pair statistics:
+    // the top-3 adjacent pairs (ranked on the base corpus, ties
+    // lexicographic) are merged into single tokens by three
+    // sequential left-to-right non-overlapping passes (the greedy
+    // single-pass approximation real BPE scans use), via LITERAL
+    // space-sentinel replace — no regex, so both engines share the
+    // exact scan semantics, including the alternating-occurrence
+    // behavior on runs like "a b a b". The 3-pair ranking is a
+    // metadata-sized broadcast staple; application is map-side.
+    QueryDef("q223_bpe_apply",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id"), col("text"))
+        val bg = d.select(explode(expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1), " +
+              "i -> struct(element_at(split(text, ' '), i) as w1, element_at(split(text, ' '), i + 1) as w2))"))
+            .as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        val ranked = bg.withColumn("rn", row_number().over(
+          Window.orderBy(col("c").desc, col("w1"), col("w2")))).filter(col("rn") <= 3)
+        val top3 = broadcast(ranked.agg(
+          max(when(col("rn") === 1, col("w1"))).as("a1"),
+          max(when(col("rn") === 1, col("w2"))).as("b1"),
+          max(when(col("rn") === 2, col("w1"))).as("a2"),
+          max(when(col("rn") === 2, col("w2"))).as("b2"),
+          max(when(col("rn") === 3, col("w1"))).as("a3"),
+          max(when(col("rn") === 3, col("w2"))).as("b3")))
+        def merge(t: Column, a: Column, b: Column): Column =
+          replace(t, concat(lit(" "), a, lit(" "), b, lit(" ")),
+            concat(lit(" "), a, lit("_"), b, lit(" ")))
+        d.crossJoin(top3)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).as("n_before"),
+            merge(merge(merge(concat(lit(" "), col("text"), lit(" ")),
+              col("a1"), col("b1")), col("a2"), col("b2")), col("a3"), col("b3"))
+              .as("merged"))
+          .select(col("doc_id"), col("n_before"),
+            size(split(trim(col("merged")), " ")).as("n_after"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+             |bg AS (
+             |  SELECT toks[i] AS w1, toks[i+1] AS w2, COUNT(*) AS c FROM (
+             |    SELECT string_split(text, ' ') AS toks,
+             |      unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+             |    FROM d)
+             |  GROUP BY 1, 2),
+             |ranked AS (SELECT w1, w2,
+             |    ROW_NUMBER() OVER (ORDER BY c DESC, w1, w2) AS rn
+             |  FROM bg QUALIFY rn <= 3),
+             |top3 AS (SELECT
+             |    MAX(CASE WHEN rn = 1 THEN w1 END) AS a1, MAX(CASE WHEN rn = 1 THEN w2 END) AS b1,
+             |    MAX(CASE WHEN rn = 2 THEN w1 END) AS a2, MAX(CASE WHEN rn = 2 THEN w2 END) AS b2,
+             |    MAX(CASE WHEN rn = 3 THEN w1 END) AS a3, MAX(CASE WHEN rn = 3 THEN w2 END) AS b3
+             |  FROM ranked)
+             |SELECT doc_id, len(string_split(text, ' ')) AS n_before,
+             |  len(string_split(trim(
+             |    replace(replace(replace(' ' || text || ' ',
+             |      ' ' || a1 || ' ' || b1 || ' ', ' ' || a1 || '_' || b1 || ' '),
+             |      ' ' || a2 || ' ' || b2 || ' ', ' ' || a2 || '_' || b2 || ' '),
+             |      ' ' || a3 || ' ' || b3 || ' ', ' ' || a3 || '_' || b3 || ' ')), ' ')) AS n_after
+             |FROM d CROSS JOIN top3 ORDER BY doc_id""".stripMargin))
   )
 }
