@@ -193,7 +193,50 @@ object Multimodal {
     AudioFacts(fmt.getSampleRate.toInt, n.toLong, energy, maxAmp)
   }
 
+  /** [[makePng]] with a brightness offset — pixel(x,y) = (x*7 + y*13 +
+    * seed + off) % 256, dims still from the seed — for constructing
+    * near-duplicate variants of a base image (small +off shifts every
+    * pixel equally except where the %256 wrap flips a cell, so a
+    * brightness-invariant perceptual hash lands a few bits away). */
+  val makePng2: (Long, Long) => Array[Byte] = { (seed, off) =>
+    val w = 8 + (seed % 9).toInt
+    val h = 8 + (seed % 7).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((x * 7 + y * 13 + seed + off) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Average-hash (aHash) of a decoded image: 8×8 nearest-neighbor
+    * grid g(i,j) = px(i·w/8, j·h/8), bit = g ≥ mean — compared as
+    * 64·g ≥ Σg so the mean never leaves integer arithmetic. Emitted
+    * as a 64-char bitstring (row-major, j outer) rather than a packed
+    * BIGINT: bit 63 would wrap a signed long, and the SQL oracle
+    * replays string positions more simply than two's-complement. */
+  val ahash: Array[Byte] => String = { bytes =>
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val g = Array.tabulate(64) { k =>
+      (img.getRGB((k % 8) * w / 8, (k / 8) * h / 8) & 0xff).toLong
+    }
+    val s = g.sum
+    g.map(v => if (64 * v >= s) '1' else '0').mkString
+  }
+
   val makePngUdf = udf(makePng)
+  val makePng2Udf = udf(makePng2)
+  val ahashUdf = udf(ahash)
   val decodePngUdf = udf(decodePng)
   val makeWavUdf = udf(makeWav)
   val decodeWavUdf = udf(decodeWav)

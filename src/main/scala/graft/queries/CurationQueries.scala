@@ -1145,6 +1145,66 @@ object CurationQueries extends QueryRegistry {
               |FROM pairs p
               |JOIN sh a ON a.id = p.a_id
               |JOIN sh b ON b.id = p.b_id
-              |ORDER BY pair_type, a_id, b_id""".stripMargin))
+              |ORDER BY pair_type, a_id, b_id""".stripMargin)),
+
+    // Image near-dup via perceptual hash: REAL PNGs (encoded and
+    // decoded through the JDK codec, q188's contract) are aHashed —
+    // 8×8 nearest grid, bit = 64·g ≥ Σg, 64-char bitstring — then
+    // candidate pairs come from BLOCKING on the first 16 hash bits
+    // (the LSH discipline: never all-pairs at corpus scale) and pairs
+    // within Hamming ≤ 8 survive. Ten +3-brightness variants are
+    // injected; the %256 wrap flips only wrap-crossing cells, so
+    // variant pairs land a few bits from their base — IF the wrap
+    // didn't touch the blocking prefix, and that partial recall is
+    // part of the checked output (q212's honesty rule). The oracle
+    // replays grid/hash/blocking arithmetically — the codec
+    // round-trip is what the engine side proves.
+    QueryDef("q224_image_phash",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val ids = d.filter(col("doc_id") < 50)
+          .select(col("doc_id").as("media_id"), col("doc_id").as("seed"),
+            lit(0L).as("brt"))
+          .unionAll(d.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 1000).as("media_id"), col("doc_id").as("seed"),
+              lit(3L).as("brt")))
+        val hashes = ids
+          .select(col("media_id"),
+            Multimodal.ahashUdf(Multimodal.makePng2Udf(col("seed"), col("brt"))).as("h"))
+          .withColumn("block", substring(col("h"), 1, 16))
+        val a = hashes.select(col("media_id").as("a_id"), col("h").as("ha"), col("block"))
+        val b = hashes.select(col("media_id").as("b_id"), col("h").as("hb"), col("block"))
+        a.join(b, Seq("block")).filter(col("a_id") < col("b_id"))
+          .withColumn("hamming",
+            expr("size(filter(sequence(1, 64), i -> substr(ha, i, 1) != substr(hb, i, 1)))"))
+          .filter(col("hamming") <= 8)
+          .select(
+            when(col("b_id") >= 1000, "variant").otherwise("natural").as("pair_type"),
+            col("a_id"), col("b_id"), col("hamming"))
+          .orderBy("pair_type", "a_id", "b_id")
+      },
+      Some("""WITH ids AS (
+             |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS brt
+             |  FROM documents WHERE doc_id < 50
+             |  UNION ALL
+             |  SELECT doc_id + 1000, doc_id, 3 FROM documents WHERE doc_id < 10),
+             |dims AS (SELECT media_id, seed, brt,
+             |    8 + seed % 9 AS w, 8 + seed % 7 AS h FROM ids),
+             |hg AS (SELECT media_id,
+             |    list_transform(generate_series(0, 63), k ->
+             |      ((((k % 8) * w) // 8) * 7 + (((k // 8) * h) // 8) * 13 + seed + brt) % 256) AS g
+             |  FROM dims),
+             |hs0 AS (SELECT media_id, g, list_sum(g) AS s FROM hg),
+             |hs AS (SELECT media_id,
+             |    array_to_string(list_transform(g, v ->
+             |      CASE WHEN 64 * v >= s THEN '1' ELSE '0' END), '') AS h
+             |  FROM hs0),
+             |hb AS (SELECT media_id, h, substr(h, 1, 16) AS block FROM hs)
+             |SELECT CASE WHEN b.media_id >= 1000 THEN 'variant' ELSE 'natural' END AS pair_type,
+             |  a.media_id AS a_id, b.media_id AS b_id,
+             |  CAST(len(list_filter(generate_series(1, 64), i -> a.h[i] != b.h[i])) AS INT) AS hamming
+             |FROM hb a JOIN hb b ON a.block = b.block AND a.media_id < b.media_id
+             |WHERE len(list_filter(generate_series(1, 64), i -> a.h[i] != b.h[i])) <= 8
+             |ORDER BY pair_type, a_id, b_id""".stripMargin))
   )
 }
