@@ -234,9 +234,55 @@ object Multimodal {
     g.map(v => if (64 * v >= s) '1' else '0').mkString
   }
 
+  /** [[makeWav]] with a sample offset — s(t) = (t·37 + seed·11 + off)
+    * % 2001 − 1000 — the audio analog of [[makePng2]]'s variants. */
+  val makeWav2: (Long, Long) => Array[Byte] = { (seed, off) =>
+    val n = 64 + (seed % 64).toInt
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s = (((t * 37 + seed * 11 + off) % 2001) - 1000).toShort
+      pcm(2 * t) = (s & 0xff).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Energy-contour fingerprint of a decoded WAV (the Haitsma–Kalker
+    * bit derivation reduced to its integer core): 16 frames with
+    * index-arithmetic bounds [f·n/16, (f+1)·n/16), E(f) = Σ s², bit
+    * f = E(f) ≥ E(f−1) → 15-char bitstring. Exact BIGINT throughout
+    * (no FFT, no floats) so a SQL oracle replays it from the sample
+    * formula while the engine proves the codec round-trip. */
+  val audioFp: Array[Byte] => String = { bytes =>
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val data = ais.readAllBytes()
+    val n = data.length / 2
+    def sample(t: Int): Long =
+      ((data(2 * t) & 0xff) | (data(2 * t + 1) << 8)).toShort.toLong
+    val e = Array.tabulate(16) { f =>
+      var acc = 0L
+      var t = f * n / 16
+      val end = (f + 1) * n / 16
+      while (t < end) { acc += sample(t) * sample(t); t += 1 }
+      acc
+    }
+    (1 until 16).map(f => if (e(f) >= e(f - 1)) '1' else '0').mkString
+  }
+
   val makePngUdf = udf(makePng)
   val makePng2Udf = udf(makePng2)
   val ahashUdf = udf(ahash)
+  val makeWav2Udf = udf(makeWav2)
+  val audioFpUdf = udf(audioFp)
   val decodePngUdf = udf(decodePng)
   val makeWavUdf = udf(makeWav)
   val decodeWavUdf = udf(decodeWav)

@@ -782,6 +782,39 @@ object AnalyticsQueries extends QueryRegistry {
              |      ' ' || a1 || ' ' || b1 || ' ', ' ' || a1 || '_' || b1 || ' '),
              |      ' ' || a2 || ' ' || b2 || ' ', ' ' || a2 || '_' || b2 || ' '),
              |      ' ' || a3 || ' ' || b3 || ' ', ' ' || a3 || '_' || b3 || ' ')), ' ')) AS n_after
-             |FROM d CROSS JOIN top3 ORDER BY doc_id""".stripMargin))
+             |FROM d CROSS JOIN top3 ORDER BY doc_id""".stripMargin)),
+
+    // Event transition matrix (the Markov/Sankey view of user paths):
+    // count every (previous type → type) step in per-user event-time
+    // order, then per-source transition probability in ppm-floored
+    // integer form. One user-partitioned window shuffle + one 25-row
+    // aggregate; probabilities divide counts by the source row-total
+    // via a broadcast staple, never a second scan.
+    QueryDef("q226_session_paths",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val steps = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+          .agg(count(lit(1)).as("c"))
+        val totals = steps.groupBy("src").agg(sum("c").as("src_total"))
+        steps.join(broadcast(totals), "src")
+          .select(col("src"), col("dst"), col("c"),
+            expr("(1000000 * c) div src_total").as("p_ppm"))
+          .orderBy("src", "dst")
+      },
+      Some("""WITH steps AS (
+             |  SELECT prev AS src, event_type AS dst, COUNT(*) AS c FROM (
+             |    SELECT event_type, LAG(event_type, 1) OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |    FROM events)
+             |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+             |totals AS (SELECT src, CAST(SUM(c) AS BIGINT) AS src_total
+             |           FROM steps GROUP BY 1)
+             |SELECT src, dst, c, (1000000 * c) // src_total AS p_ppm
+             |FROM steps JOIN totals USING (src)
+             |ORDER BY src, dst""".stripMargin))
   )
 }

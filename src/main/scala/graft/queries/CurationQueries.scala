@@ -1205,6 +1205,64 @@ object CurationQueries extends QueryRegistry {
              |  CAST(len(list_filter(generate_series(1, 64), i -> a.h[i] != b.h[i])) AS INT) AS hamming
              |FROM hb a JOIN hb b ON a.block = b.block AND a.media_id < b.media_id
              |WHERE len(list_filter(generate_series(1, 64), i -> a.h[i] != b.h[i])) <= 8
+             |ORDER BY pair_type, a_id, b_id""".stripMargin)),
+
+    // Audio near-dup via energy-contour fingerprint — q224's pattern
+    // on the third modality: real WAVs round-trip the JDK codec, the
+    // 15-bit energy-trend fingerprint blocks on its first 8 bits, and
+    // pairs within Hamming ≤ 3 survive. Ten +7-sample-offset variants
+    // injected; the %2001 wrap perturbs only wrap-crossing samples,
+    // so variants land a few bits from their base when the prefix
+    // holds (partial blocking recall is checked output, as in q212/
+    // q224). Oracle replays sample/energy arithmetic; the engine side
+    // proves encode→decode→fingerprint on real containers.
+    QueryDef("q225_audio_fingerprint",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val ids = d.filter(col("doc_id") < 50)
+          .select(col("doc_id").as("media_id"), col("doc_id").as("seed"),
+            lit(0L).as("brt"))
+          .unionAll(d.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 1000).as("media_id"), col("doc_id").as("seed"),
+              lit(7L).as("brt")))
+        val fps = ids
+          .select(col("media_id"),
+            Multimodal.audioFpUdf(Multimodal.makeWav2Udf(col("seed"), col("brt"))).as("h"))
+          .withColumn("block", substring(col("h"), 1, 8))
+        val a = fps.select(col("media_id").as("a_id"), col("h").as("ha"), col("block"))
+        val b = fps.select(col("media_id").as("b_id"), col("h").as("hb"), col("block"))
+        a.join(b, Seq("block")).filter(col("a_id") < col("b_id"))
+          .withColumn("hamming",
+            expr("size(filter(sequence(1, 15), i -> substr(ha, i, 1) != substr(hb, i, 1)))"))
+          .filter(col("hamming") <= 3)
+          .select(
+            when(col("b_id") >= 1000, "variant").otherwise("natural").as("pair_type"),
+            col("a_id"), col("b_id"), col("hamming"))
+          .orderBy("pair_type", "a_id", "b_id")
+      },
+      Some("""WITH ids AS (
+             |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS brt
+             |  FROM documents WHERE doc_id < 50
+             |  UNION ALL
+             |  SELECT doc_id + 1000, doc_id, 7 FROM documents WHERE doc_id < 10),
+             |dims AS (SELECT media_id, seed, brt, 64 + seed % 64 AS n FROM ids),
+             |fe AS (SELECT media_id,
+             |    list_transform(generate_series(0, 15), f ->
+             |      list_sum(list_transform(
+             |        generate_series((f * n) // 16, ((f + 1) * n) // 16 - 1), t ->
+             |          (((t * 37 + seed * 11 + brt) % 2001) - 1000) *
+             |          (((t * 37 + seed * 11 + brt) % 2001) - 1000)))) AS e
+             |  FROM dims),
+             |fs AS (SELECT media_id,
+             |    array_to_string(list_transform(generate_series(2, 16), f ->
+             |      CASE WHEN e[f] >= e[f - 1] THEN '1' ELSE '0' END), '') AS h
+             |  FROM fe),
+             |fb AS (SELECT media_id, h, substr(h, 1, 8) AS block FROM fs)
+             |SELECT CASE WHEN b.media_id >= 1000 THEN 'variant' ELSE 'natural' END AS pair_type,
+             |  a.media_id AS a_id, b.media_id AS b_id,
+             |  CAST(len(list_filter(generate_series(1, 15), i -> a.h[i] != b.h[i])) AS INT) AS hamming
+             |FROM fb a JOIN fb b ON a.block = b.block AND a.media_id < b.media_id
+             |WHERE len(list_filter(generate_series(1, 15), i -> a.h[i] != b.h[i])) <= 3
              |ORDER BY pair_type, a_id, b_id""".stripMargin))
   )
 }
