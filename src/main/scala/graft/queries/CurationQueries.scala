@@ -92,6 +92,46 @@ object CurationQueries extends QueryRegistry {
   private val cosineSql =
     "list_dot_product(v, pv) / sqrt(list_dot_product(v, v) * list_dot_product(pv, pv))"
 
+  /** Left-fold distance² between two DuckDB lists (the q35-proven
+    * list_reduce form — sequential accumulation, matching Spark's
+    * aggregate(zip_with(...)) bit-for-bit). */
+  private def ivfD2(vec: String, cent: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1,64),
+       |      i -> ($vec[i]-$cent[i])*($vec[i]-$cent[i]))), (acc,x) -> acc+x)""".stripMargin
+
+  /** DuckDB replay of the IVF coarse quantizer (IvfIndex.centroids +
+    * assignCells): 16 lowest-id seeds → argmin assignment → per-
+    * dimension means rounded to micros (AVG ulp noise cannot flip a
+    * cell) → re-assignment. Ends in `a1(vec_id, v, cell)` and keeps
+    * `cents` in scope — shared by the q67 search oracle and the q227
+    * SemDeDup oracle. */
+  private val ivfAssignCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (SELECT list(v ORDER BY vec_id) AS s
+       |          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+       |a0 AS (
+       |  SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cell
+       |  FROM (SELECT vec_id, v,
+       |    list_transform(s, c -> ${ivfD2("v", "c")}) AS ds
+       |    FROM e CROSS JOIN seeds)),
+       |m AS (
+       |  SELECT cell, list(mm ORDER BY pos) AS mean FROM (
+       |    SELECT cell, i.i AS pos, ROUND(AVG(v[i.i]) * 1e6) / 1e6 AS mm
+       |    FROM a0, generate_series(1,64) i(i)
+       |    GROUP BY cell, i.i)
+       |  GROUP BY cell),
+       |cents AS (
+       |  SELECT list(c ORDER BY cell) AS cs FROM (
+       |    SELECT g.g AS cell, COALESCE(m.mean, s.s[g.g+1]) AS c
+       |    FROM generate_series(0,15) g(g)
+       |    LEFT JOIN m ON m.cell = g.g
+       |    CROSS JOIN seeds s)),
+       |a1 AS (
+       |  SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cell
+       |  FROM (SELECT vec_id, v,
+       |    list_transform(cs, c -> ${ivfD2("v", "c")}) AS ds
+       |    FROM e CROSS JOIN cents))""".stripMargin
+
   /** DuckDB twin of TextAnalysis.langId (argmax char-n-gram profile
     * score via the replace occurrence-count trick, ties → alphabetical,
     * zero hits → 'und'); shared by q58 and q101. Expects a column `pt`
@@ -757,38 +797,11 @@ object CurationQueries extends QueryRegistry {
         IvfIndex.search(index.filter(col("id") =!= 0), cs, probe, nprobe = 4, topK = 10)
       },
       Some {
-        val d2 = (vec: String, cent: String) =>
-          s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1,64),
-             |      i -> ($vec[i]-$cent[i])*($vec[i]-$cent[i]))), (acc,x) -> acc+x)""".stripMargin
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |seeds AS (SELECT list(v ORDER BY vec_id) AS s
-           |          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
-           |a0 AS (
-           |  SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cell
-           |  FROM (SELECT vec_id, v,
-           |    list_transform(s, c -> ${d2("v", "c")}) AS ds
-           |    FROM e CROSS JOIN seeds)),
-           |m AS (
-           |  SELECT cell, list(mm ORDER BY pos) AS mean FROM (
-           |    SELECT cell, i.i AS pos, ROUND(AVG(v[i.i]) * 1e6) / 1e6 AS mm
-           |    FROM a0, generate_series(1,64) i(i)
-           |    GROUP BY cell, i.i)
-           |  GROUP BY cell),
-           |cents AS (
-           |  SELECT list(c ORDER BY cell) AS cs FROM (
-           |    SELECT g.g AS cell, COALESCE(m.mean, s.s[g.g+1]) AS c
-           |    FROM generate_series(0,15) g(g)
-           |    LEFT JOIN m ON m.cell = g.g
-           |    CROSS JOIN seeds s)),
-           |a1 AS (
-           |  SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cell
-           |  FROM (SELECT vec_id, v,
-           |    list_transform(cs, c -> ${d2("v", "c")}) AS ds
-           |    FROM e CROSS JOIN cents)),
+        s"""WITH $ivfAssignCtes,
            |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
            |pcells AS (
            |  SELECT cell FROM (
-           |    SELECT g.g AS cell, ${d2("pv", "cs[g.g+1]")} AS dist
+           |    SELECT g.g AS cell, ${ivfD2("pv", "cs[g.g+1]")} AS dist
            |    FROM generate_series(0,15) g(g), cents, probe)
            |  ORDER BY dist, cell LIMIT 4)
            |SELECT vec_id AS id, $cosineSql AS sim
@@ -1263,6 +1276,64 @@ object CurationQueries extends QueryRegistry {
              |  CAST(len(list_filter(generate_series(1, 15), i -> a.h[i] != b.h[i])) AS INT) AS hamming
              |FROM fb a JOIN fb b ON a.block = b.block AND a.media_id < b.media_id
              |WHERE len(list_filter(generate_series(1, 15), i -> a.h[i] != b.h[i])) <= 3
-             |ORDER BY pair_type, a_id, b_id""".stripMargin))
+             |ORDER BY pair_type, a_id, b_id""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup blocked by k-means
+    // cells instead of LSH buckets — cluster the embedding space with
+    // the SAME staged IVF quantizer q67 serves from (one artifact,
+    // zero extra build), then call two vectors semantic duplicates
+    // when their cosine inside a cell exceeds tau; the deterministic
+    // survivor rule keeps the lowest id of each duplicate
+    // neighborhood (a vector is removed iff ANY lower-id in-cell
+    // duplicate partner exists — q87's min-id survivorship at the
+    // embedding grain). Output is the bounded per-cell summary
+    // (k rows at any corpus size), never the pair list.
+    //
+    // 100-TB shape: the in-cell self-join is ONE shuffle on `cell`;
+    // cost is sum(|cell|^2), which is exactly the published
+    // algorithm's knob — k grows with the corpus so |cell| stays
+    // bounded (here k=16 at fixture scale), and cells are
+    // file-partitioned so each task joins one cell's files.
+    QueryDef("q227_semantic_dedup",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val path = Fixtures.stagedDir(dir, "embeddings", "ivf_index_v2") { tmp =>
+          val built = IvfIndex.centroids(emb, "vec_id", "embedding", k = 16)
+          IvfIndex.persist(IvfIndex.assignCells(
+            emb.select(col("vec_id").as("id"),
+              transform(col("embedding"), x => x.cast("double")).as("v")),
+            "v", built.map(_.toIndexedSeq).toIndexedSeq), tmp)
+          IvfIndex.writeCentroids(built, tmp)
+        }
+        val index = s.read.parquet(path)
+        val a = index.select(col("cell"), col("id").as("a_id"), col("v").as("va"))
+        val b = index.select(col("cell"), col("id").as("b_id"), col("v").as("vb"))
+        val removed = a.join(b, "cell")
+          .filter(col("a_id") < col("b_id"))
+          .filter(AnnLsh.cosine(col("va"), col("vb")) > 0.3)
+          .select(col("cell"), col("b_id").as("id")).distinct()
+          .groupBy("cell").agg(count(lit(1)).as("n_removed"))
+        index.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+          .join(removed, Seq("cell"), "left")
+          .select(col("cell").cast("int").as("cell"), col("n_vectors"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+            (col("n_vectors") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+          .orderBy("cell")
+      },
+      Some(
+        s"""WITH $ivfAssignCtes,
+           |rem AS (
+           |  SELECT cell, COUNT(DISTINCT b_id) AS n_removed FROM (
+           |    SELECT a.cell AS cell, b.vec_id AS b_id
+           |    FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |    WHERE list_dot_product(a.v, b.v)
+           |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) > 0.3)
+           |  GROUP BY cell),
+           |sz AS (SELECT cell, COUNT(*) AS n_vectors FROM a1 GROUP BY cell)
+           |SELECT CAST(sz.cell AS INT) AS cell, sz.n_vectors,
+           |  COALESCE(rem.n_removed, 0) AS n_removed,
+           |  sz.n_vectors - COALESCE(rem.n_removed, 0) AS n_kept
+           |FROM sz LEFT JOIN rem ON rem.cell = sz.cell
+           |ORDER BY cell""".stripMargin))
   )
 }
