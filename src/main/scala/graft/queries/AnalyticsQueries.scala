@@ -815,6 +815,90 @@ object AnalyticsQueries extends QueryRegistry {
              |           FROM steps GROUP BY 1)
              |SELECT src, dst, c, (1000000 * c) // src_total AS p_ppm
              |FROM steps JOIN totals USING (src)
-             |ORDER BY src, dst""".stripMargin))
+             |ORDER BY src, dst""".stripMargin)),
+
+    // Lag-k autocovariance of the daily event-count series, k = 1..7
+    // (the seasonality probe behind weekly-periodicity detection).
+    // Counts are integers, so the whole statistic is EXACT BIGINT:
+    // the output is the numerator n·Σxy − Σx·Σy per lag (the same
+    // division-free form as q211's z-test — no float accumulation
+    // anywhere). Day alignment is by VALUE (each day joins day+k via
+    // an exploded key), not by row adjacency, so gap days don't
+    // misalign lags.
+    //
+    // 100-TB shape: the series length is bounded by the time range,
+    // not the data size — the daily aggregate partial-aggregates
+    // map-side to ~365 rows/year, and everything after is metadata-
+    // scale. BIGINT holds to ~sf1000 (n·Σxy ≈ 1e18 at 2.7M
+    // events/day over a year).
+    QueryDef("q229_autocovariance",
+      (s, dir) => {
+        val dayUs = 86400000000L
+        val d = Tables.events(s, dir)
+          .select(expr(s"unix_micros(cast(ts as timestamp)) div ${dayUs}L").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("x"))
+        val probe = d.select(col("day"), col("x").as("xa"),
+            explode(sequence(lit(1), lit(7))).as("lag"))
+          .select((col("day") + col("lag")).as("day"), col("lag"), col("xa"))
+        probe.join(d.withColumnRenamed("x", "xb"), "day")
+          .groupBy("lag")
+          .agg(count(lit(1)).as("n_pairs"),
+            (count(lit(1)) * sum(col("xa") * col("xb")) -
+              sum(col("xa")) * sum(col("xb"))).as("autocov_num"))
+          .select(col("lag").cast("int").as("lag"), col("n_pairs"), col("autocov_num"))
+          .orderBy("lag")
+      },
+      Some("""WITH d AS (
+             |  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+             |  FROM events GROUP BY 1),
+             |p AS (
+             |  SELECT k.k AS lag, a.x AS xa, b.x AS xb
+             |  FROM d a CROSS JOIN generate_series(1,7) k(k)
+             |  JOIN d b ON b.day = a.day + k.k)
+             |SELECT CAST(lag AS INT) AS lag, COUNT(*) AS n_pairs,
+             |  CAST(COUNT(*) * SUM(xa * xb) - SUM(xa) * SUM(xb) AS BIGINT) AS autocov_num
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Exponentially weighted moving average of daily event counts per
+    // type, α = 1/4 over an 8-day horizon, in EXACT integer weights:
+    // w_k = 3^k · 4^(7−k) (the α(1−α)^k geometric weights scaled by
+    // 4^8, truncated at k=7 — >96% of the mass). Each day's count
+    // contributes to the next 8 days' averages via an exploded
+    // (day+k, w_k·x) key — weighting is by day VALUE, so gap days
+    // decay contributions exactly instead of misaligning a row-lag
+    // window. Emitted for (type, day) cells present in the series.
+    //
+    // 100-TB shape: identical to q229 — one map-side partial agg down
+    // to days×types rows, then metadata-scale arithmetic.
+    QueryDef("q230_ewma",
+      (s, dir) => {
+        val dayUs = 86400000000L
+        val w = Seq(16384L, 12288L, 9216L, 6912L, 5184L, 3888L, 2916L, 2187L)
+        val d = Tables.events(s, dir)
+          .select(col("event_type"),
+            expr(s"unix_micros(cast(ts as timestamp)) div ${dayUs}L").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+        val contrib = d
+          .select(col("event_type"), col("day"), col("x"),
+            posexplode(array(w.map(lit): _*)).as(Seq("k", "w")))
+          .select(col("event_type"), (col("day") + col("k")).as("day"),
+            (col("x") * col("w")).as("wx"))
+          .groupBy("event_type", "day").agg(sum("wx").as("ewma_scaled"))
+        contrib.join(d.select("event_type", "day"), Seq("event_type", "day"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH d AS (
+             |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+             |  FROM events GROUP BY 1, 2),
+             |c AS (
+             |  SELECT event_type, day + k.k AS day,
+             |    x * ([16384, 12288, 9216, 6912, 5184, 3888, 2916, 2187][k.k + 1]) AS wx
+             |  FROM d CROSS JOIN generate_series(0,7) k(k)),
+             |e AS (
+             |  SELECT event_type, day, CAST(SUM(wx) AS BIGINT) AS ewma_scaled
+             |  FROM c GROUP BY 1, 2)
+             |SELECT e.event_type, e.day, e.ewma_scaled
+             |FROM e JOIN (SELECT event_type, day FROM d) t USING (event_type, day)
+             |ORDER BY event_type, day""".stripMargin))
   )
 }

@@ -668,6 +668,53 @@ object TrainingQueries extends QueryRegistry {
              |        CAST(COUNT(*) AS DOUBLE) AS nsrc FROM d)
              |SELECT source, src_toks,
              |  CAST(FLOOR(1e6 * total / (nsrc * src_toks)) AS BIGINT) AS weight_micro
-             |FROM d CROSS JOIN t ORDER BY source""".stripMargin))
+             |FROM d CROSS JOIN t ORDER BY source""".stripMargin)),
+
+    // Covariance (gram) matrix of the embedding dimensions — the PCA/
+    // whitening prep step of an embedding pipeline. Dimension means
+    // are micros-quantized driver metadata (the IvfIndex.centroids
+    // discipline: AVG's summation-order ulp cannot leak into the
+    // centered values); each vector then emits its d·(d+1)/2 upper-
+    // triangle products in ONE projection (the q135 array-binding
+    // fence — the centered array materializes once, never re-inlined
+    // per lambda element), and the products accumulate as scaled
+    // BIGINT micros so the cross-partition sum is order-free.
+    //
+    // 100-TB shape: groupBy over 2,080 (i,j) keys partial-aggregates
+    // map-side — the shuffle carries 2,080 rows per task regardless
+    // of corpus size; the FLOPs (d²/2 per vector) stream through one
+    // scan. Centered micros products are O(1) each, so the BIGINT
+    // accumulator holds past sf1000.
+    QueryDef("q228_embedding_covariance",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        val means = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("pos").agg((round(avg("x") * 1e6) / 1e6).as("m"))
+          .orderBy("pos").collect().map(_.getDouble(1)).toSeq
+        val msLit = array(means.map(lit): _*)
+        val centered = zip_with(col("v"), msLit, (x, m) => x - m)
+        val pairs = flatten(flatten(transform(array(centered), cv =>
+          transform(cv, (x, i) =>
+            transform(slice(cv, i + 1, size(cv) - i), (y, k) =>
+              struct(i.cast("int").as("i"), (i + k).cast("int").as("j"),
+                floor(x * y * lit(1e6) + lit(0.5)).cast("long").as("p")))))))
+        e.select(explode(pairs).as("pr"))
+          .groupBy(col("pr.i").as("i"), col("pr.j").as("j"))
+          .agg(sum("pr.p").as("cov_u"), count(lit(1)).as("n"))
+          .orderBy("i", "j")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |m AS (SELECT i.i AS i, ROUND(AVG(v[i.i]) * 1e6) / 1e6 AS m
+             |      FROM e, generate_series(1,64) i(i) GROUP BY 1),
+             |ml AS (SELECT list(m ORDER BY i) AS ms FROM m),
+             |c AS (SELECT vec_id, list_transform(generate_series(1,64), i -> v[i] - ms[i]) AS cv
+             |      FROM e CROSS JOIN ml)
+             |SELECT CAST(i.i - 1 AS INT) AS i, CAST(j.j - 1 AS INT) AS j,
+             |  CAST(SUM(CAST(FLOOR(cv[i.i] * cv[j.j] * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS cov_u,
+             |  COUNT(*) AS n
+             |FROM c, generate_series(1,64) i(i), generate_series(1,64) j(j)
+             |WHERE j.j >= i.i
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
