@@ -650,6 +650,44 @@ object StreamingQueries extends QueryRegistry {
              |SELECT s1.user_id, epoch_us(s1.t1) AS t1_us, epoch_us(s4.t4) AS t4_us,
              |  epoch_us(s4.t4) - epoch_us(s1.t1) AS latency_us
              |FROM s4 JOIN s1 USING (user_id)
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // CHAINED stateful operators in one streaming query (Spark's
+    // multiple-stateful-operator support): a 5-minute tumbling count
+    // per type feeds a SECOND event-time window aggregation — hourly
+    // peak/total/bucket-count over the 5-minute buckets — with the
+    // downstream operator keyed on `window_time` of the upstream
+    // window. This is the production rollup-cascade shape (fine-grain
+    // pre-aggregation → coarse-grain rollup) running as ONE query with
+    // two state stores, both in append mode, both draining as the
+    // watermark passes — per-operator state stays bounded by the
+    // window horizon, never by stream history. The q46 cutoff makes
+    // the final state batch-expressible for the oracle.
+    QueryDef("q231_stream_chained_windows",
+      (s, dir) => {
+        val cutoff = timestamp_micros(lit(maxTsMicros(s, dir) - 3L * 3600 * 1000000))
+        val m5 = eventStream(s, dir, maxFilesPerTrigger = 4)
+          .withWatermark("ts", "0 seconds")
+          .filter(col("ts") < cutoff)
+          .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("c5"))
+        val hourly = m5
+          .groupBy(window(window_time(col("window")), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_buckets"), max("c5").as("max_c5"),
+            sum("c5").cast("bigint").as("sum_c5"))
+        runToMemory(s, hourly, "append")
+          .select(col("window.start").cast("timestamp_ntz").as("wstart"),
+            col("event_type"), col("n_buckets"), col("max_c5"), col("sum_c5"))
+          .orderBy("wstart", "event_type")
+      },
+      Some("""WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 3 HOUR AS cutoff FROM events),
+             |b5 AS (
+             |  SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS w5,
+             |    event_type, COUNT(*) AS c5
+             |  FROM events, m WHERE CAST(ts AS TIMESTAMP) < m.cutoff
+             |  GROUP BY 1, 2)
+             |SELECT time_bucket(INTERVAL 1 HOUR, w5) AS wstart, event_type,
+             |  COUNT(*) AS n_buckets, MAX(c5) AS max_c5, CAST(SUM(c5) AS BIGINT) AS sum_c5
+             |FROM b5 GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin))
   )
 }
