@@ -351,4 +351,29 @@ object Multimodal {
 
   val makeClipUdf = udf(makeClip)
   val decodeClipUdf = udf(decodeClip(every = 2))
+
+  /** [[makeClip]] with a per-frame brightness offset — frame f encoded
+    * by [[makePng2]](seed + f, off), nFrames still 4 + seed % 4 — for
+    * constructing near-duplicate clip variants (the video analog of
+    * makePng2/makeWav2's variants). */
+  val makeClip2: (Long, Long) => Array[Byte] = { (seed, off) =>
+    val n = (4 + seed % 4).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < n) { bos.write(makePng2(seed + f, off)); f += 1 }
+    bos.toByteArray
+  }
+
+  /** Clip fingerprint: container chunk-walk ([[splitFrames]]), then
+    * the [[ahash]] of every 2nd frame (q190's sampling protocol),
+    * concatenated in frame order → a 64·n_sampled-char bitstring.
+    * Real per-frame pixel decode through the JDK codec — the oracle
+    * replays the arithmetic, the engine proves the round-trip. */
+  val clipFp: Array[Byte] => String = { bytes =>
+    splitFrames(bytes).zipWithIndex
+      .collect { case (fb, i) if i % 2 == 0 => ahash(fb) }.mkString
+  }
+
+  val makeClip2Udf = udf(makeClip2)
+  val clipFpUdf = udf(clipFp)
 }

@@ -1278,6 +1278,75 @@ object CurationQueries extends QueryRegistry {
              |WHERE len(list_filter(generate_series(1, 15), i -> a.h[i] != b.h[i])) <= 3
              |ORDER BY pair_type, a_id, b_id""".stripMargin)),
 
+    // Video near-dup — the q224/q225 pattern on the fourth modality,
+    // completing the dedup family across text/image/audio/video: each
+    // clip's fingerprint is the frame-ordered concatenation of
+    // sampled-frame aHashes (real container chunk-walk + JDK pixel
+    // decode per frame, q190's machinery), candidates come from
+    // BLOCKING on the first 16 bits of the first sampled frame plus
+    // an equal-length guard (clips of different frame counts never
+    // align), and pairs within Hamming ≤ len/8 survive. Eight
+    // +7-brightness variant clips are injected; the %256 wrap flips
+    // only wrap-crossing cells per frame, so variants land near their
+    // base when the blocking prefix holds — partial recall is checked
+    // output (q212's honesty rule).
+    QueryDef("q232_video_neardup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val ids = d.filter(col("doc_id") < 48)
+          .select(col("doc_id").as("media_id"), col("doc_id").as("seed"),
+            lit(0L).as("off"))
+          .unionAll(d.filter(col("doc_id") < 8)
+            .select((col("doc_id") + 1000).as("media_id"), col("doc_id").as("seed"),
+              lit(7L).as("off")))
+        val fps = ids
+          .select(col("media_id"),
+            Multimodal.clipFpUdf(Multimodal.makeClip2Udf(col("seed"), col("off"))).as("h"))
+          .withColumn("block", substring(col("h"), 1, 16))
+          .withColumn("hl", length(col("h")))
+        val a = fps.select(col("media_id").as("a_id"), col("h").as("ha"),
+          col("block"), col("hl"))
+        val b = fps.select(col("media_id").as("b_id"), col("h").as("hb"),
+          col("block"), col("hl"))
+        a.join(b, Seq("block", "hl")).filter(col("a_id") < col("b_id"))
+          .withColumn("hamming",
+            expr("size(filter(sequence(1, hl), i -> substr(ha, i, 1) != substr(hb, i, 1)))"))
+          .filter(col("hamming") <= expr("hl div 8"))
+          .select(
+            when(col("b_id") >= 1000, "variant").otherwise("natural").as("pair_type"),
+            col("a_id"), col("b_id"), col("hamming"))
+          .orderBy("pair_type", "a_id", "b_id")
+      },
+      Some("""WITH ids AS (
+             |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS off
+             |  FROM documents WHERE doc_id < 48
+             |  UNION ALL
+             |  SELECT doc_id + 1000, doc_id, 7 FROM documents WHERE doc_id < 8),
+             |fr AS (SELECT media_id, seed, off,
+             |    unnest(generate_series(0, (4 + seed % 4) - 1)) AS f FROM ids),
+             |sf AS (SELECT media_id, off, f, seed + f AS fseed,
+             |    8 + (seed + f) % 9 AS w, 8 + (seed + f) % 7 AS h
+             |  FROM fr WHERE f % 2 = 0),
+             |hg AS (SELECT media_id, f,
+             |    list_transform(generate_series(0, 63), k ->
+             |      ((((k % 8) * w) // 8) * 7 + (((k // 8) * h) // 8) * 13 + fseed + off) % 256) AS g
+             |  FROM sf),
+             |h0 AS (SELECT media_id, f, g, list_sum(g) AS s FROM hg),
+             |fh AS (SELECT media_id, f,
+             |    array_to_string(list_transform(g, v ->
+             |      CASE WHEN 64 * v >= s THEN '1' ELSE '0' END), '') AS fh
+             |  FROM h0),
+             |hs AS (SELECT media_id, string_agg(fh, '' ORDER BY f) AS h
+             |       FROM fh GROUP BY media_id),
+             |hb AS (SELECT media_id, h, substr(h, 1, 16) AS block,
+             |       CAST(len(h) AS INT) AS hl FROM hs)
+             |SELECT CASE WHEN b.media_id >= 1000 THEN 'variant' ELSE 'natural' END AS pair_type,
+             |  a.media_id AS a_id, b.media_id AS b_id,
+             |  CAST(len(list_filter(generate_series(1, a.hl), i -> a.h[i] != b.h[i])) AS INT) AS hamming
+             |FROM hb a JOIN hb b ON a.block = b.block AND a.hl = b.hl AND a.media_id < b.media_id
+             |WHERE len(list_filter(generate_series(1, a.hl), i -> a.h[i] != b.h[i])) <= a.hl // 8
+             |ORDER BY pair_type, a_id, b_id""".stripMargin)),
+
     // SemDeDup (Abbas et al. 2023): semantic dedup blocked by k-means
     // cells instead of LSH buckets — cluster the embedding space with
     // the SAME staged IVF quantizer q67 serves from (one artifact,
