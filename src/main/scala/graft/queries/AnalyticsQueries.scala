@@ -899,6 +899,106 @@ object AnalyticsQueries extends QueryRegistry {
              |  FROM c GROUP BY 1, 2)
              |SELECT e.event_type, e.day, e.ewma_scaled
              |FROM e JOIN (SELECT event_type, day FROM d) t USING (event_type, day)
-             |ORDER BY event_type, day""".stripMargin))
+             |ORDER BY event_type, day""".stripMargin)),
+
+    // Node similarity by the resource-allocation index — link
+    // prediction's RA(u,w) = Σ_{z ∈ N(u)∩N(w)} 1/deg(z), which unlike
+    // Adamic–Adar (1/ln deg) is EXACTLY rational: each wedge center z
+    // contributes floor(1e6/deg(z)), summed as BIGINT (term-wise
+    // floor, so accumulation order can't matter). Same deterministic
+    // doc-id topology as q210 (content-derived graphs on the i.i.d.
+    // word-salad fixtures are provably near-regular). Enumeration is
+    // q183's wedge shape: self-join the adjacency on the center with
+    // dst-ordered endpoints — each wedge once, cost Σ deg(z)², one
+    // shuffle on z then one on (u,w), no node ever sees more than its
+    // neighborhood.
+    QueryDef("q233_node_similarity",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir)
+          .filter(col("doc_id") >= 1).select(col("doc_id").as("i"))
+        val ed = ids.select(col("i").as("u"), expr("i div 2").as("v"))
+          .unionAll(ids.filter(col("i") >= 10)
+            .select(col("i").as("u"), expr("i div 10").as("v")))
+          .filter(col("u") =!= col("v")).distinct()
+        val e0 = ed.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(ed.select(col("v").as("src"), col("u").as("dst")))
+        val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
+        val nd = e0.join(deg, "src")
+          .select(col("src").as("z"), col("dst").as("u"), col("deg"))
+        nd.join(e0.select(col("src").as("z"), col("dst").as("w")), "z")
+          .filter(col("u") < col("w"))
+          .groupBy("u", "w")
+          .agg(count(lit(1)).as("common"),
+            sum(expr("1000000L div deg")).as("ra_scaled"))
+          .orderBy(col("ra_scaled").desc, col("u"), col("w")).limit(10)
+      },
+      Some("""WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id >= 1),
+             |ed AS (SELECT DISTINCT u, v FROM (
+             |         SELECT i AS u, i // 2 AS v FROM ids
+             |         UNION ALL SELECT i, i // 10 FROM ids WHERE i >= 10)
+             |       WHERE u <> v),
+             |e0 AS (SELECT u AS src, v AS dst FROM ed
+             |       UNION ALL SELECT v, u FROM ed),
+             |deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY 1),
+             |wd AS (SELECT a.dst AS u, b.dst AS w, a.src AS z
+             |       FROM e0 a JOIN e0 b ON a.src = b.src AND a.dst < b.dst)
+             |SELECT u, w, COUNT(*) AS common,
+             |  CAST(SUM(1000000 // d.deg) AS BIGINT) AS ra_scaled
+             |FROM wd JOIN deg d ON d.src = wd.z
+             |GROUP BY 1, 2
+             |ORDER BY ra_scaled DESC, u, w LIMIT 10""".stripMargin)),
+
+    // Entity resolution (record linkage): a deterministically dirtied
+    // catalog (one character deleted from each part name at a
+    // key-derived position) is linked back to the clean catalog by
+    // BLOCKING on the name's first character (the never-all-pairs
+    // discipline; a production blocker would use phonetic keys) and
+    // edit-distance matching within the block (levenshtein ≤ 2 —
+    // cross-engine parity proven by q85). Each dirty record resolves
+    // to its best match: min distance, ties to the lowest partkey.
+    // Variants whose DELETED character was the blocking character
+    // escape their block — that partial recall is checked output
+    // (q212's honesty rule).
+    QueryDef("q234_entity_resolution",
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+        val clean = p.filter(col("p_partkey") < 200)
+          .select(col("p_partkey"), col("p_name"))
+        val dirty = p.filter(col("p_partkey") < 60)
+          .select((col("p_partkey") + 10000).as("dirty_id"),
+            expr("""concat(
+              substring(p_name, 1, cast(p_partkey % length(p_name) as int)),
+              substring(p_name, cast(p_partkey % length(p_name) as int) + 2, length(p_name)))""")
+              .as("dname"))
+        val cand = dirty.withColumn("blk", substring(col("dname"), 1, 1))
+          .join(clean.withColumn("blk", substring(col("p_name"), 1, 1)), "blk")
+          .withColumn("dist", levenshtein(col("dname"), col("p_name")))
+          .filter(col("dist") <= 2)
+        cand.withColumn("rk", row_number().over(
+            Window.partitionBy("dirty_id").orderBy(col("dist"), col("p_partkey"))))
+          .filter(col("rk") === 1)
+          .select(col("dirty_id"), col("dname"), col("p_partkey").as("matched_key"),
+            col("p_name").as("matched_name"), col("dist"))
+          .orderBy("dirty_id")
+      },
+      Some("""WITH clean AS (
+             |  SELECT p_partkey, p_name FROM part WHERE p_partkey < 200),
+             |dirty AS (
+             |  SELECT p_partkey + 10000 AS dirty_id,
+             |    substr(p_name, 1, CAST(p_partkey % len(p_name) AS INT))
+             |      || substr(p_name, CAST(p_partkey % len(p_name) AS INT) + 2) AS dname
+             |  FROM part WHERE p_partkey < 60),
+             |cand AS (
+             |  SELECT d.dirty_id, d.dname, c.p_partkey, c.p_name,
+             |    levenshtein(d.dname, c.p_name) AS dist
+             |  FROM dirty d JOIN clean c ON substr(d.dname, 1, 1) = substr(c.p_name, 1, 1)
+             |  WHERE levenshtein(d.dname, c.p_name) <= 2),
+             |rk AS (
+             |  SELECT *, ROW_NUMBER() OVER
+             |    (PARTITION BY dirty_id ORDER BY dist, p_partkey) AS rk
+             |  FROM cand)
+             |SELECT dirty_id, dname, p_partkey AS matched_key,
+             |  p_name AS matched_name, CAST(dist AS INT) AS dist
+             |FROM rk WHERE rk = 1 ORDER BY dirty_id""".stripMargin))
   )
 }
