@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryRegistry, Tables}
+import graft.operators.MinHashLSH
 
 /** Round-6 continuation: event-analytics and classification shapes the
   * surface did not yet declare — ordered funnel conversion, weekly
@@ -999,6 +1000,135 @@ object AnalyticsQueries extends QueryRegistry {
              |  FROM cand)
              |SELECT dirty_id, dname, p_partkey AS matched_key,
              |  p_name AS matched_name, CAST(dist AS INT) AS dist
-             |FROM rk WHERE rk = 1 ORDER BY dirty_id""".stripMargin))
+             |FROM rk WHERE rk = 1 ORDER BY dirty_id""".stripMargin)),
+
+    // Consistent cross-table holdout: the experiment/eval split done
+    // RIGHT — the sampling decision hashes the ENTITY key (customer
+    // id), so the same 10% of customers falls out of customer, orders
+    // AND events in one deterministic stroke, with no sampling state
+    // shared between tables (each scan recomputes the hash — at
+    // 100 TB there is no "holdout list" to broadcast or join unless
+    // you want the plan to, and membership never drifts between
+    // pipeline runs). n_inconsistent PROVES the consistency: events
+    // users are a subset of the customer key space, so the
+    // events-side holdout minus the customer-side holdout must be
+    // empty.
+    QueryDef("q235_consistent_holdout",
+      (s, dir) => {
+        def inHoldout(c: Column): Column =
+          pmod(MinHashLSH.baseHash(concat(lit("holdout:"), c.cast("string"))),
+            lit(100)) < 10
+        val cust = Tables.customer(s, dir).filter(inHoldout(col("c_custkey")))
+        val ord = Tables.orders(s, dir).filter(inHoldout(col("o_custkey")))
+        val ev = Tables.events(s, dir).filter(inHoldout(col("user_id")))
+        val inconsistent = ev.select(col("user_id")).distinct()
+          .join(cust.select(col("c_custkey").as("user_id")), Seq("user_id"),
+            "left_anti")
+        val one = cust.agg(count(lit(1)).as("n_cust")).crossJoin(
+          ord.agg(count(lit(1)).as("n_orders"),
+            sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+              .as("revenue_cents"))).crossJoin(
+          ev.agg(count(lit(1)).as("n_events"))).crossJoin(
+          inconsistent.agg(count(lit(1)).as("n_inconsistent")))
+        one.select(col("n_cust"), col("n_orders"), col("revenue_cents"),
+          col("n_events"), col("n_inconsistent"))
+      },
+      Some("""WITH c AS (SELECT * FROM customer
+             |  WHERE CAST(('0x' || substr(md5('holdout:' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10),
+             |o AS (SELECT * FROM orders
+             |  WHERE CAST(('0x' || substr(md5('holdout:' || CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10),
+             |e AS (SELECT * FROM events
+             |  WHERE CAST(('0x' || substr(md5('holdout:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10),
+             |bad AS (SELECT DISTINCT user_id FROM e
+             |        WHERE user_id NOT IN (SELECT c_custkey FROM c))
+             |SELECT (SELECT COUNT(*) FROM c) AS n_cust,
+             |  (SELECT COUNT(*) FROM o) AS n_orders,
+             |  (SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) FROM o) AS revenue_cents,
+             |  (SELECT COUNT(*) FROM e) AS n_events,
+             |  (SELECT COUNT(*) FROM bad) AS n_inconsistent""".stripMargin)),
+
+    // RFM segmentation: customers scored into quartiles on Recency
+    // (days since last order), Frequency (order count) and Monetary
+    // (revenue cents), segment = the three digits concatenated — the
+    // standard CRM cut. ntile is deterministic under a TOTAL order
+    // (metric, then custkey), identical in both engines. Output is
+    // the bounded 4³ segment summary, never the per-customer list.
+    QueryDef("q236_rfm_segments",
+      (s, dir) => {
+        val dayUs = 86400000000L
+        val rfm = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(max(expr(s"unix_micros(cast(o_orderdate as timestamp)) div ${dayUs}L"))
+            .as("last_day"),
+            count(lit(1)).as("freq"),
+            sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).as("cents"))
+        val scored = rfm
+          .withColumn("r", ntile(4).over(
+            Window.orderBy(col("last_day").desc, col("o_custkey"))))
+          .withColumn("f", ntile(4).over(
+            Window.orderBy(col("freq").desc, col("o_custkey"))))
+          .withColumn("m", ntile(4).over(
+            Window.orderBy(col("cents").desc, col("o_custkey"))))
+        scored.groupBy(concat(col("r").cast("string"), col("f").cast("string"),
+            col("m").cast("string")).as("segment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum("cents").as("segment_cents"))
+          .orderBy("segment")
+      },
+      Some("""WITH rfm AS (
+             |  SELECT o_custkey,
+             |    MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+             |    COUNT(*) AS freq,
+             |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |scored AS (
+             |  SELECT cents,
+             |    NTILE(4) OVER (ORDER BY last_day DESC, o_custkey) AS r,
+             |    NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+             |    NTILE(4) OVER (ORDER BY cents DESC, o_custkey) AS m
+             |  FROM rfm)
+             |SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS segment,
+             |  COUNT(*) AS n_customers, CAST(SUM(cents) AS BIGINT) AS segment_cents
+             |FROM scored GROUP BY 1 ORDER BY segment""".stripMargin)),
+
+    // Market-basket association rules: part pairs co-purchased within
+    // an order, ranked by support with confidence and lift in ppm
+    // (integer-exact rational form — q209's discipline). The pair
+    // enumeration self-joins the DISTINCT (order, part) relation on
+    // the order key with ordered endpoints: cost Σ basket² with
+    // baskets bounded by order size (≤13 here), the same
+    // bounded-blocking shape as every dedup in this repo — never
+    // all-pairs across the catalog. Item counts broadcast back onto
+    // the pair counts (catalog ≪ fact table).
+    QueryDef("q237_market_basket",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val n = li.select(col("ok")).distinct().count()
+        val item = li.groupBy("pk").agg(count(lit(1)).as("c1"))
+        val pairs = li.join(li.withColumnRenamed("pk", "pk2"), "ok")
+          .filter(col("pk") < col("pk2"))
+          .groupBy("pk", "pk2").agg(count(lit(1)).as("c_ab"))
+        pairs
+          .join(broadcast(item.select(col("pk"), col("c1").as("c_a"))), "pk")
+          .join(broadcast(item.select(col("pk").as("pk2"), col("c1").as("c_b"))), "pk2")
+          .select(col("pk").as("a"), col("pk2").as("b"), col("c_ab"),
+            expr("(1000000 * c_ab) div c_a").as("confidence_ppm"),
+            expr(s"(1000000 * c_ab * ${n}L) div (c_a * c_b)").as("lift_ppm"))
+          .orderBy(col("c_ab").desc, col("a"), col("b")).limit(10)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |n AS (SELECT COUNT(DISTINCT ok) AS n FROM li),
+             |item AS (SELECT pk, COUNT(*) AS c1 FROM li GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.pk AS a, b.pk AS b, COUNT(*) AS c_ab
+             |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY 1, 2)
+             |SELECT a, b, c_ab,
+             |  (1000000 * c_ab) // ia.c1 AS confidence_ppm,
+             |  CAST((1000000 * c_ab * n.n) // (ia.c1 * ib.c1) AS BIGINT) AS lift_ppm
+             |FROM pairs JOIN item ia ON ia.pk = a JOIN item ib ON ib.pk = b
+             |CROSS JOIN n
+             |ORDER BY c_ab DESC, a, b LIMIT 10""".stripMargin))
   )
 }
