@@ -243,7 +243,7 @@ object Snapshots {
     // this commit's effect is present — no new version
     if (txn.exists(t => prev.exists(_.txns.contains(t)))) prev.get.version
     else {
-      val next = prev.map(_.version + 1).getOrElse(0)
+      val next = nextVersion(root, prefix)
       val referenced = referencedFiles(root, prefix)
       // a commit = the CURRENT snapshot's state + files that appeared
       // since (never-yet-referenced paths). Deriving from the current
@@ -269,6 +269,111 @@ object Snapshots {
     }
   }
 
+  // ------------------------- write-audit-publish -------------------------
+
+  /** Commit newly arrived files as a STAGED snapshot (Iceberg's
+    * write-audit-publish flow on this log): the version file exists —
+    * audit jobs address it by explicit version — but the default read
+    * path skips staged heads, so NO reader sees the data until
+    * [[publish]]. An audit that fails simply never publishes; the
+    * staged files stay referenced (vacuum-safe) but invisible.
+    * Idempotent per audit id. At 100 TB the whole flow is metadata:
+    * stage, audit and publish never rewrite data files. */
+  def commitStaged(root: String, prefix: String, maxPos: Long, audit: String,
+                   retries: Int = 5): Int =
+    stagedVersion(root, prefix, audit).getOrElse {
+      val prevPub = snapshot(root, prefix, None)
+      val newFiles = (listDataFiles(root, prefix).toSet -- referencedFiles(root, prefix))
+        .filterNot(isCompacted)
+      val files = (prevPub.map(_.files.toSet).getOrElse(Set.empty) ++ newFiles)
+        .toSeq.sorted
+      val stats = assembleStats(dataDir(root, prefix), files,
+        prevPub.map(_.stats).getOrElse(Seq.empty))
+      try writeSnapshot(root, prefix, nextVersion(root, prefix), maxPos, files,
+        Seq.empty, "staged", prevPub.map(_.txns).getOrElse(Seq.empty), stats,
+        extraFields = Seq("audit" -> audit,
+          "parent" -> prevPub.map(_.version).getOrElse(-1).toString) ++
+          dvField(prevPub.map(_.dv).getOrElse(Seq.empty)))
+      catch {
+        case e: ConcurrentCommitException =>
+          if (retries > 0) commitStaged(root, prefix, maxPos, audit, retries - 1)
+          else throw e
+      }
+    }
+
+  /** The staged (not yet published) version carrying this audit id. */
+  def stagedVersion(root: String, prefix: String, audit: String): Option[Int] =
+    versions(root, prefix).reverse.find(v =>
+      opOf(root, prefix, v) == "staged" &&
+        rawField(root, prefix, v, "audit").contains(audit))
+
+  /** Publish a staged commit: the next PUBLISHED version adopts the
+    * staged snapshot's new files on top of the CURRENT published head
+    * (commits that landed between stage and publish are kept — the
+    * staged delta, not the staged file set, is what publishes).
+    * Idempotent: re-publishing an already-published audit returns the
+    * existing publish version. */
+  def publish(root: String, prefix: String, audit: String, retries: Int = 5): Int = {
+    val sv = stagedVersion(root, prefix, audit).getOrElse(
+      sys.error(s"no staged commit for audit '$audit' on $prefix"))
+    versions(root, prefix)
+      .find(v => rawField(root, prefix, v, "publishedFrom").contains(sv.toString))
+      .getOrElse {
+        val staged = snapshot(root, prefix, Some(sv)).get
+        val parentFiles = rawField(root, prefix, sv, "parent").map(_.toInt)
+          .filter(_ >= 0)
+          .flatMap(pv => snapshot(root, prefix, Some(pv)).map(_.files.toSet))
+          .getOrElse(Set.empty)
+        val stagedNew = staged.files.toSet -- parentFiles
+        val head = snapshot(root, prefix, None)
+        val files = (head.map(_.files.toSet).getOrElse(Set.empty) ++ stagedNew)
+          .toSeq.sorted
+        val stats = assembleStats(dataDir(root, prefix), files,
+          head.map(_.stats).getOrElse(Seq.empty) ++ staged.stats)
+        val txns = (head.map(_.txns).getOrElse(Seq.empty) ++ staged.txns).distinct
+        val dv = (head.map(_.dv).getOrElse(Seq.empty) ++ staged.dv).distinct
+        try writeSnapshot(root, prefix, nextVersion(root, prefix),
+          math.max(head.map(_.maxPos).getOrElse(-1L), staged.maxPos), files,
+          Seq.empty, "publish", txns, stats,
+          extraFields = Seq("publishedFrom" -> sv.toString) ++ dvField(dv))
+        catch {
+          case e: ConcurrentCommitException =>
+            if (retries > 0) publish(root, prefix, audit, retries - 1) else throw e
+        }
+      }
+  }
+
+  // ------------------------------ named refs ------------------------------
+
+  private def refsDir(root: String, prefix: String): Path =
+    Paths.get(s"$root/$prefix._refs")
+
+  /** Create an immutable named tag on a committed version (CREATE_NEW:
+    * re-tagging an existing name fails loudly — tags are release
+    * markers, not branches, so a reader holding a tag name holds a
+    * fixed file set forever). */
+  def tag(root: String, prefix: String, name: String, version: Int): Unit = {
+    require(snapshot(root, prefix, Some(version)).isDefined,
+      s"no snapshot v$version for $prefix")
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid tag name '$name'")
+    Files.createDirectories(refsDir(root, prefix))
+    Files.writeString(refsDir(root, prefix).resolve(s"$name.ref"),
+      version.toString, StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    ()
+  }
+
+  /** Resolve a tag name to its pinned version. */
+  def resolveTag(root: String, prefix: String, name: String): Option[Int] = {
+    val p = refsDir(root, prefix).resolve(s"$name.ref")
+    if (Files.isRegularFile(p)) Some(Files.readString(p).trim.toInt) else None
+  }
+
+  /** Read the table as of a named tag (time travel by name). */
+  def readTag(spark: SparkSession, root: String, prefix: String,
+              name: String): DataFrame =
+    read(spark, root, prefix, Some(resolveTag(root, prefix, name).getOrElse(
+      sys.error(s"no tag '$name' on $prefix"))))
+
   final case class Snapshot(version: Int, maxPos: Long,
                             files: Seq[String], removed: Seq[String],
                             op: String = "append",
@@ -288,12 +393,37 @@ object Snapshots {
   private def dvField(dv: Seq[String]): Seq[(String, String)] =
     if (dv.isEmpty) Seq.empty else Seq("dv" -> dv.mkString(","))
 
-  /** Load a snapshot (latest if version is None). */
+  /** Raw manifest text of one version (for field probes that Snapshot
+    * does not carry). */
+  private def rawJson(root: String, prefix: String, v: Int): String =
+    Files.readString(logDir(root, prefix).resolve(f"v$v%05d.json"))
+
+  /** One string field of a version's manifest, as written via
+    * writeSnapshot's extraFields. */
+  private def rawField(root: String, prefix: String, v: Int, key: String): Option[String] =
+    (s""""$key":\\s*"([^"]*)"""").r.findFirstMatchIn(rawJson(root, prefix, v)).map(_.group(1))
+
+  /** The op kind of one version without building the full Snapshot. */
+  private def opOf(root: String, prefix: String, v: Int): String =
+    rawField(root, prefix, v, "op").getOrElse("append")
+
+  /** Next unallocated version number — the version FILE sequence,
+    * independent of which snapshot a commit builds on. (A staged
+    * commit can sit at the log tail; allocating "published head + 1"
+    * would collide with its version file on every retry.) Two racers
+    * on the same log state still compute the same number, so the
+    * CREATE_NEW conflict detection is unchanged. */
+  private def nextVersion(root: String, prefix: String): Int =
+    versions(root, prefix).lastOption.map(_ + 1).getOrElse(0)
+
+  /** Load a snapshot (latest PUBLISHED if version is None — staged
+    * write-audit-publish commits are invisible to default readers and
+    * must be addressed by explicit version). */
   def snapshot(root: String, prefix: String, version: Option[Int] = None): Option[Snapshot] = {
     val vs = versions(root, prefix)
     val v = version match {
       case Some(x) => if (vs.contains(x)) Some(x) else None
-      case None => vs.lastOption
+      case None => vs.reverse.find(x => opOf(root, prefix, x) != "staged")
     }
     v.map { ver =>
       val s = Files.readString(logDir(root, prefix).resolve(f"v$ver%05d.json"))
@@ -404,7 +534,7 @@ object Snapshots {
     require(!currentColumns(root, prefix).contains(name),
       s"column $name already exists in $prefix")
     val encoded = (Seq(name, ddlType) ++ defaultSql).mkString("|")
-    try writeSnapshot(root, prefix, prev.version + 1, prev.maxPos, prev.files,
+    try writeSnapshot(root, prefix, nextVersion(root, prefix), prev.maxPos, prev.files,
       Seq.empty, "addcol", prev.txns, prev.stats,
       extraFields = Seq("addedCol" -> encoded) ++ dvField(prev.dv))
     catch {
@@ -432,7 +562,7 @@ object Snapshots {
     val cols = currentColumns(root, prefix)
     require(cols.contains(from), s"cannot rename absent column $from (schema: ${cols.mkString(", ")})")
     require(!cols.contains(to), s"rename target $to already exists in $prefix")
-    try writeSnapshot(root, prefix, prev.version + 1, prev.maxPos, prev.files,
+    try writeSnapshot(root, prefix, nextVersion(root, prefix), prev.maxPos, prev.files,
       Seq.empty, "renamecol", prev.txns, prev.stats,
       extraFields = Seq("addedCol" -> s"$from|$to") ++ dvField(prev.dv))
     catch {
@@ -454,7 +584,7 @@ object Snapshots {
     val cols = currentColumns(root, prefix)
     require(cols.contains(name), s"cannot drop absent column $name (schema: ${cols.mkString(", ")})")
     require(cols.size > 1, s"cannot drop the last column of $prefix")
-    try writeSnapshot(root, prefix, prev.version + 1, prev.maxPos, prev.files,
+    try writeSnapshot(root, prefix, nextVersion(root, prefix), prev.maxPos, prev.files,
       Seq.empty, "dropcol", prev.txns, prev.stats,
       extraFields = Seq("addedCol" -> name) ++ dvField(prev.dv))
     catch {
@@ -778,14 +908,23 @@ object Snapshots {
     // (A merge's added files also carry the copied-along unmatched
     // rows of the files it rewrote — the manifest records upserts at
     // file grain, not row grain.)
-    val added = versions(root, prefix)
+    // staged (write-audit-publish) versions are invisible to readers,
+    // so they are invisible to the change feed too: each published
+    // version diffs against the previous PUBLISHED one — a publish
+    // commit's changes are the staged files, surfacing exactly when
+    // readers first see them.
+    val published = versions(root, prefix)
+      .filter(v => opOf(root, prefix, v) != "staged")
+    val added = published
       .filter(v => v > fromVersion && v <= to.version)
       .flatMap { v =>
         val cur = snapshot(root, prefix, Some(v)).get
         if (cur.op == "compact" || cur.op == "delete" ||
           cur.op == "deletemor" || cur.op == "restore") Seq.empty
         else (cur.files.toSet --
-          snapshot(root, prefix, Some(v - 1)).map(_.files.toSet).getOrElse(Set.empty)).toSeq
+          published.filter(_ < v).lastOption
+            .flatMap(pv => snapshot(root, prefix, Some(pv)).map(_.files.toSet))
+            .getOrElse(Set.empty)).toSeq
       }.distinct.sorted
     if (added.isEmpty) {
       // empty frame with the table's schema
@@ -916,7 +1055,7 @@ object Snapshots {
     while (committed < 0) {
       val cur = snapshot(root, prefix, None).get
       val removedNow = (cur.files.toSet -- target.files.toSet).toSeq.sorted
-      try committed = writeSnapshot(root, prefix, cur.version + 1,
+      try committed = writeSnapshot(root, prefix, nextVersion(root, prefix),
         target.maxPos, target.files, removedNow, "restore",
         cur.txns, target.stats,
         // the TARGET's dv set, not the current one: a restore past a
@@ -1007,7 +1146,7 @@ object Snapshots {
       // carry the dv set forward: entries for files leaving the set go
       // stale harmlessly (the path join can't match them again), while
       // entries for untouched files must keep deleting
-      try committed = writeSnapshot(root, prefix, cur.version + 1,
+      try committed = writeSnapshot(root, prefix, nextVersion(root, prefix),
         cur.maxPos max maxPosFloor, files, removed, op,
         cur.txns ++ txn, assembleStats(base, files, cur.stats),
         extraFields = dvField(cur.dv))
@@ -1299,7 +1438,7 @@ object Snapshots {
             val claimed = touched -- cur.files.toSet
             if (claimed.nonEmpty)
               throw new RewriteConflictException("deletemor", claimed.toSeq.sorted)
-            try committed = writeSnapshot(root, prefix, cur.version + 1,
+            try committed = writeSnapshot(root, prefix, nextVersion(root, prefix),
               cur.maxPos, cur.files, Seq.empty, "deletemor",
               cur.txns ++ txn, cur.stats,
               extraFields = dvField(cur.dv :+ name))

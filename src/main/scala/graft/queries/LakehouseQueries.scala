@@ -762,6 +762,89 @@ object LakehouseQueries extends QueryRegistry {
       Some("""SELECT CASE WHEN id < 500 THEN 'hangc'
              |            WHEN id < 800 THEN 'u1' ELSE 'u2' END AS name,
              |COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba
-             |FROM range(0,1300) t(id) GROUP BY 1 ORDER BY name""".stripMargin))
+             |FROM range(0,1300) t(id) GROUP BY 1 ORDER BY name""".stripMargin)),
+
+    // Write-audit-publish: the Iceberg-style quality gate on the
+    // snapshot log. v0 publishes the seed; batch A (200 good rows plus
+    // 30 rows violating the audit rule) STAGES — the version file
+    // exists, audit jobs read it by explicit version, but the default
+    // read path skips staged heads so no consumer ever saw the bad
+    // rows; the audit fails and the batch is simply never published.
+    // Batch B (the clean 200) stages, passes, and publishes — an O(1)
+    // metadata commit adopting the staged files. The query reads the
+    // log's end state: the published head must hold seed+good with
+    // ZERO violations while the failed staged version still shows its
+    // 30 (auditability), and the head's version number proves readers
+    // skipped two staged versions.
+    QueryDef("q238_write_audit_publish",
+      (s, _) => {
+        val root = staged(s, "wap_v1") { tmp =>
+          ProduceJob.produceBatch(s, tmp, "w", topics = 1, numMessages = 1000) // v0
+          def writeBatch(df: DataFrame): Unit =
+            df.write.mode("append").partitionBy("topic")
+              .parquet(graft.ingest.Topics.tableDir(tmp, "w"))
+          writeBatch(genRows(s, 1000, 1200, "good", "w", 1)
+            .unionAll(genRows(s, 5000, 5030, "bad", "w", 1)))
+          val svA = Snapshots.commitStaged(tmp, "w", maxPos = 1199, audit = "auditA")
+          // audit A: violation rule name='bad' → fails, never published
+          require(Snapshots.read(s, tmp, "w", Some(svA))
+            .filter(col("name") === "bad").count() == 30)
+          writeBatch(genRows(s, 1000, 1200, "good", "w", 1))
+          val svB = Snapshots.commitStaged(tmp, "w", maxPos = 1199, audit = "auditB")
+          require(Snapshots.read(s, tmp, "w", Some(svB))
+            .filter(col("name") === "bad").count() == 0)
+          Snapshots.publish(tmp, "w", "auditB")
+          ()
+        }
+        val svA = Snapshots.stagedVersion(root, "w", "auditA").get
+        val head = Snapshots.snapshot(root, "w").get
+        val cur = Snapshots.read(s, root, "w")
+        cur.agg(count(lit(1)).as("published_rows"),
+            sum(when(col("name") === "bad", 1L).otherwise(0L)).as("published_violations"),
+            sum("ba").cast("bigint").as("sum_ba"))
+          .crossJoin(Snapshots.read(s, root, "w", Some(svA))
+            .agg(count(lit(1)).as("stagedA_rows"),
+              sum(when(col("name") === "bad", 1L).otherwise(0L)).as("stagedA_violations")))
+          .withColumn("head_version", lit(head.version))
+          .withColumn("n_versions", lit(Snapshots.versions(root, "w").size))
+      },
+      Some("""SELECT
+             |  (SELECT COUNT(*) FROM range(0,1200)) AS published_rows,
+             |  CAST(0 AS BIGINT) AS published_violations,
+             |  CAST((SELECT SUM(id) FROM range(0,1200) t(id)) AS BIGINT) AS sum_ba,
+             |  (SELECT COUNT(*) FROM range(0,1230)) AS stagedA_rows,
+             |  CAST(30 AS BIGINT) AS stagedA_violations,
+             |  CAST(3 AS INT) AS head_version,
+             |  CAST(4 AS INT) AS n_versions""".stripMargin)),
+
+    // Named tags: immutable release markers on the snapshot log. v0 is
+    // tagged 'release-1' before a second append lands; reading by tag
+    // name returns v0's exact file set forever, while the default read
+    // sees the full table — time travel by NAME, the reproducibility
+    // primitive a training run pins its corpus with (dataset version
+    // tags). Tag resolution is one metadata file; no data moves.
+    QueryDef("q239_snapshot_tag",
+      (s, _) => {
+        val root = staged(s, "tag_v1") { tmp =>
+          ProduceJob.produceBatch(s, tmp, "g", topics = 1, numMessages = 1000) // v0
+          Snapshots.tag(tmp, "g", "release-1", 0)
+          ProduceJob.produceBatch(s, tmp, "g", topics = 1, numMessages = 500) // v1
+          ()
+        }
+        Snapshots.readTag(s, root, "g", "release-1")
+          .agg(count(lit(1)).as("rows_at_tag"),
+            sum("ba").cast("bigint").as("sum_ba_at_tag"))
+          .crossJoin(Snapshots.read(s, root, "g")
+            .agg(count(lit(1)).as("rows_current"),
+              sum("ba").cast("bigint").as("sum_ba_current")))
+          .withColumn("tagged_version",
+            lit(Snapshots.resolveTag(root, "g", "release-1").get))
+      },
+      Some("""SELECT
+             |  (SELECT COUNT(*) FROM range(0,1000)) AS rows_at_tag,
+             |  CAST((SELECT SUM(id) FROM range(0,1000) t(id)) AS BIGINT) AS sum_ba_at_tag,
+             |  (SELECT COUNT(*) FROM range(0,1000)) + (SELECT COUNT(*) FROM range(0,500)) AS rows_current,
+             |  CAST((SELECT SUM(id) FROM range(0,1000) t(id)) + (SELECT SUM(id) FROM range(0,500) t(id)) AS BIGINT) AS sum_ba_current,
+             |  CAST(0 AS INT) AS tagged_version""".stripMargin))
   )
 }

@@ -1019,4 +1019,75 @@ class SnapshotSpec extends SparkTestBase {
     assert(Snapshots.versions(root, "s26") == Seq(v2))
     assert(Snapshots.read(spark, root, "s26").count() == 500)
   }
+
+  test("write-audit-publish: staged commits are invisible until published") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "w1", topics = 1, numMessages = 400) // v0
+    // stage a batch: the version file exists, default readers skip it
+    ProduceJob.personProjection(spark.range(400, 600).toDF("cnt"), "cnt", "w1", 1)
+      .write.mode("append").partitionBy("topic")
+      .parquet(graft.ingest.Topics.tableDir(root, "w1"))
+    val sv = Snapshots.commitStaged(root, "w1", 599, audit = "a1")
+    assert(Snapshots.read(spark, root, "w1").count() == 400) // reader: pre-stage state
+    assert(Snapshots.read(spark, root, "w1", Some(sv)).count() == 600) // audit: full view
+    // the change feed is also blind to the staged version
+    assert(Snapshots.readChanges(spark, root, "w1", fromVersion = 0).count() == 0)
+    // replayed staging is a no-op
+    assert(Snapshots.commitStaged(root, "w1", 599, audit = "a1") == sv)
+    val pv = Snapshots.publish(root, "w1", "a1")
+    assert(Snapshots.read(spark, root, "w1").count() == 600)
+    // changes surface at the publish version, not the stage version
+    assert(Snapshots.readChanges(spark, root, "w1", fromVersion = 0).count() == 200)
+    assert(Snapshots.readChanges(spark, root, "w1", fromVersion = pv).count() == 0)
+    // replayed publish returns the existing version
+    assert(Snapshots.publish(root, "w1", "a1") == pv)
+  }
+
+  test("write-audit-publish: a commit landing mid-audit is preserved") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "w2", topics = 1, numMessages = 300) // v0
+    ProduceJob.personProjection(spark.range(300, 500).toDF("cnt"), "cnt", "w2", 1)
+      .write.mode("append").partitionBy("topic")
+      .parquet(graft.ingest.Topics.tableDir(root, "w2"))
+    Snapshots.commitStaged(root, "w2", 499, audit = "a2")
+    // an independent append publishes DURING the audit (allocating past
+    // the staged version file — the nextVersion discipline)
+    ProduceJob.produceBatch(spark, root, "w2", topics = 1, numMessages = 100)
+    assert(Snapshots.read(spark, root, "w2").count() == 400) // 300 + 100
+    // publish merges the staged DELTA onto the moved head
+    Snapshots.publish(root, "w2", "a2")
+    assert(Snapshots.read(spark, root, "w2").count() == 600) // 300 + 100 + 200
+  }
+
+  test("abandoned staged commits never publish and never surface") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "w3", topics = 1, numMessages = 200) // v0
+    ProduceJob.personProjection(spark.range(200, 260).toDF("cnt"), "cnt", "w3", 1)
+      .write.mode("append").partitionBy("topic")
+      .parquet(graft.ingest.Topics.tableDir(root, "w3"))
+    Snapshots.commitStaged(root, "w3", 259, audit = "bad-batch")
+    // audit fails → nothing more happens; later commits build on v0
+    // and never adopt the staged files
+    ProduceJob.produceBatch(spark, root, "w3", topics = 1, numMessages = 50)
+    assert(Snapshots.read(spark, root, "w3").count() == 250)
+    assert(Snapshots.readChanges(spark, root, "w3", fromVersion = 0).count() == 50)
+    intercept[RuntimeException] {
+      Snapshots.publish(root, "w3", "no-such-audit")
+    }
+  }
+
+  test("tags are immutable named refs resolving through later history") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "t1", topics = 1, numMessages = 100) // v0
+    Snapshots.tag(root, "t1", "release-1", 0)
+    ProduceJob.produceBatch(spark, root, "t1", topics = 1, numMessages = 900) // v1
+    assert(Snapshots.resolveTag(root, "t1", "release-1").contains(0))
+    assert(Snapshots.readTag(spark, root, "t1", "release-1").count() == 100)
+    assert(Snapshots.read(spark, root, "t1").count() == 1000)
+    // re-tagging an existing name fails loudly (immutability)
+    intercept[Exception] { Snapshots.tag(root, "t1", "release-1", 1) }
+    // tagging an uncommitted version is refused
+    intercept[IllegalArgumentException] { Snapshots.tag(root, "t1", "v9", 9) }
+    assert(Snapshots.resolveTag(root, "t1", "nope").isEmpty)
+  }
 }
