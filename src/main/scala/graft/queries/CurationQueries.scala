@@ -1403,6 +1403,93 @@ object CurationQueries extends QueryRegistry {
            |  COALESCE(rem.n_removed, 0) AS n_removed,
            |  sz.n_vectors - COALESCE(rem.n_removed, 0) AS n_kept
            |FROM sz LEFT JOIN rem ON rem.cell = sz.cell
-           |ORDER BY cell""".stripMargin))
+           |ORDER BY cell""".stripMargin)),
+
+    // Hard-negative mining — contrastive-training data prep: for each
+    // probe, the most similar corpus vector with a DIFFERENT label
+    // (the negative that teaches the most). Probe batch broadcasts
+    // (bounded by construction), the corpus streams once, top-1 per
+    // probe plans as the WindowGroupLimit rank-filter (q208's kNN
+    // shape with a label-inequality join condition) — never a global
+    // sort, never probe×corpus materialized.
+    QueryDef("q242_hard_negatives",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val probes = broadcast(
+          e.filter(col("vec_id") % 5 === 0 && col("vec_id") < 250)
+            .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+              col("v").as("pv")))
+        val scored = e.join(probes, col("label") =!= col("plabel"))
+          .select(col("probe_id"), col("vec_id").as("neg_id"),
+            AnnLsh.cosine(col("v"), col("pv")).as("sim"))
+        scored.withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("probe_id").orderBy(col("sim").desc, col("neg_id"))))
+          .filter(col("rk") === 1)
+          .select(col("probe_id"), col("neg_id"), col("sim"))
+          .orderBy("probe_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (SELECT vec_id AS probe_id, label AS plabel, v AS pv
+             |      FROM e WHERE vec_id % 5 = 0 AND vec_id < 250),
+             |sc AS (
+             |  SELECT p.probe_id, e.vec_id AS neg_id,
+             |    list_dot_product(e.v, p.pv)
+             |      / sqrt(list_dot_product(e.v, e.v) * list_dot_product(p.pv, p.pv)) AS sim
+             |  FROM e JOIN p ON e.label <> p.plabel),
+             |rk AS (
+             |  SELECT *, ROW_NUMBER() OVER
+             |    (PARTITION BY probe_id ORDER BY sim DESC, neg_id) AS rk
+             |  FROM sc)
+             |SELECT probe_id, neg_id, sim FROM rk WHERE rk = 1
+             |ORDER BY probe_id""".stripMargin)),
+
+    // Nearest-centroid (Rocchio) classification: one micros-quantized
+    // mean vector per label from the train split (the IvfIndex
+    // centroid discipline — AVG's summation-order ulp cannot flip an
+    // assignment), held-out probes assigned by argmin distance² over
+    // the 10 label centroids, confusion matrix out. Centroids are
+    // driver metadata (10×64 doubles); classification is one
+    // map-side pass — the cheapest embedding classifier that exists,
+    // and the one whose whole pipeline both engines replay exactly.
+    QueryDef("q243_nearest_centroid",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val isProbe = col("vec_id") % 5 === 0 && col("vec_id") < 250
+        val cents = e.filter(!isProbe)
+          .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("label", "pos").agg((round(avg("x") * 1e6) / 1e6).as("m"))
+          .groupBy("label")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            st => st.getField("m")).as("mean"))
+          .collect().map(r => r.getAs[Int]("label") -> r.getSeq[Double](1).toIndexedSeq)
+          .toMap
+        val cs = (0 to 9).map(cents(_))
+        IvfIndex.assignCells(e.filter(isProbe), "v", cs.toIndexedSeq)
+          .groupBy(col("label").cast("int").as("true_label"),
+            col("cell").as("pred_label"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("true_label", "pred_label")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |tr AS (SELECT * FROM e WHERE NOT (vec_id % 5 = 0 AND vec_id < 250)),
+              |m AS (SELECT label, i.i AS pos, ROUND(AVG(v[i.i]) * 1e6) / 1e6 AS mm
+              |      FROM tr, generate_series(1,64) i(i) GROUP BY 1, 2),
+              |cl AS (SELECT label, list(mm ORDER BY pos) AS c FROM m GROUP BY 1),
+              |cs AS (SELECT list(c ORDER BY label) AS cs FROM cl),
+              |pr AS (SELECT vec_id, label, v FROM e WHERE vec_id % 5 = 0 AND vec_id < 250),
+              |a AS (
+              |  SELECT label AS true_label,
+              |    list_position(ds, list_min(ds)) - 1 AS pred_label
+              |  FROM (SELECT label,
+              |    list_transform(cs, c -> ${ivfD2("v", "c")}) AS ds
+              |    FROM pr CROSS JOIN cs))
+              |SELECT CAST(true_label AS INT) AS true_label,
+              |  CAST(pred_label AS INT) AS pred_label, COUNT(*) AS n
+              |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

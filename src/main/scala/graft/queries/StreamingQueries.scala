@@ -688,6 +688,51 @@ object StreamingQueries extends QueryRegistry {
              |  GROUP BY 1, 2)
              |SELECT time_bucket(INTERVAL 1 HOUR, w5) AS wstart, event_type,
              |  COUNT(*) AS n_buckets, MAX(c5) AS max_c5, CAST(SUM(c5) AS BIGINT) AS sum_c5
-             |FROM b5 GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin))
+             |FROM b5 GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin)),
+
+    // Stream-stream join CHAINED into a windowed aggregation — the
+    // second multiple-stateful-operator combination (q231 chains two
+    // window aggs): q89's purchase⋈click interval join feeds an
+    // hourly pair-count aggregation in the SAME query, three state
+    // stores total (two join sides + the window), all append-mode,
+    // all watermark-bounded. The post-join watermark is the sides'
+    // minimum minus the join interval, so the aggregation's emission
+    // horizon trails by up to 2h — the cutoff sits 4h back, far below
+    // it, making the final state batch-expressible.
+    QueryDef("q240_stream_join_window",
+      (s, dir) => {
+        val cutoff = timestamp_micros(lit(maxTsMicros(s, dir) - 4L * 3600 * 1000000))
+        val p = eventStream(s, dir, maxFilesPerTrigger = 4)
+          .withWatermark("ts", "1 hour")
+          .filter(unpushedTypeIs("purchase"))
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val c = eventStream(s, dir, maxFilesPerTrigger = 4)
+          .withWatermark("ts", "1 hour")
+          .filter(unpushedTypeIs("click"))
+          .select(col("event_id").as("c_id"), col("user_id").as("c_uid"), col("ts").as("c_ts"))
+        val agg = p.join(c,
+            col("user_id") === col("c_uid") &&
+              col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+              col("c_ts") <= col("p_ts"))
+          .filter(col("p_ts") < cutoff)
+          .groupBy(window(col("p_ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("c_id").cast("bigint").as("sum_cid"))
+        runToMemory(s, agg, "append")
+          .select(col("window.start").cast("timestamp_ntz").as("wstart"),
+            col("n_pairs"), col("sum_cid"))
+          .orderBy("wstart")
+      },
+      Some("""WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 4 HOUR AS cutoff FROM events),
+             |j AS (
+             |  SELECT CAST(p.ts AS TIMESTAMP) AS p_ts, c.event_id AS c_id
+             |  FROM events p JOIN events c ON c.user_id = p.user_id, m
+             |  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+             |    AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+             |    AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+             |    AND CAST(p.ts AS TIMESTAMP) < m.cutoff)
+             |SELECT time_bucket(INTERVAL 1 HOUR, p_ts) AS wstart,
+             |  COUNT(*) AS n_pairs, CAST(SUM(c_id) AS BIGINT) AS sum_cid
+             |FROM j GROUP BY 1 ORDER BY wstart""".stripMargin))
   )
 }
