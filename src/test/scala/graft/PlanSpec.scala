@@ -309,4 +309,48 @@ class PlanSpec extends SparkTestBase {
     assert(idx.head.metrics("numPartitions").value == expected,
       idx.head.metrics.map { case (k, m) => s"$k=${m.value}" }.mkString(", "))
   }
+
+  test("q228: the gram matrix partial-aggregates to 2,080 keys before its shuffle") {
+    // the d²/2 products per vector must combine map-side — the
+    // shuffle carries O(keys) rows per task, never O(corpus·d²)
+    val plan = planOf("q228_embedding_covariance")
+    assert(plan.contains("partial_sum"), plan.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(2000))
+  }
+
+  test("q227: in-cell dedup joins on the cell key, never all-pairs") {
+    // SemDeDup's blocking IS the cell equi-join; a cartesian or
+    // broadcast nested loop here would be the quadratic all-pairs
+    // sweep the clustering exists to avoid
+    val plan = planOf("q227_semantic_dedup")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("q233: wedge enumeration equi-joins on the center, top-k not global sort") {
+    val plan = planOf("q233_node_similarity")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q237: item counts broadcast back onto pair counts") {
+    // catalog ≪ fact table: shuffling the pair table on a part key to
+    // meet the per-item counts would be pure overhead
+    val plan = planOf("q237_market_basket")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q242: hard-negative corpus streams once against broadcast probes") {
+    val plan = planOf("q242_hard_negatives")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("q229: the daily series partial-aggregates before its shuffle") {
+    // the autocovariance input is a map-side count down to ~365 rows;
+    // everything after is metadata-scale
+    val plan = planOf("q229_autocovariance")
+    assert(plan.contains("partial_count"), plan.take(2000))
+  }
 }
