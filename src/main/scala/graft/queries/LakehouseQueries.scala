@@ -845,6 +845,43 @@ object LakehouseQueries extends QueryRegistry {
              |  CAST((SELECT SUM(id) FROM range(0,1000) t(id)) AS BIGINT) AS sum_ba_at_tag,
              |  (SELECT COUNT(*) FROM range(0,1000)) + (SELECT COUNT(*) FROM range(0,500)) AS rows_current,
              |  CAST((SELECT SUM(id) FROM range(0,1000) t(id)) + (SELECT SUM(id) FROM range(0,500) t(id)) AS BIGINT) AS sum_ba_current,
-             |  CAST(0 AS INT) AS tagged_version""".stripMargin))
+             |  CAST(0 AS INT) AS tagged_version""".stripMargin)),
+
+    // Row-grain dataset diff between two table versions — the release
+    // regression check a dataset pipeline runs before promoting: keys
+    // added / removed / value-changed / unchanged between v0 and the
+    // current head of the CDC table (which a merge and a delete have
+    // both touched since). One full-outer join on the key — the
+    // standard data-diff shape, a single shuffle at any table size
+    // (both sides are snapshot reads, so the diff works across ANY
+    // pair of versions without a change feed having been captured).
+    QueryDef("q241_dataset_diff",
+      (s, _) => {
+        val root = stagedCdfTable(s)
+        val a = Snapshots.read(s, root, "f", Some(0))
+          .select(col("ba"), col("name").as("name_a"))
+        val b = Snapshots.read(s, root, "f")
+          .select(col("ba"), col("name").as("name_b"))
+        a.join(b, Seq("ba"), "full_outer")
+          .select(col("ba"),
+            when(col("name_a").isNull, "added")
+              .when(col("name_b").isNull, "removed")
+              .when(col("name_a") =!= col("name_b"), "changed")
+              .otherwise("unchanged").as("kind"))
+          .groupBy("kind")
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+          .orderBy("kind")
+      },
+      Some("""WITH v0 AS (SELECT id AS ba, 'hangc' AS name FROM range(0,1000) t(id)),
+             |v2 AS (SELECT id AS ba, CASE WHEN id < 500 THEN 'hangc' ELSE 'upd' END AS name
+             |       FROM range(0,1200) t(id) WHERE id % 10 <> 0)
+             |SELECT kind, COUNT(*) AS cnt, CAST(SUM(ba) AS BIGINT) AS sum_ba FROM (
+             |  SELECT COALESCE(v0.ba, v2.ba) AS ba,
+             |    CASE WHEN v0.ba IS NULL THEN 'added'
+             |         WHEN v2.ba IS NULL THEN 'removed'
+             |         WHEN v0.name <> v2.name THEN 'changed'
+             |         ELSE 'unchanged' END AS kind
+             |  FROM v0 FULL OUTER JOIN v2 ON v0.ba = v2.ba)
+             |GROUP BY 1 ORDER BY kind""".stripMargin))
   )
 }
