@@ -41,7 +41,9 @@ object Bench {
     "q170_duplicate_spans", "q175_ann_recall", "q177_pair_features",
     "q180_snapshot_restore", "q182_scd2_join", "q199_lm_fluency",
     "q200_incremental_mv", "q202_ann_pq",
-    "q206_funnel_conversion", "q210_pagerank")
+    "q206_funnel_conversion", "q210_pagerank",
+    "q227_semantic_dedup", "q228_embedding_covariance",
+    "q231_stream_chained_windows", "q237_market_basket")
 
   private def fmt(v: Double): String = BigDecimal(v)
     .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
