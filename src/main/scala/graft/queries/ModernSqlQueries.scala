@@ -191,6 +191,41 @@ object ModernSqlQueries extends QueryRegistry {
         |  CAST(SUM(CAST(FLOOR((o_totalprice) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS total
         |FROM orders
         |GROUP BY ALL
-        |ORDER BY ALL""".stripMargin))
+        |ORDER BY ALL""".stripMargin)),
+
+    // Collation-keyed grouping (Spark 4 collations): case-insensitive
+    // dedup WITHOUT lowercasing the data — the grouping key is the
+    // collated column itself (UTF8_LCASE ↔ DuckDB NOCASE; identical
+    // equality classes over ASCII), so the engine's hash/compare
+    // honors the collation while the stored spellings survive. A
+    // deterministic upper-cased variant catalog is injected; output =
+    // the spelling clusters (binary-min representative, spelling
+    // count, row count) that an accent/case-blind entity match would
+    // collapse. Collated grouping partial-aggregates like any other
+    // key — no scale caveat.
+    QueryDef("q245_collation_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val p = Tables.part(s, dir)
+        val cat = p.filter(col("p_partkey") < 100).select(col("p_name").as("name"))
+          .unionAll(p.filter(col("p_partkey") < 30)
+            .select(upper(col("p_name")).as("name")))
+        cat.groupBy(collate(col("name"), "UTF8_LCASE").as("k"))
+          .agg(min(col("name")).as("rep"),
+            countDistinct(col("name")).as("n_spellings"),
+            count(lit(1)).as("n_rows"))
+          .filter(col("n_spellings") > 1)
+          .select(col("rep"), col("n_spellings"), col("n_rows"))
+          .orderBy("rep")
+      },
+      Some("""SELECT MIN(name) AS rep, COUNT(DISTINCT name) AS n_spellings,
+             |  COUNT(*) AS n_rows
+             |FROM (
+             |  SELECT p_name AS name FROM part WHERE p_partkey < 100
+             |  UNION ALL
+             |  SELECT upper(p_name) FROM part WHERE p_partkey < 30)
+             |GROUP BY name COLLATE NOCASE
+             |HAVING COUNT(DISTINCT name) > 1
+             |ORDER BY rep""".stripMargin))
   )
 }

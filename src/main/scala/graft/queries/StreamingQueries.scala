@@ -733,6 +733,56 @@ object StreamingQueries extends QueryRegistry {
              |    AND CAST(p.ts AS TIMESTAMP) < m.cutoff)
              |SELECT time_bucket(INTERVAL 1 HOUR, p_ts) AS wstart,
              |  COUNT(*) AS n_pairs, CAST(SUM(c_id) AS BIGINT) AS sum_cid
-             |FROM j GROUP BY 1 ORDER BY wstart""".stripMargin))
+             |FROM j GROUP BY 1 ORDER BY wstart""".stripMargin)),
+
+    // DYNAMIC-gap session windows: the gap is a per-event expression
+    // (purchases hold a session open 60 min, everything else 15 min)
+    // — the "a conversion extends engagement" sessionization that a
+    // fixed gap can't express. Spark merges an event into a session
+    // while ts < session end and extends the end to max(end, ts+gap);
+    // the oracle replays exactly that via a running max of (ts+gap)
+    // over prior same-user events — a session breaks where ts reaches
+    // it. Same q46 cutoff + append-mode discipline (state holds only
+    // open sessions).
+    QueryDef("q244_dynamic_gap_sessions",
+      (s, dir) => {
+        val cutoff = timestamp_micros(lit(maxTsMicros(s, dir) - 3L * 3600 * 1000000))
+        val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+          .otherwise(lit("15 minutes"))
+        val agg = eventStream(s, dir, maxFilesPerTrigger = 4)
+          .withWatermark("ts", "0 seconds")
+          .filter(col("ts") < cutoff)
+          .groupBy(session_window(col("ts"), gap), col("user_id"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("purchases"))
+        runToMemory(s, agg, "append")
+          .select(col("session_window.start").cast("timestamp_ntz").as("sstart"),
+            col("user_id"), col("cnt"), col("purchases"))
+          .orderBy("user_id", "sstart")
+      },
+      Some("""WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 3 HOUR AS cutoff FROM events),
+             |ev AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+             |    CAST(ts AS TIMESTAMP) + CASE WHEN event_type = 'purchase'
+             |      THEN INTERVAL 60 MINUTE ELSE INTERVAL 15 MINUTE END AS ends
+             |  FROM events, m WHERE CAST(ts AS TIMESTAMP) < m.cutoff),
+             |brk AS (
+             |  SELECT user_id, ts, event_type,
+             |    CASE WHEN ts >= MAX(ends) OVER
+             |      (PARTITION BY user_id ORDER BY ts
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      OR ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) = 1
+             |      THEN 1 ELSE 0 END AS is_new
+             |  FROM ev),
+             |sess AS (
+             |  SELECT user_id, ts, event_type,
+             |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM brk)
+             |SELECT MIN(ts) AS sstart, user_id, COUNT(*) AS cnt,
+             |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, sstart""".stripMargin))
   )
 }
