@@ -1129,6 +1129,44 @@ object AnalyticsQueries extends QueryRegistry {
              |  CAST((1000000 * c_ab * n.n) // (ia.c1 * ib.c1) AS BIGINT) AS lift_ppm
              |FROM pairs JOIN item ia ON ia.pk = a JOIN item ib ON ib.pk = b
              |CROSS JOIN n
-             |ORDER BY c_ab DESC, a, b LIMIT 10""".stripMargin))
+             |ORDER BY c_ab DESC, a, b LIMIT 10""".stripMargin)),
+
+    // Skyline (Pareto frontier): parts where no other part is both
+    // cheaper-or-equal AND larger-or-equal (strict somewhere) — the
+    // multi-criteria shortlist. NOT the naive all-pairs dominance
+    // test: per-price-group max sizes, a running max over the price
+    // order, and one join back — a row is dominated iff a strictly
+    // cheaper group reaches its size, or its own group beats it.
+    // O(n log n); the global window runs over the GROUPED (distinct
+    // price) table, not the fact table, and prices are domain-bounded
+    // cents so that table can't outgrow its domain. Duplicate
+    // (price, size) points tie and both stay — standard skyline.
+    // Prices compared in exact cents.
+    QueryDef("q246_skyline",
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+          .select(col("p_partkey"),
+            expr("cast(floor(p_retailprice * 100 + 0.5) as bigint)").as("cents"),
+            col("p_size").cast("long").as("size"))
+        val grp = p.groupBy("cents").agg(max("size").as("gmax"))
+        val run = grp.withColumn("prev_max", max("gmax").over(
+          Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)))
+        p.join(run, "cents")
+          .filter(!(coalesce(col("prev_max"), lit(Long.MinValue)) >= col("size") ||
+            col("size") < col("gmax")))
+          .select(col("p_partkey"), col("cents"), col("size"))
+          .orderBy(col("cents"), col("size").desc, col("p_partkey"))
+      },
+      Some("""WITH p AS (
+             |  SELECT p_partkey, CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents,
+             |    CAST(p_size AS BIGINT) AS size FROM part),
+             |g AS (SELECT cents, MAX(size) AS gmax FROM p GROUP BY 1),
+             |r AS (SELECT cents, gmax, MAX(gmax) OVER (ORDER BY cents
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+             |      FROM g)
+             |SELECT p.p_partkey, p.cents, p.size
+             |FROM p JOIN r USING (cents)
+             |WHERE NOT (COALESCE(prev_max, -9223372036854775808) >= size OR size < gmax)
+             |ORDER BY cents, size DESC, p_partkey""".stripMargin))
   )
 }
