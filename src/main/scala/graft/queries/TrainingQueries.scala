@@ -715,6 +715,67 @@ object TrainingQueries extends QueryRegistry {
              |  COUNT(*) AS n
              |FROM c, generate_series(1,64) i(i), generate_series(1,64) j(j)
              |WHERE j.j >= i.i
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Target encoding with additive smoothing — the categorical
+    // feature encoder of tabular ML prep: each market segment maps to
+    // its smoothed mean order value, (sum + m·prior)/(n + m) with
+    // m=100, ALL in integer cents (sum and prior are exact BIGINTs,
+    // the division floors identically in both engines — no float
+    // group means to drift). Encoding table is category-bounded
+    // metadata; the join to produce it is one shuffle on the customer
+    // key with the order aggregate partial-applied map-side.
+    QueryDef("q247_target_encoding",
+      (s, dir) => {
+        val cents = expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        val joined = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("segment"), cents.as("cents"))
+        val glob = joined.agg(
+          expr("sum(cents) div count(1)").as("prior"))
+        joined.groupBy("segment")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .crossJoin(broadcast(glob))
+          .select(col("segment"), col("n"),
+            expr("(sum_cents + 100L * prior) div (n + 100L)").as("encoded_cents"))
+          .orderBy("segment")
+      },
+      Some("""WITH j AS (
+             |  SELECT c_mktsegment AS segment,
+             |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |g AS (SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS prior FROM j)
+             |SELECT segment, COUNT(*) AS n,
+             |  CAST((SUM(cents) + 100 * MAX(g.prior)) // (COUNT(*) + 100) AS BIGINT) AS encoded_cents
+             |FROM j CROSS JOIN g
+             |GROUP BY segment ORDER BY segment""".stripMargin)),
+
+    // Feature hashing (the hashing trick): the segment×nation cross
+    // is hashed into 64 buckets instead of materializing a vocabulary
+    // — the fixed-width featurizer that needs no fitted state at any
+    // cardinality. Output is the bucket load table with the distinct
+    // crosses per bucket, making hash COLLISIONS (the trick's cost)
+    // checked output rather than silent.
+    QueryDef("q248_feature_hashing",
+      (s, dir) => {
+        val crossed = Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(concat(col("c_mktsegment"), lit("|"), col("n_name")).as("x"))
+        crossed
+          .withColumn("bucket",
+            pmod(MinHashLSH.baseHash(col("x")), lit(64)).cast("int"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("x")).as("n_crosses"))
+          .orderBy("bucket")
+      },
+      Some("""WITH x AS (
+             |  SELECT c_mktsegment || '|' || n_name AS x
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+             |SELECT CAST(CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 64 AS INT) AS bucket,
+             |  COUNT(*) AS n_rows, COUNT(DISTINCT x) AS n_crosses
+             |FROM x GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 }
