@@ -353,4 +353,47 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q231/q240: chained stateful operators equal their batch equivalents") {
+    // the multiple-stateful-operator pipelines (window→window and
+    // join→window) must produce exactly the single-engine batch
+    // answer — this is the Spark-side twin of the DuckDB oracle,
+    // proving the chained state stores drain completely
+    val ev = Tables.events(spark, sf).select(col("ts"), col("event_type"),
+      col("event_id"), col("user_id"))
+    val maxTs = ev.agg(max(col("ts"))).head().getAs[java.time.LocalDateTime](0)
+
+    val cutoff3 = maxTs.minusHours(3)
+    val b5 = ev.filter(col("ts") < lit(cutoff3))
+      .groupBy(window(col("ts").cast("timestamp"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("c5"))
+    val hourlyBatch = b5
+      .groupBy(window(col("window.start"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"), max("c5").as("max_c5"),
+        sum("c5").cast("bigint").as("sum_c5"))
+      .select(col("window.start").cast("timestamp_ntz").as("wstart"),
+        col("event_type"), col("n_buckets"), col("max_c5"), col("sum_c5"))
+    val chained = run("q231_stream_chained_windows")
+    assert(chained.exceptAll(hourlyBatch).isEmpty &&
+      hourlyBatch.exceptAll(chained).isEmpty)
+
+    val cutoff4 = maxTs.minusHours(4)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_uid"),
+        col("ts").as("c_ts"))
+    val joinedBatch = p.join(c,
+        col("user_id") === col("c_uid") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      .filter(col("p_ts") < lit(cutoff4))
+      .groupBy(window(col("p_ts").cast("timestamp"), "1 hour"))
+      .agg(count(lit(1)).as("n_pairs"), sum("c_id").cast("bigint").as("sum_cid"))
+      .select(col("window.start").cast("timestamp_ntz").as("wstart"),
+        col("n_pairs"), col("sum_cid"))
+    val joinChained = run("q240_stream_join_window")
+    assert(joinChained.exceptAll(joinedBatch).isEmpty &&
+      joinedBatch.exceptAll(joinChained).isEmpty)
+  }
 }
