@@ -776,6 +776,57 @@ object TrainingQueries extends QueryRegistry {
              |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
              |SELECT CAST(CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 64 AS INT) AS bucket,
              |  COUNT(*) AS n_rows, COUNT(DISTINCT x) AS n_crosses
-             |FROM x GROUP BY 1 ORDER BY bucket""".stripMargin))
+             |FROM x GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // Missing-value imputation by per-group median — the tabular ML
+    // repair step. Every 7th event's value is deterministically
+    // "missing"; the fill is the LOWER MEDIAN of the group's present
+    // values in exact micros (rank ⌈n/2⌉ by value — NOT the built-in
+    // interpolating median, whose float midpoint both engines would
+    // have to agree on), and the audited output is the group's
+    // imputation report plus the post-fill checksum. The median rank
+    // pick is one window over each group's present values; at scale
+    // that is a per-group sort bounded by group size, with the report
+    // aggregate partial-applied map-side.
+    QueryDef("q249_imputation",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("v"),
+            (col("event_id") % 7 === 0).as("missing"))
+        val present = ev.filter(!col("missing"))
+        val med = present
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy(col("v"), col("event_id"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+          .filter(col("rn") === expr("(n + 1L) div 2L"))
+          .select(col("event_type"), col("v").as("median_u"))
+        ev.join(med, "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("missing"), 1L).otherwise(0L)).as("n_imputed"),
+            max(col("median_u")).as("median_u"),
+            sum(when(col("missing"), col("median_u")).otherwise(col("v")))
+              .as("sum_filled_u"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, event_id,
+             |    CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v,
+             |    event_id % 7 = 0 AS missing
+             |  FROM events),
+             |pr AS (SELECT * FROM ev WHERE NOT missing),
+             |rk AS (
+             |  SELECT event_type, v,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS n
+             |  FROM pr),
+             |med AS (SELECT event_type, v AS median_u FROM rk WHERE rn = (n + 1) // 2)
+             |SELECT ev.event_type, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN missing THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+             |  MAX(median_u) AS median_u,
+             |  CAST(SUM(CASE WHEN missing THEN median_u ELSE v END) AS BIGINT) AS sum_filled_u
+             |FROM ev JOIN med USING (event_type)
+             |GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 }
