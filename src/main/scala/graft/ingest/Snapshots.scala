@@ -343,6 +343,24 @@ object Snapshots {
       }
   }
 
+  /** Drop an ABANDONED staged commit: the audit failed and the batch
+    * will never publish. Deletes only the staged MANIFEST — its
+    * unique data files become unreferenced, so the next [[vacuum]]'s
+    * orphan pass reclaims them (the grace window still applies).
+    * Refuses if the audit already published: the publish version
+    * references the staged files and the audit trail stays. Like
+    * vacuum, this is a single-administrator maintenance op — do not
+    * race it against a publisher of the same audit id. */
+  def dropStaged(root: String, prefix: String, audit: String): Unit = {
+    val sv = stagedVersion(root, prefix, audit).getOrElse(
+      sys.error(s"no staged commit for audit '$audit' on $prefix"))
+    require(!versions(root, prefix).exists(v =>
+      rawField(root, prefix, v, "publishedFrom").contains(sv.toString)),
+      s"audit '$audit' was published; refusing to drop its staged version")
+    Files.deleteIfExists(logDir(root, prefix).resolve(f"v$sv%05d.json"))
+    ()
+  }
+
   // ------------------------------ named refs ------------------------------
 
   private def refsDir(root: String, prefix: String): Path =

@@ -1074,6 +1074,28 @@ class SnapshotSpec extends SparkTestBase {
     intercept[RuntimeException] {
       Snapshots.publish(root, "w3", "no-such-audit")
     }
+    // dropStaged retires the failed batch's manifest; the next vacuum
+    // reclaims its now-orphaned files, and the published table is
+    // untouched
+    Snapshots.dropStaged(root, "w3", "bad-batch")
+    assert(Snapshots.stagedVersion(root, "w3", "bad-batch").isEmpty)
+    Snapshots.vacuum(root, "w3", keepFrom = 0, orphanGraceMs = 0)
+    assert(Snapshots.read(spark, root, "w3").count() == 250)
+    // the staged batch's rows are really gone from disk, not just hidden
+    assert(spark.read.parquet(graft.ingest.Topics.tableDir(root, "w3")).count() == 250)
+    intercept[RuntimeException] { Snapshots.dropStaged(root, "w3", "bad-batch") }
+  }
+
+  test("dropStaged refuses to drop a published audit") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "w4", topics = 1, numMessages = 100)
+    ProduceJob.personProjection(spark.range(100, 150).toDF("cnt"), "cnt", "w4", 1)
+      .write.mode("append").partitionBy("topic")
+      .parquet(graft.ingest.Topics.tableDir(root, "w4"))
+    Snapshots.commitStaged(root, "w4", 149, audit = "ok")
+    Snapshots.publish(root, "w4", "ok")
+    intercept[IllegalArgumentException] { Snapshots.dropStaged(root, "w4", "ok") }
+    assert(Snapshots.read(spark, root, "w4").count() == 150)
   }
 
   test("tags are immutable named refs resolving through later history") {
