@@ -696,9 +696,10 @@ object TrainingQueries extends QueryRegistry {
         val centered = zip_with(col("v"), msLit, (x, m) => x - m)
         val pairs = flatten(flatten(transform(array(centered), cv =>
           transform(cv, (x, i) =>
-            transform(slice(cv, i + 1, size(cv) - i), (y, k) =>
-              struct(i.cast("int").as("i"), (i + k).cast("int").as("j"),
-                floor(x * y * lit(1e6) + lit(0.5)).cast("long").as("p")))))))
+            transform(sequence(i, lit(63)), j =>
+              struct(i.cast("int").as("i"), j.cast("int").as("j"),
+                floor(x * element_at(cv, j + 1) * lit(1e6) + lit(0.5))
+                  .cast("long").as("p")))))))
         e.select(explode(pairs).as("pr"))
           .groupBy(col("pr.i").as("i"), col("pr.j").as("j"))
           .agg(sum("pr.p").as("cov_u"), count(lit(1)).as("n"))
