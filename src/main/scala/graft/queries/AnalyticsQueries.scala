@@ -41,6 +41,24 @@ object AnalyticsQueries extends QueryRegistry {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** The synthetic doc graph shared by q210/q250/q252: undirected
+    * i—i/2 and i—i/10 edges materialized as a directed edge list in
+    * both directions (so per-src counts are full degrees). */
+  private def docGraph(s: SparkSession, dir: String) = {
+    val ids = Tables.documents(s, dir)
+      .filter(col("doc_id") >= 1).select(col("doc_id").as("i"))
+    val ed = ids.select(col("i").as("u"), expr("i div 2").as("v"))
+      .unionAll(ids.filter(col("i") >= 10)
+        .select(col("i").as("u"), expr("i div 10").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+    ed.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(ed.select(col("v").as("src"), col("u").as("dst")))
+  }
+
+  /** Statically-unrolled peel rounds for q250 — a structural constant
+    * of the doc-graph topology (GraphSpec asserts fixpoint by then). */
+  private val KcoreRounds = 8
+
   def defs: Seq[QueryDef] = Seq(
 
     // Ordered funnel: signup -> first view AFTER it -> first click
@@ -1167,6 +1185,160 @@ object AnalyticsQueries extends QueryRegistry {
              |SELECT p.p_partkey, p.cents, p.size
              |FROM p JOIN r USING (cents)
              |WHERE NOT (COALESCE(prev_max, -9223372036854775808) >= size OR size < gmax)
-             |ORDER BY cents, size DESC, p_partkey""".stripMargin))
+             |ORDER BY cents, size DESC, p_partkey""".stripMargin)),
+
+    // k-core decomposition (k=2) on the q210 synthetic doc graph:
+    // iterative peeling — drop every node with degree < 2, recompute,
+    // repeat; the 2-core strips every hanging tree, leaving the
+    // cyclic backbone (the 3-core of this topology is empty — the
+    // /2 edges alone form a tree). Measured rounds-to-fixpoint is 2
+    // at sf0.001 through sf1 (the /10 shortcuts bound hanging-chain
+    // length), so the 8-round unroll carries 4x margin. Statically unrolled to KcoreRounds rounds so the DuckDB
+    // oracle replays the identical computation; GraphSpec asserts the
+    // peel has reached its fixpoint by then on the fixtures (each
+    // round only removes nodes, so once stable it stays stable).
+    // Scale: each round is one degree-count shuffle + two semi joins
+    // all keyed on node id — the same hash partitioning reused; the
+    // surviving edge set only shrinks, so round cost is bounded by
+    // the first round. Round count is a structural constant of the
+    // i->i/2, i->i/10 topology (doubles as doc count doubles ~ never:
+    // peeling depth grows with graph *diameter*, which is log-shaped
+    // here), not with row count — no 100x scale cliff.
+    QueryDef("q250_kcore",
+      (s, dir) => {
+        // lineage cut per round (the DedupComponents pattern) — the
+        // 8 unrolled rounds would otherwise compound into one
+        // exponential plan (each round re-inlines the previous
+        // round's groupBy + two semi joins).
+        var edges = docGraph(s, dir).localCheckpoint(true)
+        for (_ <- 1 to KcoreRounds) {
+          val alive = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= 2).select("src")
+          edges = edges
+            .join(alive, "src", "left_semi")
+            .join(alive.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(true)
+        }
+        edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .select(col("src").as("id"), col("deg"))
+          .orderBy(col("deg").desc, col("id"))
+      },
+      Some {
+        // MATERIALIZED: each round references the previous one three
+        // times; inlined CTEs would re-expand the base scan 3^rounds
+        // times ("too many open files" in practice).
+        val rounds = (1 to KcoreRounds).map { r =>
+          s"""a$r AS MATERIALIZED (
+             |  SELECT src FROM e${r - 1} GROUP BY src HAVING COUNT(*) >= 2),
+             |e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+             |  JOIN a$r s ON e.src = s.src JOIN a$r d ON e.dst = d.src)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id >= 1),
+           |ed AS (SELECT DISTINCT u, v FROM (
+           |         SELECT i AS u, i // 2 AS v FROM ids
+           |         UNION ALL SELECT i, i // 10 FROM ids WHERE i >= 10)
+           |       WHERE u <> v),
+           |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM ed
+           |       UNION ALL SELECT v, u FROM ed),
+           |$rounds
+           |SELECT src AS id, COUNT(*) AS deg FROM e$KcoreRounds
+           |GROUP BY 1 ORDER BY deg DESC, id""".stripMargin
+      }),
+
+    // CUSUM changepoint scores per event_type: v = value in exact
+    // micros, y = v - floor-mean, prefix sum P, and the classic
+    // one-sided CUSUM S_i = max(0, S_{i-1} + y_i) computed in CLOSED
+    // FORM as S_i = P_i - min(0, min_{j<=i} P_j) — a prefix sum plus
+    // a running min, two window passes instead of an inexpressible
+    // per-row recursion. Top-15 scores = the strongest upward
+    // level-shift candidates. All integer micros; both engines replay
+    // the identical floor-mean and window frames.
+    // Scale: two shuffles — one agg on event_type (5 groups,
+    // map-side partial) and one window partitioned by event_type.
+    // The per-type window sort is the declared order semantics; at
+    // 100 TB the partition-by keeps it distributed per type.
+    QueryDef("q251_cusum_changepoint",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          col("event_id"), col("ts"),
+          expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("v"))
+        val st = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        val w = Window.partitionBy("event_type")
+          .orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.join(st, "event_type")
+          .withColumn("y", col("v") - expr("sv div n"))
+          .withColumn("p", sum("y").over(w))
+          .withColumn("s_plus",
+            col("p") - least(lit(0L), min("p").over(w)))
+          .select(col("event_type"), col("event_id"), col("s_plus"))
+          .orderBy(col("s_plus").desc, col("event_type"), col("event_id"))
+          .limit(15)
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, event_id, ts,
+             |    CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v
+             |  FROM events),
+             |st AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv
+             |       FROM ev GROUP BY 1),
+             |pf AS (
+             |  SELECT event_type, event_id, ts,
+             |    SUM(v - sv // n) OVER (PARTITION BY event_type
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+             |  FROM ev JOIN st USING (event_type)),
+             |cs AS (
+             |  SELECT event_type, event_id, p,
+             |    MIN(p) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+             |  FROM pf)
+             |SELECT event_type, event_id,
+             |  CAST(p - LEAST(0, runmin) AS BIGINT) AS s_plus
+             |FROM cs ORDER BY s_plus DESC, event_type, event_id LIMIT 15""".stripMargin)),
+
+    // Degree assortativity over the doc graph as EXACT sufficient
+    // statistics (the q228-covariance pattern): for every directed
+    // edge, x = deg(src), y = deg(dst); emit m, Σx, Σy, Σxy, Σx²,
+    // Σy² plus the integer Pearson numerator m·Σxy − Σx·Σy and the
+    // two denominator factors — the consumer divides; both engines
+    // agree bit-for-bit with no sqrt. Scale: degree table is one
+    // shuffle; the two joins back onto edges are broadcasts at any
+    // SF where the node-id domain ≪ edge count (deg table ~ distinct
+    // nodes), here left as hash joins keyed on the edge endpoints.
+    QueryDef("q252_assortativity",
+      (s, dir) => {
+        val edges = docGraph(s, dir)
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        edges
+          .join(deg.select(col("src"), col("deg").as("x")), "src")
+          .join(deg.select(col("src").as("dst"), col("deg").as("y")), "dst")
+          .agg(count(lit(1)).as("m"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("m"), col("sx"), col("sy"), col("sxy"),
+            (col("m") * col("sxy") - col("sx") * col("sy")).as("num"),
+            (col("m") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+            (col("m") * col("syy") - col("sy") * col("sy")).as("den_y"))
+      },
+      Some("""WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id >= 1),
+             |ed AS (SELECT DISTINCT u, v FROM (
+             |         SELECT i AS u, i // 2 AS v FROM ids
+             |         UNION ALL SELECT i, i // 10 FROM ids WHERE i >= 10)
+             |       WHERE u <> v),
+             |e0 AS (SELECT u AS src, v AS dst FROM ed
+             |       UNION ALL SELECT v, u FROM ed),
+             |deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY 1),
+             |j AS (SELECT dx.deg AS x, dy.deg AS y
+             |      FROM e0 JOIN deg dx ON e0.src = dx.src
+             |              JOIN deg dy ON e0.dst = dy.src)
+             |SELECT COUNT(*) AS m, CAST(SUM(x) AS BIGINT) AS sx,
+             |  CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+             |  CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS BIGINT) AS num,
+             |  CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS den_x,
+             |  CAST(COUNT(*) * SUM(y*y) - SUM(y) * SUM(y) AS BIGINT) AS den_y
+             |FROM j""".stripMargin))
   )
 }

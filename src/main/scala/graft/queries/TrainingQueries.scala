@@ -828,6 +828,45 @@ object TrainingQueries extends QueryRegistry {
              |  MAX(median_u) AS median_u,
              |  CAST(SUM(CASE WHEN missing THEN median_u ELSE v END) AS BIGINT) AS sum_filled_u
              |FROM ev JOIN med USING (event_type)
-             |GROUP BY 1 ORDER BY event_type""".stripMargin))
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // Feature scaling for model input: per event_type min-max scaling
+    // and floor-mean centering of value, in exact integer micros/ppm
+    // (minmax_ppm = (v-min)*1e6 div range; centered_ppm likewise over
+    // the mean-shifted value). The 1-in-997 systematic sample bounds
+    // output rows, NOT the computation — stats run over the full
+    // table. Scale: one 5-group agg (map-side partial) broadcast back
+    // onto the scan; the scaling itself is a map-only projection, so
+    // the whole query is one pass over the fact table at any SF.
+    QueryDef("q253_feature_scaling",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          col("event_id"),
+          expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("v"))
+        val st = ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum("v").as("sv"),
+          min("v").as("mn"), max("v").as("mx"))
+        ev.filter(col("event_id") % 997 === 0)
+          .join(broadcast(st), "event_type")
+          .select(col("event_type"), col("event_id"), col("v"),
+            expr("((v - mn) * 1000000) div nullif(mx - mn, 0)")
+              .as("minmax_ppm"),
+            expr("((v - (sv div n)) * 1000000) div nullif(mx - mn, 0)")
+              .as("centered_ppm"))
+          .orderBy("event_id", "event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, event_id,
+             |    CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v
+             |  FROM events),
+             |st AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+             |         MIN(v) AS mn, MAX(v) AS mx
+             |       FROM ev GROUP BY 1)
+             |SELECT event_type, event_id, v,
+             |  ((v - mn) * 1000000) // NULLIF(mx - mn, 0) AS minmax_ppm,
+             |  ((v - (sv // n)) * 1000000) // NULLIF(mx - mn, 0) AS centered_ppm
+             |FROM ev JOIN st USING (event_type)
+             |WHERE event_id % 997 = 0
+             |ORDER BY event_id, event_type""".stripMargin))
   )
 }
