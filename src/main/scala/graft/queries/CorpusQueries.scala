@@ -366,6 +366,52 @@ object CorpusQueries extends QueryRegistry {
              |  FROM q)
              |SELECT CAST(n AS BIGINT) AS n_terms,
              |  CAST(FLOOR(((n*sxy - sx*sy) / (n*sxx - sx*sx)) * 1e6 + 0.5) AS BIGINT) AS slope_micro
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Flesch reading-ease histogram over the corpus, exact integer
+    // milli-points. Words = maximal non-space runs (collapse each run
+    // to '#', count); syllables = [aeiouy]+ vowel groups (the
+    // standard heuristic); the corpus is unpunctuated, so sentences
+    // use the fixed 20-word pseudo-segmentation convention
+    // S = 1 + (W-1) div 20. fre_milli = 206835 - 1015·(W/S)
+    // - 84600·(Syl/W), every ratio in truncating integer division —
+    // both engines replay character-for-character. Output is the
+    // 10-point-bucket histogram: scale-stable (bucket count bounded
+    // by the score domain, never by corpus size); the per-doc scores
+    // live entirely in one map-side projection. Reference grounding:
+    // quality scoring over the curation corpus (SURVEY §2B pipeline
+    // extension; same family as q59/q158).
+    QueryDef("q254_readability",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("rw", regexp_replace(col("text"), "[^ ]+", "#"))
+          .withColumn("w", greatest(lit(1L),
+            (length(col("rw")) - length(regexp_replace(col("rw"), "#", ""))).cast("long")))
+          .withColumn("rs", regexp_replace(lower(col("text")), "[aeiouy]+", "#"))
+          .withColumn("syl", greatest(lit(1L),
+            (length(col("rs")) - length(regexp_replace(col("rs"), "#", ""))).cast("long")))
+          .withColumn("sent", lit(1L) + expr("(w - 1) div 20"))
+          .withColumn("fre_milli",
+            lit(206835L) - expr("(1015 * w) div sent") - expr("(84600 * syl) div w"))
+        d.groupBy(expr("fre_milli div 10000").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min("fre_milli").as("min_milli"), max("fre_milli").as("max_milli"))
+          .orderBy("bucket")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    GREATEST(1, len(rw) - len(replace(rw, '#', ''))) AS w,
+             |    GREATEST(1, len(rs) - len(replace(rs, '#', ''))) AS syl
+             |  FROM (SELECT doc_id,
+             |          regexp_replace(text, '[^ ]+', '#', 'g') AS rw,
+             |          regexp_replace(lower(text), '[aeiouy]+', '#', 'g') AS rs
+             |        FROM documents)),
+             |f AS (SELECT doc_id,
+             |        206835 - (1015 * w) // (1 + (w - 1) // 20)
+             |               - (84600 * syl) // w AS fre_milli
+             |      FROM d)
+             |SELECT fre_milli // 10000 AS bucket, COUNT(*) AS n,
+             |  MIN(fre_milli) AS min_milli, MAX(fre_milli) AS max_milli
+             |FROM f GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryRegistry, Tables}
 import graft.operators._
@@ -1490,6 +1491,64 @@ object CurationQueries extends QueryRegistry {
               |    FROM pr CROSS JOIN cs))
               |SELECT CAST(true_label AS INT) AS true_label,
               |  CAST(pred_label AS INT) AS pred_label, COUNT(*) AS n
-              |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+              |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Scene-cut detection on the motion-PNG clips: decode every 2nd
+    // frame through the real container walk + JDK codec (clipFp —
+    // the q232 fingerprint), then flag a cut wherever the aHash
+    // Hamming distance between consecutive sampled frames exceeds
+    // 8 of 64 bits — the classic keyframe segmentation shape. The
+    // oracle replays the per-frame hash arithmetic and the same LAG.
+    // Scale: one map-side decode pass per clip; the per-clip
+    // transition window is bounded by frames-per-clip (constant),
+    // so the window state never grows with corpus size.
+    QueryDef("q256_scene_cuts",
+      (s, dir) => {
+        val fps = Tables.documents(s, dir).filter(col("doc_id") < 48)
+          .select(col("doc_id"),
+            Multimodal.clipFpUdf(Multimodal.makeClipUdf(col("doc_id"))).as("h"))
+        // h = concatenated 64-char per-sampled-frame aHashes; k-th
+        // sampled frame is original frame 2k (q190's protocol).
+        // Exchange fence (the MinHashLSH pattern): without it,
+        // project-collapse re-inlines the decode UDF into every
+        // lambda reference below.
+        val frames = fps.repartition(col("doc_id"))
+          .select(col("doc_id"), posexplode(
+            expr("transform(sequence(0, (length(h) div 64) - 1)," +
+              " k -> substr(h, k * 64 + 1, 64))")).as(Seq("k", "fh")))
+        val w = Window.partitionBy("doc_id").orderBy("k")
+        frames.withColumn("prev", lag("fh", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .withColumn("hamming",
+            expr("size(filter(sequence(1, 64), i -> substr(fh, i, 1) != substr(prev, i, 1)))"))
+          .select(col("doc_id"), (col("k") * 2).as("frame"),
+            col("hamming"), (col("hamming") > 8).cast("int").as("is_cut"))
+          .orderBy("doc_id", "frame")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, 4 + doc_id % 4 AS nf
+             |  FROM documents WHERE doc_id < 48),
+             |fr AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS f FROM d),
+             |sf AS (SELECT doc_id, f, doc_id + f AS seed,
+             |         8 + (doc_id + f) % 9 AS w, 8 + (doc_id + f) % 7 AS h
+             |       FROM fr WHERE f % 2 = 0),
+             |hg AS (SELECT doc_id, f,
+             |    list_transform(generate_series(0, 63), k ->
+             |      ((((k % 8) * w) // 8) * 7 + (((k // 8) * h) // 8) * 13 + seed) % 256) AS g
+             |  FROM sf),
+             |h0 AS (SELECT doc_id, f, g, list_sum(g) AS s FROM hg),
+             |fh AS (SELECT doc_id, f,
+             |    array_to_string(list_transform(g, v ->
+             |      CASE WHEN 64 * v >= s THEN '1' ELSE '0' END), '') AS fh
+             |  FROM h0),
+             |lg AS (SELECT doc_id, f, fh,
+             |    LAG(fh) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+             |  FROM fh)
+             |SELECT doc_id, CAST(f AS INT) AS frame,
+             |  CAST(len(list_filter(generate_series(1, 64), i -> fh[i] != prev[i])) AS INT) AS hamming,
+             |  CAST(CASE WHEN len(list_filter(generate_series(1, 64), i -> fh[i] != prev[i])) > 8
+             |       THEN 1 ELSE 0 END AS INT) AS is_cut
+             |FROM lg WHERE prev IS NOT NULL
+             |ORDER BY doc_id, frame""".stripMargin))
   )
 }

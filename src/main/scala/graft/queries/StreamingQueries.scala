@@ -3,6 +3,7 @@ package graft.queries
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.{QueryDef, QueryRegistry, Tables}
@@ -783,6 +784,42 @@ object StreamingQueries extends QueryRegistry {
              |SELECT MIN(ts) AS sstart, user_id, COUNT(*) AS cnt,
              |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
              |FROM sess GROUP BY user_id, sid
-             |ORDER BY user_id, sstart""".stripMargin))
+             |ORDER BY user_id, sstart""".stripMargin)),
+
+    // Streaming top-k: hourly event-type leaderboard. The windowed
+    // counts run APPEND-mode behind a watermark (only closed windows
+    // emit — the state-bounded 100 TB shape; the q46 cutoff makes
+    // every window provably close on a bounded replay), and the rank
+    // itself is sink-side — per-window top-3 over the emitted closed
+    // windows, the standard two-phase shape since streaming rank
+    // isn't incrementally expressible. State is one count per open
+    // (window, type), dropped at emission.
+    QueryDef("q257_stream_topk",
+      (s, dir) => {
+        val cutoff = timestamp_micros(lit(maxTsMicros(s, dir) - 3L * 3600 * 1000000))
+        val agg = eventStream(s, dir, maxFilesPerTrigger = 4)
+          .withWatermark("ts", "0 seconds")
+          .filter(col("ts") < cutoff)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        runToMemory(s, agg, "append")
+          .select(col("window.start").cast("timestamp_ntz").as("wstart"),
+            col("event_type"), col("cnt"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("wstart").orderBy(col("cnt").desc, col("event_type"))))
+          .filter(col("rk") <= 3)
+          .orderBy("wstart", "rk")
+      },
+      Some("""WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 3 HOUR AS cutoff FROM events),
+             |w AS (
+             |  SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS wstart,
+             |    event_type, COUNT(*) AS cnt
+             |  FROM events, m WHERE CAST(ts AS TIMESTAMP) < m.cutoff
+             |  GROUP BY 1, 2),
+             |rk AS (SELECT *, ROW_NUMBER() OVER
+             |         (PARTITION BY wstart ORDER BY cnt DESC, event_type) AS rk
+             |       FROM w)
+             |SELECT wstart, event_type, cnt, CAST(rk AS INT) AS rk
+             |FROM rk WHERE rk <= 3 ORDER BY wstart, rk""".stripMargin))
   )
 }

@@ -867,6 +867,57 @@ object TrainingQueries extends QueryRegistry {
              |  ((v - (sv // n)) * 1000000) // NULLIF(mx - mn, 0) AS centered_ppm
              |FROM ev JOIN st USING (event_type)
              |WHERE event_id % 997 = 0
-             |ORDER BY event_id, event_type""".stripMargin))
+             |ORDER BY event_id, event_type""".stripMargin)),
+
+    // SMOTE-style minority oversampling: the minority class (fewest
+    // rows, min-label tie-break — computed IN-PLAN, one tiny agg
+    // cross-joined back) donates probes (1-in-5 systematic sample);
+    // each probe finds its nearest same-label neighbor by exact
+    // cosine and the synthetic row is the element-wise midpoint,
+    // quantized to exact micros so both engines emit identical
+    // BIGINT arrays. Scale: candidate pairs are minority×minority
+    // ONLY (class-pruned join — the q137 broadcast-eval-set shape);
+    // the per-probe top-1 plans as WindowGroupLimit, never a global
+    // sort. The synthesis itself is map-only.
+    QueryDef("q255_smote_oversample",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val minority = e.groupBy("label").agg(count(lit(1)).as("n"))
+          .orderBy(col("n"), col("label")).limit(1)
+          .select(col("label").as("mlabel"))
+        val m = e.join(broadcast(minority), col("label") === col("mlabel"))
+        val probes = m.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+        val nn = m.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id").as("nn_id"), col("pv"), col("v"),
+            graft.operators.AnnLsh.cosine(col("v"), col("pv")).as("sim"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("probe_id").orderBy(col("sim").desc, col("nn_id"))))
+          .filter(col("rk") === 1)
+        nn.select(col("probe_id"), col("nn_id"),
+            transform(zip_with(col("pv"), col("v"), (x, y) => (x + y) * lit(0.5)),
+              z => floor(z * lit(1e6) + lit(0.5)).cast("long")).as("synth_u"))
+          .orderBy("probe_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |ml AS (SELECT label AS mlabel FROM e GROUP BY 1
+             |       ORDER BY COUNT(*), label LIMIT 1),
+             |m AS (SELECT e.* FROM e JOIN ml ON e.label = ml.mlabel),
+             |p AS (SELECT vec_id AS probe_id, v AS pv FROM m WHERE vec_id % 5 = 0),
+             |sc AS (
+             |  SELECT p.probe_id, m.vec_id AS nn_id, p.pv, m.v,
+             |    list_dot_product(m.v, p.pv)
+             |      / sqrt(list_dot_product(m.v, m.v) * list_dot_product(p.pv, p.pv)) AS sim
+             |  FROM m JOIN p ON m.vec_id <> p.probe_id),
+             |rk AS (SELECT *, ROW_NUMBER() OVER
+             |         (PARTITION BY probe_id ORDER BY sim DESC, nn_id) AS rk
+             |       FROM sc)
+             |SELECT probe_id, nn_id,
+             |  list_transform(generate_series(1, 64), i ->
+             |    CAST(FLOOR((pv[i] + v[i]) * CAST(0.5 AS DOUBLE) * 1e6
+             |               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS synth_u
+             |FROM rk WHERE rk = 1 ORDER BY probe_id""".stripMargin))
   )
 }
