@@ -1339,6 +1339,58 @@ object AnalyticsQueries extends QueryRegistry {
              |  CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS BIGINT) AS num,
              |  CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS den_x,
              |  CAST(COUNT(*) * SUM(y*y) - SUM(y) * SUM(y) AS BIGINT) AS den_y
-             |FROM j""".stripMargin))
+             |FROM j""".stripMargin)),
+
+    // Landmark BFS distances (the distance-sketch primitive behind
+    // graph features / routing shortcuts): exact hop counts from
+    // landmarks {1,2,3} on the doc graph, 4 statically-unrolled
+    // frontier-relaxation rounds — dist_r(v) = min(dist_{r-1}(v),
+    // 1 + min over in-edges dist_{r-1}(u)) — so nodes within 4 hops
+    // get exact distances and the rest stay unreported (the sketch
+    // contract). Output is the per-landmark distance histogram:
+    // scale-stable (≤ 5 rows per landmark). Lineage cut per round;
+    // each round = one join + one min-agg keyed on node id, the same
+    // partitioning every round. Round count is the sketch RADIUS
+    // (declared), not a convergence bound — no scale cliff.
+    QueryDef("q258_landmark_bfs",
+      (s, dir) => {
+        val edges = docGraph(s, dir).localCheckpoint(true)
+        var d = Seq(1L, 2L, 3L).map(l =>
+            edges.sparkSession.range(1).select(lit(l).as("node"), lit(l).as("lm"),
+              lit(0L).as("dist")))
+          .reduce(_ unionAll _).localCheckpoint(true)
+        for (_ <- 1 to 4) {
+          d = edges.join(d, edges("src") === d("node"))
+            .select(col("dst").as("node"), col("lm"), (col("dist") + 1).as("dist"))
+            .unionAll(d)
+            .groupBy("node", "lm").agg(min("dist").as("dist"))
+            .localCheckpoint(true)
+        }
+        d.groupBy("lm", "dist").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("lm", "dist")
+      },
+      Some {
+        val rounds = (1 to 4).map { r =>
+          s"""d$r AS MATERIALIZED (
+             |  SELECT node, lm, MIN(dist) AS dist FROM (
+             |    SELECT e.dst AS node, d.lm, d.dist + 1 AS dist
+             |    FROM e0 e JOIN d${r - 1} d ON e.src = d.node
+             |    UNION ALL SELECT node, lm, dist FROM d${r - 1})
+             |  GROUP BY 1, 2)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id >= 1),
+           |ed AS (SELECT DISTINCT u, v FROM (
+           |         SELECT i AS u, i // 2 AS v FROM ids
+           |         UNION ALL SELECT i, i // 10 FROM ids WHERE i >= 10)
+           |       WHERE u <> v),
+           |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM ed
+           |       UNION ALL SELECT v, u FROM ed),
+           |d0 AS MATERIALIZED (
+           |  SELECT lm AS node, lm, CAST(0 AS BIGINT) AS dist
+           |  FROM (VALUES (CAST(1 AS BIGINT)), (2), (3)) t(lm)),
+           |$rounds
+           |SELECT lm, dist, COUNT(*) AS n_nodes FROM d4
+           |GROUP BY 1, 2 ORDER BY lm, dist""".stripMargin
+      })
   )
 }

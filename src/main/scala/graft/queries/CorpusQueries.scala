@@ -412,6 +412,48 @@ object CorpusQueries extends QueryRegistry {
              |      FROM d)
              |SELECT fre_milli // 10000 AS bucket, COUNT(*) AS n,
              |  MIN(fre_milli) AS min_milli, MAX(fre_milli) AS max_milli
-             |FROM f GROUP BY 1 ORDER BY bucket""".stripMargin))
+             |FROM f GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // Content-defined chunking (the Rabin/FastCDC shape used for
+    // chunk-level dedup of training corpora): a boundary lands after
+    // position i whenever the polynomial hash of the trailing 8-char
+    // window ≡ 0 (mod 64) — so boundaries move WITH the content, and
+    // an insertion only reshuffles chunks locally (the whole point
+    // vs fixed-width q171 chunking). Hash = Σ ascii(c_j)·31^(7-j)
+    // mod 2^31, windows via an index HOF over the text — O(len·8)
+    // map-side per doc, no shuffle until the final histogram. Output
+    // = docs per chunk count + exact average chunk length in milli
+    // (scale-stable: bounded by the n_chunks domain).
+    QueryDef("q260_cdc_chunking",
+      (s, dir) => {
+        val pw = (0 to 7).map(j => math.pow(31, 7 - j).toLong)
+        val b = Tables.documents(s, dir)
+          .filter(length(col("text")) >= 8)
+          .withColumn("n_bounds", expr(
+            s"""size(filter(sequence(8, length(text)), i ->
+               |  (aggregate(sequence(0, 7), 0L, (acc, j) ->
+               |     acc + ascii(substr(text, i - 7 + j, 1))
+               |         * element_at(array(${pw.mkString("L,")}L), j + 1))
+               |   % 2147483648L) % 64 = 0))""".stripMargin))
+          .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+            (col("n_bounds") + 1).cast("long").as("n_chunks"))
+        b.groupBy("n_chunks")
+          .agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len"),
+            expr("(sum(len) * 1000) div (sum(n_chunks))").as("avg_chunk_milli"))
+          .orderBy("n_chunks")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 8),
+             |b AS (
+             |  SELECT doc_id, CAST(len(text) AS BIGINT) AS len,
+             |    CAST(len(list_filter(generate_series(8, len(text)), i ->
+             |      (CAST(list_sum(list_transform(generate_series(0, 7), j ->
+             |         ascii(substr(text, i - 7 + j, 1))
+             |           * ([CAST(27512614111 AS BIGINT), 887503681, 28629151,
+             |               923521, 29791, 961, 31, 1])[j + 1])) AS BIGINT)
+             |       % 2147483648) % 64 = 0)) + 1 AS BIGINT) AS n_chunks
+             |  FROM d)
+             |SELECT n_chunks, COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len,
+             |  (CAST(SUM(len) AS BIGINT) * 1000) // CAST(SUM(n_chunks) AS BIGINT) AS avg_chunk_milli
+             |FROM b GROUP BY 1 ORDER BY n_chunks""".stripMargin))
   )
 }

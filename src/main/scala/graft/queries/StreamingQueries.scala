@@ -820,6 +820,48 @@ object StreamingQueries extends QueryRegistry {
              |         (PARTITION BY wstart ORDER BY cnt DESC, event_type) AS rk
              |       FROM w)
              |SELECT wstart, event_type, cnt, CAST(rk AS INT) AS rk
-             |FROM rk WHERE rk <= 3 ORDER BY wstart, rk""".stripMargin))
+             |FROM rk WHERE rk <= 3 ORDER BY wstart, rk""".stripMargin)),
+
+    // Stream-stream interval ANTI join: purchases with NO click from
+    // the same user in the preceding hour — abandoned-attribution /
+    // orphan detection. Implemented as the q109 watermarked LEFT
+    // interval join with a sink-side IS NULL filter: the join's state
+    // is watermark-bounded on both sides and the NULL (unmatched)
+    // rows only emit once the watermark proves no match can arrive —
+    // exactly the anti-join contract, and the only state-bounded way
+    // to express it in Structured Streaming. Same q109 cutoff so the
+    // bounded replay drains every pending outer row.
+    QueryDef("q261_stream_interval_anti",
+      (s, dir) => {
+        val cutoff = timestamp_micros(lit(maxTsMicros(s, dir) - 3L * 3600 * 1000000))
+        val p = eventStream(s, dir, maxFilesPerTrigger = 4)
+          .withWatermark("ts", "1 hour")
+          .filter(unpushedTypeIs("purchase") && col("ts") < cutoff)
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val c = eventStream(s, dir, maxFilesPerTrigger = 4)
+          .withWatermark("ts", "1 hour")
+          .filter(unpushedTypeIs("click"))
+          .select(col("event_id").as("c_id"), col("user_id").as("c_uid"), col("ts").as("c_ts"))
+        val joined = p.join(c,
+          col("user_id") === col("c_uid") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"),
+          "leftOuter")
+        runToMemory(s, joined, "append")
+          .filter(col("c_id").isNull)
+          .select(col("p_id"), col("user_id"))
+          .orderBy("p_id")
+      },
+      Some("""WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 3 HOUR AS cutoff FROM events)
+             |SELECT p.event_id AS p_id, p.user_id
+             |FROM events p, m
+             |WHERE p.event_type = 'purchase'
+             |  AND CAST(p.ts AS TIMESTAMP) < m.cutoff
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM events c
+             |    WHERE c.event_type = 'click' AND c.user_id = p.user_id
+             |      AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+             |      AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP))
+             |ORDER BY p_id""".stripMargin))
   )
 }

