@@ -1391,6 +1391,68 @@ object AnalyticsQueries extends QueryRegistry {
            |$rounds
            |SELECT lm, dist, COUNT(*) AS n_nodes FROM d4
            |GROUP BY 1, 2 ORDER BY lm, dist""".stripMargin
-      })
+      }),
+
+    // RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    // are maximal stopword-free token runs; each word scores
+    // deg(w)/freq(w) where deg sums the lengths of every phrase the
+    // word appears in; a phrase scores the sum of its words' scores.
+    // Standard max-phrase-length cap of 4 words (longer runs are
+    // discarded, as in reference RAKE implementations — without the
+    // cap a stopword-free doc degenerates into one giant top phrase).
+    // All scoring in integer ppm (the PMI/no-ln discipline). Top-10
+    // distinct phrases. Scale: tokenize once; phrase assembly is one
+    // (doc, phrase) shuffle; word stats are vocabulary-bounded (Zipf)
+    // and broadcast back; the per-doc window orders by position
+    // within a doc — partitioned, never global.
+    QueryDef("q263_rake_keyphrases",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .withColumn("is_stop", col("w").isin("a", "the").cast("int"))
+          .withColumn("pid", sum("is_stop").over(
+            Window.partitionBy("doc_id").orderBy("pos")))
+          .filter(col("is_stop") === 0 && length(col("w")) > 0)
+        val phr = toks.groupBy("doc_id", "pid").agg(
+          array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            st => st.getField("w")), " ").as("phrase"),
+          count(lit(1)).as("plen"))
+          .filter(col("plen") <= 4)
+        val wstat = toks.join(phr, Seq("doc_id", "pid"))
+          .groupBy("w").agg(sum("plen").as("deg"), count(lit(1)).as("freq"))
+          .select(col("w"), expr("(1000000 * deg) div freq").as("ws_ppm"))
+        val scored = toks.join(broadcast(wstat), "w")
+          .groupBy("doc_id", "pid").agg(sum("ws_ppm").as("score_ppm"))
+          .join(phr, Seq("doc_id", "pid"))
+        scored.groupBy("phrase")
+          .agg(count(lit(1)).as("n_occ"), max("score_ppm").as("score_ppm"))
+          .orderBy(col("score_ppm").desc, col("phrase"))
+          .limit(10)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |tk AS (
+             |  SELECT doc_id, i AS pos, toks[i] AS w,
+             |    CASE WHEN toks[i] IN ('a', 'the') THEN 1 ELSE 0 END AS is_stop
+             |  FROM (SELECT doc_id, toks,
+             |          unnest(generate_series(1, len(toks))) AS i FROM d)),
+             |pidd AS (
+             |  SELECT doc_id, pos, w, is_stop,
+             |    SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+             |  FROM tk),
+             |ip AS (SELECT * FROM pidd WHERE is_stop = 0 AND len(w) > 0),
+             |phr AS (
+             |  SELECT doc_id, pid, string_agg(w, ' ' ORDER BY pos) AS phrase,
+             |    COUNT(*) AS plen
+             |  FROM ip GROUP BY 1, 2 HAVING COUNT(*) <= 4),
+             |ws AS (
+             |  SELECT w, (1000000 * CAST(SUM(plen) AS BIGINT)) // COUNT(*) AS ws_ppm
+             |  FROM ip JOIN phr USING (doc_id, pid) GROUP BY 1),
+             |sc AS (
+             |  SELECT doc_id, pid, CAST(SUM(ws_ppm) AS BIGINT) AS score_ppm
+             |  FROM ip JOIN ws USING (w) GROUP BY 1, 2)
+             |SELECT phrase, COUNT(*) AS n_occ, MAX(score_ppm) AS score_ppm
+             |FROM sc JOIN phr USING (doc_id, pid)
+             |GROUP BY 1 ORDER BY score_ppm DESC, phrase LIMIT 10""".stripMargin))
   )
 }

@@ -954,6 +954,103 @@ object TrainingQueries extends QueryRegistry {
              |                   + CAST(0.5 AS DOUBLE)) AS BIGINT) AS key_nano
              |      FROM d)
              |SELECT doc_id, w, key_nano FROM k
-             |ORDER BY key_nano DESC, doc_id LIMIT 20""".stripMargin))
+             |ORDER BY key_nano DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // PCA top principal component — the 100 TB shape: ONE distributed
+    // pass builds the exact-micros covariance matrix (the q228
+    // pipeline), then the 64x64 eigenproblem is driver metadata and
+    // 3 power iterations run as ordered folds. Cross-engine bit
+    // parity holds because every non-exact step is pinned: products
+    // and the correctly-rounded IEEE sqrt/divide are bit-identical,
+    // accumulation ORDER is the same sequential fold on both sides
+    // (list_dot_product ≡ the Scala while-loop), and each iterate is
+    // re-quantized to micros (floor half-up) before the next round,
+    // so no drift can compound. v0 = 1/8 (exact), declared estimate
+    // = 3-iteration power method with per-round micros quantization.
+    QueryDef("q262_pca_power",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        val means = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("pos").agg((round(avg("x") * 1e6) / 1e6).as("m"))
+          .orderBy("pos").collect().map(_.getDouble(1)).toSeq
+        val msLit = array(means.map(lit): _*)
+        val centered = zip_with(col("v"), msLit, (x, m) => x - m)
+        val pairs = flatten(flatten(transform(array(centered), cv =>
+          transform(cv, (x, i) =>
+            transform(sequence(i, lit(63)), j =>
+              struct(i.cast("int").as("i"), j.cast("int").as("j"),
+                floor(x * element_at(cv, j + 1) * lit(1e6) + lit(0.5))
+                  .cast("long").as("p")))))))
+        val cov = e.select(explode(pairs).as("pr"))
+          .groupBy(col("pr.i").as("i"), col("pr.j").as("j"))
+          .agg(sum("pr.p").as("cov_u"), count(lit(1)).as("n"))
+          .collect()
+        val n = cov(0).getLong(3)
+        val c = Array.ofDim[Double](64, 64)
+        cov.foreach { r =>
+          val (i, j) = (r.getInt(0), r.getInt(1))
+          val x = r.getLong(2).toDouble / n / 1e6
+          c(i)(j) = x; c(j)(i) = x
+        }
+        def quant(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+        def mul(v: Array[Double]): Array[Double] = Array.tabulate(64) { i =>
+          var acc = 0.0; var j = 0
+          while (j < 64) { acc += c(i)(j) * v(j); j += 1 }
+          acc
+        }
+        var v = Array.fill(64)(0.125)
+        for (_ <- 1 to 3) {
+          val w = mul(v)
+          var na = 0.0; var i = 0
+          while (i < 64) { na += w(i) * w(i); i += 1 }
+          val norm = math.sqrt(na)
+          v = w.map(x => quant(x / norm))
+        }
+        val cv2 = mul(v)
+        var ray = 0.0; var i = 0
+        while (i < 64) { ray += v(i) * cv2(i); i += 1 }
+        val rayU = math.floor(ray * 1e6 + 0.5).toLong
+        import s.implicits._
+        v.zipWithIndex.toSeq
+          .map { case (x, p) => (p, math.floor(x * 1e6 + 0.5).toLong, rayU) }
+          .toDF("pos", "v_micro", "rayleigh_micro")
+          .orderBy("pos")
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""w$r AS (SELECT i, list_dot_product(row, v) AS w FROM crow, v${r - 1}),
+             |wl$r AS (SELECT list(w ORDER BY i) AS wl FROM w$r),
+             |v$r AS (SELECT list_transform(wl, x ->
+             |          FLOOR(x / sqrt(list_dot_product(wl, wl)) * 1e6
+             |                + CAST(0.5 AS DOUBLE)) / 1e6) AS v
+             |        FROM wl$r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |m AS (SELECT i.i AS i, ROUND(AVG(v[i.i]) * 1e6) / 1e6 AS m
+           |      FROM e, generate_series(1,64) i(i) GROUP BY 1),
+           |ml AS (SELECT list(m ORDER BY i) AS ms FROM m),
+           |c AS (SELECT list_transform(generate_series(1,64), i -> v[i] - ms[i]) AS cv
+           |      FROM e CROSS JOIN ml),
+           |cu AS MATERIALIZED (
+           |  SELECT i.i AS i, j.j AS j,
+           |    CAST(SUM(CAST(FLOOR(cv[i.i] * cv[j.j] * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS cov_u,
+           |    COUNT(*) AS n
+           |  FROM c, generate_series(1,64) i(i), generate_series(1,64) j(j)
+           |  GROUP BY 1, 2),
+           |crow AS MATERIALIZED (
+           |  SELECT i, list(CAST(cov_u AS DOUBLE) / n / 1e6 ORDER BY j) AS row
+           |  FROM cu GROUP BY i),
+           |v0 AS (SELECT list_transform(generate_series(1,64),
+           |         x -> CAST(0.125 AS DOUBLE)) AS v),
+           |$rounds,
+           |cf AS (SELECT i, list_dot_product(row, v) AS w FROM crow, v3),
+           |cl AS (SELECT list(w ORDER BY i) AS wl FROM cf),
+           |ray AS (SELECT list_dot_product(v, wl) AS r FROM v3, cl)
+           |SELECT CAST(u.i - 1 AS INT) AS pos,
+           |  CAST(FLOOR(v[u.i] * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v_micro,
+           |  CAST(FLOOR(r * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rayleigh_micro
+           |FROM v3, ray, generate_series(1,64) u(i) ORDER BY pos""".stripMargin
+      })
   )
 }

