@@ -137,6 +137,27 @@ object LakehouseQueries extends QueryRegistry {
       ()
     }
 
+  /** Partition-layout-evolved table shared by q264: v0 writes ids
+    * 0..16383 range-clustered by x into 8 files (disjoint x spans),
+    * v1 appends ids 16384..32767 range-clustered by y into 8 more —
+    * the Iceberg partition-spec-evolution shape, old generation never
+    * rewritten. x = id%128, y = (id div 128)%128 on both commits. */
+  private def stagedPevoTable(s: SparkSession): String =
+    staged(s, "pevo_v1") { tmp =>
+      def gen(lo: Long, hi: Long) = s.range(lo, hi)
+        .select(col("id").as("ba"), expr("id % 128").as("x"),
+          expr("(id DIV 128) % 128").as("y"))
+      gen(0, 16384).repartitionByRange(8, col("x"))
+        .sortWithinPartitions("x")
+        .write.parquet(graft.ingest.Topics.tableDir(tmp, "p"))
+      Snapshots.commit(tmp, "p", 16383) // v0: x-clustered generation
+      gen(16384, 32768).repartitionByRange(8, col("y"))
+        .sortWithinPartitions("y")
+        .write.mode("append").parquet(graft.ingest.Topics.tableDir(tmp, "p"))
+      Snapshots.commit(tmp, "p", 32767) // v1: y-clustered generation
+      ()
+    }
+
   /** Merge-on-read table shared by q197: v0 appends ba 0..1499 over
     * two topics, v1 DELETE (merge-on-read) ba < 200 — a sidecar
     * commit, zero files rewritten — v2 appends ba 1500..1799, v3 a
@@ -882,6 +903,41 @@ object LakehouseQueries extends QueryRegistry {
              |         WHEN v0.name <> v2.name THEN 'changed'
              |         ELSE 'unchanged' END AS kind
              |  FROM v0 FULL OUTER JOIN v2 ON v0.ba = v2.ba)
-             |GROUP BY 1 ORDER BY kind""".stripMargin))
+             |GROUP BY 1 ORDER BY kind""".stripMargin)),
+
+    // Partition-layout evolution (the Iceberg partition-spec-evolution
+    // analog): commit v0 writes its files range-clustered by x, commit
+    // v1 appends files range-clustered by y — two layout generations
+    // live in ONE table, no rewrite of the old generation. Because
+    // pruning here is per-FILE footer stats (not directory layout), a
+    // predicate on either dimension keeps skipping: an x-range opens
+    // 1 of the 8 x-clustered files plus the 8 y-clustered ones (whose
+    // x spans are wide — conservative, correct), and symmetrically
+    // for y. SnapshotSpec asserts those exact file counts; this query
+    // pins that mixed-layout reads stay SEMANTICALLY exact on both
+    // dimensions. At 100 TB this is how a table survives a partition
+    // re-keying without a petabyte rewrite.
+    QueryDef("q264_partition_evolution",
+      (s, _) => {
+        val root = stagedPevoTable(s)
+        val byX = Snapshots.readWhere(s, root, "p",
+            col("x") >= 0 && col("x") <= 15)
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+          .select(lit("by_x").as("dim"), col("cnt"), col("sum_ba"))
+        val byY = Snapshots.readWhere(s, root, "p",
+            col("y") >= 0 && col("y") <= 15)
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+          .select(lit("by_y").as("dim"), col("cnt"), col("sum_ba"))
+        byX.unionAll(byY).orderBy("dim")
+      },
+      Some("""WITH t AS (
+             |  SELECT id AS ba, id % 128 AS x, (id // 128) % 128 AS y
+             |  FROM range(0, 32768) t(id))
+             |SELECT 'by_x' AS dim, COUNT(*) AS cnt, CAST(SUM(ba) AS BIGINT) AS sum_ba
+             |FROM t WHERE x BETWEEN 0 AND 15
+             |UNION ALL
+             |SELECT 'by_y', COUNT(*), CAST(SUM(ba) AS BIGINT)
+             |FROM t WHERE y BETWEEN 0 AND 15
+             |ORDER BY dim""".stripMargin))
   )
 }

@@ -1112,4 +1112,35 @@ class SnapshotSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Snapshots.tag(root, "t1", "v9", 9) }
     assert(Snapshots.resolveTag(root, "t1", "nope").isEmpty)
   }
+
+  test("partition-layout evolution: stats pruning bites on both generations") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    def gen(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("ba"), expr("id % 32").as("x"),
+        expr("(id DIV 32) % 32").as("y"))
+    gen(0, 1024).repartitionByRange(4, col("x")).sortWithinPartitions("x")
+      .write.parquet(graft.ingest.Topics.tableDir(root, "pe"))
+    Snapshots.commit(root, "pe", 1023) // generation A: x-clustered
+    gen(1024, 2048).repartitionByRange(4, col("y")).sortWithinPartitions("y")
+      .write.mode("append").parquet(graft.ingest.Topics.tableDir(root, "pe"))
+    Snapshots.commit(root, "pe", 2047) // generation B: y-clustered
+    val total = Snapshots.snapshot(root, "pe").get.files.size
+    assert(total == 8)
+    // an x-range predicate skips most x-clustered files but must keep
+    // every y-clustered file (their x spans are wide): strictly fewer
+    // than all, at least the 4 B-generation files + 1 A file
+    val xFiles = Snapshots.pruneFiles(root, "pe", "x", 0, 3)
+    assert(xFiles.size < total && xFiles.size >= 5,
+      s"x-prune kept ${xFiles.size} of $total")
+    val yFiles = Snapshots.pruneFiles(root, "pe", "y", 0, 3)
+    assert(yFiles.size < total && yFiles.size >= 5,
+      s"y-prune kept ${yFiles.size} of $total")
+    // pruning narrows IO, never semantics — equal to the full scan
+    val viaPrune = Snapshots.readPruned(spark, root, "pe", "x", 0, 3)
+      .agg(sum("ba")).collect()(0).getLong(0)
+    val viaScan = Snapshots.read(spark, root, "pe")
+      .filter(col("x") >= 0 && col("x") <= 3)
+      .agg(sum("ba")).collect()(0).getLong(0)
+    assert(viaPrune == viaScan)
+  }
 }
