@@ -454,6 +454,50 @@ object CorpusQueries extends QueryRegistry {
              |  FROM d)
              |SELECT n_chunks, COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len,
              |  (CAST(SUM(len) AS BIGINT) * 1000) // CAST(SUM(n_chunks) AS BIGINT) AS avg_chunk_milli
-             |FROM b GROUP BY 1 ORDER BY n_chunks""".stripMargin))
+             |FROM b GROUP BY 1 ORDER BY n_chunks""".stripMargin)),
+
+    // N-gram novelty curriculum: how much of each doc's trigram set
+    // is NEW at its ingestion position (doc_id order) — the freshness
+    // signal novelty-ordered training curricula sort by. A trigram's
+    // first owner is min(doc_id); novelty_ppm = 1e6·(first-seen
+    // grams)/(distinct grams). Output is the novelty-decile histogram
+    // (scale-stable). Scale: the gram table is NOT vocabulary-bounded
+    // (it grows with the corpus), so first-owner is an honest shuffle
+    // keyed on the gram — one wide shuffle + one doc-keyed agg, the
+    // same two-exchange shape as the dedup family; min(doc_id) is
+    // partial-aggregated map-side.
+    QueryDef("q265_ngram_novelty",
+      (s, dir) => {
+        val grams = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "array_distinct(transform(sequence(1, size(t) - 2)," +
+              " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))"))
+            .as("g"))
+        val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+        val nov = grams.join(first, "g")
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_grams"),
+            sum((col("first_doc") === col("doc_id")).cast("long")).as("n_first"))
+          .select(col("doc_id"),
+            expr("(1000000 * n_first) div n_grams").as("novelty_ppm"))
+        nov.groupBy(expr("novelty_ppm div 100000").as("decile"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("decile")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |           WHERE len(string_split(text, ' ')) >= 3),
+             |g AS (
+             |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM d)),
+             |f AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY 1),
+             |nv AS (
+             |  SELECT doc_id,
+             |    (1000000 * CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT))
+             |      // COUNT(*) AS novelty_ppm
+             |  FROM g JOIN f USING (g) GROUP BY 1)
+             |SELECT novelty_ppm // 100000 AS decile, COUNT(*) AS n_docs
+             |FROM nv GROUP BY 1 ORDER BY decile""".stripMargin))
   )
 }

@@ -1051,6 +1051,44 @@ object TrainingQueries extends QueryRegistry {
            |  CAST(FLOOR(v[u.i] * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v_micro,
            |  CAST(FLOOR(r * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rayleigh_micro
            |FROM v3, ray, generate_series(1,64) u(i) ORDER BY pos""".stripMargin
-      })
+      }),
+
+    // Equal-frequency decile binning of order value — the feature
+    // discretizer that EMITS ITS BINNING TABLE (edges are exact k-th
+    // order statistics in cents, rank (n·k) div 10 with (rank, cents)
+    // tie-break), so the same edges can be re-applied to unseen data.
+    // Per-bin row counts and exact cents sums ride along. Scale: one
+    // rank window over the value order (the declared order-statistic
+    // semantics) + one 10-group agg; at 100 TB the window would move
+    // to approx_percentile or a sampled rank — this query pins the
+    // exact-edge contract the approximation is judged against.
+    QueryDef("q266_quantile_bins",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"),
+            col("o_orderkey"))
+        val n = o.count()
+        val ranked = o.withColumn("rn", row_number().over(
+          Window.orderBy("cents", "o_orderkey")))
+        ranked
+          .withColumn("bin",
+            least(lit(9L), expr(s"(10 * (cast(rn as bigint) - 1)) div ${n}L")))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_rows"), min("cents").as("lo_cents"),
+            max("cents").as("hi_cents"), sum("cents").as("sum_cents"))
+          .orderBy("bin")
+      },
+      Some("""WITH o AS (
+             |  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             |    o_orderkey
+             |  FROM orders),
+             |n AS (SELECT COUNT(*) AS n FROM o),
+             |r AS (SELECT cents,
+             |        ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rn
+             |      FROM o)
+             |SELECT LEAST(9, (10 * (rn - 1)) // n.n) AS bin,
+             |  COUNT(*) AS n_rows, MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
+             |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+             |FROM r, n GROUP BY 1 ORDER BY bin""".stripMargin))
   )
 }

@@ -353,4 +353,35 @@ class PlanSpec extends SparkTestBase {
     val plan = planOf("q229_autocovariance")
     assert(plan.contains("partial_count"), plan.take(2000))
   }
+
+  test("q253: stats broadcast back onto the scan; scaling is map-only after") {
+    val plan = planOf("q253_feature_scaling")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      plan.take(2000))
+  }
+
+  test("q255: per-probe top-1 plans as WindowGroupLimit over the class-pruned join") {
+    val plan = planOf("q255_smote_oversample")
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(2000))
+  }
+
+  test("q259: A-ES sample plans as TakeOrdered, never a global sort") {
+    val plan = planOf("q259_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q251: CUSUM reads only the columns it scores") {
+    val plan = planOf("q251_cusum_changepoint")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // scan schema pruned to the 4 referenced columns
+    assert(!plan.contains("props"), "unused events columns not pruned")
+  }
+
+  test("q263: vocabulary word-stats broadcast back onto the token stream") {
+    val plan = planOf("q263_rake_keyphrases")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }
