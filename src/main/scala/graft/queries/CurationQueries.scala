@@ -1549,6 +1549,51 @@ object CurationQueries extends QueryRegistry {
              |  CAST(CASE WHEN len(list_filter(generate_series(1, 64), i -> fh[i] != prev[i])) > 8
              |       THEN 1 ELSE 0 END AS INT) AS is_cut
              |FROM lg WHERE prev IS NOT NULL
-             |ORDER BY doc_id, frame""".stripMargin))
+             |ORDER BY doc_id, frame""".stripMargin)),
+
+    // Sparse similarity search through the inverted index — the
+    // text-side complement of the dense ANN family: docs as sparse
+    // rarity-weighted term vectors (w = tf · (1e6 − 1e6·df/N), the
+    // scale-FREE linear-idf proxy: ∈ [0,1e6] at any corpus size, so
+    // the pairwise dot can't overflow at 100 TB), pairwise dot
+    // products computed ONLY where a shared term exists (join on
+    // term = sparse dot through posting lists), with stop-terms
+    // (df > N/10) dropped first — the posting-list cap that bounds
+    // join fan-out exactly like the LSH bucket cap. Top-10 pairs.
+    // One term-keyed shuffle + one pair-keyed agg; never all-pairs.
+    // Restricted to doc_id < 400 probes to bound declared output.
+    QueryDef("q267_sparse_similarity",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).filter(col("doc_id") < 400)
+        val n = d.count()
+        val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .filter(length(col("t")) > 0)
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+          .filter(col("df") * 10 <= lit(n))
+          .withColumn("rar", lit(1000000L) - expr(s"(1000000 * df) div ${n}L"))
+        val w = tf.join(broadcast(df.select("t", "rar")), "t")
+          .select(col("t"), col("doc_id"), (col("tf") * col("rar")).as("w"))
+        val pairs = w.join(
+            w.select(col("t"), col("doc_id").as("doc_b"), col("w").as("w_b")), "t")
+          .filter(col("doc_id") < col("doc_b"))
+          .groupBy(col("doc_id").as("a"), col("doc_b").as("b"))
+          .agg(sum(col("w") * col("w_b")).as("dot"))
+        pairs.orderBy(col("dot").desc, col("a"), col("b")).limit(10)
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+             |n AS (SELECT COUNT(*) AS n FROM d),
+             |tf AS (
+             |  SELECT doc_id, t, COUNT(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d)
+             |  WHERE len(t) > 0 GROUP BY 1, 2),
+             |df AS (
+             |  SELECT t, 1000000 - (1000000 * COUNT(*)) // n.n AS rar
+             |  FROM tf, n GROUP BY t, n.n HAVING COUNT(*) * 10 <= n.n),
+             |w AS (SELECT tf.t, doc_id, tf * rar AS w FROM tf JOIN df USING (t))
+             |SELECT a.doc_id AS a, b.doc_id AS b,
+             |  CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+             |FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 ORDER BY dot DESC, a, b LIMIT 10""".stripMargin))
   )
 }

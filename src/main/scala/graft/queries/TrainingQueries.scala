@@ -1089,6 +1089,61 @@ object TrainingQueries extends QueryRegistry {
              |SELECT LEAST(9, (10 * (rn - 1)) // n.n) AS bin,
              |  COUNT(*) AS n_rows, MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
              |  CAST(SUM(cents) AS BIGINT) AS sum_cents
-             |FROM r, n GROUP BY 1 ORDER BY bin""".stripMargin))
+             |FROM r, n GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // Exact AUC (Mann–Whitney rank-sum) of a 1-D scoring rule over
+    // the embeddings: score = micros-quantized projection onto a
+    // fixed unit direction (the all-ones direction — the q262 v0,
+    // kept static so the score is a pure per-row map), positives =
+    // label 0. AUC = (Σ pos ranks − P(P+1)/2) / (P·N), ties resolved
+    // by average rank; everything ×2 so tie midpoints stay integer:
+    // auc_ppm = (1e6·(2·Σranks − tie-adjust))/… emitted as the exact
+    // integer numerator/denominator pair plus the floored ppm — no
+    // float ever. One global rank window over the score order (the
+    // declared order-statistic semantics), one pass, P and N from
+    // the same scan. The ML-eval counterpart of q243's confusion
+    // matrix. Average rank per tie group = (min+max)/2, computed
+    // exactly as RANK plus (tie_size−1)/2 via a per-score group agg.
+    QueryDef("q268_projection_auc",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select(col("vec_id"),
+          (col("label") === 0).cast("int").as("pos"),
+          expr("cast(floor(aggregate(embedding, 0d, (acc, x) -> acc + cast(x as double)) * 1e6 + 0.5) as bigint)")
+            .as("score"))
+        val grouped = e.groupBy("score").agg(
+          count(lit(1)).as("g"), sum("pos").as("gp"))
+        val ranked = grouped.withColumn("below",
+          coalesce(sum("g").over(Window.orderBy("score")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        // 2·avg-rank for a tie group = 2·below + g + 1
+        val agg = ranked.agg(
+          sum(col("gp") * (lit(2L) * col("below") + col("g") + 1)).as("two_rank_sum"),
+          sum("gp").as("p"), sum("g").as("n"))
+        agg.select(
+          (col("two_rank_sum") - col("p") * (col("p") + 1)).as("num2"),
+          (lit(2L) * col("p") * (col("n") - col("p"))).as("den2"),
+          expr("(1000000 * (two_rank_sum - p * (p + 1))) div (2 * p * (n - p))")
+            .as("auc_ppm"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos,
+             |    CAST(FLOOR(list_dot_product(CAST(embedding AS DOUBLE[]),
+             |                 list_transform(generate_series(1, 64),
+             |                   x -> CAST(1 AS DOUBLE))) * 1e6
+             |               + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score
+             |  FROM embeddings),
+             |g AS (SELECT score, COUNT(*) AS g, CAST(SUM(pos) AS BIGINT) AS gp
+             |      FROM e GROUP BY 1),
+             |r AS (SELECT score, g, gp,
+             |        COALESCE(SUM(g) OVER (ORDER BY score
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+             |      FROM g),
+             |a AS (SELECT CAST(SUM(gp * (2 * below + g + 1)) AS BIGINT) AS two_rank_sum,
+             |        CAST(SUM(gp) AS BIGINT) AS p, CAST(SUM(g) AS BIGINT) AS n
+             |      FROM r)
+             |SELECT two_rank_sum - p * (p + 1) AS num2,
+             |  2 * p * (n - p) AS den2,
+             |  (1000000 * (two_rank_sum - p * (p + 1))) // (2 * p * (n - p)) AS auc_ppm
+             |FROM a""".stripMargin))
   )
 }

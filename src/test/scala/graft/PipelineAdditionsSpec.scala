@@ -186,6 +186,53 @@ class PipelineAdditionsSpec extends SparkTestBase {
     }
   }
 
+  test("q267: top pair's sparse dot recomputes from raw term sets") {
+    val top = SparkEntry.queries("q267_sparse_similarity")(spark, sf01).collect()
+    assert(top.length == 10)
+    val (a, b, dot) = (top(0).getLong(0), top(0).getLong(1), top(0).getLong(2))
+    val docs = Tables.documents(spark, sf01).filter(col("doc_id") < 400)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = docs.size
+    def tf(id: Long) = docs(id).split(" ").filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val dfc = docs.keys.toSeq.flatMap(id => tf(id).keys.toSeq.distinct)
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val (ta, tb) = (tf(a), tf(b))
+    val expect = (ta.keySet intersect tb.keySet).toSeq
+      .filter(t => dfc(t) * 10 <= n)
+      .map { t =>
+        val rar = 1000000L - (1000000L * dfc(t)) / n
+        ta(t) * rar * (tb(t) * rar)
+      }.sum
+    assert(dot == expect, s"pair ($a,$b): engine $dot != driver $expect")
+  }
+
+  test("q268: rank-sum AUC matches a driver-side recomputation") {
+    val r = SparkEntry.queries("q268_projection_auc")(spark, sf01).collect()(0)
+    val (num2, den2) = (r.getLong(0), r.getLong(1))
+    assert(num2 >= 0 && num2 <= den2)
+    val scored = Tables.embeddings(spark, sf01)
+      .select((col("label") === 0).cast("int").as("pos"),
+        expr("cast(floor(aggregate(embedding, 0d, (acc, x) -> acc + cast(x as double)) * 1e6 + 0.5) as bigint)").as("s"))
+      .collect().map(x => (x.getInt(0) == 1, x.getLong(1)))
+    val sorted = scored.sortBy(_._2)
+    // 2*average rank per tie group
+    var idx = 0
+    var twoRankSum = 0L
+    while (idx < sorted.length) {
+      var end = idx
+      while (end < sorted.length && sorted(end)._2 == sorted(idx)._2) end += 1
+      val twoAvg = (idx + 1).toLong + end.toLong // 2*avg of ranks idx+1..end
+      (idx until end).foreach(k => if (sorted(k)._1) twoRankSum += twoAvg)
+      idx = end
+    }
+    val p = sorted.count(_._1).toLong
+    assert(num2 == twoRankSum - p * (p + 1),
+      s"num2 ${num2} != driver ${twoRankSum - p * (p + 1)}")
+    assert(den2 == 2 * p * (sorted.length - p))
+  }
+
   test("q257: at most 3 ranked rows per closed window, ranks contiguous") {
     val rows = SparkEntry.queries("q257_stream_topk")(spark, sf01).collect()
     assert(rows.nonEmpty)
