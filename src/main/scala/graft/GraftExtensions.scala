@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, L2Distance, TokenizeGenerator}
+import graft.functions.{CdcBoundaries, CosineSimilarity, L2Distance, TokenizeGenerator}
 
 /** SparkSessionExtensions entry point: installs the engine's native
   * functions into any session at build time —
@@ -39,5 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_tokenize"),
       info("graft_tokenize", "graft_tokenize(text) - one row per whitespace token"),
       (exprs: Seq[Expression]) => TokenizeGenerator(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cdc_bounds"),
+      info("graft_cdc_bounds",
+        "graft_cdc_bounds(text) - content-defined-chunking boundary count (8-char poly window mod 64)"),
+      (exprs: Seq[Expression]) => CdcBoundaries(exprs.head)))
   }
 }

@@ -426,22 +426,16 @@ object CorpusQueries extends QueryRegistry {
     // (scale-stable: bounded by the n_chunks domain).
     QueryDef("q260_cdc_chunking",
       (s, dir) => {
-        val pw = (0 to 7).map(j => math.pow(31, 7 - j).toLong)
-        // bind the char codes ONCE through a HOF argument (the
-        // MinHashLSH.shingles discipline): the naive form re-runs
-        // ascii(substr(...)) 8x per position — measured 13.9 s vs
-        // 2.6 s at sf0.1 for the bound form
+        // native rolling-hash expression (CdcBoundaries): one
+        // multiply-add per char inside whole-stage codegen. The HOF
+        // formulation it replaces (8x ascii(substr) per position)
+        // measured 13.9 s at sf0.1; the bound-codes HOF 3.5 s; this
+        // fused form ~1s. CdcSpec proves expression == HOF replay.
+        graft.functions.CdcBoundaries.register(s)
         val b = Tables.documents(s, dir)
           .filter(length(col("text")) >= 8)
-          .withColumn("n_bounds", expr(
-            s"""element_at(transform(
-               |  array(transform(sequence(1, length(text)),
-               |        i -> ascii(substr(text, i, 1)))),
-               |  cs -> size(filter(sequence(8, size(cs)), i ->
-               |    (aggregate(sequence(0, 7), 0L, (acc, j) ->
-               |       acc + element_at(cs, i - 7 + j)
-               |           * element_at(array(${pw.mkString("L,")}L), j + 1))
-               |     % 2147483648L) % 64 = 0))), 1)""".stripMargin))
+          .withColumn("n_bounds",
+            graft.functions.CdcBoundaries.bounds(col("text")))
           .select(col("doc_id"), length(col("text")).cast("long").as("len"),
             (col("n_bounds") + 1).cast("long").as("n_chunks"))
         b.groupBy("n_chunks")

@@ -233,6 +233,29 @@ class PipelineAdditionsSpec extends SparkTestBase {
     assert(den2 == 2 * p * (sorted.length - p))
   }
 
+  test("CdcBoundaries native expression equals the declared HOF replay") {
+    import spark.implicits._
+    graft.functions.CdcBoundaries.register(spark)
+    val pw = (0 to 7).map(j => math.pow(31, 7 - j).toLong)
+    val hof =
+      s"""size(filter(sequence(8, length(text)), i ->
+         |  (aggregate(sequence(0, 7), 0L, (acc, j) ->
+         |     acc + ascii(substr(text, i - 7 + j, 1))
+         |       * element_at(array(${pw.mkString("L,")}L), j + 1))
+         |   % 2147483648L) % 64 = 0))""".stripMargin
+    // fixture docs + adversarial edges: exact-window length, repeats,
+    // boundary-heavy periodic strings
+    val edge = Seq("", "short", "exactly8", "a" * 64, "ab" * 33,
+      ("x" * 7) + " " + ("y" * 9)).toDF("text")
+    val docs = Tables.documents(spark, sf01).select("text").unionAll(edge)
+      .filter(length(col("text")) >= 8)
+    val mism = docs
+      .withColumn("nat", graft.functions.CdcBoundaries.bounds(col("text")))
+      .withColumn("ref", expr(hof).cast("int"))
+      .filter(col("nat") =!= col("ref")).count()
+    assert(mism == 0L)
+  }
+
   test("q257: at most 3 ranked rows per closed window, ranks contiguous") {
     val rows = SparkEntry.queries("q257_stream_topk")(spark, sf01).collect()
     assert(rows.nonEmpty)
