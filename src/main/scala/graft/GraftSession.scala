@@ -23,6 +23,12 @@ object GraftSession {
   /** Apply engine configs to an existing builder (used by Verify/Bench
     * which own their master/cpu settings). */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    // native-function + optimizer-rule pack (FuseDotProduct/FuseCosine
+    // rewrite the HOF dot/cosine idiom into fused codegen expressions;
+    // graft_l2/graft_cosine/graft_tokenize/graft_cdc_bounds resolve in
+    // SQL): installed in EVERY engine session, the same line a cluster
+    // deployment would carry
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

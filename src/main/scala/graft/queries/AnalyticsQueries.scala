@@ -1453,6 +1453,110 @@ object AnalyticsQueries extends QueryRegistry {
              |  FROM ip JOIN ws USING (w) GROUP BY 1, 2)
              |SELECT phrase, COUNT(*) AS n_occ, MAX(score_ppm) AS score_ppm
              |FROM sc JOIN phr USING (doc_id, pid)
-             |GROUP BY 1 ORDER BY score_ppm DESC, phrase LIMIT 10""".stripMargin))
+             |GROUP BY 1 ORDER BY score_ppm DESC, phrase LIMIT 10""".stripMargin)),
+
+    // LOCF resampling (last-observation-carried-forward): each
+    // sampled user's daily value series densified to a complete
+    // calendar between their first and last active day, gaps filled
+    // with the most recent observation — the standard time-series
+    // feature-prep step before any fixed-frequency model. The fill
+    // is last_value(IGNORE NULLS) over an unbounded-preceding frame;
+    // day micros stay exact integers. Scale: calendar explosion is
+    // per-user-bounded (span days), the window partitions by user —
+    // the 1-in-97 sample bounds OUTPUT, the technique is whole-table.
+    QueryDef("q269_locf_resample",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .filter(col("user_id") % 97 === 0)
+          .select(col("user_id"),
+            expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"),
+            expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("v"))
+          .groupBy("user_id", "day").agg(sum("v").as("dv"))
+        val span = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+        val cal = span.select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+        val filled = cal.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("filled_v", last("dv", ignoreNulls = true).over(
+            Window.partitionBy("user_id").orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        filled.groupBy("user_id").agg(
+            count(lit(1)).as("n_days"),
+            sum(col("dv").isNotNull.cast("long")).as("n_observed"),
+            sum("filled_v").as("sum_filled_u"))
+          .orderBy("user_id")
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             |    CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dv
+             |  FROM events WHERE user_id % 97 = 0 GROUP BY 1, 2),
+             |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+             |         FROM daily GROUP BY 1),
+             |cal AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM span),
+             |f AS (
+             |  SELECT cal.user_id, cal.day, daily.dv,
+             |    LAST_VALUE(daily.dv IGNORE NULLS) OVER (
+             |      PARTITION BY cal.user_id ORDER BY cal.day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v
+             |  FROM cal LEFT JOIN daily USING (user_id, day))
+             |SELECT user_id, COUNT(*) AS n_days,
+             |  CAST(SUM(CASE WHEN dv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_observed,
+             |  CAST(SUM(filled_v) AS BIGINT) AS sum_filled_u
+             |FROM f GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // Two-sample Kolmogorov–Smirnov drift statistic between the
+    // 'view' and 'purchase' value distributions, EXACT: at every
+    // distinct observed value, D's numerator is |c1·n2 − c2·n1|
+    // (cumulative counts cross-multiplied — no division until the
+    // final report), so the max is found in pure integers; the ppm
+    // report divides by (n1·n2)/1e6 with floor semantics both
+    // engines share. One window over the merged value order — the
+    // declared order-statistic semantics. The ML-monitoring
+    // complement of the χ² categorical drift (q218).
+    QueryDef("q270_ks_drift",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("event_type").as("t"),
+            expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("v"))
+        val counts = ev.groupBy("v").agg(
+          sum((col("t") === "view").cast("long")).as("a"),
+          sum((col("t") === "purchase").cast("long")).as("b"))
+        val tot = ev.agg(
+          sum((col("t") === "view").cast("long")).as("n1"),
+          sum((col("t") === "purchase").cast("long")).as("n2"))
+        val cum = counts.withColumn("c1", sum("a").over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("c2", sum("b").over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        cum.crossJoin(broadcast(tot))
+          .select(abs(col("c1") * col("n2") - col("c2") * col("n1")).as("num"),
+            col("n1"), col("n2"))
+          .agg(max("num").as("ks_num"), max("n1").as("n1"), max("n2").as("n2"))
+          .select(col("ks_num"), (col("n1") * col("n2")).as("ks_den"),
+            expr("ks_num div ((n1 * n2) div 1000000)").as("ks_ppm"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type AS t,
+             |    CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v
+             |  FROM events WHERE event_type IN ('view', 'purchase')),
+             |c AS (SELECT v,
+             |        CAST(SUM(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             |        CAST(SUM(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b
+             |      FROM ev GROUP BY 1),
+             |n AS (SELECT CAST(SUM(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |        CAST(SUM(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+             |      FROM ev),
+             |cm AS (SELECT v,
+             |         CAST(SUM(a) OVER (ORDER BY v
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+             |         CAST(SUM(b) OVER (ORDER BY v
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2
+             |       FROM c)
+             |SELECT CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_num,
+             |  CAST(MAX(n1) * MAX(n2) AS BIGINT) AS ks_den,
+             |  CAST(MAX(ABS(c1 * n2 - c2 * n1)) // ((MAX(n1) * MAX(n2)) // 1000000)
+             |       AS BIGINT) AS ks_ppm
+             |FROM cm, n""".stripMargin))
   )
 }

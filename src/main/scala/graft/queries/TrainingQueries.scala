@@ -976,21 +976,17 @@ object TrainingQueries extends QueryRegistry {
           .orderBy("pos").collect().map(_.getDouble(1)).toSeq
         val msLit = array(means.map(lit): _*)
         val centered = zip_with(col("v"), msLit, (x, m) => x - m)
-        val pairs = flatten(flatten(transform(array(centered), cv =>
-          transform(cv, (x, i) =>
-            transform(sequence(i, lit(63)), j =>
-              struct(i.cast("int").as("i"), j.cast("int").as("j"),
-                floor(x * element_at(cv, j + 1) * lit(1e6) + lit(0.5))
-                  .cast("long").as("p")))))))
-        val cov = e.select(explode(pairs).as("pr"))
-          .groupBy(col("pr.i").as("i"), col("pr.j").as("j"))
-          .agg(sum("pr.p").as("cov_u"), count(lit(1)).as("n"))
-          .collect()
-        val n = cov(0).getLong(3)
+        // one-pass upper-triangle accumulation (CovarTriangle typed
+        // Aggregator): identical per-element floor quantization to the
+        // q228 explode pipeline, but no 2080-struct explosion and no
+        // wide shuffle — 149 s → seconds at sf10
+        import s.implicits._
+        val tri = e.select(centered.as("cv")).as[Seq[Double]]
+          .select(graft.operators.CovarTriangle.toColumn).collect()(0)
+        val n = tri(graft.operators.CovarTriangle.Cells)
         val c = Array.ofDim[Double](64, 64)
-        cov.foreach { r =>
-          val (i, j) = (r.getInt(0), r.getInt(1))
-          val x = r.getLong(2).toDouble / n / 1e6
+        for (i <- 0 until 64; j <- i until 64) {
+          val x = tri(graft.operators.CovarTriangle.cell(i, j)).toDouble / n / 1e6
           c(i)(j) = x; c(j)(i) = x
         }
         def quant(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6

@@ -233,6 +233,66 @@ class PipelineAdditionsSpec extends SparkTestBase {
     assert(den2 == 2 * p * (sorted.length - p))
   }
 
+  test("q269: LOCF output is dense and fill preserves observed sums") {
+    val rows = SparkEntry.queries("q269_locf_resample")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDays, nObs) = (r.getLong(1), r.getLong(2))
+      assert(nDays >= nObs && nObs >= 1)
+    }
+  }
+
+  test("q270: KS statistic matches a driver-side recomputation") {
+    val r = SparkEntry.queries("q270_ks_drift")(spark, sf01).collect()(0)
+    val (num, den) = (r.getLong(0), r.getLong(1))
+    val ev = Tables.events(spark, sf01)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"),
+        expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("v"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val n1 = ev.count(_._1 == "view").toLong
+    val n2 = ev.count(_._1 == "purchase").toLong
+    assert(den == n1 * n2)
+    val values = ev.map(_._2).distinct.sorted
+    var (c1, c2, best) = (0L, 0L, 0L)
+    val byV = ev.groupBy(_._2)
+    values.foreach { v =>
+      val g = byV(v)
+      c1 += g.count(_._1 == "view"); c2 += g.count(_._1 == "purchase")
+      best = math.max(best, math.abs(c1 * n2 - c2 * n1))
+    }
+    assert(num == best, s"engine $num != driver $best")
+  }
+
+  test("CovarTriangle aggregator equals the explode-pipeline covariance") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+    val means = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg((round(avg("x") * 1e6) / 1e6).as("m"))
+      .orderBy("pos").collect().map(_.getDouble(1))
+    val msLit = array(means.toSeq.map(lit): _*)
+    val centered = zip_with(col("v"), msLit, (x, m) => x - m)
+    val tri = e.select(centered.as("cv")).as[Seq[Double]]
+      .select(graft.operators.CovarTriangle.toColumn).collect()(0)
+    // reference: the q228 explode pipeline on the same centered input
+    val pairs = flatten(flatten(transform(array(centered), cv =>
+      transform(cv, (x, i) =>
+        transform(sequence(i, lit(63)), j =>
+          struct(i.cast("int").as("i"), j.cast("int").as("j"),
+            floor(x * element_at(cv, j + 1) * lit(1e6) + lit(0.5))
+              .cast("long").as("p")))))))
+    val ref = e.select(explode(pairs).as("pr"))
+      .groupBy(col("pr.i").as("i"), col("pr.j").as("j"))
+      .agg(sum("pr.p").as("cov_u")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    ref.foreach { case ((i, j), cu) =>
+      assert(tri(graft.operators.CovarTriangle.cell(i, j)) == cu,
+        s"cell ($i,$j)")
+    }
+    assert(tri(graft.operators.CovarTriangle.Cells) == e.count())
+  }
+
   test("CdcBoundaries native expression equals the declared HOF replay") {
     import spark.implicits._
     graft.functions.CdcBoundaries.register(spark)
