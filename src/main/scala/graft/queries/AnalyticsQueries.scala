@@ -1557,6 +1557,55 @@ object AnalyticsQueries extends QueryRegistry {
              |  CAST(MAX(n1) * MAX(n2) AS BIGINT) AS ks_den,
              |  CAST(MAX(ABS(c1 * n2 - c2 * n1)) // ((MAX(n1) * MAX(n2)) // 1000000)
              |       AS BIGINT) AS ks_ppm
-             |FROM cm, n""".stripMargin))
+             |FROM cm, n""".stripMargin)),
+
+    // Per-segment Gini coefficient of order value — the inequality /
+    // concentration metric of revenue analytics: G = (2·Σ i·xᵢ −
+    // (n+1)·Σxᵢ) / (n·Σxᵢ) over cents sorted ascending. Σ i·xᵢ can
+    // pass int64 at sf≥10 (rank·cents ≤ 9e13 each), so it accumulates
+    // through the msumWide two-word split (sum of high 44 bits ×2²⁰ +
+    // sum of low 20 bits, recombined in double — both engines round
+    // the FINAL value identically, the documented q192 protocol);
+    // Σxᵢ stays an exact long. One rank window per segment (the
+    // declared order semantics) after one broadcast-joined segment
+    // lookup; 5 output rows at any SF.
+    QueryDef("q271_gini",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("segment"),
+            expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"),
+            col("o_orderkey"))
+        val ranked = o.withColumn("i", row_number().over(
+          Window.partitionBy("segment").orderBy("cents", "o_orderkey")).cast("long"))
+        val p = ranked.withColumn("p", col("i") * col("cents"))
+        p.groupBy("segment").agg(
+            count(lit(1)).as("n"),
+            sum("cents").as("t"),
+            ((sum(expr("p div 1048576")).cast("double") * lit(1048576.0)) +
+              sum(expr("p % 1048576")).cast("double")).as("s"))
+          .select(col("segment"), col("n"), col("t").as("total_cents"),
+            floor((lit(2.0) * col("s") - (col("n") + 1).cast("double") * col("t").cast("double"))
+              / (col("n").cast("double") * col("t").cast("double")) * lit(1e6))
+              .cast("long").as("gini_ppm"))
+          .orderBy("segment")
+      },
+      Some("""WITH o AS (
+             |  SELECT c_mktsegment AS segment,
+             |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             |    o_orderkey
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |r AS (SELECT segment, cents,
+             |        CAST(ROW_NUMBER() OVER (PARTITION BY segment
+             |          ORDER BY cents, o_orderkey) AS BIGINT) AS i
+             |      FROM o),
+             |g AS (SELECT segment, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS t,
+             |        CAST(SUM((i * cents) // 1048576) AS DOUBLE) * 1048576.0
+             |          + CAST(SUM((i * cents) % 1048576) AS DOUBLE) AS s
+             |      FROM r GROUP BY 1)
+             |SELECT segment, n, t AS total_cents,
+             |  CAST(FLOOR((2.0 * s - CAST(n + 1 AS DOUBLE) * CAST(t AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) * 1e6) AS BIGINT) AS gini_ppm
+             |FROM g ORDER BY segment""".stripMargin))
   )
 }

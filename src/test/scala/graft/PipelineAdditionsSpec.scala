@@ -264,6 +264,31 @@ class PipelineAdditionsSpec extends SparkTestBase {
     assert(num == best, s"engine $num != driver $best")
   }
 
+  test("q271: Gini matches a driver-side recomputation per segment") {
+    val rows = SparkEntry.queries("q271_gini")(spark, sf01).collect()
+    assert(rows.length == 5)
+    val data = Tables.orders(spark, sf01)
+      .join(Tables.customer(spark, sf01), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"),
+        col("o_orderkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val (seg, gini) = (r.getString(0), r.getLong(3))
+      assert(gini >= 0 && gini <= 1000000)
+      val xs = data.filter(_._1 == seg).sortBy(t => (t._2, t._3)).map(_._2)
+      val n = xs.length.toLong
+      val t = xs.sum
+      // recombine through the same two-word double path the query uses
+      val ps = xs.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }
+      val sD = ps.map(_ / 1048576L).sum.toDouble * 1048576.0 +
+        ps.map(_ % 1048576L).sum.toDouble
+      val expect = math.floor((2.0 * sD - (n + 1).toDouble * t.toDouble)
+        / (n.toDouble * t.toDouble) * 1e6).toLong
+      assert(gini == expect, s"$seg: engine $gini != driver $expect")
+    }
+  }
+
   test("CovarTriangle aggregator equals the explode-pipeline covariance") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf)
