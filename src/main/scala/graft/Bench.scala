@@ -43,7 +43,10 @@ object Bench {
     "q200_incremental_mv", "q202_ann_pq",
     "q206_funnel_conversion", "q210_pagerank",
     "q227_semantic_dedup", "q228_embedding_covariance",
-    "q231_stream_chained_windows", "q237_market_basket")
+    "q231_stream_chained_windows", "q237_market_basket",
+    "q250_kcore", "q258_landmark_bfs", "q260_cdc_chunking",
+    "q262_pca_power", "q263_rake_keyphrases", "q265_ngram_novelty",
+    "q267_sparse_similarity", "q270_ks_drift", "q271_gini")
 
   private def fmt(v: Double): String = BigDecimal(v)
     .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
