@@ -331,7 +331,7 @@ class PipelineAdditionsSpec extends SparkTestBase {
     // fixture docs + adversarial edges: exact-window length, repeats,
     // boundary-heavy periodic strings
     val edge = Seq("", "short", "exactly8", "a" * 64, "ab" * 33,
-      ("x" * 7) + " " + ("y" * 9)).toDF("text")
+      ("x" * 7) + "\u0000" + ("y" * 9)).toDF("text")
     val docs = Tables.documents(spark, sf01).select("text").unionAll(edge)
       .filter(length(col("text")) >= 8)
     val mism = docs
