@@ -1606,6 +1606,56 @@ object AnalyticsQueries extends QueryRegistry {
              |SELECT segment, n, t AS total_cents,
              |  CAST(FLOOR((2.0 * s - CAST(n + 1 AS DOUBLE) * CAST(t AS DOUBLE))
              |    / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) * 1e6) AS BIGINT) AS gini_ppm
-             |FROM g ORDER BY segment""".stripMargin))
+             |FROM g ORDER BY segment""".stripMargin)),
+
+    // Subsampling bootstrap (Politis–Romano half-samples) of the mean
+    // order value, fully DETERMINISTIC: replicate b keeps the rows
+    // whose Knuth multiplicative hash of (orderkey + b·1000003) has
+    // its top bit clear (~n/2 each), so any engine, any partitioning,
+    // any rerun produces the identical 32 replicate means — the
+    // reproducibility a production uncertainty estimate needs.
+    // Replicate means in exact floor-div cents; the CI report is the
+    // 2nd/31st order statistic (≈ p05/p95 of 32). One pass ×32 via a
+    // compact explode; the replicate agg partial-applies map-side.
+    QueryDef("q274_bootstrap_ci",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_orderkey"),
+          expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+        val means = o
+          .select(col("o_orderkey"), col("cents"),
+            explode(sequence(lit(0L), lit(31L))).as("b"))
+          .filter(expr(
+            "((o_orderkey + b * 1000003L) * 2654435761L) % 4294967296L < 2147483648L"))
+          .groupBy("b")
+          .agg(expr("sum(cents) div count(1)").as("mean_cents"),
+            count(lit(1)).as("n_rows"))
+        val ranked = means.withColumn("rk", row_number().over(
+          Window.orderBy("mean_cents", "b")))
+        ranked.agg(
+          count(lit(1)).as("n_reps"),
+          min("mean_cents").as("min_cents"),
+          max(when(col("rk") === 2, col("mean_cents"))).as("lo_cents"),
+          max(when(col("rk") === 31, col("mean_cents"))).as("hi_cents"),
+          max("mean_cents").as("max_cents"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey,
+             |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders),
+             |r AS (
+             |  SELECT b.b, CAST(SUM(cents) AS BIGINT) // COUNT(*) AS mean_cents
+             |  FROM o CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+             |  WHERE ((o_orderkey + b.b * 1000003) * 2654435761) % 4294967296
+             |        < 2147483648
+             |  GROUP BY 1),
+             |rk AS (SELECT mean_cents,
+             |         ROW_NUMBER() OVER (ORDER BY mean_cents, b) AS rk
+             |       FROM r)
+             |SELECT COUNT(*) AS n_reps,
+             |  MIN(mean_cents) AS min_cents,
+             |  MAX(CASE WHEN rk = 2 THEN mean_cents END) AS lo_cents,
+             |  MAX(CASE WHEN rk = 31 THEN mean_cents END) AS hi_cents,
+             |  MAX(mean_cents) AS max_cents
+             |FROM rk""".stripMargin))
   )
 }

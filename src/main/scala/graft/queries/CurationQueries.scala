@@ -1594,6 +1594,94 @@ object CurationQueries extends QueryRegistry {
              |SELECT a.doc_id AS a, b.doc_id AS b,
              |  CAST(SUM(a.w * b.w) AS BIGINT) AS dot
              |FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
-             |GROUP BY 1, 2 ORDER BY dot DESC, a, b LIMIT 10""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY dot DESC, a, b LIMIT 10""".stripMargin)),
+
+    // IVF serving-tuning curve: recall@10 as a function of nprobe
+    // (1, 2, 4, 8, 16 of 16 cells) over 8 probes against the exact
+    // cosine top-10 — the measurement that decides an ANN deployment's
+    // latency/recall point. SET-BASED, not 40 looped searches: score
+    // every (probe, candidate) once (broadcast probes over the staged
+    // index table), rank cells per probe from the centroid sidecar
+    // (driver metadata), and slice the same score relation per nprobe
+    // with one window — at 100 TB the scores scan happens once no
+    // matter how many operating points are evaluated.
+    QueryDef("q273_ivf_nprobe_curve",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val path = Fixtures.stagedDir(dir, "embeddings", "ivf_index_v2") { tmp =>
+          val built = IvfIndex.centroids(emb, "vec_id", "embedding", k = 16)
+          IvfIndex.persist(IvfIndex.assignCells(
+            emb.select(col("vec_id").as("id"),
+              transform(col("embedding"), x => x.cast("double")).as("v")),
+            "v", built.map(_.toIndexedSeq).toIndexedSeq), tmp)
+          IvfIndex.writeCentroids(built, tmp)
+        }
+        val cs = IvfIndex.readCentroids(path)
+        val index = s.read.parquet(path)
+        val probesLocal = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("pv"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+        // per-probe cell ranking from the sidecar quantizer — the
+        // same sequential-fold d2 and (dist, cell) tie-break as
+        // IvfIndex.search
+        import s.implicits._
+        val cellRank = probesLocal.toSeq.flatMap { case (pid, pv) =>
+          cs.zipWithIndex.map { case (c, cell) =>
+            var d = 0.0; var i = 0
+            while (i < c.length) { val t = c(i) - pv(i); d += t * t; i += 1 }
+            (pid, cell, d)
+          }.sortBy(t => (t._3, t._2)).zipWithIndex
+            .map { case ((p, cell, _), rk) => (p, cell, rk + 1) }
+        }.toDF("pid", "cell", "crk")
+        val probes = broadcast(emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("pid"),
+            transform(col("embedding"), x => x.cast("double")).as("pv")))
+        val scores = index.join(probes, col("id") =!= col("pid"))
+          .select(col("pid"), col("id"), col("cell"),
+            AnnLsh.cosine(col("v"), col("pv")).as("sim"))
+        val exact = scores.withColumn("rk", row_number().over(
+            Window.partitionBy("pid").orderBy(col("sim").desc, col("id"))))
+          .filter(col("rk") <= 10).select("pid", "id")
+        val nps = Seq(1, 2, 4, 8, 16).toDF("np")
+        val ann = scores.join(broadcast(cellRank), Seq("pid", "cell"))
+          .crossJoin(broadcast(nps))
+          .filter(col("crk") <= col("np"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("np", "pid").orderBy(col("sim").desc, col("id"))))
+          .filter(col("rk") <= 10).select("np", "pid", "id")
+        nps.crossJoin(exact)
+          .join(ann.withColumn("hit", lit(1)), Seq("np", "pid", "id"), "left")
+          .groupBy("np").agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .select(col("np").as("nprobe"), col("hits"),
+            expr("(1000000 * hits) div 80").as("recall_ppm"))
+          .orderBy("nprobe")
+      },
+      Some {
+        s"""WITH $ivfAssignCtes,
+           |probes AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 8),
+           |cd AS (SELECT pid, g.g AS cell, ${ivfD2("pv", "cs[g.g+1]")} AS dist
+           |       FROM generate_series(0,15) g(g) CROSS JOIN cents CROSS JOIN probes),
+           |cr AS (SELECT pid, cell,
+           |         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dist, cell) AS crk
+           |       FROM cd),
+           |sc AS (SELECT p.pid, a.vec_id AS id, a.cell, $cosineSql AS sim
+           |       FROM a1 a CROSS JOIN probes p WHERE a.vec_id <> p.pid),
+           |ex AS (SELECT pid, id FROM (
+           |         SELECT pid, id, ROW_NUMBER() OVER (PARTITION BY pid
+           |           ORDER BY sim DESC, id) AS rk FROM sc) WHERE rk <= 10),
+           |np AS (SELECT unnest([1, 2, 4, 8, 16]) AS np),
+           |ann AS (SELECT np, pid, id FROM (
+           |         SELECT n.np, s.pid, s.id, ROW_NUMBER() OVER (
+           |           PARTITION BY n.np, s.pid ORDER BY s.sim DESC, s.id) AS rk
+           |         FROM sc s JOIN cr ON cr.pid = s.pid AND cr.cell = s.cell
+           |         CROSS JOIN np n WHERE cr.crk <= n.np) WHERE rk <= 10)
+           |SELECT n.np AS nprobe,
+           |  CAST(COUNT(a.id) AS BIGINT) AS hits,
+           |  (1000000 * CAST(COUNT(a.id) AS BIGINT)) // 80 AS recall_ppm
+           |FROM np n CROSS JOIN ex e2
+           |LEFT JOIN ann a ON a.np = n.np AND a.pid = e2.pid AND a.id = e2.id
+           |GROUP BY 1 ORDER BY nprobe""".stripMargin
+      })
   )
 }

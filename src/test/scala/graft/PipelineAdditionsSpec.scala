@@ -289,6 +289,29 @@ class PipelineAdditionsSpec extends SparkTestBase {
     }
   }
 
+  test("q273: recall is monotone in nprobe and exact at full scan") {
+    val rows = SparkEntry.queries("q273_ivf_nprobe_curve")(spark, sf01)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).sameElements(Array(1, 2, 4, 8, 16)))
+    val hits = rows.map(_.getLong(1))
+    hits.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
+    assert(hits.last == 80L, "nprobe=16 scans every cell -> exact recall")
+    assert(hits.head >= 40L, "even nprobe=1 should recover half the neighbors")
+  }
+
+  test("q274: replicate means are reproducible and bracket the global mean") {
+    val r = SparkEntry.queries("q274_bootstrap_ci")(spark, sf01).collect()(0)
+    val (nReps, minC, lo, hi, maxC) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nReps == 32)
+    assert(minC <= lo && lo <= hi && hi <= maxC)
+    val global = Tables.orders(spark, sf01)
+      .select(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("c"))
+      .agg(expr("sum(c) div count(1)")).collect()(0).getLong(0)
+    assert(global >= minC && global <= maxC,
+      s"global mean $global outside replicate range [$minC, $maxC]")
+  }
+
   test("CovarTriangle aggregator equals the explode-pipeline covariance") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf)
