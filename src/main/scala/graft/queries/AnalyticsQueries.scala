@@ -1656,6 +1656,82 @@ object AnalyticsQueries extends QueryRegistry {
              |  MAX(CASE WHEN rk = 2 THEN mean_cents END) AS lo_cents,
              |  MAX(CASE WHEN rk = 31 THEN mean_cents END) AS hi_cents,
              |  MAX(mean_cents) AS max_cents
-             |FROM rk""".stripMargin))
+             |FROM rk""".stripMargin)),
+
+    // Exact weighted median: per returnflag, the lineitem price at
+    // which cumulative QUANTITY first reaches half the group's total
+    // quantity (lower weighted median — the robust central-tendency
+    // statistic unit-weighted medians can't give you when rows carry
+    // different mass). Pure integers: prices in cents, quantities as
+    // exact longs, the crossing found by a cumulative-sum window over
+    // the (cents, orderkey, linenumber) total order. One partitioned
+    // window + one group agg.
+    QueryDef("q275_weighted_median",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(
+          col("l_returnflag").as("flag"),
+          expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("cents"),
+          col("l_quantity").cast("long").as("q"),
+          col("l_orderkey"), col("l_linenumber"))
+        val tot = li.groupBy("flag").agg(sum("q").as("tq"))
+        val cum = li.withColumn("cq", sum("q").over(
+          Window.partitionBy("flag")
+            .orderBy("cents", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        cum.join(broadcast(tot), "flag")
+          .filter(col("cq") * 2 >= col("tq"))
+          .groupBy("flag")
+          .agg(min("cents").as("wmedian_cents"), max("tq").as("total_qty"))
+          .orderBy("flag")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_returnflag AS flag,
+             |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             |    CAST(l_quantity AS BIGINT) AS q, l_orderkey, l_linenumber
+             |  FROM lineitem),
+             |tot AS (SELECT flag, CAST(SUM(q) AS BIGINT) AS tq FROM li GROUP BY 1),
+             |cum AS (SELECT flag, cents,
+             |          CAST(SUM(q) OVER (PARTITION BY flag
+             |            ORDER BY cents, l_orderkey, l_linenumber
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cq
+             |        FROM li)
+             |SELECT flag, MIN(cents) AS wmedian_cents, MAX(tq) AS total_qty
+             |FROM cum JOIN tot USING (flag)
+             |WHERE cq * 2 >= tq
+             |GROUP BY 1 ORDER BY flag""".stripMargin)),
+
+    // Trending detection: event types whose hourly volume in the most
+    // recent 24h window moved most against the preceding 24h —
+    // the heavy-hitter CHANGE query of real-time monitoring. Exact
+    // ratio in ppm with +1 smoothing (so empty baselines rank, never
+    // divide by zero); windows anchored to the data's max timestamp
+    // so the query is deterministic on any fixture. Two filtered
+    // aggs over one scan (map-side partial), metadata-scale output.
+    QueryDef("q276_trending",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"))
+        val hi = ev.agg(max("us")).collect()(0).getLong(0)
+        val day = 86400000000L
+        val counts = ev
+          .filter(col("us") > hi - 2 * day)
+          .groupBy("event_type").agg(
+            sum((col("us") > hi - day).cast("long")).as("recent"),
+            sum((col("us") <= hi - day).cast("long")).as("baseline"))
+        counts.select(col("event_type"), col("recent"), col("baseline"),
+            expr("(1000000 * (recent + 1)) div (baseline + 1)").as("trend_ppm"))
+          .orderBy(col("trend_ppm").desc, col("event_type"))
+      },
+      Some("""WITH m AS (SELECT MAX(epoch_us(ts)) AS hi FROM events),
+             |c AS (
+             |  SELECT event_type,
+             |    CAST(SUM(CASE WHEN epoch_us(ts) > hi - 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS recent,
+             |    CAST(SUM(CASE WHEN epoch_us(ts) <= hi - 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS baseline
+             |  FROM events, m
+             |  WHERE epoch_us(ts) > hi - 2 * 86400000000
+             |  GROUP BY 1)
+             |SELECT event_type, recent, baseline,
+             |  (1000000 * (recent + 1)) // (baseline + 1) AS trend_ppm
+             |FROM c ORDER BY trend_ppm DESC, event_type""".stripMargin))
   )
 }

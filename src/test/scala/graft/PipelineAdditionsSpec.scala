@@ -312,6 +312,39 @@ class PipelineAdditionsSpec extends SparkTestBase {
       s"global mean $global outside replicate range [$minC, $maxC]")
   }
 
+  test("q275: weighted median is the exact half-mass crossing point") {
+    val rows = SparkEntry.queries("q275_weighted_median")(spark, sf01).collect()
+    assert(rows.length == 3)
+    val data = Tables.lineitem(spark, sf01).select(
+        col("l_returnflag"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("cents"),
+        col("l_quantity").cast("long").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val (flag, wm, tq) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val xs = data.filter(_._1 == flag)
+      assert(tq == xs.map(_._3).sum)
+      // mass strictly below the median price must be < half; mass at
+      // or below must be >= half (the lower-weighted-median contract)
+      val below = xs.filter(_._2 < wm).map(_._3).sum
+      val atOrBelow = xs.filter(_._2 <= wm).map(_._3).sum
+      assert(below * 2 < tq && atOrBelow * 2 >= tq,
+        s"$flag: $wm not the half-mass crossing")
+    }
+  }
+
+  test("q276: trend ratio recomputes from the window counts") {
+    val rows = SparkEntry.queries("q276_trending")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rec, base, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ppm == 1000000L * (rec + 1) / (base + 1))
+    }
+    // ordered by trend descending
+    val ppms = rows.map(_.getLong(3))
+    assert(ppms.sameElements(ppms.sorted(Ordering[Long].reverse)))
+  }
+
   test("CovarTriangle aggregator equals the explode-pipeline covariance") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf)
