@@ -1732,6 +1732,90 @@ object AnalyticsQueries extends QueryRegistry {
              |  GROUP BY 1)
              |SELECT event_type, recent, baseline,
              |  (1000000 * (recent + 1)) // (baseline + 1) AS trend_ppm
-             |FROM c ORDER BY trend_ppm DESC, event_type""".stripMargin))
+             |FROM c ORDER BY trend_ppm DESC, event_type""".stripMargin)),
+
+    // Theil–Sen robust trend of the daily event volume: the exact
+    // median of all pairwise slopes (dy/dx quantized to micros with
+    // truncating division — identical on both engines), immune to
+    // the outlier days an OLS slope chases. Pair count is bounded by
+    // the DAY-domain squared (≈ 365² at any SF — the daily rollup is
+    // the scale gate, partial-aggregated map-side); the median is the
+    // lower order statistic over that bounded pair set. The robust
+    // counterpart of q186's least-squares slope.
+    QueryDef("q277_theil_sen",
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("y"))
+        val a = d.select(col("day").as("d1"), col("y").as("y1"))
+        val b = d.select(col("day").as("d2"), col("y").as("y2"))
+        val slopes = a.join(b, col("d1") < col("d2"))
+          .select(expr("((y2 - y1) * 1000000) div (d2 - d1)").as("slope_micro"))
+        val n = slopes.count()
+        slopes.withColumn("rk", row_number().over(Window.orderBy("slope_micro")))
+          .filter(col("rk") === (n + 1) / 2)
+          .select(col("slope_micro").as("theil_sen_micro"),
+            lit(n).as("n_pairs"))
+      },
+      Some("""WITH d AS (
+             |  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS y
+             |  FROM events GROUP BY 1),
+             |p AS (
+             |  SELECT ((b.y - a.y) * 1000000) // (b.day - a.day) AS slope_micro
+             |  FROM d a JOIN d b ON a.day < b.day),
+             |n AS (SELECT COUNT(*) AS n FROM p),
+             |r AS (SELECT slope_micro,
+             |        ROW_NUMBER() OVER (ORDER BY slope_micro) AS rk
+             |      FROM p)
+             |SELECT slope_micro AS theil_sen_micro, n.n AS n_pairs
+             |FROM r, n WHERE rk = (n.n + 1) // 2""".stripMargin)),
+
+    // Label-noise detection (confident-learning-lite): for each
+    // sampled embedding, the share of its 5 exact-cosine nearest
+    // neighbors that DISAGREE with its label — rows whose
+    // neighborhood votes against them are the mislabel candidates
+    // every training-data audit hunts. Probe batch bounded (1-in-8
+    // systematic), candidates class-agnostic, per-probe top-5 plans
+    // as WindowGroupLimit. Output: per-label count of flagged rows
+    // (disagreement ≥ 3 of 5) — scale-stable.
+    QueryDef("q278_label_noise",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val probes = broadcast(e.filter(col("vec_id") % 8 === 0)
+          .select(col("vec_id").as("pid"), col("label").as("plabel"),
+            col("v").as("pv")))
+        val nn = e.join(probes, col("vec_id") =!= col("pid"))
+          .select(col("pid"), col("plabel"), col("label"),
+            graft.operators.AnnLsh.cosine(col("v"), col("pv")).as("sim"),
+            col("vec_id"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("pid").orderBy(col("sim").desc, col("vec_id"))))
+          .filter(col("rk") <= 5)
+        nn.groupBy("pid", "plabel")
+          .agg(sum((col("label") =!= col("plabel")).cast("long")).as("disagree"))
+          .groupBy(col("plabel").cast("int").as("label"))
+          .agg(count(lit(1)).as("n_probes"),
+            sum((col("disagree") >= 3).cast("long")).as("n_flagged"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (SELECT vec_id AS pid, label AS plabel, v AS pv
+             |      FROM e WHERE vec_id % 8 = 0),
+             |sc AS (
+             |  SELECT p.pid, p.plabel, e.label, e.vec_id,
+             |    list_dot_product(e.v, p.pv)
+             |      / sqrt(list_dot_product(e.v, e.v) * list_dot_product(p.pv, p.pv)) AS sim
+             |  FROM e JOIN p ON e.vec_id <> p.pid),
+             |nn AS (SELECT * FROM (
+             |         SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+             |           ORDER BY sim DESC, vec_id) AS rk FROM sc) WHERE rk <= 5),
+             |d AS (SELECT pid, plabel,
+             |        CAST(SUM(CASE WHEN label <> plabel THEN 1 ELSE 0 END) AS BIGINT) AS disagree
+             |      FROM nn GROUP BY 1, 2)
+             |SELECT CAST(plabel AS INT) AS label, COUNT(*) AS n_probes,
+             |  CAST(SUM(CASE WHEN disagree >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+             |FROM d GROUP BY 1 ORDER BY label""".stripMargin))
   )
 }

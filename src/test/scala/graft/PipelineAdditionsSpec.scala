@@ -345,6 +345,34 @@ class PipelineAdditionsSpec extends SparkTestBase {
     assert(ppms.sameElements(ppms.sorted(Ordering[Long].reverse)))
   }
 
+  test("q277: Theil-Sen slope is the exact pair-slope median") {
+    val r = SparkEntry.queries("q277_theil_sen")(spark, sf01).collect()(0)
+    val (slope, nPairs) = (r.getLong(0), r.getLong(1))
+    val days = Tables.events(spark, sf01)
+      .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .groupBy("day").count().collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    val slopes = (for {
+      i <- days.indices; j <- (i + 1) until days.length
+    } yield ((days(j)._2 - days(i)._2) * 1000000L) / (days(j)._1 - days(i)._1))
+      .sorted
+    assert(nPairs == slopes.length)
+    assert(slope == slopes((slopes.length + 1) / 2 - 1))
+  }
+
+  test("q278: flagged counts never exceed probe counts; labels complete") {
+    val rows = SparkEntry.queries("q278_label_noise")(spark, sf01).collect()
+    assert(rows.map(_.getInt(0)).toSet == (0 to 9).toSet)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    // the probe partition is exactly the 1-in-8 systematic sample
+    val nProbes = rows.map(_.getLong(1)).sum
+    val expect = Tables.embeddings(spark, sf01)
+      .filter(col("vec_id") % 8 === 0).count()
+    assert(nProbes == expect)
+  }
+
   test("CovarTriangle aggregator equals the explode-pipeline covariance") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf)
