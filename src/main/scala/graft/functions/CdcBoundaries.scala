@@ -50,12 +50,27 @@ object CdcBoundaries {
   def countBoundaries(s: UTF8String): Int = {
     val n = s.numChars()
     if (n < W) return 0
-    // ASCII fast path: byte offsets == char offsets
+    // ASCII fast path: byte offsets == char offsets. Non-ASCII decodes
+    // the code points ONCE into a flat array (O(n)); the previous
+    // offsetByCodePoints(0, i)-per-char form was O(n²) on multi-byte
+    // input, and graft_cdc_bounds is session-registered so arbitrary
+    // input reaches it.
     val ascii = s.numBytes() == n
     val bytes = if (ascii) s.getBytes else null
-    val str = if (ascii) null else s.toString
+    val cps: Array[Int] =
+      if (ascii) null
+      else {
+        val str = s.toString
+        val out = new Array[Int](str.codePointCount(0, str.length))
+        var ci = 0; var k = 0
+        while (ci < str.length) {
+          val cp = str.codePointAt(ci)
+          out(k) = cp; k += 1; ci += Character.charCount(cp)
+        }
+        out
+      }
     def code(i: Int): Long =
-      if (ascii) (bytes(i) & 0x7f).toLong else str.codePointAt(str.offsetByCodePoints(0, i)).toLong
+      if (ascii) (bytes(i) & 0x7f).toLong else cps(i).toLong
     var h = 0L
     var i = 0
     while (i < W) { h = h * 31 + code(i); i += 1 }

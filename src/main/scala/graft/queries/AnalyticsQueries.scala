@@ -1301,12 +1301,15 @@ object AnalyticsQueries extends QueryRegistry {
     // Degree assortativity over the doc graph as EXACT sufficient
     // statistics (the q228-covariance pattern): for every directed
     // edge, x = deg(src), y = deg(dst); emit m, Σx, Σy, Σxy, Σx²,
-    // Σy² plus the integer Pearson numerator m·Σxy − Σx·Σy and the
-    // two denominator factors — the consumer divides; both engines
-    // agree bit-for-bit with no sqrt. Scale: degree table is one
-    // shuffle; the two joins back onto edges are broadcasts at any
-    // SF where the node-id domain ≪ edge count (deg table ~ distinct
-    // nodes), here left as hash joins keyed on the edge endpoints.
+    // Σy² — the RAW statistics only. The combined Pearson terms
+    // (m·Σxy − Σx·Σy etc.) are deliberately NOT emitted: at 100 TB
+    // they overflow int64 where the raw sums don't, and Spark wraps
+    // silently while DuckDB raises — the consumer combines (in its
+    // own wide arithmetic) from sums both engines agree on bit-for-
+    // bit. Scale: degree table is one shuffle; the two joins back
+    // onto edges are broadcasts at any SF where the node-id domain
+    // ≪ edge count (deg table ~ distinct nodes), here left as hash
+    // joins keyed on the edge endpoints.
     QueryDef("q252_assortativity",
       (s, dir) => {
         val edges = docGraph(s, dir)
@@ -1318,10 +1321,6 @@ object AnalyticsQueries extends QueryRegistry {
             sum(col("x") * col("y")).as("sxy"),
             sum(col("x") * col("x")).as("sxx"),
             sum(col("y") * col("y")).as("syy"))
-          .select(col("m"), col("sx"), col("sy"), col("sxy"),
-            (col("m") * col("sxy") - col("sx") * col("sy")).as("num"),
-            (col("m") * col("sxx") - col("sx") * col("sx")).as("den_x"),
-            (col("m") * col("syy") - col("sy") * col("sy")).as("den_y"))
       },
       Some("""WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id >= 1),
              |ed AS (SELECT DISTINCT u, v FROM (
@@ -1336,9 +1335,7 @@ object AnalyticsQueries extends QueryRegistry {
              |              JOIN deg dy ON e0.dst = dy.src)
              |SELECT COUNT(*) AS m, CAST(SUM(x) AS BIGINT) AS sx,
              |  CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
-             |  CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS BIGINT) AS num,
-             |  CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS den_x,
-             |  CAST(COUNT(*) * SUM(y*y) - SUM(y) * SUM(y) AS BIGINT) AS den_y
+             |  CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
              |FROM j""".stripMargin)),
 
     // Landmark BFS distances (the distance-sketch primitive behind
@@ -1614,6 +1611,11 @@ object AnalyticsQueries extends QueryRegistry {
     // its top bit clear (~n/2 each), so any engine, any partitioning,
     // any rerun produces the identical 32 replicate means — the
     // reproducibility a production uncertainty estimate needs.
+    // Overflow-exact at ANY orderkey: the seed is reduced mod 2^31
+    // BEFORE the Knuth multiply, so the int64 product stays below
+    // 2^31·2654435761 < 2^63 — Spark would wrap silently and DuckDB
+    // would raise out-of-range if the raw sum were multiplied once
+    // orderkeys pass ~3.5e9.
     // Replicate means in exact floor-div cents; the CI report is the
     // 2nd/31st order statistic (≈ p05/p95 of 32). One pass ×32 via a
     // compact explode; the replicate agg partial-applies map-side.
@@ -1625,7 +1627,7 @@ object AnalyticsQueries extends QueryRegistry {
           .select(col("o_orderkey"), col("cents"),
             explode(sequence(lit(0L), lit(31L))).as("b"))
           .filter(expr(
-            "((o_orderkey + b * 1000003L) * 2654435761L) % 4294967296L < 2147483648L"))
+            "(((o_orderkey + b * 1000003L) % 2147483648L) * 2654435761L) % 4294967296L < 2147483648L"))
           .groupBy("b")
           .agg(expr("sum(cents) div count(1)").as("mean_cents"),
             count(lit(1)).as("n_rows"))
@@ -1645,7 +1647,7 @@ object AnalyticsQueries extends QueryRegistry {
              |r AS (
              |  SELECT b.b, CAST(SUM(cents) AS BIGINT) // COUNT(*) AS mean_cents
              |  FROM o CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
-             |  WHERE ((o_orderkey + b.b * 1000003) * 2654435761) % 4294967296
+             |  WHERE (((o_orderkey + b.b * 1000003) % 2147483648) * 2654435761) % 4294967296
              |        < 2147483648
              |  GROUP BY 1),
              |rk AS (SELECT mean_cents,

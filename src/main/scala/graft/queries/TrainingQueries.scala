@@ -680,30 +680,32 @@ object TrainingQueries extends QueryRegistry {
     // per lambda element), and the products accumulate as scaled
     // BIGINT micros so the cross-partition sum is order-free.
     //
-    // 100-TB shape: groupBy over 2,080 (i,j) keys partial-aggregates
-    // map-side — the shuffle carries 2,080 rows per task regardless
-    // of corpus size; the FLOPs (d²/2 per vector) stream through one
-    // scan. Centered micros products are O(1) each, so the BIGINT
-    // accumulator holds past sf1000.
+    // 100-TB shape (round 7, CovarTriangle port): one typed-Aggregator
+    // pass accumulates all 2,080 floored upper-triangle products into a
+    // flat per-partition long buffer — O(d²) task state, reduce-side
+    // traffic = one 2081-long array per partition, independent of row
+    // count. Each product is floored BEFORE summation, so partials are
+    // exact integers and the merge is order-free (bit-identical on any
+    // partitioning — the CovarTriangle spec proves cell-for-cell
+    // equality against the former explode formulation, which was the
+    // slowest non-streaming batch query at 3.07 s/sf0.1 and 149 s at
+    // sf10). The collect() is metadata-bounded: 2,081 longs.
     QueryDef("q228_embedding_covariance",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-          .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+          .select(transform(col("embedding"), x => x.cast("double")).as("v"))
         val means = e.select(posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy("pos").agg((round(avg("x") * 1e6) / 1e6).as("m"))
           .orderBy("pos").collect().map(_.getDouble(1)).toSeq
         val msLit = array(means.map(lit): _*)
         val centered = zip_with(col("v"), msLit, (x, m) => x - m)
-        val pairs = flatten(flatten(transform(array(centered), cv =>
-          transform(cv, (x, i) =>
-            transform(sequence(i, lit(63)), j =>
-              struct(i.cast("int").as("i"), j.cast("int").as("j"),
-                floor(x * element_at(cv, j + 1) * lit(1e6) + lit(0.5))
-                  .cast("long").as("p")))))))
-        e.select(explode(pairs).as("pr"))
-          .groupBy(col("pr.i").as("i"), col("pr.j").as("j"))
-          .agg(sum("pr.p").as("cov_u"), count(lit(1)).as("n"))
-          .orderBy("i", "j")
+        import s.implicits._
+        val tri = e.select(centered.as("cv")).as[Seq[Double]]
+          .select(graft.operators.CovarTriangle.toColumn).collect()(0)
+        val n = tri(graft.operators.CovarTriangle.Cells)
+        val rows = for { i <- 0 until 64; j <- i until 64 }
+          yield (i, j, tri(graft.operators.CovarTriangle.cell(i, j)), n)
+        rows.toDF("i", "j", "cov_u", "n").orderBy("i", "j")
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              |m AS (SELECT i.i AS i, ROUND(AVG(v[i.i]) * 1e6) / 1e6 AS m
@@ -896,9 +898,14 @@ object TrainingQueries extends QueryRegistry {
           .withColumn("rk", row_number().over(
             Window.partitionBy("probe_id").orderBy(col("sim").desc, col("nn_id"))))
           .filter(col("rk") === 1)
+        // Output is the COMMA-JOINED micros vector (a scalar string, not
+        // array<long>): the driver's oracle comparator sorts pandas frames
+        // and array-typed cells are unhashable there — same content, a
+        // harness-compatible shape.
         nn.select(col("probe_id"), col("nn_id"),
-            transform(zip_with(col("pv"), col("v"), (x, y) => (x + y) * lit(0.5)),
-              z => floor(z * lit(1e6) + lit(0.5)).cast("long")).as("synth_u"))
+            array_join(transform(zip_with(col("pv"), col("v"), (x, y) => (x + y) * lit(0.5)),
+              z => floor(z * lit(1e6) + lit(0.5)).cast("long").cast("string")), ",")
+              .as("synth_u"))
           .orderBy("probe_id")
       },
       Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -915,9 +922,9 @@ object TrainingQueries extends QueryRegistry {
              |         (PARTITION BY probe_id ORDER BY sim DESC, nn_id) AS rk
              |       FROM sc)
              |SELECT probe_id, nn_id,
-             |  list_transform(generate_series(1, 64), i ->
-             |    CAST(FLOOR((pv[i] + v[i]) * CAST(0.5 AS DOUBLE) * 1e6
-             |               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS synth_u
+             |  array_to_string(list_transform(generate_series(1, 64), i ->
+             |    CAST(CAST(FLOOR((pv[i] + v[i]) * CAST(0.5 AS DOUBLE) * 1e6
+             |               + CAST(0.5 AS DOUBLE)) AS BIGINT) AS VARCHAR)), ',') AS synth_u
              |FROM rk WHERE rk = 1 ORDER BY probe_id""".stripMargin)),
 
     // Weighted sampling without replacement (Efraimidis–Spirakis

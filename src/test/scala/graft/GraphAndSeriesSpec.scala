@@ -75,12 +75,16 @@ class GraphAndSeriesSpec extends SparkTestBase {
   test("q252: bidirectional edge list makes the statistics symmetric") {
     val r = SparkEntry.queries("q252_assortativity")(spark, sf01).collect()(0)
     val (m, sx, sy) = (r.getLong(0), r.getLong(1), r.getLong(2))
-    val (sxy, num) = (r.getLong(3), r.getLong(4))
-    val (denX, denY) = (r.getLong(5), r.getLong(6))
-    assert(sx == sy && denX == denY,
+    val (sxy, sxx, syy) = (r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(sx == sy && sxx == syy,
       "src/dst degree sums must agree on a symmetrized edge list")
-    // Cauchy-Schwarz: the implied |r| <= 1
-    assert(num.toDouble * num.toDouble <= denX.toDouble * denY.toDouble * (1 + 1e-12))
+    // Combine the raw sufficient statistics the way a consumer would
+    // (wide arithmetic lives with the consumer, not the int64 plan):
+    // Cauchy-Schwarz on the implied Pearson terms => |r| <= 1.
+    val num = m.toDouble * sxy - sx.toDouble * sy
+    val denX = m.toDouble * sxx - sx.toDouble * sx
+    val denY = m.toDouble * syy - sy.toDouble * sy
+    assert(num * num <= denX * denY * (1 + 1e-12))
     assert(m > 0 && sxy > 0)
   }
 

@@ -47,7 +47,9 @@ class PipelineAdditionsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Double](2))).toMap
     out.foreach { r =>
       val (p, nn) = (r.getLong(0), r.getLong(1))
-      val synth = r.getSeq[Long](2)
+      // round-7: synth_u ships as a comma-joined string (the driver
+      // oracle can't sort array-typed cells) — decode for the check
+      val synth = r.getString(2).split(',').map(_.toLong).toSeq
       assert(p != nn)
       assert(e(p)._1 == e(nn)._1, "neighbor must share the minority label")
       val (pv, nv) = (e(p)._2, e(nn)._2)
@@ -415,7 +417,12 @@ class PipelineAdditionsSpec extends SparkTestBase {
     // fixture docs + adversarial edges: exact-window length, repeats,
     // boundary-heavy periodic strings
     val edge = Seq("", "short", "exactly8", "a" * 64, "ab" * 33,
-      ("x" * 7) + "\u0000" + ("y" * 9)).toDF("text")
+      ("x" * 7) + "\u0000" + ("y" * 9),
+      // multi-byte code points drive the non-ASCII path (round-7 fix:
+      // decoded once, O(n) -- formerly offsetByCodePoints per char)
+      "h\u00e9llo w\u00f6rld \u2014 \u00e7af\u00e9 cr\u00e8me " * 8,
+      "\u65e5\u672c\u8a9e\u30c6\u30ad\u30b9\u30c8" * 16,
+      ("\ud835\udd4f" * 9) + "tail-ascii" + ("\u00e9" * 13)).toDF("text")
     val docs = Tables.documents(spark, sf01).select("text").unionAll(edge)
       .filter(length(col("text")) >= 8)
     val mism = docs

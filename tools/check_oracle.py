@@ -57,6 +57,17 @@ def main():
                       "(banned: driver hash-mismatches decimals)")
                 n_fail += 1
                 continue
+            # Round-6 gate lesson (q255): array/map/struct-typed output
+            # columns crash the driver's pandas sort (unhashable ndarray).
+            # Ban nested OUTPUT types outright — serialize to a string.
+            nested = [c for c, t, *_ in types
+                      if any(k in t.upper() for k in ("[]", "STRUCT", "MAP("))]
+            if nested:
+                print(f"FAIL {name}: nested output column(s) {nested} "
+                      "(banned: driver oracle can't sort array/map/struct "
+                      "cells — serialize with array_join/concat_ws)")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_fail += 1
