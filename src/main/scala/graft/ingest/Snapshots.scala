@@ -887,6 +887,19 @@ object Snapshots {
     }
   }
 
+  /** A specific file subset of a snapshot, read through the full
+    * snapshot semantics (schema-evolution replay + deletion-vector
+    * anti-join) — the read primitive the DSv2 scan uses after manifest
+    * pruning has already narrowed the file list driver-side. */
+  private[graft] def readFileSubset(spark: SparkSession, root: String,
+                                    prefix: String, files: Seq[String],
+                                    version: Option[Int] = None): DataFrame = {
+    val snap = snapshot(root, prefix, version)
+    readFilesFilled(spark, root, prefix, files,
+      schemaEvents(root, prefix, snap.map(_.version)),
+      snap.map(_.dv).getOrElse(Seq.empty))
+  }
+
   /** Read the table as of a version (default latest): exactly the
     * committed file set, regardless of files appended since. Columns
     * added by [[addColumn]] at or before the version are present for

@@ -938,6 +938,55 @@ object LakehouseQueries extends QueryRegistry {
              |UNION ALL
              |SELECT 'by_y', COUNT(*), CAST(SUM(ba) AS BIGINT)
              |FROM t WHERE y BETWEEN 0 AND 15
-             |ORDER BY dim""".stripMargin))
+             |ORDER BY dim""".stripMargin)),
+
+    // The DataSource V2 surface (round 7): the snapshot table read
+    // through spark.read.format("graft") — the provider pushes the
+    // range filter down (manifest-stat FILE pruning driver-side,
+    // PushedFilters in the plan, residual re-applied) and the result
+    // must match the same generator arithmetic as the helper-API
+    // reads. Shares q114's staged 5000-row table.
+    QueryDef("q280_dsv2_read",
+      (s, _) => {
+        val root = staged(s, "stats_v1") { tmp =>
+          ProduceJob.produceBatch(s, tmp, "p", topics = 1, numMessages = 5000)
+          ()
+        }
+        s.read.format("graft").load(s"$root/p")
+          .filter(col("ba") >= 1000L && col("ba") <= 1999L)
+          .agg(count(lit(1)).as("cnt"),
+            sum("ba").cast("bigint").as("sum_ba"),
+            sum("age").cast("bigint").as("sum_age"))
+      },
+      Some("""SELECT COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba,
+             |CAST(SUM((18+id)%100) AS BIGINT) AS sum_age
+             |FROM range(1000,2000) t(id)""".stripMargin)),
+
+    // Time travel through the DSv2 option surface: version 0 against
+    // latest of the shared two-commit table, both read with
+    // format("graft") — option("version", v) must pin exactly the
+    // committed file set, and the union's arithmetic is pure
+    // generator replay on both engines.
+    QueryDef("q281_dsv2_time_travel",
+      (s, _) => {
+        val root = stagedTravelTable(s)
+        def rd(v: Option[Int]) = {
+          val r = s.read.format("graft")
+          v.fold(r)(x => r.option("version", x.toString)).load(s"$root/t")
+        }
+        val v0 = rd(Some(0))
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+          .select(lit("v0").as("snap"), col("cnt"), col("sum_ba"))
+        val latest = rd(None)
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+          .select(lit("latest").as("snap"), col("cnt"), col("sum_ba"))
+        v0.unionAll(latest).orderBy("snap")
+      },
+      Some("""SELECT 'latest' AS snap, COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba
+             |FROM (SELECT id FROM range(0,1000) t(id)
+             |      UNION ALL SELECT id FROM range(0,500) u(id))
+             |UNION ALL
+             |SELECT 'v0', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0,1000) t(id)
+             |ORDER BY snap""".stripMargin))
   )
 }

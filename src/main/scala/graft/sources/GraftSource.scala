@@ -1,0 +1,218 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ingest.{Snapshots, SortKeys}
+
+/** DataSource V2 provider over the snapshot (lakehouse) layer — the
+  * table format the reference offloads into, made first-class SQL:
+  *
+  * {{{
+  *   spark.read.format("graft").load(s"\$root/\$prefix")            // latest
+  *   spark.read.format("graft").option("version", "2").load(...)  // time travel
+  *   spark.read.format("graft").option("tag", "audited").load(...)
+  *   // plain SQL through the session catalog:
+  *   spark.sql(s"CREATE TABLE t USING graft OPTIONS (path '\$root/\$prefix')")
+  * }}}
+  *
+  * The path's last segment is the table prefix (data lives at
+  * `root/prefix/`, the manifest log at `root/prefix._log`); an explicit
+  * `prefix` option wins, in which case the path is the root.
+  *
+  * Scan planning pushes down:
+  *  - column pruning (`SupportsPushDownRequiredColumns`) — the final
+  *    projection reaches the parquet scan;
+  *  - conjunctive comparison filters (`SupportsPushDownFilters`) —
+  *    each `col (=|<|<=|>|>=) literal` / `IS [NOT] NULL` conjunct maps
+  *    to manifest-stat key space and prunes the FILE LIST before any
+  *    IO (the Delta/Iceberg data-skipping shape). Stats narrow IO,
+  *    never semantics: every filter is also returned as a residual so
+  *    Spark re-evaluates it post-scan, the same contract the built-in
+  *    parquet source uses for footer stats.
+  *
+  * Execution bridges through [[V1Scan]]: the pruned file subset is
+  * read by the existing snapshot machinery (schema evolution replay,
+  * deletion-vector anti-join — `Snapshots.readFileSubset`) and handed
+  * to Spark as an InternalRow RDD (`needConversion = false`, the JDBC
+  * relation pattern), so the whole DataFrame/Catalyst stack — AQE,
+  * whole-stage codegen above the scan, broadcast planning — applies
+  * unchanged. At 100 TB the wins compose: manifest pruning drops
+  * files driver-side from metadata only, and column pruning keeps the
+  * scan at ReadSchema width.
+  */
+class GraftSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (root, prefix, version) = GraftSource.resolve(options)
+    Snapshots.read(SparkSession.active, root, prefix, version).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (root, prefix, version) = GraftSource.resolve(opts)
+    new GraftTable(root, prefix, version, schema)
+  }
+}
+
+object GraftSource {
+
+  /** (root, prefix, version) from reader options. `load(path)` puts the
+    * path in options; its last segment is the prefix unless an explicit
+    * `prefix` option names one (then the path IS the root). `version`
+    * pins a snapshot; `tag` resolves a named ref — both optional. */
+  private[sources] def resolve(options: CaseInsensitiveStringMap): (String, String, Option[Int]) = {
+    // the session catalog hands the location back as a file: URI —
+    // normalize to a plain local path for the manifest machinery
+    val path = Option(options.get("path")).getOrElse(
+      sys.error("graft source needs a path: spark.read.format(\"graft\").load(root/prefix)"))
+      .replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/")
+    val (root, prefix) = Option(options.get("prefix")) match {
+      case Some(p) => (path, p)
+      case None =>
+        val norm = path.stripSuffix("/")
+        val cut = norm.lastIndexOf('/')
+        require(cut > 0, s"cannot split '$path' into root/prefix — pass option(\"prefix\", ...)")
+        (norm.substring(0, cut), norm.substring(cut + 1))
+    }
+    val version = Option(options.get("version")).map(_.toInt)
+      .orElse(Option(options.get("tag")).map(t =>
+        Snapshots.resolveTag(root, prefix, t).getOrElse(
+          sys.error(s"no tag '$t' for $prefix"))))
+    (root, prefix, version)
+  }
+
+  /** V1 pushed filters → manifest-stat ranges (conjuncts only; any
+    * filter that doesn't map is simply not used for pruning). Strict
+    * bounds widen to inclusive — stat overlap is conservative anyway. */
+  private[sources] def toRanges(f: Filter): Seq[Snapshots.StatRange] = {
+    def keyed(v: Any): Option[(Long, String)] = v match {
+      case l: Long => Some((l, "L"))
+      case i: Int => Some((i.toLong, "L"))
+      case s: Short => Some((s.toLong, "L"))
+      case d: Double => if (d.isNaN) None else Some((SortKeys.doubleKey(d), "D"))
+      case fl: Float => if (fl.isNaN) None else Some((SortKeys.doubleKey(fl.toDouble), "D"))
+      case s: String => Some((SortKeys.stringKey(s), "S"))
+      case _ => None
+    }
+    def range(c: String, t: String, lo: Long, hi: Long) =
+      Snapshots.StatRange(c, t, lo, hi, lit(true))
+    f match {
+      case And(l, r) => toRanges(l) ++ toRanges(r)
+      case EqualTo(a, v) => keyed(v).map { case (k, t) => range(a, t, k, k) }.toSeq
+      case GreaterThan(a, v) => keyed(v).map { case (k, t) => range(a, t, k, Long.MaxValue) }.toSeq
+      case GreaterThanOrEqual(a, v) => keyed(v).map { case (k, t) => range(a, t, k, Long.MaxValue) }.toSeq
+      case LessThan(a, v) => keyed(v).map { case (k, t) => range(a, t, Long.MinValue, k) }.toSeq
+      case LessThanOrEqual(a, v) => keyed(v).map { case (k, t) => range(a, t, Long.MinValue, k) }.toSeq
+      case IsNull(a) => Seq(range(a, "N", 1L, 1L))
+      case IsNotNull(a) => Seq(range(a, "N", 0L, 0L))
+      case _ => Seq.empty
+    }
+  }
+}
+
+private[sources] class GraftTable(root: String, prefix: String,
+                                  version: Option[Int], tableSchema: StructType)
+  extends Table with SupportsRead {
+
+  override def name(): String =
+    s"graft.$prefix@$root${version.map("#v" + _).getOrElse("")}"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, prefix, version, tableSchema)
+}
+
+private[sources] class GraftScanBuilder(root: String, prefix: String,
+                                        version: Option[Int], fullSchema: StructType)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => GraftSource.toRanges(f).nonEmpty)
+    filters // ALL residual: stats narrow IO, never replace evaluation
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftScan(root, prefix, version, required, pushed)
+}
+
+private[sources] class GraftScan(root: String, prefix: String, version: Option[Int],
+                                 required: StructType, pushed: Array[Filter])
+  extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String = {
+    val files = prunedFiles.length
+    val total = Snapshots.snapshot(root, prefix, version).map(_.files.length).getOrElse(0)
+    s"GraftScan $prefix files=$files/$total pushed=${pushed.mkString(",")}"
+  }
+
+  /** Manifest pruning happens DRIVER-SIDE from stats alone — no data
+    * file is opened to decide the file list. */
+  private def prunedFiles: Seq[String] = {
+    val ranges = pushed.toSeq.flatMap(GraftSource.toRanges)
+    if (ranges.isEmpty)
+      Snapshots.snapshot(root, prefix, version).map(_.files).getOrElse(Seq.empty)
+    else Snapshots.pruneFilesMulti(root, prefix, ranges, version)
+  }
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+    new GraftV1Relation(root, prefix, version, required, prunedFiles, context)
+      .asInstanceOf[T]
+}
+
+/** The V1 bridge relation: hands Spark the snapshot read as an
+  * InternalRow RDD. `needConversion = false` is the JDBCRelation
+  * pattern — the rows are already InternalRow because they come out of
+  * a DataFrame's executed plan. */
+private[sources] class GraftV1Relation(root: String, prefix: String,
+                                       version: Option[Int], required: StructType,
+                                       files: Seq[String], ctx: SQLContext)
+  extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  override def schema: StructType = required
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(): RDD[Row] = {
+    val spark = ctx.sparkSession
+    val base =
+      if (files.isEmpty) Snapshots.read(spark, root, prefix, version).limit(0)
+      else Snapshots.readFileSubset(spark, root, prefix, files, version)
+    val projected =
+      if (required.isEmpty) base.select()
+      else base.select(required.fieldNames.map(col).toIndexedSeq: _*)
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}

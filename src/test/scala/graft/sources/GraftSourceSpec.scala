@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.SparkTestBase
+import graft.ingest.{ProduceJob, Snapshots}
+
+/** The DataSource V2 surface over the snapshot layer: format("graft")
+  * and SQL-on-path reads must agree with the Snapshots API bit for
+  * bit, push filters/columns down, prune the manifest file list
+  * driver-side, time-travel via options, and honor deletion vectors. */
+class GraftSourceSpec extends SparkTestBase {
+
+  private lazy val root: String = {
+    val dir = new java.io.File("/tmp/graft/dsv2_spec_v1")
+    if (!dir.isDirectory) {
+      val tmp = new java.io.File(dir.getParent,
+        dir.getName + ".tmp." + java.util.UUID.randomUUID().toString.take(8))
+      tmp.mkdirs()
+      // v0: ba 0..7999 (several files with disjoint ba spans — range
+      // partitions are contiguous), v1: MoR delete of ba % 100 == 0
+      ProduceJob.produceBatch(spark, tmp.getAbsolutePath, "t", topics = 1,
+        numMessages = 8000)
+      Snapshots.deleteMoR(spark, tmp.getAbsolutePath, "t",
+        col("ba") % 100 === 0, txn = Some("dsv2spec"))
+      if (!tmp.renameTo(dir)) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
+    }
+    dir.getAbsolutePath
+  }
+
+  private def load() = spark.read.format("graft").load(s"$root/t")
+
+  test("full read equals the Snapshots API (DV anti-join included)") {
+    val viaSource = load().agg(count(lit(1)), sum("ba")).collect()(0)
+    val viaApi = Snapshots.read(spark, root, "t")
+      .agg(count(lit(1)), sum("ba")).collect()(0)
+    assert(viaSource == viaApi)
+    // 8000 minus the 80 MoR-deleted rows
+    assert(viaSource.getLong(0) == 7920L)
+  }
+
+  test("filters are pushed and survive as residuals (exact results)") {
+    val df = load().filter(col("ba") >= 1000L && col("ba") <= 1999L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(ba,1000)"), plan.take(3000))
+    val r = df.agg(count(lit(1)), sum("ba")).collect()(0)
+    // 1000..1999 minus the 10 deleted multiples of 100
+    assert(r.getLong(0) == 990L)
+    assert(r.getLong(1) == (1000L to 1999L).sum - (1000L to 1900L by 100).sum)
+  }
+
+  test("column pruning reaches the scan") {
+    val df = load().select("ba").filter(col("ba") < 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<ba:bigint>"), plan.take(3000))
+    assert(df.count() == 9) // 0 is MoR-deleted
+  }
+
+  test("pushed ranges prune the manifest file list driver-side") {
+    val schema = load().schema
+    val b = new GraftScanBuilder(root, "t", None, schema)
+    b.pushFilters(Array(GreaterThanOrEqual("ba", 1000L),
+      LessThanOrEqual("ba", 1999L)))
+    val scan = b.build().asInstanceOf[GraftScan]
+    val total = Snapshots.snapshot(root, "t", None).get.files.length
+    val kept = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(scan.description()).get
+    assert(kept.group(2).toInt == total)
+    assert(kept.group(1).toInt < total,
+      s"no file pruned: ${scan.description()} (need >1 file spans)")
+  }
+
+  test("time travel via option(version) sees the pre-delete snapshot") {
+    val v0 = spark.read.format("graft").option("version", "0").load(s"$root/t")
+    assert(v0.count() == 8000L)
+  }
+
+  test("CREATE TABLE ... USING graft makes the table plain SQL") {
+    spark.sql("DROP TABLE IF EXISTS dsv2_spec_t")
+    spark.sql(
+      s"CREATE TABLE dsv2_spec_t USING graft OPTIONS (path '$root/t')")
+    val n = spark.sql("SELECT count(*) AS n FROM dsv2_spec_t")
+      .collect()(0).getLong(0)
+    assert(n == 7920L)
+    val pushed = spark.sql(
+      "SELECT sum(ba) AS s FROM dsv2_spec_t WHERE ba BETWEEN 1000 AND 1999")
+    assert(pushed.queryExecution.executedPlan.toString
+      .contains("GreaterThanOrEqual(ba,1000)"))
+    assert(pushed.collect()(0).getLong(0) ==
+      (1000L to 1999L).sum - (1000L to 1900L by 100).sum)
+    spark.sql("DROP TABLE dsv2_spec_t")
+  }
+
+  test("explicit prefix option splits root and table") {
+    val df = spark.read.format("graft").option("prefix", "t").load(root)
+    assert(df.count() == 7920L)
+  }
+
+  test("resolve: version option wins over tag; bad tag raises") {
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("path", s"$root/t", "version", "0"))
+    assert(GraftSource.resolve(opts) == ((root, "t", Some(0))))
+    val bad = new CaseInsensitiveStringMap(
+      java.util.Map.of("path", s"$root/t", "tag", "nope"))
+    intercept[RuntimeException](GraftSource.resolve(bad))
+  }
+}
