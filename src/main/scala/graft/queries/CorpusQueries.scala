@@ -383,16 +383,15 @@ object CorpusQueries extends QueryRegistry {
     // extension; same family as q59/q158).
     QueryDef("q254_readability",
       (s, dir) => {
+        // fused native expression (FleschMilli): W and Syl counted in
+        // ONE byte scan inside whole-stage codegen — replaces the four
+        // regexp_replace passes (the q260/CdcBoundaries fusion
+        // discipline; FleschMilli's spec proves byte-for-byte equality
+        // with the regexp formulation, which remains the oracle).
+        graft.functions.FleschMilli.register(s)
         val d = Tables.documents(s, dir)
-          .withColumn("rw", regexp_replace(col("text"), "[^ ]+", "#"))
-          .withColumn("w", greatest(lit(1L),
-            (length(col("rw")) - length(regexp_replace(col("rw"), "#", ""))).cast("long")))
-          .withColumn("rs", regexp_replace(lower(col("text")), "[aeiouy]+", "#"))
-          .withColumn("syl", greatest(lit(1L),
-            (length(col("rs")) - length(regexp_replace(col("rs"), "#", ""))).cast("long")))
-          .withColumn("sent", lit(1L) + expr("(w - 1) div 20"))
           .withColumn("fre_milli",
-            lit(206835L) - expr("(1015 * w) div sent") - expr("(84600 * syl) div w"))
+            graft.functions.FleschMilli.milli(col("text")))
         d.groupBy(expr("fre_milli div 10000").as("bucket"))
           .agg(count(lit(1)).as("n"),
             min("fre_milli").as("min_milli"), max("fre_milli").as("max_milli"))
@@ -462,27 +461,59 @@ object CorpusQueries extends QueryRegistry {
     // signal novelty-ordered training curricula sort by. A trigram's
     // first owner is min(doc_id); novelty_ppm = 1e6·(first-seen
     // grams)/(distinct grams). Output is the novelty-decile histogram
-    // (scale-stable). Scale: the gram table is NOT vocabulary-bounded
-    // (it grows with the corpus), so first-owner is an honest shuffle
-    // keyed on the gram — one wide shuffle + one doc-keyed agg, the
-    // same two-exchange shape as the dedup family; min(doc_id) is
-    // partial-aggregated map-side.
+    // (scale-stable). Scale (round-7 rewrite, was 22× at sf10): the
+    // former gram⋈gram join is GONE — n_grams is the size of the
+    // per-doc distinct array (map-side, no explode needed), and
+    // n_first per doc is a count over the first-owner table itself
+    // (first_doc IS the doc that owns the gram). What remains is the
+    // one honest gram-keyed shuffle for min(doc_id) — the gram table
+    // is corpus-sized, so that exchange is irreducible — plus two
+    // doc-cardinality aggregates joined doc-keyed.
     QueryDef("q265_ngram_novelty",
       (s, dir) => {
+        // Two fences, both load-bearing (the MinHash lesson, both
+        // halves): (a) the token array is BOUND through a HOF argument
+        // (transform(array(split(..)), t -> ...)) so that when the
+        // optimizer inlines this expression into the explode's
+        // inferred size/nullness filters — which push through ANY
+        // Exchange — split(text) still evaluates once per doc, not
+        // once per lambda element (the unbound form measured O(tokens²)
+        // per filter evaluation: 335 s at sf10 vs 41 s for the join
+        // formulation it replaced); (b) the repartition materializes
+        // the arrays once so the two consumers share one
+        // ReusedExchange and the doc-keyed aggregate needs no further
+        // shuffle. slice(t,1,0) is the type-correct empty array for
+        // sub-trigram docs (the row filter already drops them; the
+        // guard keeps the inferred filters' speculative evaluation
+        // from indexing out of range).
+        val gsExpr =
+          "array_distinct(flatten(transform(array(split(text, ' ')), t -> " +
+            "if(size(t) < 3, slice(t, 1, 0), " +
+            "transform(sequence(1, size(t) - 2), i -> " +
+            "concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))))"
+        // Fence placement (A/B'd at sf10: 6.5 s vs 23 s for every
+        // array-carrying variant): repartition the raw docs BEFORE the
+        // gram build so the expensive projection runs on all cores
+        // even when the scan is one file/split, explode ONCE, then
+        // fence the exploded skinny (doc_id, g) stream on doc_id —
+        // both aggregates read the same ReusedExchange, so the gram
+        // pipeline is evaluated exactly once, the doc-keyed count
+        // needs no further shuffle, and the gram-keyed min reshuffles
+        // rows that are ~30 bytes each, not token arrays.
         val grams = Tables.documents(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .filter(size(col("t")) >= 3)
-          .select(col("doc_id"), explode(expr(
-            "array_distinct(transform(sequence(1, size(t) - 2)," +
-              " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))"))
-            .as("g"))
-        val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
-        val nov = grams.join(first, "g")
-          .groupBy("doc_id").agg(
-            count(lit(1)).as("n_grams"),
-            sum((col("first_doc") === col("doc_id")).cast("long")).as("n_first"))
+          .filter(size(split(col("text"), " ")) >= 3)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), explode(expr(gsExpr)).as("g"))
+          .repartition(col("doc_id"))
+        val perDoc = grams.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"))
+        val nFirst = grams
+          .groupBy("g").agg(min("doc_id").as("first_doc"))
+          .groupBy(col("first_doc").as("doc_id"))
+          .agg(count(lit(1)).as("n_first"))
+        val nov = perDoc.join(nFirst, Seq("doc_id"), "left")
           .select(col("doc_id"),
-            expr("(1000000 * n_first) div n_grams").as("novelty_ppm"))
+            expr("(1000000 * coalesce(n_first, 0L)) div n_grams").as("novelty_ppm"))
         nov.groupBy(expr("novelty_ppm div 100000").as("decile"))
           .agg(count(lit(1)).as("n_docs"))
           .orderBy("decile")

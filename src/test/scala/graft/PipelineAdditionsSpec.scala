@@ -432,6 +432,30 @@ class PipelineAdditionsSpec extends SparkTestBase {
     assert(mism == 0L)
   }
 
+  test("FleschMilli native expression equals the declared regexp replay") {
+    import spark.implicits._
+    graft.functions.FleschMilli.register(spark)
+    val regexp =
+      """206835L - (1015 * w) div (1L + (w - 1) div 20)
+        |        - (84600 * syl) div w""".stripMargin
+    val edge = Seq("", " ", "   ", "bcd fgh", "aeiouy", "a e i o u",
+      "one", "Y", "rhythm myth", ("word " * 45).trim,
+      "héllo wörld — çafé", // multi-byte: non-vowel, breaks runs
+      "日本語 text here").toDF("text")
+    val docs = Tables.documents(spark, sf01).select("text").unionAll(edge)
+    val mism = docs
+      .withColumn("rw", regexp_replace(col("text"), "[^ ]+", "#"))
+      .withColumn("w", greatest(lit(1L),
+        (length(col("rw")) - length(regexp_replace(col("rw"), "#", ""))).cast("long")))
+      .withColumn("rs", regexp_replace(lower(col("text")), "[aeiouy]+", "#"))
+      .withColumn("syl", greatest(lit(1L),
+        (length(col("rs")) - length(regexp_replace(col("rs"), "#", ""))).cast("long")))
+      .withColumn("ref", expr(regexp))
+      .withColumn("nat", graft.functions.FleschMilli.milli(col("text")))
+      .filter(col("nat") =!= col("ref")).count()
+    assert(mism == 0L)
+  }
+
   test("q257: at most 3 ranked rows per closed window, ranks contiguous") {
     val rows = SparkEntry.queries("q257_stream_topk")(spark, sf01).collect()
     assert(rows.nonEmpty)
