@@ -93,45 +93,10 @@ object CurationQueries extends QueryRegistry {
   private val cosineSql =
     "list_dot_product(v, pv) / sqrt(list_dot_product(v, v) * list_dot_product(pv, pv))"
 
-  /** Left-fold distance² between two DuckDB lists (the q35-proven
-    * list_reduce form — sequential accumulation, matching Spark's
-    * aggregate(zip_with(...)) bit-for-bit). */
-  private def ivfD2(vec: String, cent: String): String =
-    s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1,64),
-       |      i -> ($vec[i]-$cent[i])*($vec[i]-$cent[i]))), (acc,x) -> acc+x)""".stripMargin
+  /** Shared with q255b's oracle — lives in [[Fixtures]] now. */
+  private def ivfD2(vec: String, cent: String): String = Fixtures.ivfD2(vec, cent)
 
-  /** DuckDB replay of the IVF coarse quantizer (IvfIndex.centroids +
-    * assignCells): 16 lowest-id seeds → argmin assignment → per-
-    * dimension means rounded to micros (AVG ulp noise cannot flip a
-    * cell) → re-assignment. Ends in `a1(vec_id, v, cell)` and keeps
-    * `cents` in scope — shared by the q67 search oracle and the q227
-    * SemDeDup oracle. */
-  private val ivfAssignCtes: String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |seeds AS (SELECT list(v ORDER BY vec_id) AS s
-       |          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
-       |a0 AS (
-       |  SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cell
-       |  FROM (SELECT vec_id, v,
-       |    list_transform(s, c -> ${ivfD2("v", "c")}) AS ds
-       |    FROM e CROSS JOIN seeds)),
-       |m AS (
-       |  SELECT cell, list(mm ORDER BY pos) AS mean FROM (
-       |    SELECT cell, i.i AS pos, ROUND(AVG(v[i.i]) * 1e6) / 1e6 AS mm
-       |    FROM a0, generate_series(1,64) i(i)
-       |    GROUP BY cell, i.i)
-       |  GROUP BY cell),
-       |cents AS (
-       |  SELECT list(c ORDER BY cell) AS cs FROM (
-       |    SELECT g.g AS cell, COALESCE(m.mean, s.s[g.g+1]) AS c
-       |    FROM generate_series(0,15) g(g)
-       |    LEFT JOIN m ON m.cell = g.g
-       |    CROSS JOIN seeds s)),
-       |a1 AS (
-       |  SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cell
-       |  FROM (SELECT vec_id, v,
-       |    list_transform(cs, c -> ${ivfD2("v", "c")}) AS ds
-       |    FROM e CROSS JOIN cents))""".stripMargin
+  private val ivfAssignCtes: String = Fixtures.ivfAssignCtes
 
   /** DuckDB twin of TextAnalysis.langId (argmax char-n-gram profile
     * score via the replace occurrence-count trick, ties → alphabetical,

@@ -927,6 +927,76 @@ object TrainingQueries extends QueryRegistry {
              |               + CAST(0.5 AS DOUBLE)) AS BIGINT) AS VARCHAR)), ',') AS synth_u
              |FROM rk WHERE rk = 1 ORDER BY probe_id""".stripMargin)),
 
+    // IVF-blocked SMOTE — the 100 TB escape hatch for q255's
+    // structurally quadratic exact-NN (373 s at sf10, adjudicated in
+    // BENCH_NOTES): each probe's nearest same-label neighbor is found
+    // inside its k-means CELL only (the staged q227/q67 IVF artifact,
+    // shared on disk), so candidate pairs are (minority ∩ cell)² per
+    // cell instead of minority² — the SemDeDup blocking discipline
+    // applied to oversampling. Declared semantics: top-1 by exact
+    // cosine among same-cell same-label vectors; probes whose cell
+    // holds no other minority vector emit no row. The IVF assignment
+    // itself is replayed in the DuckDB twin (seeds → one micros-
+    // quantized mean round → reassign), so the BLOCKING — not just
+    // the synthesis — is oracle-checked; TrainingOpsSpec asserts
+    // recall@1 agreement vs the exact q255 on the fixtures.
+    QueryDef("q255b_smote_blocked",
+      (s, dir) => {
+        import graft.operators.IvfIndex
+        val emb = Tables.embeddings(s, dir)
+        val path = Fixtures.stagedDir(dir, "embeddings", "ivf_index_v2") { tmp =>
+          val built = IvfIndex.centroids(emb, "vec_id", "embedding", k = 16)
+          IvfIndex.persist(IvfIndex.assignCells(
+            emb.select(col("vec_id").as("id"),
+              transform(col("embedding"), x => x.cast("double")).as("v")),
+            "v", built.map(_.toIndexedSeq).toIndexedSeq), tmp)
+          IvfIndex.writeCentroids(built, tmp)
+        }
+        val m0 = s.read.parquet(path)
+          .select(col("id").as("vec_id"), col("cell"), col("v"))
+          .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        val minority = m0.groupBy("label").agg(count(lit(1)).as("n"))
+          .orderBy(col("n"), col("label")).limit(1)
+          .select(col("label").as("mlabel"))
+        val m = m0.join(broadcast(minority), col("label") === col("mlabel"))
+        val probes = m.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("probe_id"), col("cell").as("pcell"),
+            col("v").as("pv"))
+        val nn = m.join(broadcast(probes),
+            col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id").as("nn_id"), col("pv"), col("v"),
+            graft.operators.AnnLsh.cosine(col("v"), col("pv")).as("sim"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("probe_id").orderBy(col("sim").desc, col("nn_id"))))
+          .filter(col("rk") === 1)
+        nn.select(col("probe_id"), col("nn_id"),
+            array_join(transform(zip_with(col("pv"), col("v"), (x, y) => (x + y) * lit(0.5)),
+              z => floor(z * lit(1e6) + lit(0.5)).cast("long").cast("string")), ",")
+              .as("synth_u"))
+          .orderBy("probe_id")
+      },
+      Some(s"""WITH ${Fixtures.ivfAssignCtes},
+             |lab AS (SELECT a1.vec_id, a1.v, a1.cell, em.label
+             |        FROM a1 JOIN embeddings em USING (vec_id)),
+             |ml AS (SELECT label AS mlabel FROM lab GROUP BY 1
+             |       ORDER BY COUNT(*), label LIMIT 1),
+             |mino AS (SELECT lab.* FROM lab JOIN ml ON lab.label = ml.mlabel),
+             |p AS (SELECT vec_id AS probe_id, cell AS pcell, v AS pv
+             |      FROM mino WHERE vec_id % 5 = 0),
+             |sc AS (
+             |  SELECT p.probe_id, mino.vec_id AS nn_id, p.pv, mino.v,
+             |    list_dot_product(mino.v, p.pv)
+             |      / sqrt(list_dot_product(mino.v, mino.v) * list_dot_product(p.pv, p.pv)) AS sim
+             |  FROM mino JOIN p ON mino.cell = p.pcell AND mino.vec_id <> p.probe_id),
+             |rk AS (SELECT *, ROW_NUMBER() OVER
+             |         (PARTITION BY probe_id ORDER BY sim DESC, nn_id) AS rk
+             |       FROM sc)
+             |SELECT probe_id, nn_id,
+             |  array_to_string(list_transform(generate_series(1, 64), i ->
+             |    CAST(CAST(FLOOR((pv[i] + v[i]) * CAST(0.5 AS DOUBLE) * 1e6
+             |               + CAST(0.5 AS DOUBLE)) AS BIGINT) AS VARCHAR)), ',') AS synth_u
+             |FROM rk WHERE rk = 1 ORDER BY probe_id""".stripMargin)),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis
     // A-ES): every doc gets key = ln(u)/w with w = n_chars and u a
     // Knuth-hash pseudo-uniform derived from doc_id — the top-k by

@@ -46,4 +46,57 @@ class TrainingOpsSpec extends SparkTestBase {
     // a uniform corpus would weight ~1.0: all weights straddle 1e6
     assert(rows.exists(_._2 >= 1000000L) && rows.exists(_._2 <= 1000000L))
   }
+
+  test("q255b: blocked SMOTE is exact SMOTE restricted to the probe's cell") {
+    import org.apache.spark.sql.functions._
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Double](2)))).toMap
+    val exact = run("q255_smote_oversample").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val blocked = run("q255b_smote_blocked").collect()
+    assert(blocked.nonEmpty)
+    // same IVF artifact the query staged
+    val path = graft.queries.Fixtures.stagedDir(sf, "embeddings", "ivf_index_v2")(_ => ())
+    val cells = spark.read.parquet(path).select(col("id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    blocked.foreach { r =>
+      val (p, nn) = (r.getLong(0), r.getLong(1))
+      assert(p != nn)
+      // in-cell, same-label: the declared blocking
+      assert(cells(p) == cells(nn), s"probe $p: neighbor $nn not in its cell")
+      assert(vecs(p)._1 == vecs(nn)._1, s"probe $p: label mismatch")
+      // the blocked choice can never beat the exact top-1
+      val simB = cos(vecs(p)._2, vecs(nn)._2)
+      val simX = cos(vecs(p)._2, vecs(exact(p))._2)
+      assert(simB <= simX + 1e-12, s"probe $p: blocked sim $simB > exact $simX")
+      // when the exact neighbor shares the probe's cell, blocked MUST find it
+      if (cells(exact(p)) == cells(p))
+        assert(nn == exact(p), s"probe $p: in-cell exact nn ${exact(p)} missed")
+      // synthesis arithmetic identical to q255's
+      val synth = r.getString(2).split(',').map(_.toLong)
+      synth.indices.foreach { i =>
+        val expect = math.floor((vecs(p)._2(i) + vecs(nn)._2(i)) * 0.5 * 1e6 + 0.5).toLong
+        assert(synth(i) == expect)
+      }
+    }
+    // blocked probes are exactly the exact probes whose cell holds a
+    // second minority vector (singleton-cell probes emit no row — the
+    // declared semantics)
+    assert(blocked.map(_.getLong(0)).toSet.subsetOf(exact.keySet))
+    val minoLabel = vecs(exact.keysIterator.next())._1
+    val blockedSet = blocked.map(_.getLong(0)).toSet
+    exact.keys.foreach { p =>
+      val hasMate = vecs.exists { case (id, (l, _)) =>
+        id != p && l == minoLabel && cells(id) == cells(p) }
+      assert(blockedSet.contains(p) == hasMate,
+        s"probe $p: row emitted=${blockedSet.contains(p)} but cell mate=$hasMate")
+    }
+  }
 }
