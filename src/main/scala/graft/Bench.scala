@@ -72,6 +72,39 @@ object Bench {
           "would not be comparable round-over-round")
       sys.exit(3)
     }
+    // reads-healthy probe (round-6 lesson: a host read-throttling
+    // episode silently inflated a whole record): stream up to 100 MB
+    // of the fixture files through a plain FileChannel and stamp the
+    // observed MB/s; refuse to record when the disk is degraded.
+    // Override with SPARK_GRAFT_MIN_READ_MBPS (<= 0 disables the
+    // refusal, keeps the stamp).
+    val readMbps: Double = {
+      val files = Option(new java.io.File(sfDir).listFiles())
+        .getOrElse(Array.empty).filter(_.isFile).sortBy(-_.length)
+      val buf = java.nio.ByteBuffer.allocateDirect(4 << 20)
+      var read = 0L
+      val budget = 100L << 20
+      val t0 = System.nanoTime()
+      files.iterator.takeWhile(_ => read < budget).foreach { f =>
+        val ch = java.nio.channels.FileChannel.open(f.toPath)
+        try {
+          var n = 0
+          while (read < budget && { buf.clear(); n = ch.read(buf); n } > 0)
+            read += n
+        } finally ch.close()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (sec <= 0 || read == 0) 0.0 else (read / 1048576.0) / sec
+    }
+    val minMbps = sys.env.get("SPARK_GRAFT_MIN_READ_MBPS").map(_.toDouble)
+      .getOrElse(200.0)
+    if (minMbps > 0 && readMbps < minMbps) {
+      System.err.println(
+        f"[bench] REFUSING to run: fixture read probe $readMbps%.0f MB/s " +
+          f"< $minMbps%.0f MB/s (set SPARK_GRAFT_MIN_READ_MBPS to " +
+          "override) — a read-throttled record would not be comparable")
+      sys.exit(3)
+    }
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32"))
@@ -143,7 +176,7 @@ object Bench {
       .mkString("{", ",", "}")
     val rcFull = results.map { case (k, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"load1":${fmt(load1)},"queries":$qsFull,"rows":$rcFull,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"load1":${fmt(load1)},"read_mbps":${fmt(readMbps)},"queries":$qsFull,"rows":$rcFull,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_FULL.json")
     try Files.write(Paths.get(detailPath),
       full.getBytes(StandardCharsets.UTF_8))
@@ -152,7 +185,7 @@ object Bench {
     val byName = results.map { case (k, v, _) => k -> v }.toMap
     val qs = Headline.flatMap(h => byName.get(h).map(v => "\"" + h + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"load1":${fmt(load1)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"load1":${fmt(load1)},"read_mbps":${fmt(readMbps)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
