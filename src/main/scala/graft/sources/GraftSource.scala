@@ -5,16 +5,17 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.ingest.{Snapshots, SortKeys}
+import graft.ingest.{Snapshots, SortKeys, Topics}
 
 /** DataSource V2 provider over the snapshot (lakehouse) layer — the
   * table format the reference offloads into, made first-class SQL:
@@ -129,7 +130,7 @@ object GraftSource {
 
 private[sources] class GraftTable(root: String, prefix: String,
                                   version: Option[Int], tableSchema: StructType)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String =
     s"graft.$prefix@$root${version.map("#v" + _).getOrElse("")}"
@@ -137,10 +138,48 @@ private[sources] class GraftTable(root: String, prefix: String,
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, prefix, version, tableSchema)
+
+  /** APPEND through the snapshot log: new parquet files land under the
+    * table dir (respecting any existing hive-style partition layout)
+    * and one `Snapshots.commit` pins them — readers never see a
+    * half-written batch (files not in a committed snapshot are
+    * invisible), and the commit carries the query id as its txn id,
+    * so a retried/replayed write commits exactly once. Time-travel
+    * reads of the pre-append version keep working by construction. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version.isEmpty, "cannot write to a time-travel read")
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(!overwrite,
+                "graft supports append only; use Snapshots.merge/delete/" +
+                  "restore for destructive operations")
+              val dataDir = new java.io.File(Topics.tableDir(root, prefix))
+              // preserve the table's partition layout: hive-style
+              // first-level dirs name the partition columns
+              val parts = Option(dataDir.listFiles())
+                .getOrElse(Array.empty).filter(_.isDirectory)
+                .map(_.getName).filter(_.contains('='))
+                .map(_.takeWhile(_ != '=')).distinct.toSeq.sorted
+              data.write.mode("append")
+                .partitionBy(parts: _*)
+                .parquet(dataDir.getAbsolutePath)
+              val prevPos = Snapshots.snapshot(root, prefix, None)
+                .map(_.maxPos).getOrElse(-1L)
+              Snapshots.commit(root, prefix, prevPos,
+                txn = Option(info.queryId()).map("dsv2-" + _))
+              ()
+            }
+          }
+      }
+    }
+  }
 }
 
 private[sources] class GraftScanBuilder(root: String, prefix: String,
@@ -166,9 +205,24 @@ private[sources] class GraftScanBuilder(root: String, prefix: String,
 
 private[sources] class GraftScan(root: String, prefix: String, version: Option[Int],
                                  required: StructType, pushed: Array[Filter])
-  extends V1Scan {
+  extends V1Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Post-pruning on-disk bytes of the surviving file list — computed
+    * from metadata only. Reporting it lets the planner auto-broadcast
+    * a graft table that pruned down to dimension size (the join-side
+    * decision that matters most at 100 TB). Rows are left unknown; DV
+    * sidecars only shrink the true size, so the estimate stays a safe
+    * upper bound. */
+  override def estimateStatistics(): Statistics = {
+    val base = Topics.tableDir(root, prefix)
+    val bytes = prunedFiles.map(f => new java.io.File(base, f).length()).sum
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+      override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+    }
+  }
 
   override def description(): String = {
     val files = prunedFiles.length

@@ -103,6 +103,46 @@ class GraftSourceSpec extends SparkTestBase {
     assert(df.count() == 7920L)
   }
 
+  test("DSv2 append commits a new snapshot; old version still readable") {
+    // private copy so the append can't disturb the shared read fixture
+    val wroot = new java.io.File("/tmp/graft/dsv2_write_" +
+      java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    ProduceJob.produceBatch(spark, wroot, "w", topics = 1, numMessages = 100)
+    val before = Snapshots.snapshot(wroot, "w", None).get
+    val extra = spark.read.format("graft").load(s"$wroot/w")
+      .filter(col("ba") < 10)
+      .withColumn("ba", col("ba") + 1000L)
+    extra.write.format("graft").mode("append").save(s"$wroot/w")
+    val after = Snapshots.snapshot(wroot, "w", None).get
+    assert(after.version == before.version + 1)
+    assert(spark.read.format("graft").load(s"$wroot/w").count() == 110)
+    // exactly the appended keys arrived
+    assert(spark.read.format("graft").load(s"$wroot/w")
+      .filter(col("ba") >= 1000).count() == 10)
+    // time travel still sees the pre-append state
+    assert(spark.read.format("graft").option("version", before.version.toString)
+      .load(s"$wroot/w").count() == 100)
+    // partition layout preserved: no parquet files directly at the root
+    // of a topic-partitioned table
+    val dataDir = new java.io.File(s"$wroot/w")
+    assert(!dataDir.listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")))
+    // overwrite is refused, not silently ignored
+    intercept[Exception] {
+      extra.write.format("graft").mode("overwrite").save(s"$wroot/w")
+    }
+  }
+
+  test("scan statistics: pruned size lets the planner broadcast the table") {
+    val dim = spark.read.format("graft").load(s"$root/t")
+      .filter(col("ba") >= 1000L && col("ba") <= 1019L)
+      .select(col("ba"))
+    val fact = spark.range(0, 100000).select((col("id") % 8000L).as("ba"),
+      col("id").as("x"))
+    val plan = fact.join(dim, "ba").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("resolve: version option wins over tag; bad tag raises") {
     val opts = new CaseInsensitiveStringMap(
       java.util.Map.of("path", s"$root/t", "version", "0"))
