@@ -20,12 +20,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *   S   = 1 + (W-1) div 20          (20-word pseudo-sentences)
   *   fre_milli = 206835 - (1015·W) div S - (84600·Syl) div W
   *
-  * The scan is BYTE-level and still exact on any UTF-8 input: the run
-  * separators (space 0x20) and vowels are ASCII, and every byte of a
-  * multi-byte code point has the high bit set — it can never equal an
-  * ASCII byte, so it breaks/extends runs exactly as the per-character
-  * regex does. Codegen emits a single static call, keeping the
-  * surrounding stage whole-stage-compiled. */
+  * The scan is BYTE-level on pure-ASCII input (separators and vowels
+  * are ASCII, and multi-byte code points have the high bit set, so
+  * they break/extend runs exactly as the per-character regex does).
+  * Case-folding caveat (advisor r7): some non-ASCII code points
+  * LOWERCASE to an ASCII vowel — U+0130 'İ' → 'i' — so a byte scan
+  * would diverge from a `lower(text)`-first formulation there. The
+  * scan therefore detects any high bit and falls back to a
+  * per-code-point pass using Character.toLowerCase — SIMPLE,
+  * locale-independent Unicode folding, the same 1:1 mapping DuckDB's
+  * utf8proc lower() applies — which is the pinned semantics
+  * (deliberately NOT Spark's lower(), whose String.toLowerCase is
+  * default-locale-sensitive and 1:many for 'İ'). FleschMilliSpec
+  * pins U+0130 explicitly. Codegen emits a single static call,
+  * keeping the surrounding stage whole-stage-compiled. */
 case class FleschMilli(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -55,7 +63,9 @@ object FleschMilli {
   }
 
   /** One pass over the UTF-8 bytes: W and Syl counted together. Called
-    * from generated code — public, static-shaped, allocation-free. */
+    * from generated code — public, static-shaped, allocation-free on
+    * the (overwhelmingly common) pure-ASCII path; any high-bit byte
+    * reroutes to the per-code-point fold (see class doc). */
   def freMilli(s: UTF8String): Long = {
     val bytes = s.getBytes
     var w = 0L
@@ -65,6 +75,7 @@ object FleschMilli {
     var i = 0
     while (i < bytes.length) {
       val b = bytes(i)
+      if (b < 0) return freMilliCodepoints(s)
       val word = b != ' '.toByte
       if (word && !inWord) w += 1
       inWord = word
@@ -73,8 +84,37 @@ object FleschMilli {
       inVowel = vowel
       i += 1
     }
-    if (w < 1) w = 1
-    if (syl < 1) syl = 1
+    score(w, syl)
+  }
+
+  /** Non-ASCII fallback: identical run-counting over CODE POINTS, with
+    * simple (1:1, locale-independent) case folding per code point —
+    * Character.toLowerCase, matching utf8proc's lower(), so e.g.
+    * U+0130 'İ' folds to 'i' and joins a vowel run. */
+  private def freMilliCodepoints(s: UTF8String): Long = {
+    val str = s.toString
+    var w = 0L
+    var syl = 0L
+    var inWord = false
+    var inVowel = false
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val lc = Character.toLowerCase(cp)
+      val word = cp != ' '.toInt
+      if (word && !inWord) w += 1
+      inWord = word
+      val vowel = lc < 128 && isVowel(lc.toByte)
+      if (vowel && !inVowel) syl += 1
+      inVowel = vowel
+      i += Character.charCount(cp)
+    }
+    score(w, syl)
+  }
+
+  private def score(w0: Long, syl0: Long): Long = {
+    val w = if (w0 < 1) 1L else w0
+    val syl = if (syl0 < 1) 1L else syl0
     val sent = 1L + (w - 1) / 20
     206835L - (1015L * w) / sent - (84600L * syl) / w
   }

@@ -1773,22 +1773,43 @@ object AnalyticsQueries extends QueryRegistry {
              |FROM r, n WHERE rk = (n.n + 1) // 2""".stripMargin)),
 
     // Label-noise detection (confident-learning-lite): for each
-    // sampled embedding, the share of its 5 exact-cosine nearest
-    // neighbors that DISAGREE with its label — rows whose
-    // neighborhood votes against them are the mislabel candidates
-    // every training-data audit hunts. Probe batch bounded (1-in-8
-    // systematic), candidates class-agnostic, per-probe top-5 plans
-    // as WindowGroupLimit. Output: per-label count of flagged rows
-    // (disagreement ≥ 3 of 5) — scale-stable.
+    // sampled embedding, the share of its 5 nearest neighbors that
+    // DISAGREE with its label — rows whose neighborhood votes against
+    // them are the mislabel candidates every training-data audit
+    // hunts. Declared semantics (re-declared round 8): neighbors are
+    // the top-5 by exact cosine WITHIN the probe's IVF cell (the
+    // staged q227/q67/q255b artifact, shared on disk) — the SemDeDup
+    // blocking discipline. The previous all-pairs form was
+    // (corpus/8) × corpus with a data-proportional broadcast — the
+    // last quadratic shape in the repo (173 s at sf1, broadcast OOM
+    // long before 100 TB). Now: candidate pairs are (probes ∩ cell) ×
+    // cell per cell, the probe side travels by SHUFFLE on the cell
+    // key (no broadcast hint — nothing data-proportional is ever
+    // collected to the driver), and AQE's skew split handles a hot
+    // cell. The DuckDB twin replays the IVF assignment itself
+    // (Fixtures.ivfAssignCtes), so the BLOCKING — not just the vote —
+    // is oracle-checked. Output: per-label count of flagged probes
+    // (disagreement ≥ 3 of 5) — metadata-scale.
     QueryDef("q278_label_noise",
       (s, dir) => {
-        val e = Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("label"),
-            transform(col("embedding"), x => x.cast("double")).as("v"))
-        val probes = broadcast(e.filter(col("vec_id") % 8 === 0)
-          .select(col("vec_id").as("pid"), col("label").as("plabel"),
-            col("v").as("pv")))
-        val nn = e.join(probes, col("vec_id") =!= col("pid"))
+        import graft.operators.IvfIndex
+        val emb = Tables.embeddings(s, dir)
+        val path = Fixtures.stagedDir(dir, "embeddings", "ivf_index_v2") { tmp =>
+          val built = IvfIndex.centroids(emb, "vec_id", "embedding", k = 16)
+          IvfIndex.persist(IvfIndex.assignCells(
+            emb.select(col("vec_id").as("id"),
+              transform(col("embedding"), x => x.cast("double")).as("v")),
+            "v", built.map(_.toIndexedSeq).toIndexedSeq), tmp)
+          IvfIndex.writeCentroids(built, tmp)
+        }
+        val e = s.read.parquet(path)
+          .select(col("id").as("vec_id"), col("cell"), col("v"))
+          .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        val probes = e.filter(col("vec_id") % 8 === 0)
+          .select(col("vec_id").as("pid"), col("cell").as("pcell"),
+            col("label").as("plabel"), col("v").as("pv"))
+        val nn = e.join(probes,
+            col("cell") === col("pcell") && col("vec_id") =!= col("pid"))
           .select(col("pid"), col("plabel"), col("label"),
             graft.operators.AnnLsh.cosine(col("v"), col("pv")).as("sim"),
             col("vec_id"))
@@ -1802,14 +1823,16 @@ object AnalyticsQueries extends QueryRegistry {
             sum((col("disagree") >= 3).cast("long")).as("n_flagged"))
           .orderBy("label")
       },
-      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |p AS (SELECT vec_id AS pid, label AS plabel, v AS pv
-             |      FROM e WHERE vec_id % 8 = 0),
+      Some(s"""WITH ${Fixtures.ivfAssignCtes},
+             |lab AS (SELECT a1.vec_id, a1.v, a1.cell, em.label
+             |        FROM a1 JOIN embeddings em USING (vec_id)),
+             |p AS (SELECT vec_id AS pid, cell AS pcell, label AS plabel, v AS pv
+             |      FROM lab WHERE vec_id % 8 = 0),
              |sc AS (
-             |  SELECT p.pid, p.plabel, e.label, e.vec_id,
-             |    list_dot_product(e.v, p.pv)
-             |      / sqrt(list_dot_product(e.v, e.v) * list_dot_product(p.pv, p.pv)) AS sim
-             |  FROM e JOIN p ON e.vec_id <> p.pid),
+             |  SELECT p.pid, p.plabel, lab.label, lab.vec_id,
+             |    list_dot_product(lab.v, p.pv)
+             |      / sqrt(list_dot_product(lab.v, lab.v) * list_dot_product(p.pv, p.pv)) AS sim
+             |  FROM lab JOIN p ON lab.cell = p.pcell AND lab.vec_id <> p.pid),
              |nn AS (SELECT * FROM (
              |         SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
              |           ORDER BY sim DESC, vec_id) AS rk FROM sc) WHERE rk <= 5),

@@ -962,7 +962,12 @@ object TrainingQueries extends QueryRegistry {
         val probes = m.filter(col("vec_id") % 5 === 0)
           .select(col("vec_id").as("probe_id"), col("cell").as("pcell"),
             col("v").as("pv"))
-        val nn = m.join(broadcast(probes),
+        // probes travel by SHUFFLE on the cell key, not broadcast —
+        // the probe set is a corpus fraction (minority ∩ 1-in-5) and
+        // a data-proportional broadcast is exactly the shape the
+        // blocking exists to avoid; AQE may still pick a broadcast at
+        // runtime when the measured size is actually small
+        val nn = m.join(probes,
             col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
           .select(col("probe_id"), col("vec_id").as("nn_id"), col("pv"), col("v"),
             graft.operators.AnnLsh.cosine(col("v"), col("pv")).as("sim"))

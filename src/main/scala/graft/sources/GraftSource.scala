@@ -137,8 +137,13 @@ private[sources] class GraftTable(root: String, prefix: String,
 
   override def schema(): StructType = tableSchema
 
+  // BATCH_WRITE gets DataFrameWriter.save onto the V2 path at all;
+  // V1_BATCH_WRITE is what routes our V1Write fallback to
+  // AppendDataExecV1 instead of Write.toBatch (which default-throws).
+  // Both are needed — the same pair Delta's table declares.
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, prefix, version, tableSchema)
@@ -161,12 +166,20 @@ private[sources] class GraftTable(root: String, prefix: String,
                 "graft supports append only; use Snapshots.merge/delete/" +
                   "restore for destructive operations")
               val dataDir = new java.io.File(Topics.tableDir(root, prefix))
-              // preserve the table's partition layout: hive-style
-              // first-level dirs name the partition columns
-              val parts = Option(dataDir.listFiles())
-                .getOrElse(Array.empty).filter(_.isDirectory)
-                .map(_.getName).filter(_.contains('='))
-                .map(_.takeWhile(_ != '=')).distinct.toSeq.sorted
+              // preserve the table's partition layout: walk one
+              // hive-style `k=v` chain depth-first so a multi-level
+              // layout (a=1/b=2/...) keeps ALL its columns in the
+              // existing nesting order — appended files land in the
+              // same directory structure the table already uses
+              val parts = {
+                def chain(dir: java.io.File): List[String] =
+                  Option(dir.listFiles()).getOrElse(Array.empty)
+                    .find(d => d.isDirectory && d.getName.contains('=')) match {
+                    case Some(d) => d.getName.takeWhile(_ != '=') :: chain(d)
+                    case None => Nil
+                  }
+                chain(dataDir)
+              }
               data.write.mode("append")
                 .partitionBy(parts: _*)
                 .parquet(dataDir.getAbsolutePath)
@@ -196,8 +209,18 @@ private[sources] class GraftScanBuilder(root: String, prefix: String,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+  /** Catalyst may hand a NESTED-pruned schema (struct fields trimmed —
+    * nestedSchemaPruning is on by default for DSv2), but buildScan
+    * re-projects by top-level name only, so rows would carry the FULL
+    * structs while readSchema() declared the trimmed layout — with
+    * needConversion=false the InternalRow offsets would be silently
+    * misread. Map the request back to the table's full top-level
+    * fields: column pruning is preserved, nested pruning is declined
+    * (schema and rows stay consistent). */
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val names = requiredSchema.fieldNames.toSet
+    required = StructType(fullSchema.fields.filter(f => names.contains(f.name)))
+  }
 
   override def build(): Scan =
     new GraftScan(root, prefix, version, required, pushed)
@@ -231,8 +254,11 @@ private[sources] class GraftScan(root: String, prefix: String, version: Option[I
   }
 
   /** Manifest pruning happens DRIVER-SIDE from stats alone — no data
-    * file is opened to decide the file list. */
-  private def prunedFiles: Seq[String] = {
+    * file is opened to decide the file list. Resolved ONCE at first
+    * use and pinned: stats, description, and the V1 relation all see
+    * the same snapshot even if a commit lands mid-query, and the
+    * manifest is read once per scan, not once per caller. */
+  private lazy val prunedFiles: Seq[String] = {
     val ranges = pushed.toSeq.flatMap(GraftSource.toRanges)
     if (ranges.isEmpty)
       Snapshots.snapshot(root, prefix, version).map(_.files).getOrElse(Seq.empty)

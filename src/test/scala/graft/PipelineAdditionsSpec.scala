@@ -456,6 +456,27 @@ class PipelineAdditionsSpec extends SparkTestBase {
     assert(mism == 0L)
   }
 
+  test("FleschMilli pins SIMPLE case folding for non-ASCII (U+0130)") {
+    // 'İ' (U+0130) is the case the byte scan alone would miss: its
+    // SIMPLE fold (Character.toLowerCase, = DuckDB utf8proc) is 'i',
+    // an ASCII vowel — while Spark's lower() expands it 1:many to
+    // "i̇", whose combining mark SPLITS a vowel run. Declared
+    // semantics = simple fold: "aİa" is ONE vowel run.
+    import graft.functions.FleschMilli
+    import org.apache.spark.unsafe.types.UTF8String
+    def fre(t: String): Long = FleschMilli.freMilli(UTF8String.fromString(t))
+    // "aİa": W=1, Syl=1 → 206835 - 1015 - 84600 = 121220
+    assert(fre("aİa") == 121220L)
+    // the locale/1:many fold would have counted 2 runs → 36620; pin
+    // that we are NOT on that semantics
+    assert(fre("aİa") != 206835L - 1015L - 2L * 84600L)
+    // "İ İ İ": W=3, Syl=3 → 206835 - 3045 - 84600 = 119190
+    assert(fre("İ İ İ") == 119190L)
+    // fast path vs fallback agree when the non-ASCII char changes no
+    // count: '·' extends the last word and folds to a non-vowel
+    assert(fre("plain ascii words") == fre("plain ascii words·"))
+  }
+
   test("q257: at most 3 ranked rows per closed window, ranks contiguous") {
     val rows = SparkEntry.queries("q257_stream_topk")(spark, sf01).collect()
     assert(rows.nonEmpty)

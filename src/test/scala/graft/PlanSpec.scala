@@ -387,6 +387,97 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("q278: label-noise kNN equi-joins on the IVF cell — never all-pairs") {
+    val plan = planOf("q278_label_noise")
+    // the r7 shape was a BroadcastNestedLoopJoin of (corpus/8)×corpus;
+    // blocked, the candidate join has the cell as an EQUALITY key, so
+    // it plans as a hash/sort-merge join (a size-estimated broadcast
+    // of the probe side is fine — that's the planner's call from
+    // stats, not a data-proportional hint)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("cell"), plan.take(3000))
+  }
+
+  test("vector-path broadcasts are bounded — no corpus-fraction broadcast can recur") {
+    // The q278 class of bug (r7 verdict): a broadcast() hint whose
+    // input GROWS with the corpus (e.g. `vec_id % 8 = 0` — 1 in 8 of
+    // the table) OOMs the driver long before 100 TB. Repo-wide guard:
+    // for EVERY declared query whose plan scans the embeddings corpus
+    // (fixture table or a staged /tmp/graft index artifact), each
+    // broadcast-hinted subtree must be bounded — a Limit, an
+    // Aggregate (metadata-cardinality stats), or a modulo-free
+    // comparison/IN filter pinning a constant probe panel. A plain
+    // corpus-fraction filter has none of these and FAILS here.
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, In, InSet, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+    def scansCorpus(p: LogicalPlan): Boolean = p.collectLeaves().exists {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.exists { rp =>
+          val s = rp.toString
+          // `._dv` sidecars are declared metadata-scale (deletion
+          // vectors), not corpus tables
+          (s.contains("/embeddings") || s.contains("/tmp/graft")) &&
+            !s.contains("._dv")
+        }
+        case _ => false
+      }
+      case _ => false
+    }
+    // the analyzer inserts Casts around attributes/literals — strip
+    // them before shape-matching
+    def atom(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => atom(c.child)
+      case other => other
+    }
+    def attrLit(a: Expression, b: Expression): Boolean =
+      atom(a).isInstanceOf[Attribute] && atom(b).isInstanceOf[Literal]
+    def boundedCmp(e: Expression): Boolean = e match {
+      case EqualTo(a, b) => attrLit(a, b) || attrLit(b, a)
+      case LessThan(a, b) => attrLit(a, b)
+      case LessThanOrEqual(a, b) => attrLit(a, b)
+      case In(a, vs) => atom(a).isInstanceOf[Attribute] &&
+        vs.forall(v => atom(v).isInstanceOf[Literal])
+      case _: InSet => true
+      case _ => false
+    }
+    // a filter is bounding if ANY conjunct is a bounded comparison —
+    // `x % 5 = 0 AND x < 250` is bounded by the `< 250`; a bare
+    // `x % 8 = 0` (corpus fraction) has no such conjunct and fails
+    def bounded(p: LogicalPlan): Boolean = p.collectFirst {
+      case _: GlobalLimit => ()
+      case _: LocalLimit => ()
+      case _: Aggregate => ()
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.exists(boundedCmp) => ()
+    }.isDefined
+
+    // q255 is the DECLARED-EXACT oracle twin of q255b: its probe
+    // broadcast is a documented corpus fraction, and q255b (cell-
+    // blocked, shuffle-routed) is the scale path — the one standing
+    // exception, by design, not by omission.
+    val exactTwins = Set("q255_smote_oversample")
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => n.contains("stream") || exactTwins(n) }
+      .foreach { case (name, fn) =>
+        val df = try fn(spark, sf) catch { case _: Throwable => null }
+        if (df != null) {
+          val plan = df.queryExecution.analyzed
+          if (scansCorpus(plan)) plan.foreach {
+            case h: ResolvedHint if h.hints.strategy.contains(
+                org.apache.spark.sql.catalyst.plans.logical.BROADCAST) =>
+              if (scansCorpus(h.child) && !bounded(h.child)) offenders += name
+            case _ => ()
+          }
+        }
+      }
+    assert(offenders.isEmpty,
+      s"corpus-proportional broadcast hint in: ${offenders.distinct.mkString(", ")}")
+  }
+
   test("q280: the DSv2 read pushes the range filter into the graft scan") {
     val plan = planOf("q280_dsv2_read")
     assert(plan.contains("PushedFilters:") &&
