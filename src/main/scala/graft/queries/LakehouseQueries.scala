@@ -987,6 +987,43 @@ object LakehouseQueries extends QueryRegistry {
              |      UNION ALL SELECT id FROM range(0,500) u(id))
              |UNION ALL
              |SELECT 'v0', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0,1000) t(id)
+             |ORDER BY snap""".stripMargin)),
+
+    // The DSv2 WRITE surface (round 8, r7 verdict ask #3): an append
+    // through df.write.format("graft").mode("append").save(path) must
+    // commit a NEW snapshot — and only then become visible — while
+    // option("version", 0) keeps reading the pre-append file set.
+    // The query builds a fresh one-commit table each run (a staged
+    // table would grow run-over-run), appends the ba<500 subset of
+    // itself through the provider (same schema by construction,
+    // exercising the hive `topic=` partition-layout walk), then
+    // aggregates v0 against latest — the q281 shape, with the second
+    // commit authored by the DSv2 writer instead of the ingest helper.
+    QueryDef("q282_dsv2_append",
+      (s, _) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-dsv2w")
+          .toString
+        ProduceJob.produceBatch(s, root, "w", topics = 1, numMessages = 1000)
+        val t = s"$root/w"
+        s.read.format("graft").load(t).filter(col("ba") < 500L)
+          .write.format("graft").mode("append").save(t)
+        def rd(v: Option[Int]) = {
+          val r = s.read.format("graft")
+          v.fold(r)(x => r.option("version", x.toString)).load(t)
+        }
+        val v0 = rd(Some(0))
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+          .select(lit("v0").as("snap"), col("cnt"), col("sum_ba"))
+        val latest = rd(None)
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+          .select(lit("latest").as("snap"), col("cnt"), col("sum_ba"))
+        v0.unionAll(latest).orderBy("snap")
+      },
+      Some("""SELECT 'latest' AS snap, COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba
+             |FROM (SELECT id FROM range(0,1000) t(id)
+             |      UNION ALL SELECT id FROM range(0,500) u(id))
+             |UNION ALL
+             |SELECT 'v0', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0,1000) t(id)
              |ORDER BY snap""".stripMargin))
   )
 }
