@@ -1024,6 +1024,33 @@ object LakehouseQueries extends QueryRegistry {
              |      UNION ALL SELECT id FROM range(0,500) u(id))
              |UNION ALL
              |SELECT 'v0', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0,1000) t(id)
-             |ORDER BY snap""".stripMargin))
+             |ORDER BY snap""".stripMargin)),
+
+    // DSv2 CREATE + INSERT (round 8): a graft table born from DDL —
+    // CREATE TABLE (cols) USING graft on an EMPTY path (schema from
+    // the DDL, no snapshot yet; supportsExternalMetadata), then two
+    // INSERT INTO ... SELECTs, each committing its own snapshot
+    // through the same V1Write append path as q282. The final
+    // aggregate reads back through plain catalog SQL. Fresh dir +
+    // unique table name per run — a staged table would double on
+    // every execution.
+    QueryDef("q283_dsv2_create_insert",
+      (s, _) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-dsv2c")
+          .toString
+        val tbl = "graft_q283_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        s.sql(s"CREATE TABLE $tbl (k BIGINT, grp BIGINT) " +
+          s"USING graft OPTIONS (path '$root/c')")
+        s.sql(s"INSERT INTO $tbl SELECT id, id % 7 FROM range(0, 2000)")
+        s.sql(s"INSERT INTO $tbl SELECT id, id % 7 FROM range(0, 1000)")
+        s.sql(s"SELECT grp, count(*) AS cnt, cast(sum(k) AS bigint) AS sum_k " +
+          s"FROM $tbl GROUP BY grp ORDER BY grp")
+      },
+      Some("""SELECT id % 7 AS grp, COUNT(*) AS cnt,
+             |  CAST(SUM(id) AS BIGINT) AS sum_k
+             |FROM (SELECT id FROM range(0,2000) t(id)
+             |      UNION ALL SELECT id FROM range(0,1000) u(id))
+             |GROUP BY 1 ORDER BY grp""".stripMargin))
   )
 }

@@ -57,7 +57,11 @@ class GraftSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
-  override def supportsExternalMetadata(): Boolean = false
+  // true: CREATE TABLE t (cols) USING graft on an EMPTY path is legal —
+  // the user schema defines the table before its first commit exists
+  // (the Delta create-then-insert shape). Reads without a user schema
+  // still infer from the latest snapshot.
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (root, prefix, version) = GraftSource.resolve(options)
@@ -287,9 +291,12 @@ private[sources] class GraftV1Relation(root: String, prefix: String,
 
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
-    val base =
-      if (files.isEmpty) Snapshots.read(spark, root, prefix, version).limit(0)
-      else Snapshots.readFileSubset(spark, root, prefix, files, version)
+    // a created-but-never-committed table (or a fully-pruned scan) has
+    // no files — return an empty RDD without touching the snapshot
+    // machinery, which requires at least one commit to exist
+    if (files.isEmpty)
+      return spark.sparkContext.emptyRDD[Row]
+    val base = Snapshots.readFileSubset(spark, root, prefix, files, version)
     val projected =
       if (required.isEmpty) base.select()
       else base.select(required.fieldNames.map(col).toIndexedSeq: _*)

@@ -133,6 +133,31 @@ class GraftSourceSpec extends SparkTestBase {
     }
   }
 
+  test("CREATE TABLE with explicit schema on an empty path, then INSERT INTO") {
+    val croot = new java.io.File("/tmp/graft/dsv2_create_" +
+      java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    spark.sql("DROP TABLE IF EXISTS dsv2_create_t")
+    // no data, no snapshot log — the schema comes from the DDL
+    spark.sql(s"CREATE TABLE dsv2_create_t (k BIGINT, v STRING) " +
+      s"USING graft OPTIONS (path '$croot/c')")
+    // an empty created table reads as zero rows, not an error
+    assert(spark.sql("SELECT * FROM dsv2_create_t").count() == 0L)
+    spark.sql("INSERT INTO dsv2_create_t " +
+      "SELECT id AS k, concat('r', id) AS v FROM range(0, 100)")
+    assert(spark.sql("SELECT count(*) FROM dsv2_create_t")
+      .collect()(0).getLong(0) == 100L)
+    // the insert committed snapshot v0; a second insert commits v1 and
+    // version-pinned reads see each state
+    spark.sql("INSERT INTO dsv2_create_t " +
+      "SELECT id AS k, concat('s', id) AS v FROM range(0, 50)")
+    assert(Snapshots.snapshot(croot, "c", None).get.version == 1)
+    assert(spark.read.format("graft").option("version", "0")
+      .load(s"$croot/c").count() == 100L)
+    assert(spark.sql("SELECT sum(k) FROM dsv2_create_t")
+      .collect()(0).getLong(0) == (0L until 100L).sum + (0L until 50L).sum)
+    spark.sql("DROP TABLE dsv2_create_t")
+  }
+
   test("scan statistics: pruned size lets the planner broadcast the table") {
     val dim = spark.read.format("graft").load(s"$root/t")
       .filter(col("ba") >= 1000L && col("ba") <= 1019L)
@@ -141,6 +166,20 @@ class GraftSourceSpec extends SparkTestBase {
       col("id").as("x"))
     val plan = fact.join(dim, "ba").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("resolve: URI schemes normalize to plain paths; colons mid-path survive") {
+    def res(p: String) = GraftSource.resolve(new CaseInsensitiveStringMap(
+      java.util.Map.of("path", p)))
+    // the session catalog hands back file: URIs in one- and
+    // three-slash forms — both must normalize to the same local path
+    assert(res(s"file://$root/t") == ((root, "t", None)))
+    assert(res(s"file:$root/t") == ((root, "t", None)))
+    // trailing slash tolerated
+    assert(res(s"$root/t/") == ((root, "t", None)))
+    // a colon INSIDE the path is not a scheme (anchor is ^): the
+    // scheme regex must not eat it
+    assert(res("/data/ts:2026/t") == (("/data/ts:2026", "t", None)))
   }
 
   test("resolve: version option wins over tag; bad tag raises") {
