@@ -1789,7 +1789,11 @@ object AnalyticsQueries extends QueryRegistry {
     // cell. The DuckDB twin replays the IVF assignment itself
     // (Fixtures.ivfAssignCtes), so the BLOCKING — not just the vote —
     // is oracle-checked. Output: per-label count of flagged probes
-    // (disagreement ≥ 3 of 5) — metadata-scale.
+    // (disagreement ≥ 3 of 5) — metadata-scale. The probe panel is
+    // BOUNDED (1-in-8 of the first 2^16 ids — ≤ 8192 probes at any
+    // scale), so total work is panel × one-cell ≈ LINEAR in the
+    // corpus, not quadratic/k; below 65536 vectors (every oracle SF)
+    // the bound is inert and results are unchanged.
     QueryDef("q278_label_noise",
       (s, dir) => {
         import graft.operators.IvfIndex
@@ -1805,7 +1809,7 @@ object AnalyticsQueries extends QueryRegistry {
         val e = s.read.parquet(path)
           .select(col("id").as("vec_id"), col("cell"), col("v"))
           .join(emb.select(col("vec_id"), col("label")), "vec_id")
-        val probes = e.filter(col("vec_id") % 8 === 0)
+        val probes = e.filter(col("vec_id") % 8 === 0 && col("vec_id") < 65536L)
           .select(col("vec_id").as("pid"), col("cell").as("pcell"),
             col("label").as("plabel"), col("v").as("pv"))
         val nn = e.join(probes,
@@ -1827,7 +1831,7 @@ object AnalyticsQueries extends QueryRegistry {
              |lab AS (SELECT a1.vec_id, a1.v, a1.cell, em.label
              |        FROM a1 JOIN embeddings em USING (vec_id)),
              |p AS (SELECT vec_id AS pid, cell AS pcell, label AS plabel, v AS pv
-             |      FROM lab WHERE vec_id % 8 = 0),
+             |      FROM lab WHERE vec_id % 8 = 0 AND vec_id < 65536),
              |sc AS (
              |  SELECT p.pid, p.plabel, lab.label, lab.vec_id,
              |    list_dot_product(lab.v, p.pv)
