@@ -108,7 +108,9 @@ object Snapshots {
     * NULLNESS DOMAIN from footer null counts — min is 1 only when the
     * file is all-null, max is 1 when it holds any null — so `IS NULL`
     * prunes as the interval [1,1] and `IS NOT NULL` as [0,0] through
-    * the same overlap check as every other range. */
+    * the same overlap check as every other range. "R" (column
+    * `_rows`) = the file's exact row count, min == max — consumed by
+    * [[metadataRowCount]] for metadata-only COUNT(*). */
   final case class FileStat(file: String, column: String, min: Long, max: Long,
                             typ: String = "L") {
     def encoded: String = s"$file|$column|$min|$max|$typ"
@@ -139,6 +141,11 @@ object Snapshots {
         val blocks = rd.getFooter.getBlocks.asScala.toSeq
         if (blocks.isEmpty) Seq.empty
         else {
+        // exact per-file row count ("R"), the stat that makes a global
+        // COUNT(*) a manifest read (metadataRowCount) — at 100 TB the
+        // difference between a driver-side sum and a full table scan
+        val rows = blocks.map(_.getRowCount).sum
+        val rowStat = FileStat(rel, "_rows", rows, rows, "R")
         val ranged = blocks.head.getColumns.asScala
           .filter(_.getPath.size == 1).toSeq
           .flatMap { c =>
@@ -193,7 +200,7 @@ object Snapshots {
                 if (nulls > 0) 1L else 0L, "N"))
             }
           }
-        ranged ++ nullness
+        rowStat +: (ranged ++ nullness)
         }
       } finally rd.close()
     } catch { case _: Throwable => Seq.empty } // stats are an optimization, never fatal
@@ -762,6 +769,26 @@ object Snapshots {
     * prunes on its own column's stats, and the intersection is the
     * candidate set. Files without a stat for some column stay
     * candidates for that range (conservative). */
+  /** Exact table row count from MANIFEST METADATA alone — no data file
+    * opened. Defined only when it is provably exact: every live file
+    * carries an "R" stat (commits since the stat existed) AND no
+    * deletion vectors are active (MoR-deleted rows are inside the
+    * footer counts, so any DV makes the metadata count an
+    * over-estimate). Callers fall back to a scan on None. */
+  def metadataRowCount(root: String, prefix: String,
+                       version: Option[Int] = None): Option[Long] = {
+    snapshot(root, prefix, version).flatMap { snap =>
+      if (snap.dv.nonEmpty) None
+      else {
+        val counts = snap.stats.filter(s => s.typ == "R" && s.column == "_rows")
+          .map(s => s.file -> s.min).toMap
+        if (snap.files.forall(counts.contains))
+          Some(snap.files.map(counts).sum)
+        else None
+      }
+    }
+  }
+
   def pruneFilesMulti(root: String, prefix: String, ranges: Seq[StatRange],
                       version: Option[Int] = None): Seq[String] = {
     val snap = snapshot(root, prefix, version).getOrElse(

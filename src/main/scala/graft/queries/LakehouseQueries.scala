@@ -1051,6 +1051,37 @@ object LakehouseQueries extends QueryRegistry {
              |  CAST(SUM(id) AS BIGINT) AS sum_k
              |FROM (SELECT id FROM range(0,2000) t(id)
              |      UNION ALL SELECT id FROM range(0,1000) u(id))
-             |GROUP BY 1 ORDER BY grp""".stripMargin))
+             |GROUP BY 1 ORDER BY grp""".stripMargin)),
+
+    // Metadata-only COUNT(*) (round 8): the DSv2 scan builder pushes a
+    // global CountStar down to the MANIFEST — per-file "R" row-count
+    // stats summed driver-side, zero data files opened (GraftSourceSpec
+    // proves it literally, with the data files renamed away). At
+    // 100 TB this is the difference between a catalog lookup and a
+    // full scan. The query counts BOTH snapshot versions of a fresh
+    // two-commit table (base produce + DSv2 append), so the pushdown
+    // is exercised through time travel too; filters or deletion
+    // vectors would fall back to the exact scan (spec-pinned).
+    QueryDef("q284_meta_count",
+      (s, _) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-dsv2n")
+          .toString
+        ProduceJob.produceBatch(s, root, "m", topics = 1, numMessages = 3000)
+        s.read.format("graft").load(s"$root/m").filter(col("ba") < 1321L)
+          .write.format("graft").mode("append").save(s"$root/m")
+        val v0 = s.read.format("graft").option("version", "0").load(s"$root/m")
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit("v0").as("snap"), col("cnt"))
+        val latest = s.read.format("graft").load(s"$root/m")
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit("latest").as("snap"), col("cnt"))
+        v0.unionAll(latest).orderBy("snap")
+      },
+      Some("""SELECT 'latest' AS snap, COUNT(*) AS cnt
+             |FROM (SELECT id FROM range(0,3000) t(id)
+             |      UNION ALL SELECT id FROM range(0,1321) u(id))
+             |UNION ALL
+             |SELECT 'v0', COUNT(*) FROM range(0,3000) t(id)
+             |ORDER BY snap""".stripMargin))
   )
 }

@@ -8,7 +8,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
@@ -201,10 +202,12 @@ private[sources] class GraftTable(root: String, prefix: String,
 
 private[sources] class GraftScanBuilder(root: String, prefix: String,
                                         version: Option[Int], fullSchema: StructType)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed: Option[(Long, Int)] = None // (rows, # of count cols)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftSource.toRanges(f).nonEmpty)
@@ -212,6 +215,30 @@ private[sources] class GraftScanBuilder(root: String, prefix: String,
   }
 
   override def pushedFilters(): Array[Filter] = pushed
+
+  /** Global COUNT(*) answered from MANIFEST METADATA — no data file is
+    * opened (the Iceberg/Delta metadata-count shape; at 100 TB a
+    * driver-side sum over the snapshot's per-file "R" stats replaces
+    * a full table scan). Accepted only when provably exact: no
+    * residual filters, no grouping, only CountStar aggregates, every
+    * live file carries a row-count stat, and no deletion vectors are
+    * active (Snapshots.metadataRowCount enforces the last two).
+    * Anything else falls back to the ordinary scan. */
+  private def metaCount(agg: Aggregation): Option[Long] =
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty ||
+        !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])) None
+    else Snapshots.metadataRowCount(root, prefix, version)
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    metaCount(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    metaCount(agg) match {
+      case Some(n) =>
+        countPushed = Some((n, agg.aggregateExpressions.length)); true
+      case None => false
+    }
 
   /** Catalyst may hand a NESTED-pruned schema (struct fields trimmed —
     * nestedSchemaPruning is on by default for DSv2), but buildScan
@@ -222,12 +249,53 @@ private[sources] class GraftScanBuilder(root: String, prefix: String,
     * fields: column pruning is preserved, nested pruning is declined
     * (schema and rows stay consistent). */
   override def pruneColumns(requiredSchema: StructType): Unit = {
+    // after a complete aggregate pushdown the "required" schema is the
+    // AGGREGATE output, not table columns — keep the count schema
+    if (countPushed.isDefined) return
     val names = requiredSchema.fieldNames.toSet
     required = StructType(fullSchema.fields.filter(f => names.contains(f.name)))
   }
 
-  override def build(): Scan =
-    new GraftScan(root, prefix, version, required, pushed)
+  override def build(): Scan = countPushed match {
+    case Some((rows, k)) => new GraftCountScan(prefix, rows, k)
+    case None => new GraftScan(root, prefix, version, required, pushed)
+  }
+}
+
+/** The metadata-count scan: one row, k CountStar columns, zero file
+  * IO. The V1 bridge hands Spark a single-row InternalRow RDD. */
+private[sources] class GraftCountScan(prefix: String, rows: Long, k: Int)
+  extends V1Scan {
+
+  override def readSchema(): StructType =
+    StructType((0 until k).map(i =>
+      org.apache.spark.sql.types.StructField(
+        if (i == 0) "count(*)" else s"count(*)#$i",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def description(): String =
+    s"GraftCountScan $prefix rows=$rows (manifest metadata only)"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+    new GraftCountRelation(rows, k, readSchema(), context).asInstanceOf[T]
+}
+
+private[sources] class GraftCountRelation(rows: Long, k: Int,
+                                          outSchema: StructType, ctx: SQLContext)
+  extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  override def schema: StructType = outSchema
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(): RDD[Row] = {
+    val row = org.apache.spark.sql.catalyst.InternalRow
+      .fromSeq(Seq.fill(k)(rows))
+    ctx.sparkSession.sparkContext.parallelize(Seq(row), 1)
+      .asInstanceOf[RDD[Row]]
+  }
 }
 
 private[sources] class GraftScan(root: String, prefix: String, version: Option[Int],

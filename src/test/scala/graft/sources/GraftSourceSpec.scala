@@ -158,6 +158,48 @@ class GraftSourceSpec extends SparkTestBase {
     spark.sql("DROP TABLE dsv2_create_t")
   }
 
+  test("COUNT(*) answers from manifest metadata; filters and DVs fall back") {
+    val croot = new java.io.File("/tmp/graft/dsv2_count_" +
+      java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    ProduceJob.produceBatch(spark, croot, "n", topics = 1, numMessages = 1234)
+    def counted() = spark.read.format("graft").load(s"$croot/n")
+      .agg(count(lit(1)))
+    val df = counted()
+    assert(df.queryExecution.executedPlan.toString.contains("GraftCountRelation"),
+      df.queryExecution.executedPlan.toString.take(3000))
+    assert(df.collect()(0).getLong(0) == 1234L)
+    // metadata-only, literally: hide every data file — the count still
+    // answers because no file is ever opened
+    def dataFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Seq.empty)
+        else Seq(f)
+      walk(new java.io.File(graft.ingest.Topics.tableDir(croot, "n")))
+        .filter(_.getName.endsWith(".parquet"))
+    }
+    // (the frame is built first: load() infers the schema from a data
+    // file footer; pushdown + count resolution run at collect() time,
+    // when only the manifest remains visible)
+    val hiddenCounted = counted()
+    val files = dataFiles()
+    files.foreach(f => assert(f.renameTo(new java.io.File(f.getPath + ".hid"))))
+    try assert(hiddenCounted.collect()(0).getLong(0) == 1234L)
+    finally files.foreach(f =>
+      assert(new java.io.File(f.getPath + ".hid").renameTo(f)))
+    // a FILTERED count must read rows — correct result, no count scan
+    val filtered = spark.read.format("graft").load(s"$croot/n")
+      .filter(col("ba") < 100L).agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("GraftCountRelation"))
+    assert(filtered.collect()(0).getLong(0) == 100L)
+    // MoR delete activates deletion vectors → metadata count would
+    // over-count → pushdown declines, scan path returns the true count
+    Snapshots.deleteMoR(spark, croot, "n", col("ba") % 10 === 0)
+    val afterDv = counted()
+    assert(!afterDv.queryExecution.executedPlan.toString.contains("GraftCountRelation"))
+    assert(afterDv.collect()(0).getLong(0) == 1234L - 124L)
+  }
+
   test("scan statistics: pruned size lets the planner broadcast the table") {
     val dim = spark.read.format("graft").load(s"$root/t")
       .filter(col("ba") >= 1000L && col("ba") <= 1019L)
