@@ -789,6 +789,27 @@ object Snapshots {
     }
   }
 
+  /** Exact (MIN, MAX) of an INT64 column from manifest stats — "L"
+    * stats store raw values, so file-level bounds ARE the column
+    * bounds. Defined only when provably exact: every live file
+    * carries an "L" stat for the column (an all-null file has none —
+    * decline) and no deletion vectors are active (a removed row could
+    * BE the extremum). Parquet footer min/max ignore nulls, matching
+    * SQL MIN/MAX semantics. */
+  def metadataLongBounds(root: String, prefix: String, column: String,
+                         version: Option[Int] = None): Option[(Long, Long)] = {
+    snapshot(root, prefix, version).flatMap { snap =>
+      if (snap.dv.nonEmpty || snap.files.isEmpty) None
+      else {
+        val st = snap.stats.filter(s => s.typ == "L" && s.column == column)
+          .map(s => s.file -> s).toMap
+        if (snap.files.forall(st.contains))
+          Some((snap.files.map(st(_).min).min, snap.files.map(st(_).max).max))
+        else None
+      }
+    }
+  }
+
   def pruneFilesMulti(root: String, prefix: String, ranges: Seq[StatRange],
                       version: Option[Int] = None): Seq[String] = {
     val snap = snapshot(root, prefix, version).getOrElse(

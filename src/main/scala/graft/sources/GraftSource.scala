@@ -8,7 +8,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max => AggMax, Min => AggMin}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
@@ -207,7 +208,7 @@ private[sources] class GraftScanBuilder(root: String, prefix: String,
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
-  private var countPushed: Option[(Long, Int)] = None // (rows, # of count cols)
+  private var aggPushed: Option[Seq[Long]] = None // one value per agg column
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftSource.toRanges(f).nonEmpty)
@@ -216,27 +217,44 @@ private[sources] class GraftScanBuilder(root: String, prefix: String,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** Global COUNT(*) answered from MANIFEST METADATA — no data file is
-    * opened (the Iceberg/Delta metadata-count shape; at 100 TB a
-    * driver-side sum over the snapshot's per-file "R" stats replaces
-    * a full table scan). Accepted only when provably exact: no
-    * residual filters, no grouping, only CountStar aggregates, every
-    * live file carries a row-count stat, and no deletion vectors are
-    * active (Snapshots.metadataRowCount enforces the last two).
-    * Anything else falls back to the ordinary scan. */
-  private def metaCount(agg: Aggregation): Option[Long] =
+  /** Global COUNT(*) / MIN / MAX answered from MANIFEST METADATA — no
+    * data file is opened (the Iceberg/Delta metadata-agg shape; at
+    * 100 TB a driver-side fold over the snapshot's per-file stats
+    * replaces a full table scan). Accepted only when provably exact:
+    * no residual filters, no grouping, every aggregate is CountStar
+    * (per-file "R" row counts) or Min/Max of an INT64 column ("L"
+    * stats hold raw values; an all-null file has no stat and
+    * declines), every live file carries the needed stat, and no
+    * deletion vectors are active. Anything else falls back to the
+    * ordinary scan. */
+  private def metaAgg(agg: Aggregation): Option[Seq[Long]] = {
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
-        agg.aggregateExpressions.isEmpty ||
-        !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])) None
-    else Snapshots.metadataRowCount(root, prefix, version)
+        agg.aggregateExpressions.isEmpty) return None
+    def longCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+            fullSchema.fields.exists(f => f.name == nr.fieldNames()(0) &&
+              f.dataType == org.apache.spark.sql.types.LongType) =>
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    val vals = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Snapshots.metadataRowCount(root, prefix, version)
+      case m: AggMin => longCol(m.column).flatMap(c =>
+        Snapshots.metadataLongBounds(root, prefix, c, version).map(_._1))
+      case m: AggMax => longCol(m.column).flatMap(c =>
+        Snapshots.metadataLongBounds(root, prefix, c, version).map(_._2))
+      case _ => None
+    }
+    if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+  }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    metaCount(agg).isDefined
+    metaAgg(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    metaCount(agg) match {
-      case Some(n) =>
-        countPushed = Some((n, agg.aggregateExpressions.length)); true
+    metaAgg(agg) match {
+      case Some(vs) => aggPushed = Some(vs); true
       case None => false
     }
 
@@ -250,37 +268,38 @@ private[sources] class GraftScanBuilder(root: String, prefix: String,
     * (schema and rows stay consistent). */
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // after a complete aggregate pushdown the "required" schema is the
-    // AGGREGATE output, not table columns — keep the count schema
-    if (countPushed.isDefined) return
+    // AGGREGATE output, not table columns — keep the agg schema
+    if (aggPushed.isDefined) return
     val names = requiredSchema.fieldNames.toSet
     required = StructType(fullSchema.fields.filter(f => names.contains(f.name)))
   }
 
-  override def build(): Scan = countPushed match {
-    case Some((rows, k)) => new GraftCountScan(prefix, rows, k)
+  override def build(): Scan = aggPushed match {
+    case Some(vs) => new GraftCountScan(prefix, vs)
     case None => new GraftScan(root, prefix, version, required, pushed)
   }
 }
 
-/** The metadata-count scan: one row, k CountStar columns, zero file
-  * IO. The V1 bridge hands Spark a single-row InternalRow RDD. */
-private[sources] class GraftCountScan(prefix: String, rows: Long, k: Int)
+/** The metadata-aggregate scan: one row of pre-computed agg values
+  * (count/min/max), zero file IO. The V1 bridge hands Spark a
+  * single-row InternalRow RDD; columns map to the pushed aggregates
+  * by POSITION. */
+private[sources] class GraftCountScan(prefix: String, values: Seq[Long])
   extends V1Scan {
 
   override def readSchema(): StructType =
-    StructType((0 until k).map(i =>
-      org.apache.spark.sql.types.StructField(
-        if (i == 0) "count(*)" else s"count(*)#$i",
+    StructType(values.indices.map(i =>
+      org.apache.spark.sql.types.StructField(s"agg$i",
         org.apache.spark.sql.types.LongType, nullable = false)))
 
   override def description(): String =
-    s"GraftCountScan $prefix rows=$rows (manifest metadata only)"
+    s"GraftCountScan $prefix values=${values.mkString(",")} (manifest metadata only)"
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
-    new GraftCountRelation(rows, k, readSchema(), context).asInstanceOf[T]
+    new GraftCountRelation(values, readSchema(), context).asInstanceOf[T]
 }
 
-private[sources] class GraftCountRelation(rows: Long, k: Int,
+private[sources] class GraftCountRelation(values: Seq[Long],
                                           outSchema: StructType, ctx: SQLContext)
   extends BaseRelation with TableScan {
 
@@ -291,8 +310,7 @@ private[sources] class GraftCountRelation(rows: Long, k: Int,
   override def needConversion: Boolean = false
 
   override def buildScan(): RDD[Row] = {
-    val row = org.apache.spark.sql.catalyst.InternalRow
-      .fromSeq(Seq.fill(k)(rows))
+    val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(values)
     ctx.sparkSession.sparkContext.parallelize(Seq(row), 1)
       .asInstanceOf[RDD[Row]]
   }

@@ -187,6 +187,18 @@ class GraftSourceSpec extends SparkTestBase {
     try assert(hiddenCounted.collect()(0).getLong(0) == 1234L)
     finally files.foreach(f =>
       assert(new java.io.File(f.getPath + ".hid").renameTo(f)))
+    // MIN/MAX of an INT64 column ride the same metadata scan ("L"
+    // stats are raw values); a non-long column declines
+    val mm = spark.read.format("graft").load(s"$croot/n")
+      .agg(count(lit(1)), min("ba"), max("ba"))
+    assert(mm.queryExecution.executedPlan.toString.contains("GraftCountRelation"),
+      mm.queryExecution.executedPlan.toString.take(3000))
+    val mmr = mm.collect()(0)
+    assert(mmr.getLong(0) == 1234L && mmr.getLong(1) == 0L &&
+      mmr.getLong(2) == 1233L)
+    val strMin = spark.read.format("graft").load(s"$croot/n")
+      .agg(min("name"))
+    assert(!strMin.queryExecution.executedPlan.toString.contains("GraftCountRelation"))
     // a FILTERED count must read rows — correct result, no count scan
     val filtered = spark.read.format("graft").load(s"$croot/n")
       .filter(col("ba") < 100L).agg(count(lit(1)))
