@@ -810,6 +810,31 @@ object Snapshots {
     }
   }
 
+  /** Smallest PREFIX of the file list whose "R" row counts cover at
+    * least `n` rows — the LIMIT-pushdown file cut (`SELECT ... LIMIT
+    * 10` opens one file, not the table). Defined only when provably
+    * sufficient: every live file carries an "R" stat and no deletion
+    * vectors are active (a DV could empty a file below its recorded
+    * count). The caller still applies the limit — this only narrows
+    * IO. */
+  def limitFiles(root: String, prefix: String, n: Long,
+                 version: Option[Int] = None): Option[Seq[String]] = {
+    snapshot(root, prefix, version).flatMap { snap =>
+      if (snap.dv.nonEmpty || n <= 0) None
+      else {
+        val counts = snap.stats.filter(s => s.typ == "R" && s.column == "_rows")
+          .map(s => s.file -> s.min).toMap
+        if (!snap.files.forall(counts.contains)) None
+        else {
+          var acc = 0L
+          Some(snap.files.takeWhile { f =>
+            val need = acc < n; acc += counts(f); need
+          })
+        }
+      }
+    }
+  }
+
   def pruneFilesMulti(root: String, prefix: String, ranges: Seq[StatRange],
                       version: Option[Int] = None): Seq[String] = {
     val snap = snapshot(root, prefix, version).getOrElse(

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max => AggMax, Min => AggMin}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
@@ -204,11 +204,13 @@ private[sources] class GraftTable(root: String, prefix: String,
 private[sources] class GraftScanBuilder(root: String, prefix: String,
                                         version: Option[Int], fullSchema: StructType)
   extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggPushed: Option[Seq[Long]] = None // one value per agg column
+  private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftSource.toRanges(f).nonEmpty)
@@ -249,6 +251,21 @@ private[sources] class GraftScanBuilder(root: String, prefix: String,
     if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
   }
 
+  /** Bare LIMIT n prunes the FILE LIST to the shortest prefix whose
+    * "R" row counts cover n — `SELECT * FROM t LIMIT 10` on a 100 TB
+    * table opens one file. Partial pushdown: Spark still applies the
+    * exact limit above; this only narrows IO. Declined under residual
+    * filters (rows may be filtered away) or when Snapshots.limitFiles
+    * cannot prove coverage (missing stats / active DVs). */
+  override def pushLimit(n: Int): Boolean = {
+    if (pushed.isEmpty &&
+        Snapshots.limitFiles(root, prefix, n.toLong, version).isDefined) {
+      limit = Some(n); true
+    } else false
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     metaAgg(agg).isDefined
 
@@ -276,7 +293,7 @@ private[sources] class GraftScanBuilder(root: String, prefix: String,
 
   override def build(): Scan = aggPushed match {
     case Some(vs) => new GraftCountScan(prefix, vs)
-    case None => new GraftScan(root, prefix, version, required, pushed)
+    case None => new GraftScan(root, prefix, version, required, pushed, limit)
   }
 }
 
@@ -317,7 +334,8 @@ private[sources] class GraftCountRelation(values: Seq[Long],
 }
 
 private[sources] class GraftScan(root: String, prefix: String, version: Option[Int],
-                                 required: StructType, pushed: Array[Filter])
+                                 required: StructType, pushed: Array[Filter],
+                                 limit: Option[Int] = None)
   extends V1Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -350,9 +368,10 @@ private[sources] class GraftScan(root: String, prefix: String, version: Option[I
     * manifest is read once per scan, not once per caller. */
   private lazy val prunedFiles: Seq[String] = {
     val ranges = pushed.toSeq.flatMap(GraftSource.toRanges)
-    if (ranges.isEmpty)
-      Snapshots.snapshot(root, prefix, version).map(_.files).getOrElse(Seq.empty)
-    else Snapshots.pruneFilesMulti(root, prefix, ranges, version)
+    if (ranges.nonEmpty) Snapshots.pruneFilesMulti(root, prefix, ranges, version)
+    else limit.flatMap(n => Snapshots.limitFiles(root, prefix, n.toLong, version))
+      .getOrElse(
+        Snapshots.snapshot(root, prefix, version).map(_.files).getOrElse(Seq.empty))
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =

@@ -212,6 +212,31 @@ class GraftSourceSpec extends SparkTestBase {
     assert(afterDv.collect()(0).getLong(0) == 1234L - 124L)
   }
 
+  test("bare LIMIT prunes the file list to a covering prefix") {
+    val lroot = new java.io.File("/tmp/graft/dsv2_limit_" +
+      java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    ProduceJob.produceBatch(spark, lroot, "l", topics = 1, numMessages = 8000)
+    val schema = spark.read.format("graft").load(s"$lroot/l").schema
+    val total = Snapshots.snapshot(lroot, "l", None).get.files.length
+    assert(total > 1, s"need a multi-file table, got $total file(s)")
+    // builder-level: pushLimit cuts the file list
+    val b = new GraftScanBuilder(lroot, "l", None, schema)
+    assert(b.pushLimit(5))
+    val scan = b.build().asInstanceOf[GraftScan]
+    val kept = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(scan.description()).get
+    assert(kept.group(1).toInt < total, scan.description())
+    // end-to-end: the limited read returns exactly n rows
+    assert(spark.read.format("graft").load(s"$lroot/l")
+      .limit(3).collect().length == 3)
+    // a MoR delete deactivates the cut (counts no longer provable) but
+    // the limited read stays exact
+    Snapshots.deleteMoR(spark, lroot, "l", col("ba") < 7995L)
+    val b2 = new GraftScanBuilder(lroot, "l", None, schema)
+    assert(!b2.pushLimit(5))
+    assert(spark.read.format("graft").load(s"$lroot/l")
+      .limit(4).collect().length == 4) // only 5 rows survive the delete
+  }
+
   test("scan statistics: pruned size lets the planner broadcast the table") {
     val dim = spark.read.format("graft").load(s"$root/t")
       .filter(col("ba") >= 1000L && col("ba") <= 1019L)
