@@ -810,6 +810,33 @@ object Snapshots {
     }
   }
 
+  /** Backfill footer stats for live files missing a row-count ("R")
+    * stat — one footer read per such file (no data rows read, no
+    * rewrite), committed as one "restat" version carrying the same
+    * file set. Tables committed before row-count stats existed gain
+    * the metadata-only COUNT(*)/MIN/MAX and LIMIT-prefix paths
+    * without touching their data. No-op (current version) when
+    * nothing is missing. Single-administrator maintenance op, like
+    * [[compact]]. */
+  def backfillStats(root: String, prefix: String): Int = {
+    val prev = snapshot(root, prefix, None).getOrElse(
+      sys.error(s"nothing to backfill for $prefix"))
+    val withR = prev.stats.filter(_.typ == "R").map(_.file).toSet
+    val missing = prev.files.filterNot(withR)
+    if (missing.isEmpty) prev.version
+    else {
+      val base = dataDir(root, prefix)
+      // refresh the WHOLE stat set of each touched file: pre-"R"
+      // manifests may also predate later stat kinds, and mixing stat
+      // generations per file would be harder to reason about
+      val fresh = missing.flatMap(f => footerStats(base, f))
+      val kept = prev.stats.filterNot(s => missing.contains(s.file))
+      writeSnapshot(root, prefix, nextVersion(root, prefix), prev.maxPos,
+        prev.files, Seq.empty, "restat", prev.txns, kept ++ fresh,
+        extraFields = dvField(prev.dv))
+    }
+  }
+
   /** Smallest PREFIX of the file list whose "R" row counts cover at
     * least `n` rows — the LIMIT-pushdown file cut (`SELECT ... LIMIT
     * 10` opens one file, not the table). Defined only when provably

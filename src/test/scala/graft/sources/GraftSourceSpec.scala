@@ -237,6 +237,29 @@ class GraftSourceSpec extends SparkTestBase {
       .limit(4).collect().length == 4) // only 5 rows survive the delete
   }
 
+  test("backfillStats retrofits pre-R tables onto the metadata-count path") {
+    val broot = new java.io.File("/tmp/graft/dsv2_restat_" +
+      java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    ProduceJob.produceBatch(spark, broot, "b", topics = 1, numMessages = 777)
+    // simulate a table committed before row-count stats existed:
+    // re-commit the same state with every "R" stat stripped
+    val s0 = Snapshots.snapshot(broot, "b", None).get
+    Snapshots.writeSnapshot(broot, "b", s0.version + 1, s0.maxPos, s0.files,
+      Seq.empty, "append", s0.txns, s0.stats.filterNot(_.typ == "R"))
+    assert(Snapshots.metadataRowCount(broot, "b").isEmpty)
+    val noPush = spark.read.format("graft").load(s"$broot/b").agg(count(lit(1)))
+    assert(!noPush.queryExecution.executedPlan.toString.contains("GraftCountRelation"))
+    assert(noPush.collect()(0).getLong(0) == 777L)
+    // one restat commit — no data rewritten — and the pushdown returns
+    val v = Snapshots.backfillStats(broot, "b")
+    assert(v == s0.version + 2)
+    assert(Snapshots.backfillStats(broot, "b") == v) // idempotent no-op
+    assert(Snapshots.metadataRowCount(broot, "b").contains(777L))
+    val pushed = spark.read.format("graft").load(s"$broot/b").agg(count(lit(1)))
+    assert(pushed.queryExecution.executedPlan.toString.contains("GraftCountRelation"))
+    assert(pushed.collect()(0).getLong(0) == 777L)
+  }
+
   test("scan statistics: pruned size lets the planner broadcast the table") {
     val dim = spark.read.format("graft").load(s"$root/t")
       .filter(col("ba") >= 1000L && col("ba") <= 1019L)
