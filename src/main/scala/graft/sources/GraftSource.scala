@@ -229,7 +229,21 @@ private[sources] class GraftScanBuilder(root: String, prefix: String,
     * declines), every live file carries the needed stat, and no
     * deletion vectors are active. Anything else falls back to the
     * ordinary scan. */
-  private def metaAgg(agg: Aggregation): Option[Seq[Long]] = {
+  // supportCompletePushDown and pushAggregation both evaluate the same
+  // aggregation — memoized so planning reads the manifest once and
+  // both calls see the SAME snapshot even if a commit lands between
+  private var metaMemo: Option[(Aggregation, Option[Seq[Long]])] = None
+
+  private def metaAgg(agg: Aggregation): Option[Seq[Long]] =
+    metaMemo match {
+      case Some((prev, r)) if prev == agg => r
+      case _ =>
+        val r = computeMetaAgg(agg)
+        metaMemo = Some((agg, r))
+        r
+    }
+
+  private def computeMetaAgg(agg: Aggregation): Option[Seq[Long]] = {
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
         agg.aggregateExpressions.isEmpty) return None
     def longCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
