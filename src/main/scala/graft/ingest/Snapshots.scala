@@ -776,37 +776,68 @@ object Snapshots {
     * footer counts, so any DV makes the metadata count an
     * over-estimate). Callers fall back to a scan on None. */
   def metadataRowCount(root: String, prefix: String,
-                       version: Option[Int] = None): Option[Long] = {
-    snapshot(root, prefix, version).flatMap { snap =>
-      if (snap.dv.nonEmpty) None
-      else {
-        val counts = snap.stats.filter(s => s.typ == "R" && s.column == "_rows")
-          .map(s => s.file -> s.min).toMap
-        if (snap.files.forall(counts.contains))
-          Some(snap.files.map(counts).sum)
-        else None
-      }
+                       version: Option[Int] = None): Option[Long] =
+    snapshot(root, prefix, version).flatMap(metadataRowCount)
+
+  /** [[metadataRowCount]] against an already-loaded snapshot — one
+    * manifest read serves a whole multi-aggregate pushdown, and every
+    * aggregate in the result row provably reflects the SAME version. */
+  def metadataRowCount(snap: Snapshot): Option[Long] = {
+    if (snap.dv.nonEmpty) None
+    else {
+      val counts = snap.stats.filter(s => s.typ == "R" && s.column == "_rows")
+        .map(s => s.file -> s.min).toMap
+      if (snap.files.forall(counts.contains))
+        Some(snap.files.map(counts).sum)
+      else None
     }
   }
+
+  /** Files whose physical bytes PREDATE a schema event touching
+    * `column` (rename/drop/re-add). Manifest stats are keyed by each
+    * file's PHYSICAL column name, so on these files a stat named
+    * `column` describes a PREVIOUS logical column — e.g. drop `a`
+    * then re-add `a` with a default: old footers still carry an "a"
+    * stat, but the read path fills the default for every pre-event
+    * row. Any consumer of per-column stats must treat stats on these
+    * files as ABSENT (pruning keeps the file; exact metadata answers
+    * decline). Files written AFTER the event carry the current
+    * physical layout, so their stats stay live — the invalidation is
+    * file-precise, not column-wide. */
+  private def statStaleFiles(root: String, prefix: String, column: String,
+                             upTo: Option[Int]): Set[String] =
+    schemaEvents(root, prefix, upTo).collect {
+      case a: AddedColumn if a.name == column => a.preFiles
+      case r: RenamedColumn if r.from == column || r.to == column => r.preFiles
+      case d: DroppedColumn if d.name == column => d.preFiles
+    }.foldLeft(Set.empty[String])(_ ++ _)
 
   /** Exact (MIN, MAX) of an INT64 column from manifest stats — "L"
     * stats store raw values, so file-level bounds ARE the column
     * bounds. Defined only when provably exact: every live file
     * carries an "L" stat for the column (an all-null file has none —
-    * decline) and no deletion vectors are active (a removed row could
-    * BE the extremum). Parquet footer min/max ignore nulls, matching
-    * SQL MIN/MAX semantics. */
+    * decline), no stat is stale under schema evolution
+    * ([[statStaleFiles]] — a re-added column's old footer stats
+    * describe the wrong logical column), and no deletion vectors are
+    * active (a removed row could BE the extremum). Parquet footer
+    * min/max ignore nulls, matching SQL MIN/MAX semantics. */
   def metadataLongBounds(root: String, prefix: String, column: String,
-                         version: Option[Int] = None): Option[(Long, Long)] = {
-    snapshot(root, prefix, version).flatMap { snap =>
-      if (snap.dv.nonEmpty || snap.files.isEmpty) None
-      else {
-        val st = snap.stats.filter(s => s.typ == "L" && s.column == column)
-          .map(s => s.file -> s).toMap
-        if (snap.files.forall(st.contains))
-          Some((snap.files.map(st(_).min).min, snap.files.map(st(_).max).max))
-        else None
-      }
+                         version: Option[Int] = None): Option[(Long, Long)] =
+    snapshot(root, prefix, version).flatMap(snap =>
+      metadataLongBounds(root, prefix, snap, column))
+
+  /** [[metadataLongBounds]] against an already-loaded snapshot (see
+    * [[metadataRowCount(snap*]] for why callers pin one). */
+  def metadataLongBounds(root: String, prefix: String, snap: Snapshot,
+                         column: String): Option[(Long, Long)] = {
+    if (snap.dv.nonEmpty || snap.files.isEmpty) None
+    else {
+      val st = snap.stats.filter(s => s.typ == "L" && s.column == column)
+        .map(s => s.file -> s).toMap
+      val stale = statStaleFiles(root, prefix, column, Some(snap.version))
+      if (snap.files.forall(f => st.contains(f) && !stale.contains(f)))
+        Some((snap.files.map(st(_).min).min, snap.files.map(st(_).max).max))
+      else None
     }
   }
 
@@ -830,7 +861,8 @@ object Snapshots {
       // manifests may also predate later stat kinds, and mixing stat
       // generations per file would be harder to reason about
       val fresh = missing.flatMap(f => footerStats(base, f))
-      val kept = prev.stats.filterNot(s => missing.contains(s.file))
+      val missingSet = missing.toSet // Seq.contains would be O(stats × files)
+      val kept = prev.stats.filterNot(s => missingSet.contains(s.file))
       writeSnapshot(root, prefix, nextVersion(root, prefix), prev.maxPos,
         prev.files, Seq.empty, "restat", prev.txns, kept ++ fresh,
         extraFields = dvField(prev.dv))
@@ -869,8 +901,14 @@ object Snapshots {
     val byCol = ranges.map(r =>
       r -> snap.stats.filter(s => s.column == r.column && s.typ == r.typ)
         .map(s => s.file -> s).toMap).toMap
+    // stats on files that predate a schema event touching the column
+    // describe a previous logical column — treat as absent (keep the
+    // file; stats narrow IO, never semantics)
+    val stale = ranges.map(_.column).distinct
+      .map(c => c -> statStaleFiles(root, prefix, c, Some(snap.version))).toMap
     snap.files.filter(f => ranges.forall(r =>
-      byCol(r).get(f).forall(s => s.max >= r.loKey && s.min <= r.hiKey)))
+      stale(r.column).contains(f) ||
+        byCol(r).get(f).forall(s => s.max >= r.loKey && s.min <= r.hiKey)))
   }
 
   /** Range read through manifest data-skipping: only files whose

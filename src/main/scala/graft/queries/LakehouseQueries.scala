@@ -38,6 +38,37 @@ object LakehouseQueries extends QueryRegistry {
     dir.getAbsolutePath
   }
 
+  /** Scratch roots for the write-path queries (q282/q283/q284): each
+    * CONSTRUCTION builds a fresh table — the measured thing IS the
+    * write — so successive constructions of the same query would leak
+    * one temp tree (plus, for q283, a catalog table) per run. Registry
+    * discipline: a new construction retires the previous root of the
+    * SAME query (its DataFrame is spent by then — builders write
+    * eagerly and are evaluated before the query is built again), and a
+    * shutdown hook sweeps whatever is live at JVM exit. Bounded: one
+    * live root per query per JVM, zero after exit. */
+  private val scratchRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Option[String])]()
+  private lazy val scratchSweep: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchRoots.values().forEach(v => rmTree(new java.io.File(v._1)))))
+    ()
+  }
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+  private def freshScratch(s: SparkSession, key: String, tmpPrefix: String,
+                           catalogTable: Option[String] = None): String = {
+    scratchSweep
+    val dir = java.nio.file.Files.createTempDirectory(tmpPrefix).toString
+    Option(scratchRoots.put(key, (dir, catalogTable))).foreach {
+      case (old, oldTbl) =>
+        oldTbl.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        rmTree(new java.io.File(old))
+    }
+    dir
+  }
+
   /** Three-commit CDC table shared by the change-feed and CDC-apply
     * queries: v0 append 0..999, v1 merge 500..1199 (500 updates + 200
     * inserts), v2 delete ba%10=0. */
@@ -1001,8 +1032,7 @@ object LakehouseQueries extends QueryRegistry {
     // commit authored by the DSv2 writer instead of the ingest helper.
     QueryDef("q282_dsv2_append",
       (s, _) => {
-        val root = java.nio.file.Files.createTempDirectory("graft-dsv2w")
-          .toString
+        val root = freshScratch(s, "q282", "graft-dsv2w")
         ProduceJob.produceBatch(s, root, "w", topics = 1, numMessages = 1000)
         val t = s"$root/w"
         s.read.format("graft").load(t).filter(col("ba") < 500L)
@@ -1036,10 +1066,9 @@ object LakehouseQueries extends QueryRegistry {
     // every execution.
     QueryDef("q283_dsv2_create_insert",
       (s, _) => {
-        val root = java.nio.file.Files.createTempDirectory("graft-dsv2c")
-          .toString
         val tbl = "graft_q283_" +
           java.util.UUID.randomUUID().toString.take(8)
+        val root = freshScratch(s, "q283", "graft-dsv2c", Some(tbl))
         s.sql(s"CREATE TABLE $tbl (k BIGINT, grp BIGINT) " +
           s"USING graft OPTIONS (path '$root/c')")
         s.sql(s"INSERT INTO $tbl SELECT id, id % 7 FROM range(0, 2000)")
@@ -1064,8 +1093,7 @@ object LakehouseQueries extends QueryRegistry {
     // vectors would fall back to the exact scan (spec-pinned).
     QueryDef("q284_meta_count",
       (s, _) => {
-        val root = java.nio.file.Files.createTempDirectory("graft-dsv2n")
-          .toString
+        val root = freshScratch(s, "q284", "graft-dsv2n")
         ProduceJob.produceBatch(s, root, "m", topics = 1, numMessages = 3000)
         s.read.format("graft").load(s"$root/m").filter(col("ba") < 1321L)
           .write.format("graft").mode("append").save(s"$root/m")

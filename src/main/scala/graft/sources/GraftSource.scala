@@ -65,15 +65,38 @@ class GraftSource extends TableProvider with DataSourceRegister {
   // still infer from the latest snapshot.
   override def supportsExternalMetadata(): Boolean = true
 
+  // remembered so getTable can skip re-validating a schema WE inferred
+  // (the common read path) — only a caller-supplied schema needs the
+  // on-disk check
+  private var inferred: Option[StructType] = None
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (root, prefix, version) = GraftSource.resolve(options)
-    Snapshots.read(SparkSession.active, root, prefix, version).schema
+    val s = Snapshots.read(SparkSession.active, root, prefix, version).schema
+    inferred = Some(s)
+    s
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val (root, prefix, version) = GraftSource.resolve(opts)
+    // A user/DDL schema over a COMMITTED table must match the data:
+    // the V1 bridge hands back InternalRows laid out for the REAL
+    // types (needConversion=false), so a type drift would silently
+    // misread field offsets instead of erroring. An empty path skips
+    // the check — that's the CREATE-then-INSERT shape, where the DDL
+    // schema IS the table definition. Nullability is advisory (Spark
+    // itself relaxes it); names and types must agree exactly.
+    if (!inferred.contains(schema) &&
+        Snapshots.snapshot(root, prefix, version).isDefined) {
+      val disk = Snapshots.read(SparkSession.active, root, prefix, version).schema
+      val declared = schema.fields.map(f => f.name -> f.dataType).toMap
+      val actual = disk.fields.map(f => f.name -> f.dataType).toMap
+      require(declared == actual,
+        s"declared schema does not match graft table $prefix: " +
+          s"declared ${schema.simpleString}, on disk ${disk.simpleString}")
+    }
     new GraftTable(root, prefix, version, schema)
   }
 }
@@ -210,7 +233,7 @@ private[sources] class GraftScanBuilder(root: String, prefix: String,
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggPushed: Option[Seq[Long]] = None // one value per agg column
-  private var limit: Option[Int] = None
+  private var limitFiles: Option[Seq[String]] = None // covering prefix, pinned at pushLimit
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftSource.toRanges(f).nonEmpty)
@@ -254,15 +277,22 @@ private[sources] class GraftScanBuilder(root: String, prefix: String,
           Some(nr.fieldNames()(0))
         case _ => None
       }
-    val vals = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => Snapshots.metadataRowCount(root, prefix, version)
-      case m: AggMin => longCol(m.column).flatMap(c =>
-        Snapshots.metadataLongBounds(root, prefix, c, version).map(_._1))
-      case m: AggMax => longCol(m.column).flatMap(c =>
-        Snapshots.metadataLongBounds(root, prefix, c, version).map(_._2))
-      case _ => None
+    // ONE snapshot load serves every aggregate: count/min/max in a
+    // multi-aggregate row must all reflect the SAME version even if a
+    // commit lands mid-planning (the lazy-prunedFiles discipline the
+    // ordinary scan path already follows), and (min, max) of one
+    // column parses the manifest once, not twice
+    Snapshots.snapshot(root, prefix, version).flatMap { snap =>
+      val vals = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Snapshots.metadataRowCount(snap)
+        case m: AggMin => longCol(m.column).flatMap(c =>
+          Snapshots.metadataLongBounds(root, prefix, snap, c).map(_._1))
+        case m: AggMax => longCol(m.column).flatMap(c =>
+          Snapshots.metadataLongBounds(root, prefix, snap, c).map(_._2))
+        case _ => None
+      }
+      if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
     }
-    if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
   }
 
   /** Bare LIMIT n prunes the FILE LIST to the shortest prefix whose
@@ -272,10 +302,12 @@ private[sources] class GraftScanBuilder(root: String, prefix: String,
     * filters (rows may be filtered away) or when Snapshots.limitFiles
     * cannot prove coverage (missing stats / active DVs). */
   override def pushLimit(n: Int): Boolean = {
-    if (pushed.isEmpty &&
-        Snapshots.limitFiles(root, prefix, n.toLong, version).isDefined) {
-      limit = Some(n); true
-    } else false
+    if (pushed.isEmpty) {
+      // keep the computed prefix — recomputing it in the scan would
+      // read the manifest twice AND could see a different snapshot
+      limitFiles = Snapshots.limitFiles(root, prefix, n.toLong, version)
+    }
+    limitFiles.isDefined
   }
 
   override def isPartiallyPushed(): Boolean = true
@@ -307,7 +339,7 @@ private[sources] class GraftScanBuilder(root: String, prefix: String,
 
   override def build(): Scan = aggPushed match {
     case Some(vs) => new GraftCountScan(prefix, vs)
-    case None => new GraftScan(root, prefix, version, required, pushed, limit)
+    case None => new GraftScan(root, prefix, version, required, pushed, limitFiles)
   }
 }
 
@@ -349,7 +381,7 @@ private[sources] class GraftCountRelation(values: Seq[Long],
 
 private[sources] class GraftScan(root: String, prefix: String, version: Option[Int],
                                  required: StructType, pushed: Array[Filter],
-                                 limit: Option[Int] = None)
+                                 limitFiles: Option[Seq[String]] = None)
   extends V1Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -383,9 +415,8 @@ private[sources] class GraftScan(root: String, prefix: String, version: Option[I
   private lazy val prunedFiles: Seq[String] = {
     val ranges = pushed.toSeq.flatMap(GraftSource.toRanges)
     if (ranges.nonEmpty) Snapshots.pruneFilesMulti(root, prefix, ranges, version)
-    else limit.flatMap(n => Snapshots.limitFiles(root, prefix, n.toLong, version))
-      .getOrElse(
-        Snapshots.snapshot(root, prefix, version).map(_.files).getOrElse(Seq.empty))
+    else limitFiles.getOrElse( // prefix pinned at pushLimit — no re-read
+      Snapshots.snapshot(root, prefix, version).map(_.files).getOrElse(Seq.empty))
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =

@@ -460,10 +460,17 @@ class PlanSpec extends SparkTestBase {
     // exception, by design, not by omission.
     val exactTwins = Set("q255_smote_oversample")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    val broken = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => n.contains("stream") || exactTwins(n) }
       .foreach { case (name, fn) =>
-        val df = try fn(spark, sf) catch { case _: Throwable => null }
+        // a builder that THROWS must fail here too — swallowing it
+        // would silently drop the query from the guard, shrinking the
+        // guarantee ("every corpus-scanning query is checked") without
+        // failing anything
+        val df = try fn(spark, sf) catch {
+          case e: Throwable => broken += s"$name (${e.getClass.getSimpleName})"; null
+        }
         if (df != null) {
           val plan = df.queryExecution.analyzed
           if (scansCorpus(plan)) plan.foreach {
@@ -474,6 +481,8 @@ class PlanSpec extends SparkTestBase {
           }
         }
       }
+    assert(broken.isEmpty,
+      s"query builders failed (guard coverage lost): ${broken.mkString(", ")}")
     assert(offenders.isEmpty,
       s"corpus-proportional broadcast hint in: ${offenders.distinct.mkString(", ")}")
   }

@@ -174,6 +174,27 @@ class SnapshotSpec extends SparkTestBase {
     }
   }
 
+  test("schema evolution invalidates stale stats: re-added column declines bounds, pruning keeps pre-event files") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "ss", topics = 1, numMessages = 100) // v0: ba 0..99
+    // pre-evolution: footer stats are live, bounds are exact
+    assert(Snapshots.metadataLongBounds(root, "ss", "ba").contains((0L, 99L)))
+    Snapshots.dropColumn(root, "ss", "ba") // v1
+    Snapshots.addColumn(root, "ss", "ba", "BIGINT", Some("4242")) // v2 — a NEW logical ba
+    // old footers still carry a "ba" stat saying [0, 99]; trusting it
+    // would answer min/max for a column every row of which reads 4242
+    assert(Snapshots.metadataLongBounds(root, "ss", "ba").isEmpty)
+    // pruning on the re-added name must KEEP pre-event files — their
+    // stale stat ranges would otherwise skip files whose rows all match
+    assert(Snapshots.readPruned(spark, root, "ss", "ba", 4242L, 4242L).count() == 100)
+    // the DSv2 aggregate pushdown declines and the exact scan answers
+    val agg = spark.read.format("graft").load(s"$root/ss")
+      .agg(min("ba"), max("ba")).collect()(0)
+    assert(agg.getLong(0) == 4242L && agg.getLong(1) == 4242L)
+    // untouched columns keep their metadata fast path at the same version
+    assert(Snapshots.metadataRowCount(root, "ss").contains(100L))
+  }
+
   test("delete on a pre-evolution file materializes defaults into survivors") {
     val root = Files.createTempDirectory("graft_snap").toString
     ProduceJob.produceBatch(spark, root, "dm", topics = 1, numMessages = 100) // v0

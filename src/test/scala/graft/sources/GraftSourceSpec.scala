@@ -270,6 +270,21 @@ class GraftSourceSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("a declared schema that mismatches the data is refused, not misread") {
+    // needConversion=false hands Spark raw InternalRows laid out for
+    // the REAL types — a silent type drift would misread field
+    // offsets, so resolution must fail loudly instead
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .schema("ba INT, name BIGINT") // real: ba BIGINT, name STRING
+        .load(s"$root/t")
+    }
+    assert(e.getMessage.contains("declared schema does not match"))
+    // the self-inferred schema path is untouched (and unvalidated —
+    // no double inference on the common read)
+    assert(load().count() == 7920L)
+  }
+
   test("resolve: URI schemes normalize to plain paths; colons mid-path survive") {
     def res(p: String) = GraftSource.resolve(new CaseInsensitiveStringMap(
       java.util.Map.of("path", p)))
