@@ -1540,6 +1540,127 @@ object Snapshots {
     }
   }
 
+  /** INSERT OVERWRITE (full-table replace, copy-on-write): `data`
+    * becomes the table's ENTIRE content in one commit. New files land
+    * beside the old bytes (append-mode write, then rename-marked so a
+    * racing plain [[commit]] can never adopt them as an append); one
+    * "overwrite" version then pins exactly the new set and records
+    * every previous file as removed. Old versions stay readable —
+    * time travel and [[restore]] work across an overwrite — and
+    * [[vacuum]] reclaims the replaced bytes later. Deletion vectors
+    * die with the files they pointed at (the new snapshot carries
+    * none). Fresh footer stats are assembled for the new files only,
+    * so the manifest metadata paths (COUNT(*) / MIN / MAX / LIMIT
+    * prefix / range pruning) are live immediately after the replace.
+    *
+    * Change feed: the replaced rows ride as row-grain "delete"
+    * pre-images and the new rows as "insert"s — the same contract
+    * [[delete]] and [[merge]] keep, so a replica applying the feed
+    * converges. Both images are read back from committed bytes (the
+    * old snapshot's files, the newly written files), never from
+    * re-evaluating `data`'s plan.
+    *
+    * Concurrency: overwrite REPLACES the state at commit time,
+    * recomputed per retry — a commit that lands mid-overwrite is
+    * replaced too (Delta's serializable overwrite answer), never
+    * resurrected next to the new content. Idempotent per `txn`.
+    * At 100 TB: the write cost is the new data (unavoidable — that IS
+    * the operation); the replace itself is one manifest commit. */
+  def overwrite(spark: SparkSession, root: String, prefix: String,
+                data: DataFrame, txn: Option[String] = None): Int = {
+    val snap = snapshot(root, prefix, None).getOrElse(
+      sys.error(s"nothing to overwrite for $prefix — commit the table first"))
+    if (txn.exists(snap.txns.contains)) snap.version
+    else {
+      enforceConstraints(root, prefix, data)
+      val base = dataDir(root, prefix)
+      val before = listDataFiles(root, prefix).toSet
+      val writer = data.write.mode("append")
+      (if (data.columns.contains("topic")) writer.partitionBy("topic") else writer)
+        .parquet(base.toString)
+      val added = (listDataFiles(root, prefix).toSet -- before).toSeq.map { rel =>
+        val abs = base.resolve(rel)
+        val marked = abs.resolveSibling(CompactedPrefix + abs.getFileName)
+        Files.move(abs, marked)
+        base.relativize(marked).toString
+      }.sorted
+      val evs = schemaEvents(root, prefix, Some(snap.version))
+      val cdc = readFilesFilled(spark, root, prefix, snap.files, evs, snap.dv)
+        .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete"))
+        .unionByName(
+          readFilesFilled(spark, root, prefix, added, evs)
+            .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert")))
+      writeCdc(root, prefix, cdc) {
+        var attempts = 5
+        var committed = -1
+        while (committed < 0) {
+          val cur = snapshot(root, prefix, None).get
+          try committed = writeSnapshot(root, prefix, nextVersion(root, prefix),
+            cur.maxPos max snap.maxPos, added, cur.files.sorted, "overwrite",
+            cur.txns ++ txn, assembleStats(base, added, Seq.empty))
+          catch {
+            case e: ConcurrentCommitException =>
+              attempts -= 1; if (attempts <= 0) throw e
+          }
+        }
+        committed
+      }
+    }
+  }
+
+  /** Append `data` as ONE exactly-once commit. Unlike the listing-
+    * adoption [[commit]] (built for the ingest path, where files
+    * appear first and a commit sweeps them in), this pins exactly
+    * `previous ++ written`: the txn check runs BEFORE any file is
+    * written (a replayed call writes nothing — with write-then-check,
+    * a replay's files would sit unreferenced until the next plain
+    * commit adopted them as duplicates), the new files are
+    * rename-marked so a racing [[commit]] can never sweep them, and a
+    * crash between write and commit leaves marked orphans no commit
+    * ever adopts ([[vacuum]] reclaims them after the grace window).
+    * The micro-batch sink and the DSv2 append both ride this. */
+  def appendBatch(spark: SparkSession, root: String, prefix: String,
+                  data: DataFrame, txn: Option[String] = None,
+                  partitionCols: Seq[String] = Seq.empty): Int = {
+    val snap0 = snapshot(root, prefix, None)
+    if (txn.exists(t => snap0.exists(_.txns.contains(t)))) snap0.get.version
+    else {
+      enforceConstraints(root, prefix, data)
+      val base = dataDir(root, prefix)
+      Files.createDirectories(base)
+      val before = listDataFiles(root, prefix).toSet
+      val writer = data.write.mode("append")
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+        .parquet(base.toString)
+      val added = (listDataFiles(root, prefix).toSet -- before).toSeq.map { rel =>
+        val abs = base.resolve(rel)
+        val marked = abs.resolveSibling(CompactedPrefix + abs.getFileName)
+        Files.move(abs, marked)
+        base.relativize(marked).toString
+      }.sorted
+      var attempts = 5
+      var committed = -1
+      while (committed < 0) {
+        val cur = snapshot(root, prefix, None)
+        // a racing first delivery of the SAME txn may have landed while
+        // we wrote — re-check, orphaning our copy (vacuum's problem)
+        if (txn.exists(t => cur.exists(_.txns.contains(t))))
+          return cur.get.version
+        val files = (cur.map(_.files).getOrElse(Seq.empty) ++ added).sorted
+        try committed = writeSnapshot(root, prefix, nextVersion(root, prefix),
+          cur.map(_.maxPos).getOrElse(-1L), files, Seq.empty, "append",
+          cur.map(_.txns).getOrElse(Seq.empty) ++ txn,
+          assembleStats(base, files, cur.map(_.stats).getOrElse(Seq.empty)),
+          extraFields = dvField(cur.map(_.dv).getOrElse(Seq.empty)))
+        catch {
+          case e: ConcurrentCommitException =>
+            attempts -= 1; if (attempts <= 0) throw e
+        }
+      }
+      committed
+    }
+  }
+
   /** DELETE (merge-on-read): rows matching `predicate` disappear from
     * the next snapshot WITHOUT rewriting any data file — the commit
     * records a deletion-vector sidecar of (file, row-position) pairs

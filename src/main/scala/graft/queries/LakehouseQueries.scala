@@ -1082,6 +1082,81 @@ object LakehouseQueries extends QueryRegistry {
              |      UNION ALL SELECT id FROM range(0,1000) u(id))
              |GROUP BY 1 ORDER BY grp""".stripMargin)),
 
+    // DSv2 INSERT OVERWRITE (round 8): a full-table replace through
+    // mode("overwrite") — the builder's truncate() route — must be ONE
+    // "overwrite" commit: latest reads only the replacement, v0 time-
+    // travels to the pre-overwrite content, and the row-grain change
+    // feed carries the replaced rows as deletes and the new rows as
+    // inserts (the delete/merge contract). All four facets ride in the
+    // output: v0/latest aggregates plus the feed's per-kind counts, so
+    // the oracle pins replace semantics AND CDC conservation together.
+    QueryDef("q285_dsv2_overwrite",
+      (s, _) => {
+        val root = freshScratch(s, "q285", "graft-dsv2o")
+        ProduceJob.produceBatch(s, root, "o", topics = 1, numMessages = 1000)
+        val t = s"$root/o"
+        s.read.format("graft").load(t).filter(col("ba") < 100L)
+          .write.format("graft").mode("overwrite").save(t)
+        def rd(v: Option[Int]) = {
+          val r = s.read.format("graft")
+          v.fold(r)(x => r.option("version", x.toString)).load(t)
+        }
+        val v0 = rd(Some(0))
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+          .select(lit("v0").as("snap"), col("cnt"), col("sum_ba"))
+        val latest = rd(None)
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+          .select(lit("latest").as("snap"), col("cnt"), col("sum_ba"))
+        val feed = graft.ingest.Snapshots
+          .readChangeFeed(s, root, "o", fromVersion = 0)
+          .groupBy(col("_change_type").as("snap"))
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+        v0.unionAll(latest).unionByName(feed).orderBy("snap")
+      },
+      Some("""SELECT 'delete' AS snap, COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba
+             |FROM range(0,1000) t(id)
+             |UNION ALL
+             |SELECT 'insert', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0,100) t(id)
+             |UNION ALL
+             |SELECT 'latest', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0,100) t(id)
+             |UNION ALL
+             |SELECT 'v0', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0,1000) t(id)
+             |ORDER BY snap""".stripMargin)),
+
+    // Streaming sink (round 8): `writeStream.format("graft")` commits
+    // each micro-batch to the snapshot log EXACTLY ONCE (txn =
+    // checkpoint identity × batchId — a replayed batch writes
+    // nothing; spec-pinned in GraftSourceSpec). The query drains the
+    // events fixture through the sink with AvailableNow and reads the
+    // landed table back through the DSv2 reader — conservation end to
+    // end: stream in, lakehouse out, nothing lost or doubled. The
+    // content is batch-count independent, so the oracle is the plain
+    // batch aggregate over events.
+    QueryDef("q286_stream_graft_sink",
+      (s, dir) => {
+        val root = freshScratch(s, "q286", "graft-dsv2s")
+        // the fixture is one parquet FILE; the file stream source needs
+        // a directory — reuse the streaming queries' staged split (4
+        // chunk files → multiple micro-batches at maxFilesPerTrigger=1)
+        val src = StreamingQueries.stageEventsDir(s, dir)
+        val schema = s.read.parquet(src).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .writeStream.format("graft")
+          .option("checkpointLocation", s"$root/_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(s"$root/t")
+        q.awaitTermination()
+        s.read.format("graft").load(s"$root/t")
+          .agg(count(lit(1)).as("cnt"),
+            sum("event_id").cast("bigint").as("sum_id"),
+            countDistinct("user_id").cast("bigint").as("users"))
+      },
+      Some("""SELECT COUNT(*) AS cnt, CAST(SUM(event_id) AS BIGINT) AS sum_id,
+             |CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users FROM events""".stripMargin)),
+
     // Metadata-only COUNT(*) (round 8): the DSv2 scan builder pushes a
     // global CountStar down to the MANIFEST — per-file "R" row-count
     // stats summed driver-side, zero data files opened (GraftSourceSpec

@@ -30,7 +30,7 @@ object StreamingQueries extends QueryRegistry {
     * stream in realistic time order — each trigger advances the
     * watermark, like the reference's offload watermark advancing per
     * scan pass (reference: PerformanceConsumer.java:204-232). */
-  private def stageEventsDir(s: SparkSession, dir: String, chunks: Int = 4): String = synchronized {
+  private[queries] def stageEventsDir(s: SparkSession, dir: String, chunks: Int = 4): String = synchronized {
     // Key the staged copy on fixture *content* (mtime+size), not just
     // the path, so a regenerated fixture gets a fresh staging dir; and
     // stage into a temp dir renamed into place atomically, so an

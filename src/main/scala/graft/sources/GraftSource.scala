@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max => AggMax, Min => AggMin}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -55,9 +55,43 @@ import graft.ingest.{Snapshots, SortKeys, Topics}
   * files driver-side from metadata only, and column pruning keeps the
   * scan at ReadSchema width.
   */
-class GraftSource extends TableProvider with DataSourceRegister {
+class GraftSource extends TableProvider with DataSourceRegister
+  with StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft").option("checkpointLocation", …)
+    * .start(root/prefix)` — every micro-batch commits to the snapshot
+    * log EXACTLY ONCE: the transaction id is (checkpoint identity ×
+    * batchId), so a batch replayed after a crash/restart (the
+    * at-least-once micro-batch contract) writes nothing the second
+    * time ([[graft.ingest.Snapshots.appendBatch]]'s check-before-write
+    * discipline). Append mode appends; Complete mode replaces the
+    * table per batch ([[graft.ingest.Snapshots.overwrite]] — the
+    * streaming-aggregation-to-lakehouse shape); Update mode needs
+    * merge keys — use `Snapshots.upsertStream` instead. This is the
+    * reference's consume→offload path as a first-class sink: broker
+    * replay + lakehouse commit = the same end-to-end exactly-once
+    * its ack/watermark pair provides. */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    val (root, prefix, version) = GraftSource.resolve(opts)
+    require(version.isEmpty, "cannot stream into a time-travel read")
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Update(),
+      "update mode needs merge keys — use Snapshots.upsertStream")
+    // the checkpoint location IS the stream's identity across restarts
+    // (Delta's txnAppId analog): same checkpoint ⇒ same txn ids ⇒
+    // replays no-op; a different checkpoint is a different stream
+    val appId = parameters.get("checkpointLocation")
+      .map(p => Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(p)))
+      .getOrElse("nockpt")
+    val complete =
+      outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
+    new GraftStreamSink(root, prefix, appId, complete, partitionColumns)
+  }
 
   // true: CREATE TABLE t (cols) USING graft on an EMPTY path is legal —
   // the user schema defines the table before its first commit exists
@@ -99,6 +133,31 @@ class GraftSource extends TableProvider with DataSourceRegister {
     }
     new GraftTable(root, prefix, version, schema)
   }
+}
+
+/** The micro-batch sink behind `writeStream.format("graft")`: one
+  * snapshot commit per batch, idempotent per (checkpoint, batchId).
+  * Complete mode replaces the table each batch (first batch on an
+  * empty path is a plain first commit). */
+private[sources] class GraftStreamSink(root: String, prefix: String,
+                                       appId: String, complete: Boolean,
+                                       partitionCols: Seq[String])
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    val txn = Some(s"gsink-$appId-$batchId")
+    val spark = data.sparkSession
+    // the engine hands a frame still flagged isStreaming — re-wrap the
+    // executed micro-batch plan as a batch frame before writing
+    val batch = org.apache.spark.sql.GraftStreamingShim.asBatch(spark, data)
+    if (complete && Snapshots.snapshot(root, prefix, None).isDefined)
+      Snapshots.overwrite(spark, root, prefix, batch, txn)
+    else
+      Snapshots.appendBatch(spark, root, prefix, batch, txn, partitionCols)
+    ()
+  }
+
+  override def toString: String = s"GraftStreamSink[$prefix@$root]"
 }
 
 object GraftSource {
@@ -169,31 +228,42 @@ private[sources] class GraftTable(root: String, prefix: String,
   // BATCH_WRITE gets DataFrameWriter.save onto the V2 path at all;
   // V1_BATCH_WRITE is what routes our V1Write fallback to
   // AppendDataExecV1 instead of Write.toBatch (which default-throws).
-  // Both are needed — the same pair Delta's table declares.
+  // Both are needed — the same pair Delta's table declares. TRUNCATE
+  // admits full-table overwrites (INSERT OVERWRITE / mode("overwrite")
+  // — OverwriteByExpression with a true-literal filter), routed to
+  // OverwriteByExpressionExecV1 via the builder's truncate().
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, prefix, version, tableSchema)
 
-  /** APPEND through the snapshot log: new parquet files land under the
-    * table dir (respecting any existing hive-style partition layout)
-    * and one `Snapshots.commit` pins them — readers never see a
-    * half-written batch (files not in a committed snapshot are
-    * invisible), and the commit carries the query id as its txn id,
-    * so a retried/replayed write commits exactly once. Time-travel
-    * reads of the pre-append version keep working by construction. */
+  /** APPEND and OVERWRITE through the snapshot log. Append: new
+    * parquet files land under the table dir (respecting any existing
+    * hive-style partition layout) and one `Snapshots.commit` pins
+    * them — readers never see a half-written batch (files not in a
+    * committed snapshot are invisible), and the commit carries the
+    * query id as its txn id, so a retried/replayed write commits
+    * exactly once. Overwrite (INSERT OVERWRITE / mode("overwrite") —
+    * the builder's truncate() signal, Spark's V1 fallback never sets
+    * the insert() boolean): one `Snapshots.overwrite` commit replaces
+    * the whole table copy-on-write; time travel to any pre-write
+    * version keeps working by construction in both modes. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty, "cannot write to a time-travel read")
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      private var replaceAll = false
+      override def truncate(): WriteBuilder = { replaceAll = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              require(!overwrite,
-                "graft supports append only; use Snapshots.merge/delete/" +
-                  "restore for destructive operations")
+              if (replaceAll || overwrite) {
+                Snapshots.overwrite(data.sparkSession, root, prefix, data,
+                  txn = Option(info.queryId()).map("dsv2-ow-" + _))
+                return
+              }
               val dataDir = new java.io.File(Topics.tableDir(root, prefix))
               // preserve the table's partition layout: walk one
               // hive-style `k=v` chain depth-first so a multi-level
@@ -209,13 +279,15 @@ private[sources] class GraftTable(root: String, prefix: String,
                   }
                 chain(dataDir)
               }
-              data.write.mode("append")
-                .partitionBy(parts: _*)
-                .parquet(dataDir.getAbsolutePath)
-              val prevPos = Snapshots.snapshot(root, prefix, None)
-                .map(_.maxPos).getOrElse(-1L)
-              Snapshots.commit(root, prefix, prevPos,
-                txn = Option(info.queryId()).map("dsv2-" + _))
+              // appendBatch, not commit(): the txn is checked BEFORE
+              // the file write, so a replayed/retried query re-writes
+              // nothing (write-then-commit left a replay's files
+              // unreferenced for the next commit to adopt as
+              // duplicates), and the marked files can't be swept in
+              // by a racing ingest commit
+              Snapshots.appendBatch(data.sparkSession, root, prefix, data,
+                txn = Option(info.queryId()).map("dsv2-" + _),
+                partitionCols = parts)
               ()
             }
           }

@@ -10,4 +10,14 @@ object GraftStreamingShim {
   def asStreaming(spark: SparkSession, df: DataFrame): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
+
+  /** The inverse hop, for the SINK side: `Sink.addBatch` receives a
+    * frame still flagged `isStreaming`, on which `.write` refuses —
+    * re-wrap its executed plan as a batch frame (Delta's sink does
+    * exactly this). The RDD is the micro-batch's physical plan, so
+    * re-evaluation recomputes the batch — callers should evaluate it
+    * once. */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = false)
 }

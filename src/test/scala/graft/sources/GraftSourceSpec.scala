@@ -127,10 +127,11 @@ class GraftSourceSpec extends SparkTestBase {
     val dataDir = new java.io.File(s"$wroot/w")
     assert(!dataDir.listFiles().exists(f =>
       f.isFile && f.getName.endsWith(".parquet")))
-    // overwrite is refused, not silently ignored
-    intercept[Exception] {
-      extra.write.format("graft").mode("overwrite").save(s"$wroot/w")
-    }
+    // mode("overwrite") is a real replace now (round-8 continuation),
+    // not a refusal: the table becomes exactly the written frame
+    extra.write.format("graft").mode("overwrite").save(s"$wroot/w")
+    assert(spark.read.format("graft").load(s"$wroot/w").count() == 10)
+    assert(Snapshots.snapshot(wroot, "w", None).get.op == "overwrite")
   }
 
   test("CREATE TABLE with explicit schema on an empty path, then INSERT INTO") {
@@ -268,6 +269,90 @@ class GraftSourceSpec extends SparkTestBase {
       col("id").as("x"))
     val plan = fact.join(dim, "ba").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("INSERT OVERWRITE replaces the table in one commit; old versions stay readable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_ow").toString
+    ProduceJob.produceBatch(spark, dir, "ow", topics = 1, numMessages = 1000) // v0: ba 0..999
+    val t = s"$dir/ow"
+    // overwrite with a transformed subset of itself through the DSv2 writer
+    spark.read.format("graft").load(t)
+      .filter(col("ba") < 100L)
+      .write.format("graft").mode("overwrite").save(t)
+    // latest = replaced content only
+    val latest = spark.read.format("graft").load(t)
+    assert(latest.count() == 100L)
+    assert(latest.agg(max("ba")).collect()(0).getLong(0) == 99L)
+    // exactly one new version; v0 is intact under time travel
+    assert(Snapshots.versions(dir, "ow") == Seq(0, 1))
+    assert(spark.read.format("graft").option("version", "0").load(t)
+      .count() == 1000L)
+    // the replace is ONE snapshot: files = new set, removed = old set
+    val snap = Snapshots.snapshot(dir, "ow").get
+    assert(snap.op == "overwrite" && snap.removed.nonEmpty && snap.dv.isEmpty)
+    // fresh stats make the metadata COUNT(*) path live immediately
+    assert(Snapshots.metadataRowCount(dir, "ow").contains(100L))
+    // row-grain change feed: replaced rows as deletes, new rows as inserts
+    val feed = Snapshots.readChangeFeed(spark, dir, "ow", fromVersion = 0)
+    assert(feed.filter(col("_change_type") === "delete").count() == 1000L)
+    assert(feed.filter(col("_change_type") === "insert").count() == 100L)
+    // SQL INSERT OVERWRITE through the catalog takes the same path
+    val tbl = "graft_ow_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$t')")
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT concat('n', id), cast(id AS int), " +
+      s"'addr', true, cast(id AS double), id, cast(id AS string), 'ow' " +
+      s"FROM range(0, 7)")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 7L)
+    assert(Snapshots.versions(dir, "ow") == Seq(0, 1, 2))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("writeStream.format(graft): micro-batches commit exactly once; Complete mode replaces") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_sink").toString
+    val ckpt = s"$dir/_ckpt"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val q = ms.toDF().withColumnRenamed("value", "k")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .start(s"$dir/s")
+    try {
+      ms.addData(0L until 100L: _*); q.processAllAvailable()
+      ms.addData(100L until 150L: _*); q.processAllAvailable()
+      val t = spark.read.format("graft").load(s"$dir/s")
+      assert(t.count() == 150L)
+      assert(t.agg(sum("k")).collect()(0).getLong(0) == (0L until 150L).sum)
+      // one commit per non-empty batch, each carrying its txn id
+      val snap = Snapshots.snapshot(dir, "s").get
+      assert(snap.txns.count(_.startsWith("gsink-")) == 2)
+    } finally q.stop()
+    // exactly-once under replay: re-delivering a committed batchId
+    // writes nothing (the at-least-once path a crashed checkpoint takes)
+    val sink = new GraftStreamSink(dir, "s", appId = "fixed", complete = false,
+      partitionCols = Seq.empty)
+    val batch = spark.range(1000, 1010).toDF("k")
+    sink.addBatch(7L, batch)
+    val afterFirst = spark.read.format("graft").load(s"$dir/s").count()
+    sink.addBatch(7L, batch) // replay — must be a no-op
+    assert(afterFirst == 160L)
+    assert(spark.read.format("graft").load(s"$dir/s").count() == 160L)
+    assert(Snapshots.versions(dir, "s").size ==
+      Snapshots.snapshot(dir, "s").get.version + 1)
+    // Complete mode: every batch REPLACES the table (first batch on an
+    // empty path is the first commit)
+    val cs = new GraftStreamSink(dir, "c", appId = "agg", complete = true,
+      partitionCols = Seq.empty)
+    cs.addBatch(0L, spark.range(0, 10).toDF("n"))
+    cs.addBatch(1L, spark.range(0, 3).toDF("n"))
+    val c = spark.read.format("graft").load(s"$dir/c")
+    assert(c.count() == 3L)
+    assert(Snapshots.snapshot(dir, "c").get.op == "overwrite")
+    // pre-replace state is one time travel away
+    assert(spark.read.format("graft").option("version", "0").load(s"$dir/c")
+      .count() == 10L)
   }
 
   test("a declared schema that mismatches the data is refused, not misread") {
