@@ -1531,7 +1531,10 @@ object AnalyticsQueries extends QueryRegistry {
             col("n1"), col("n2"))
           .agg(max("num").as("ks_num"), max("n1").as("n1"), max("n2").as("n2"))
           .select(col("ks_num"), (col("n1") * col("n2")).as("ks_den"),
-            expr("ks_num div ((n1 * n2) div 1000000)").as("ks_ppm"))
+            // GREATEST(1,…): below 1e6 total pairs the ppm scale
+            // degenerates — clamp instead of dividing by zero (tiny
+            // fixtures), identically on both engines
+            expr("ks_num div greatest(1L, (n1 * n2) div 1000000)").as("ks_ppm"))
       },
       Some("""WITH ev AS (
              |  SELECT event_type AS t,
@@ -1552,7 +1555,8 @@ object AnalyticsQueries extends QueryRegistry {
              |       FROM c)
              |SELECT CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_num,
              |  CAST(MAX(n1) * MAX(n2) AS BIGINT) AS ks_den,
-             |  CAST(MAX(ABS(c1 * n2 - c2 * n1)) // ((MAX(n1) * MAX(n2)) // 1000000)
+             |  CAST(MAX(ABS(c1 * n2 - c2 * n1))
+             |       // GREATEST(1, (MAX(n1) * MAX(n2)) // 1000000)
              |       AS BIGINT) AS ks_ppm
              |FROM cm, n""".stripMargin)),
 

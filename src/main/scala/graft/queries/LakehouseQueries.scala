@@ -1157,6 +1157,44 @@ object LakehouseQueries extends QueryRegistry {
       Some("""SELECT COUNT(*) AS cnt, CAST(SUM(event_id) AS BIGINT) AS sum_id,
              |CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users FROM events""".stripMargin)),
 
+    // Incremental graft→graft pipeline (round 8): the table as a
+    // stream SOURCE through the short name — readStream.format(
+    // "graft") turns each snapshot commit into a micro-batch (offsets
+    // ARE commit versions) — chained into the graft SINK, which lands
+    // each batch as one snapshot commit. Three source commits at
+    // maxVersionsPerTrigger=1 become exactly three sink commits: the
+    // reference's consume→offload loop with lakehouse tables on BOTH
+    // ends, incremental by construction (a restart from the
+    // checkpoint would re-read nothing). Output pins conservation
+    // (count/sum through the filter) AND batch-for-batch
+    // incrementality (sink commit count = source commit count).
+    QueryDef("q287_graft_pipeline",
+      (s, _) => {
+        val root = freshScratch(s, "q287", "graft-dsv2pl")
+        ProduceJob.produceBatch(s, root, "a", topics = 1, numMessages = 1000) // v0: ba 0..999
+        Snapshots.appendBatch(s, root, "a",
+          genRows(s, 1000, 1500, "m1", "a", topics = 1), Some("q287v1"), Seq("topic")) // v1
+        Snapshots.appendBatch(s, root, "a",
+          genRows(s, 1500, 1800, "m2", "a", topics = 1), Some("q287v2"), Seq("topic")) // v2
+        val q = s.readStream.format("graft")
+          .option("maxVersionsPerTrigger", "1")
+          .load(s"$root/a")
+          .filter(col("ba") % 2 === 0)
+          .select(col("ba"), col("topic"))
+          .writeStream.format("graft")
+          .option("checkpointLocation", s"$root/_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(s"$root/b")
+        q.awaitTermination()
+        s.read.format("graft").load(s"$root/b")
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+          .select(col("cnt"), col("sum_ba"),
+            lit(Snapshots.versions(root, "b").size).cast("bigint").as("commits"))
+      },
+      Some("""SELECT COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba,
+             |CAST(3 AS BIGINT) AS commits
+             |FROM range(0,1800) t(id) WHERE id % 2 = 0""".stripMargin)),
+
     // Metadata-only COUNT(*) (round 8): the DSv2 scan builder pushes a
     // global CountStar down to the MANIFEST — per-file "R" row-count
     // stats summed driver-side, zero data files opened (GraftSourceSpec

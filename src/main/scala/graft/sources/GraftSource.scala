@@ -56,9 +56,45 @@ import graft.ingest.{Snapshots, SortKeys, Topics}
   * scan at ReadSchema width.
   */
 class GraftSource extends TableProvider with DataSourceRegister
-  with StreamSinkProvider {
+  with StreamSinkProvider with StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  /** `spark.readStream.format("graft").load(root/prefix)` — the table
+    * as a STREAMING SOURCE: every snapshot commit becomes a micro-batch
+    * of the rows it appended ([[graft.streaming.SnapshotStreamSource]]
+    * — offsets ARE commit versions, so checkpointed restarts resume at
+    * the exact commit the log says). Options: `startingVersion` (first
+    * commit to deliver; default 0 = replay the whole log),
+    * `maxVersionsPerTrigger` (poll cap). Combined with the sink above,
+    * `readStream("graft") → transform → writeStream("graft")` is an
+    * incremental lakehouse-to-lakehouse pipeline — the reference's
+    * consume→offload loop with tables on both ends. Spark routes here
+    * (not the DSv2 table path) because GraftTable declares no
+    * MICRO_BATCH_READ; the V1 Source contract is the stable surface
+    * for custom micro-batch sources. */
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    val (root, prefix, version) = GraftSource.resolve(opts)
+    require(version.isEmpty,
+      "a streaming read starts from 'startingVersion', not a pinned 'version'/'tag'")
+    (shortName(), Snapshots.read(ctx.sparkSession, root, prefix).schema)
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    val (root, prefix, version) = GraftSource.resolve(opts)
+    require(version.isEmpty,
+      "a streaming read starts from 'startingVersion', not a pinned 'version'/'tag'")
+    new graft.streaming.SnapshotStreamSource(ctx.sparkSession, root, prefix,
+      Option(opts.get("startingVersion")).map(_.toLong - 1).getOrElse(-1L),
+      Option(opts.get("maxVersionsPerTrigger")).map(_.toInt))
+  }
 
   /** `df.writeStream.format("graft").option("checkpointLocation", …)
     * .start(root/prefix)` — every micro-batch commits to the snapshot

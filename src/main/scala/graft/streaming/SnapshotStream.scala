@@ -60,7 +60,7 @@ object SnapshotSourceProvider {
       parameters.getOrElse("prefix", sys.error("snapshot source needs option 'prefix'")))
 }
 
-private[streaming] class SnapshotStreamSource(spark: SparkSession,
+private[graft] class SnapshotStreamSource(spark: SparkSession,
                                               root: String, prefix: String,
                                               floor: Long,
                                               maxPerTrigger: Option[Int])

@@ -355,6 +355,44 @@ class GraftSourceSpec extends SparkTestBase {
       .count() == 10L)
   }
 
+  test("readStream.format(graft): commits stream as micro-batches; checkpoint resumes at the next commit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_src").toString
+    ProduceJob.produceBatch(spark, dir, "p", topics = 1, numMessages = 100) // v0: ba 0..99
+    Snapshots.appendBatch(spark, dir, "p",
+      ProduceJob.personProjection(spark.range(100, 150).toDF("cnt"), "cnt", "p", 1),
+      Some("srcv1")) // v1
+    val ckpt = s"$dir/_ckpt"
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1")
+        .load(s"$dir/p")
+        .select(col("ba"))
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(s"$dir/q")
+      q.awaitTermination()
+    }
+    drain()
+    // one sink commit per source commit; everything delivered exactly once
+    assert(spark.read.format("graft").load(s"$dir/q").count() == 150L)
+    assert(Snapshots.versions(dir, "q") == Seq(0, 1))
+    // restart with the SAME checkpoint: only commits newer than the
+    // checkpointed version offset are delivered
+    Snapshots.appendBatch(spark, dir, "p",
+      ProduceJob.personProjection(spark.range(150, 160).toDF("cnt"), "cnt", "p", 1),
+      Some("srcv2")) // v2
+    drain()
+    val t = spark.read.format("graft").load(s"$dir/q")
+    assert(t.count() == 160L) // no replay of v0/v1
+    assert(t.agg(sum("ba")).collect()(0).getLong(0) == (0L until 160L).sum)
+    assert(Snapshots.versions(dir, "q") == Seq(0, 1, 2))
+    // a pinned version/tag cannot be a stream start
+    intercept[Exception] {
+      spark.readStream.format("graft").option("version", "0").load(s"$dir/p")
+    }
+  }
+
   test("a declared schema that mismatches the data is refused, not misread") {
     // needConversion=false hands Spark raw InternalRows laid out for
     // the REAL types — a silent type drift would misread field
