@@ -48,7 +48,8 @@ object Bench {
     "q262_pca_power", "q263_rake_keyphrases", "q265_ngram_novelty",
     "q267_sparse_similarity", "q270_ks_drift", "q271_gini",
     "q278_label_noise", "q282_dsv2_append", "q284_meta_count",
-    "q285_dsv2_overwrite", "q286_stream_graft_sink")
+    "q285_dsv2_overwrite", "q286_stream_graft_sink",
+    "q287_graft_pipeline", "q288_replace_where")
 
   private def fmt(v: Double): String = BigDecimal(v)
     .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

@@ -1566,6 +1566,28 @@ object Snapshots {
     * resurrected next to the new content. Idempotent per `txn`.
     * At 100 TB: the write cost is the new data (unavoidable — that IS
     * the operation); the replace itself is one manifest commit. */
+  /** Write `data` as new parquet files under the table dir and
+    * rename-mark them so a racing listing-adoption [[commit]] can
+    * never sweep them in — the caller pins them in its own snapshot
+    * commit (a crash before that commit leaves marked orphans no
+    * commit ever adopts; [[vacuum]] reclaims them). Returns the
+    * marked names relative to the table dir, sorted. */
+  private def writeMarked(root: String, prefix: String, data: DataFrame,
+                          partitionCols: Seq[String] = Seq.empty): Seq[String] = {
+    val base = dataDir(root, prefix)
+    Files.createDirectories(base)
+    val before = listDataFiles(root, prefix).toSet
+    val writer = data.write.mode("append")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(base.toString)
+    (listDataFiles(root, prefix).toSet -- before).toSeq.map { rel =>
+      val abs = base.resolve(rel)
+      val marked = abs.resolveSibling(CompactedPrefix + abs.getFileName)
+      Files.move(abs, marked)
+      base.relativize(marked).toString
+    }.sorted
+  }
+
   def overwrite(spark: SparkSession, root: String, prefix: String,
                 data: DataFrame, txn: Option[String] = None): Int = {
     val snap = snapshot(root, prefix, None).getOrElse(
@@ -1574,16 +1596,8 @@ object Snapshots {
     else {
       enforceConstraints(root, prefix, data)
       val base = dataDir(root, prefix)
-      val before = listDataFiles(root, prefix).toSet
-      val writer = data.write.mode("append")
-      (if (data.columns.contains("topic")) writer.partitionBy("topic") else writer)
-        .parquet(base.toString)
-      val added = (listDataFiles(root, prefix).toSet -- before).toSeq.map { rel =>
-        val abs = base.resolve(rel)
-        val marked = abs.resolveSibling(CompactedPrefix + abs.getFileName)
-        Files.move(abs, marked)
-        base.relativize(marked).toString
-      }.sorted
+      val added = writeMarked(root, prefix, data,
+        if (data.columns.contains("topic")) Seq("topic") else Seq.empty)
       val evs = schemaEvents(root, prefix, Some(snap.version))
       val cdc = readFilesFilled(spark, root, prefix, snap.files, evs, snap.dv)
         .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete"))
@@ -1627,17 +1641,7 @@ object Snapshots {
     else {
       enforceConstraints(root, prefix, data)
       val base = dataDir(root, prefix)
-      Files.createDirectories(base)
-      val before = listDataFiles(root, prefix).toSet
-      val writer = data.write.mode("append")
-      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-        .parquet(base.toString)
-      val added = (listDataFiles(root, prefix).toSet -- before).toSeq.map { rel =>
-        val abs = base.resolve(rel)
-        val marked = abs.resolveSibling(CompactedPrefix + abs.getFileName)
-        Files.move(abs, marked)
-        base.relativize(marked).toString
-      }.sorted
+      val added = writeMarked(root, prefix, data, partitionCols)
       var attempts = 5
       var committed = -1
       while (committed < 0) {
@@ -1658,6 +1662,91 @@ object Snapshots {
         }
       }
       committed
+    }
+  }
+
+  /** replaceWhere (PARTIAL overwrite — Delta's `option("replaceWhere",
+    * …)` / `writeTo(t).overwrite(cond)` semantics): in ONE commit,
+    * every existing row matching `predicate` disappears (merge-on-read
+    * deletion-vector sidecar — no data file is rewritten) and `data`
+    * lands as new files. Every incoming row must SATISFY the
+    * predicate — writing outside the replaced region is refused (the
+    * Delta constraint) — so the commit is a deterministic region
+    * replace: afterward the region holds exactly `data`, everything
+    * else is untouched. The change feed carries replaced rows as
+    * row-grain "delete" pre-images and the new rows as "insert"s.
+    *
+    * Cost at 100 TB: O(matched rows + new data) — a partition-grain
+    * refresh touches the refreshed region only, never the table
+    * (contrast [[overwrite]], which replaces everything). Predicate
+    * NULL keeps the row, the DELETE rule. Conflicts like [[deleteMoR]]:
+    * a concurrent rewrite claiming a matched file aborts the commit
+    * (positions were computed against the old layout). Idempotent per
+    * `txn`. */
+  def overwriteWhere(spark: SparkSession, root: String, prefix: String,
+                     predicate: org.apache.spark.sql.Column, data: DataFrame,
+                     txn: Option[String] = None): Int = {
+    val snap = snapshot(root, prefix, None).getOrElse(
+      sys.error(s"nothing to overwrite for $prefix — commit the table first"))
+    if (txn.exists(snap.txns.contains)) snap.version
+    else {
+      val matches = org.apache.spark.sql.functions.coalesce(
+        predicate, org.apache.spark.sql.functions.lit(false))
+      require(data.filter(!matches).isEmpty,
+        "replaceWhere: every incoming row must satisfy the predicate — " +
+          "rows outside the replaced region would silently survive the next replace")
+      enforceConstraints(root, prefix, data)
+      val base = dataDir(root, prefix)
+      val added = writeMarked(root, prefix, data,
+        if (data.columns.contains("topic")) Seq("topic") else Seq.empty)
+      val evs = schemaEvents(root, prefix, Some(snap.version))
+      // the matched set is what a region replace is FOR — small next
+      // to the table; one materialization feeds sidecar + conflict
+      // check + CDC pre-images (the deleteMoR discipline)
+      val hits = readFilesFilled(spark, root, prefix, snap.files, evs,
+        snap.dv, keepPositions = true)
+        .filter(matches).localCheckpoint(true)
+      val relOffset = base.toString.length + 2 // past base and its '/'
+      val dvName =
+        if (hits.isEmpty) None
+        else Some("dv-" + java.util.UUID.randomUUID().toString.take(8))
+      dvName.foreach { name =>
+        hits.select(
+          org.apache.spark.sql.functions.expr(
+            s"substring($DvPathCol, $relOffset)").as("file"),
+          col(DvPosCol).as("pos"))
+          .coalesce(1)
+          .write.parquet(dvDir(root, prefix).resolve(name).toString)
+      }
+      val touched: Set[String] =
+        if (dvName.isEmpty) Set.empty
+        else hits.select(DvPathCol).distinct()
+          .collect().map(_.getString(0).substring(relOffset - 1)).toSet
+      val cdc = hits.drop(DvPathCol, DvPosCol)
+        .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete"))
+        .unionByName(
+          readFilesFilled(spark, root, prefix, added, evs)
+            .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert")))
+      writeCdc(root, prefix, cdc) {
+        var attempts = 5
+        var committed = -1
+        while (committed < 0) {
+          val cur = snapshot(root, prefix, None).get
+          val claimed = touched -- cur.files.toSet
+          if (claimed.nonEmpty)
+            throw new RewriteConflictException("replacewhere", claimed.toSeq.sorted)
+          val files = (cur.files ++ added).sorted
+          try committed = writeSnapshot(root, prefix, nextVersion(root, prefix),
+            cur.maxPos max snap.maxPos, files, Seq.empty, "replacewhere",
+            cur.txns ++ txn, assembleStats(base, files, cur.stats),
+            extraFields = dvField(cur.dv ++ dvName))
+          catch {
+            case e: ConcurrentCommitException =>
+              attempts -= 1; if (attempts <= 0) throw e
+          }
+        }
+        committed
+      }
     }
   }
 

@@ -1195,6 +1195,50 @@ object LakehouseQueries extends QueryRegistry {
              |CAST(3 AS BIGINT) AS commits
              |FROM range(0,1800) t(id) WHERE id % 2 = 0""".stripMargin)),
 
+    // replaceWhere / partial overwrite (round 8): the ba>=800 region
+    // is replaced by recomputed rows 800..899 in ONE merge-on-read
+    // commit — a DV kills the old region (no file rewritten), new
+    // files carry the refresh, rows outside the predicate are refused.
+    // The partition-refresh shape of incremental pipelines: at 100 TB
+    // the commit costs O(region), never O(table). Output pins all
+    // four facets — v0 intact under time travel, latest = kept ∪ new,
+    // and the row-grain feed carrying exactly the region as deletes.
+    QueryDef("q288_replace_where",
+      (s, _) => {
+        val root = freshScratch(s, "q288", "graft-dsv2rw")
+        ProduceJob.produceBatch(s, root, "r", topics = 1, numMessages = 1000) // v0: ba 0..999
+        val t = s"$root/r"
+        genRows(s, 800, 900, "rw", "r", topics = 1)
+          .write.format("graft").mode("overwrite")
+          .option("replaceWhere", "ba >= 800").save(t)
+        def rd(v: Option[Int]) = {
+          val r = s.read.format("graft")
+          v.fold(r)(x => r.option("version", x.toString)).load(t)
+        }
+        val v0 = rd(Some(0))
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+          .select(lit("v0").as("snap"), col("cnt"), col("sum_ba"))
+        val latest = rd(None)
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+          .select(lit("latest").as("snap"), col("cnt"), col("sum_ba"))
+        val feed = graft.ingest.Snapshots
+          .readChangeFeed(s, root, "r", fromVersion = 0)
+          .groupBy(col("_change_type").as("snap"))
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+        v0.unionAll(latest).unionByName(feed).orderBy("snap")
+      },
+      Some("""SELECT 'delete' AS snap, COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba
+             |FROM range(800,1000) t(id)
+             |UNION ALL
+             |SELECT 'insert', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(800,900) t(id)
+             |UNION ALL
+             |SELECT 'latest', COUNT(*), CAST(SUM(id) AS BIGINT)
+             |FROM (SELECT id FROM range(0,800) t(id)
+             |      UNION ALL SELECT id FROM range(800,900) u(id))
+             |UNION ALL
+             |SELECT 'v0', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0,1000) t(id)
+             |ORDER BY snap""".stripMargin)),
+
     // Metadata-only COUNT(*) (round 8): the DSv2 scan builder pushes a
     // global CountStar down to the MANIFEST — per-file "R" row-count
     // stats summed driver-side, zero data files opened (GraftSourceSpec

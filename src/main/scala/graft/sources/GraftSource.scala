@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max => AggMax, Min => AggMin}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -223,6 +223,32 @@ object GraftSource {
     (root, prefix, version)
   }
 
+  /** V1 overwrite filters → an exact Column predicate. Unlike
+    * [[toRanges]] (advisory pruning — unmapped filters just don't
+    * prune), an overwrite predicate defines WHICH ROWS ARE REPLACED:
+    * dropping a conjunct would delete too much, so anything
+    * untranslatable fails loudly. */
+  private[sources] def filterToColumn(f: Filter): org.apache.spark.sql.Column = f match {
+    case And(l, r) => filterToColumn(l) && filterToColumn(r)
+    case Or(l, r) => filterToColumn(l) || filterToColumn(r)
+    case Not(c) => !filterToColumn(c)
+    case EqualTo(a, v) => col(a) === lit(v)
+    case EqualNullSafe(a, v) => col(a) <=> lit(v)
+    case GreaterThan(a, v) => col(a) > lit(v)
+    case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case LessThan(a, v) => col(a) < lit(v)
+    case LessThanOrEqual(a, v) => col(a) <= lit(v)
+    case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+    case IsNull(a) => col(a).isNull
+    case IsNotNull(a) => col(a).isNotNull
+    case StringStartsWith(a, v) => col(a).startsWith(v)
+    case StringEndsWith(a, v) => col(a).endsWith(v)
+    case StringContains(a, v) => col(a).contains(v)
+    case AlwaysTrue() => lit(true)
+    case AlwaysFalse() => lit(false)
+    case other => sys.error(s"unsupported overwrite predicate: $other")
+  }
+
   /** V1 pushed filters → manifest-stat ranges (conjuncts only; any
     * filter that doesn't map is simply not used for pruning). Strict
     * bounds widen to inclusive — stat overlap is conservative anyway. */
@@ -268,9 +294,14 @@ private[sources] class GraftTable(root: String, prefix: String,
   // admits full-table overwrites (INSERT OVERWRITE / mode("overwrite")
   // — OverwriteByExpression with a true-literal filter), routed to
   // OverwriteByExpressionExecV1 via the builder's truncate().
+  // OVERWRITE_BY_FILTER admits PARTIAL overwrites: INSERT OVERWRITE
+  // with a static partition spec and writeTo(...).overwrite(cond)
+  // arrive as OverwriteByExpression with a real condition, routed to
+  // the builder's overwrite(filters) → Snapshots.overwriteWhere.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, prefix, version, tableSchema)
@@ -288,13 +319,39 @@ private[sources] class GraftTable(root: String, prefix: String,
     * version keeps working by construction in both modes. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty, "cannot write to a time-travel read")
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsOverwrite {
       private var replaceAll = false
+      private var replaceCond: Option[org.apache.spark.sql.Column] = None
       override def truncate(): WriteBuilder = { replaceAll = true; this }
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        // a true-literal condition IS a truncate (Spark sends both
+        // shapes); anything else is a region replace
+        if (filters.isEmpty || filters.forall(_ == AlwaysTrue))
+          replaceAll = true
+        else
+          replaceCond = Some(filters.map(GraftSource.filterToColumn).reduce(_ && _))
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              // mode("overwrite") + option("replaceWhere", "<pred>")
+              // scopes the replace to a region (the Delta option) —
+              // it arrives as a truncate, the predicate rides the
+              // write options
+              val cond = replaceCond.orElse(
+                if (replaceAll || overwrite)
+                  Option(info.options.get("replaceWhere"))
+                    .map(org.apache.spark.sql.functions.expr)
+                else None)
+              cond match {
+                case Some(c) =>
+                  Snapshots.overwriteWhere(data.sparkSession, root, prefix, c,
+                    data, txn = Option(info.queryId()).map("dsv2-rw-" + _))
+                  return
+                case None =>
+              }
               if (replaceAll || overwrite) {
                 Snapshots.overwrite(data.sparkSession, root, prefix, data,
                   txn = Option(info.queryId()).map("dsv2-ow-" + _))

@@ -355,6 +355,44 @@ class GraftSourceSpec extends SparkTestBase {
       .count() == 10L)
   }
 
+  test("replaceWhere overwrites only the matched region, in one commit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_rw").toString
+    ProduceJob.produceBatch(spark, dir, "rw", topics = 1, numMessages = 1000) // v0: ba 0..999
+    val t = s"$dir/rw"
+    // region replace through the write option: ba>=900 → 10 new rows
+    ProduceJob.personProjection(spark.range(900, 910).toDF("cnt"), "cnt", "rw", 1)
+      .write.format("graft").mode("overwrite")
+      .option("replaceWhere", "ba >= 900").save(t)
+    val latest = spark.read.format("graft").load(t)
+    assert(latest.count() == 910L) // 0..899 kept + 900..909 new
+    assert(latest.filter(col("ba") >= 900).count() == 10L)
+    // ONE merge-on-read commit: DV sidecar, no file rewritten, v0 intact
+    val snap = Snapshots.snapshot(dir, "rw").get
+    assert(snap.op == "replacewhere" && snap.dv.nonEmpty)
+    assert(spark.read.format("graft").option("version", "0").load(t).count() == 1000L)
+    // change feed (fromVersion is exclusive): the replaced region as
+    // deletes, the new rows as inserts
+    val feed = Snapshots.readChangeFeed(spark, dir, "rw", fromVersion = 0)
+    assert(feed.filter(col("_change_type") === "delete").count() == 100L)
+    assert(feed.filter(col("_change_type") === "insert").count() == 10L)
+    // a row OUTSIDE the region is refused, not silently written
+    intercept[Exception] {
+      ProduceJob.personProjection(spark.range(0, 5).toDF("cnt"), "cnt", "rw", 1)
+        .write.format("graft").mode("overwrite")
+        .option("replaceWhere", "ba >= 900").save(t)
+    }
+    // writeTo(...).overwrite(cond): the DataFrameWriterV2 /
+    // OverwriteByExpression path routes through SupportsOverwrite
+    val tbl = "graft_rw_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$t')")
+    ProduceJob.personProjection(spark.range(905, 912).toDF("cnt"), "cnt", "rw", 1)
+      .writeTo(tbl).overwrite(col("ba") >= 905)
+    assert(spark.table(tbl).count() == 912L) // 0..904 + 905..911
+    assert(Snapshots.snapshot(dir, "rw").get.op == "replacewhere")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("readStream.format(graft): commits stream as micro-batches; checkpoint resumes at the next commit") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_src").toString
     ProduceJob.produceBatch(spark, dir, "p", topics = 1, numMessages = 100) // v0: ba 0..99
