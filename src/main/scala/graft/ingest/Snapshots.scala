@@ -441,6 +441,21 @@ object Snapshots {
   private def nextVersion(root: String, prefix: String): Int =
     versions(root, prefix).lastOption.map(_ + 1).getOrElse(0)
 
+  /** Commit time per version = the manifest file's modification time
+    * (Delta's `timestampAsOf` anchor): no format change, and it works
+    * for any table that already exists. Metadata-scale — one stat per
+    * version, never a data file. */
+  def commitTimes(root: String, prefix: String): Seq[(Int, Long)] =
+    versions(root, prefix).map(v => v ->
+      Files.getLastModifiedTime(logDir(root, prefix).resolve(f"v$v%05d.json")).toMillis)
+
+  /** The highest version committed at or before `tsMillis`; None if
+    * the table had no commit yet at that time. Filter (not takeWhile):
+    * a copied/restored log whose mtimes are locally out of order still
+    * resolves to the newest qualifying version. */
+  def resolveTimestamp(root: String, prefix: String, tsMillis: Long): Option[Int] =
+    commitTimes(root, prefix).filter(_._2 <= tsMillis).map(_._1).lastOption
+
   /** Load a snapshot (latest PUBLISHED if version is None — staged
     * write-audit-publish commits are invisible to default readers and
     * must be addressed by explicit version). */

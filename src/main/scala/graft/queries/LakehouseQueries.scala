@@ -1239,6 +1239,77 @@ object LakehouseQueries extends QueryRegistry {
              |SELECT 'v0', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0,1000) t(id)
              |ORDER BY snap""".stripMargin)),
 
+    // Timestamp time travel (round 8): option("timestampAsOf", …)
+    // resolves the highest version whose COMMIT TIME (the manifest
+    // file's mtime — Delta's anchor, no format change) is at or
+    // before the instant; epoch-millis and calendar forms both
+    // accepted. The query pins both commits' times to known instants
+    // (the resolver reads mtimes, so setting them IS the tested
+    // surface), then reads between and at the second commit — one
+    // probe per accepted timestamp form. Resolution is metadata-only:
+    // one stat per version, no data file touched.
+    QueryDef("q289_time_travel_ts",
+      (s, _) => {
+        val root = freshScratch(s, "q289", "graft-dsv2tt")
+        ProduceJob.produceBatch(s, root, "t", topics = 1, numMessages = 1000) // v0: ba 0..999
+        Snapshots.appendBatch(s, root, "t",
+          genRows(s, 1000, 1500, "t1", "t", topics = 1), Some("q289v1"), Seq("topic")) // v1
+        Seq(0, 1).foreach { v =>
+          java.nio.file.Files.setLastModifiedTime(
+            java.nio.file.Paths.get(s"$root/t._log/v0000$v.json"),
+            java.nio.file.attribute.FileTime.fromMillis(1000000L * (v + 1)))
+        }
+        def rd(ts: String) = s.read.format("graft")
+          .option("timestampAsOf", ts).load(s"$root/t")
+        val asof0 = rd("1500000") // between the commits → v0
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+          .select(lit("t0").as("probe"), col("cnt"), col("sum_ba"))
+        val asof1 = rd("1970-01-01 00:33:20") // = 2,000,000 ms → v1
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+          .select(lit("t1").as("probe"), col("cnt"), col("sum_ba"))
+        asof0.unionAll(asof1).orderBy("probe")
+      },
+      Some("""SELECT 't0' AS probe, COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba
+             |FROM range(0,1000) t(id)
+             |UNION ALL
+             |SELECT 't1', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0,1500) t(id)
+             |ORDER BY probe""".stripMargin)),
+
+    // SQL DELETE FROM (round 8): the SupportsDelete surface — plain
+    // `DELETE FROM t WHERE …` against a graft catalog table becomes
+    // ONE merge-on-read commit (deletion-vector sidecar, no file
+    // rewritten — the deleteMoR contract, now reachable from SQL).
+    // The filter translation is exact or refused; here a range
+    // conjunction maps cleanly. v0 stays readable; the deleted rows
+    // ride the change feed.
+    QueryDef("q290_sql_delete",
+      (s, _) => {
+        val tbl = "graft_q290_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val root = freshScratch(s, "q290", "graft-dsv2dl", Some(tbl))
+        ProduceJob.produceBatch(s, root, "d", topics = 1, numMessages = 1000) // v0: ba 0..999
+        s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$root/d')")
+        s.sql(s"DELETE FROM $tbl WHERE ba >= 500 AND ba < 700")
+        val latest = s.sql(
+          s"SELECT 'latest' AS snap, count(*) AS cnt, cast(sum(ba) AS bigint) AS sum_ba FROM $tbl")
+        val v0 = s.read.format("graft").option("version", "0").load(s"$root/d")
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+          .select(lit("v0").as("snap"), col("cnt"), col("sum_ba"))
+        val feed = graft.ingest.Snapshots
+          .readChangeFeed(s, root, "d", fromVersion = 0)
+          .groupBy(col("_change_type").as("snap"))
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("sum_ba"))
+        latest.unionAll(v0).unionByName(feed).orderBy("snap")
+      },
+      Some("""SELECT 'delete' AS snap, COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_ba
+             |FROM range(500,700) t(id)
+             |UNION ALL
+             |SELECT 'latest', COUNT(*), CAST(SUM(id) AS BIGINT)
+             |FROM range(0,1000) t(id) WHERE id < 500 OR id >= 700
+             |UNION ALL
+             |SELECT 'v0', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0,1000) t(id)
+             |ORDER BY snap""".stripMargin)),
+
     // Metadata-only COUNT(*) (round 8): the DSv2 scan builder pushes a
     // global CountStar down to the MANIFEST — per-file "R" row-count
     // stats summed driver-side, zero data files opened (GraftSourceSpec

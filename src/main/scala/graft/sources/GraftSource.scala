@@ -121,7 +121,7 @@ class GraftSource extends TableProvider with DataSourceRegister
     // the checkpoint location IS the stream's identity across restarts
     // (Delta's txnAppId analog): same checkpoint ⇒ same txn ids ⇒
     // replays no-op; a different checkpoint is a different stream
-    val appId = parameters.get("checkpointLocation")
+    val appId = Option(opts.get("checkpointLocation")) // case-insensitive lookup
       .map(p => Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(p)))
       .getOrElse("nockpt")
     val complete =
@@ -220,8 +220,24 @@ object GraftSource {
       .orElse(Option(options.get("tag")).map(t =>
         Snapshots.resolveTag(root, prefix, t).getOrElse(
           sys.error(s"no tag '$t' for $prefix"))))
+      .orElse(Option(options.get("timestampAsOf")).map { t =>
+        Snapshots.resolveTimestamp(root, prefix, parseTs(t)).getOrElse(
+          sys.error(s"no commit of $prefix at or before '$t'"))
+      })
     (root, prefix, version)
   }
+
+  /** `timestampAsOf` accepts epoch millis, `yyyy-MM-dd HH:mm:ss[.SSS]`
+    * (UTC — the session convention), or an ISO-8601 instant. */
+  private def parseTs(t: String): Long =
+    if (t.forall(_.isDigit)) t.toLong
+    else try java.time.LocalDateTime
+      .parse(t.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.time.Instant.parse(t).toEpochMilli
+    }
 
   /** V1 overwrite filters → an exact Column predicate. Unlike
     * [[toRanges]] (advisory pruning — unmapped filters just don't
@@ -280,7 +296,30 @@ object GraftSource {
 
 private[sources] class GraftTable(root: String, prefix: String,
                                   version: Option[Int], tableSchema: StructType)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** SQL `DELETE FROM t WHERE …` — one merge-on-read commit
+    * ([[Snapshots.deleteMoR]]): a deletion-vector sidecar marks the
+    * matched rows, no data file is rewritten, old versions stay
+    * readable, the rows ride the change feed as deletes. The filter
+    * translation is EXACT ([[GraftSource.filterToColumn]] — a dropped
+    * conjunct would delete too much); canDeleteWhere declines anything
+    * untranslatable so Spark rewrites the delete as a scan-and-replace
+    * plan instead of us guessing. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    version.isEmpty && filters.forall(f =>
+      try { GraftSource.filterToColumn(f); true }
+      catch { case _: RuntimeException => false })
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(version.isEmpty, "cannot delete from a time-travel read")
+    val cond =
+      if (filters.isEmpty) lit(true)
+      else filters.map(GraftSource.filterToColumn).reduce(_ && _)
+    Snapshots.deleteMoR(SparkSession.active, root, prefix, cond)
+    ()
+  }
 
   override def name(): String =
     s"graft.$prefix@$root${version.map("#v" + _).getOrElse("")}"

@@ -431,6 +431,54 @@ class GraftSourceSpec extends SparkTestBase {
     }
   }
 
+  test("SQL DELETE FROM routes to one merge-on-read commit; untranslatable predicates refuse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_del").toString
+    ProduceJob.produceBatch(spark, dir, "dl", topics = 1, numMessages = 1000) // v0: ba 0..999
+    val tbl = "graft_del_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$dir/dl')")
+    spark.sql(s"DELETE FROM $tbl WHERE ba >= 900")
+    assert(spark.table(tbl).count() == 900L)
+    // merge-on-read: DV sidecar, no rewrite, v0 one time travel away
+    val snap = Snapshots.snapshot(dir, "dl").get
+    assert(snap.op == "deletemor" && snap.dv.nonEmpty)
+    assert(spark.read.format("graft").option("version", "0").load(s"$dir/dl")
+      .count() == 1000L)
+    // a predicate the translator cannot express exactly must refuse
+    // loudly — a dropped conjunct would delete the wrong rows
+    intercept[Exception](spark.sql(s"DELETE FROM $tbl WHERE ba % 10 = 0"))
+    assert(spark.table(tbl).count() == 900L) // nothing happened
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("timestampAsOf resolves the version committed at or before the instant") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_tt").toString
+    ProduceJob.produceBatch(spark, dir, "tt", topics = 1, numMessages = 100) // v0
+    Snapshots.appendBatch(spark, dir, "tt",
+      ProduceJob.personProjection(spark.range(100, 150).toDF("cnt"), "cnt", "tt", 1),
+      Some("ttv1")) // v1
+    // commit time IS the manifest file's mtime — pin both to known
+    // instants so the probe timestamps are constants
+    import java.nio.file.attribute.FileTime
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/tt._log/v00000.json"), FileTime.fromMillis(1000000L))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/tt._log/v00001.json"), FileTime.fromMillis(2000000L))
+    assert(Snapshots.commitTimes(dir, "tt") == Seq(0 -> 1000000L, 1 -> 2000000L))
+    assert(Snapshots.resolveTimestamp(dir, "tt", 1500000L).contains(0))
+    def rd(ts: String) = spark.read.format("graft")
+      .option("timestampAsOf", ts).load(s"$dir/tt")
+    assert(rd("1500000").count() == 100L) // between the commits → v0
+    assert(rd("2000000").count() == 150L) // exactly at v1 → v1
+    // calendar form, UTC: 1970-01-01 00:25:00 = 1,500,000 ms
+    assert(rd("1970-01-01 00:25:00").count() == 100L)
+    // before the first commit: the table did not exist yet
+    intercept[Exception](rd("999999").count())
+    // version option still wins over timestampAsOf
+    assert(spark.read.format("graft").option("version", "1")
+      .option("timestampAsOf", "1500000").load(s"$dir/tt").count() == 150L)
+  }
+
   test("a declared schema that mismatches the data is refused, not misread") {
     // needConversion=false hands Spark raw InternalRows laid out for
     // the REAL types — a silent type drift would misread field
