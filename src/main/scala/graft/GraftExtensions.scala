@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // then collapse dot/sqrt(dot*dot) into one CosineSimilarity loop
     ext.injectOptimizerRule(_ => graft.plans.FuseDotProduct)
     ext.injectOptimizerRule(_ => graft.plans.FuseCosine)
+    // SQL UPDATE / MERGE INTO on graft tables: lower the resolved
+    // UpdateTable/MergeIntoTable nodes (which Spark only rewrites for
+    // SupportsRowLevelOperations tables) to copy-on-write commands —
+    // the Delta interception point
+    ext.injectPostHocResolutionRule(_ => graft.sources.GraftDml)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float/double arrays"),

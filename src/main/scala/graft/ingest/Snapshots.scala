@@ -1555,6 +1555,264 @@ object Snapshots {
     }
   }
 
+  /** UPDATE (copy-on-write): rows matching `predicate` get `sets`
+    * applied; everything else survives byte-identical. Only files that
+    * actually contain matching rows are rewritten (same attribution as
+    * [[delete]]); at 100 TB a selective update touches a handful of
+    * files, never the table. Semantics follow SQL UPDATE:
+    *  - a NULL predicate keeps the row untouched (like [[delete]]'s
+    *    NULL-keeps rule, mirrored);
+    *  - assignments are SIMULTANEOUS — every SET value is evaluated
+    *    against the OLD row (`SET a = b, b = a` swaps), which is why
+    *    all assignments ride ONE select over the pre-image;
+    *  - assigned values are cast to the column's declared type.
+    * CHECK constraints are enforced on the POST-image of matched rows
+    * before any commit; updates ride the change feed as
+    * update_preimage/update_postimage pairs (Delta CDF parity). */
+  def updateWhere(spark: SparkSession, root: String, prefix: String,
+                  predicate: org.apache.spark.sql.Column,
+                  sets: Seq[(String, org.apache.spark.sql.Column)],
+                  txn: Option[String] = None): Int = {
+    require(sets.nonEmpty, "UPDATE needs at least one assignment")
+    val snap = snapshot(root, prefix, None).getOrElse(
+      sys.error(s"nothing to update for $prefix"))
+    if (txn.exists(snap.txns.contains)) snap.version
+    else {
+      val matches = org.apache.spark.sql.functions.coalesce(
+        predicate, org.apache.spark.sql.functions.lit(false))
+      val evs = schemaEvents(root, prefix, Some(snap.version))
+      val withFile = readFilesFilled(spark, root, prefix, snap.files, evs,
+        snap.dv, keepPositions = true)
+      val matchedFiles = withFile.filter(matches)
+        .select(DvPathCol).distinct()
+        .collect().map(_.getString(0))
+        .map(uri => snap.files.find(f => uri.endsWith(f)).getOrElse(
+          sys.error(s"unattributable file $uri")))
+        .toSeq.sorted
+      if (matchedFiles.isEmpty) snap.version // nothing matched — no new version
+      else {
+        val touched = readFilesFilled(spark, root, prefix, matchedFiles, evs, snap.dv)
+        val setMap = sets.toMap
+        require(setMap.keySet.subsetOf(touched.columns.toSet),
+          s"UPDATE of unknown column(s): ${(setMap.keySet -- touched.columns).mkString(", ")}")
+        // the hit column pins the predicate's PRE-image verdict per row:
+        // the post-image select below must not re-evaluate the predicate
+        // against assigned values
+        val hit = "_graft_hit"
+        val marked = touched.withColumn(hit, matches)
+        val out = marked.select(touched.columns.map { c =>
+          setMap.get(c) match {
+            case Some(v) => org.apache.spark.sql.functions
+              .when(col(hit), v.cast(touched.schema(c).dataType))
+              .otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        } :+ col(hit): _*)
+        enforceConstraints(root, prefix, out.filter(col(hit)).drop(hit))
+        val added = writeMarked(root, prefix, out.drop(hit),
+          if (touched.columns.contains("topic")) Seq("topic") else Seq.empty)
+        val cdc = touched.filter(matches)
+          .withColumn("_change_type",
+            org.apache.spark.sql.functions.lit("update_preimage"))
+          .unionByName(out.filter(col(hit)).drop(hit)
+            .withColumn("_change_type",
+              org.apache.spark.sql.functions.lit("update_postimage")))
+        writeCdc(root, prefix, cdc) {
+          commitRewrite(root, prefix, "update", matchedFiles.toSet, added,
+            matchedFiles, snap.maxPos, txn)
+        }
+      }
+    }
+  }
+
+  /** One SQL MERGE clause. `condition` is a SQL predicate over the
+    * joined row — target columns by their own names, source columns
+    * under the `_graft_src_` prefix ([[SrcColPrefix]]); None = always
+    * fires. `set` maps target columns to SQL value expressions (same
+    * namespace); None means DELETE, for INSERT clauses unassigned
+    * target columns become NULL. Clauses fire FIRST-WINS in
+    * declaration order (the SQL standard's rule). */
+  final case class MergeClause(condition: Option[String],
+                               set: Option[Seq[(String, String)]])
+
+  /** Source-column namespace inside [[MergeClause]] SQL. */
+  val SrcColPrefix = "_graft_src_"
+
+  /** SQL MERGE's cardinality rule: a target row matched by more than
+    * one source row has no well-defined update/delete outcome. */
+  final class MergeCardinalityException(rows: Long)
+    extends RuntimeException(
+      s"MERGE: $rows target row(s) matched by more than one source row " +
+        "— the SQL standard leaves their outcome undefined; " +
+        "deduplicate the source on the merge keys")
+
+  /** SQL `MERGE INTO` (copy-on-write) — the full three-clause surface:
+    * WHEN MATCHED [AND cond] THEN UPDATE SET …/DELETE, WHEN NOT MATCHED
+    * [AND cond] THEN INSERT …, WHEN NOT MATCHED BY SOURCE [AND cond]
+    * THEN UPDATE/DELETE. Unlike the keyed [[merge]] (upsert-by-key, the
+    * streaming path), this executes arbitrary resolved clause
+    * conditions and assignment expressions — the generality SQL needs.
+    *
+    * Scale shape: only files CONTAINING a matched row are rewritten —
+    * located by a semi join of the target against the source on the
+    * merge condition (file names collected; rows never are). Rows of
+    * untouched files survive as-is. WHEN NOT MATCHED BY SOURCE is the
+    * one clause that must see EVERY target row, so its presence widens
+    * the rewrite to all files — exactly Delta's behavior. The source is
+    * materialized once ([[DataFrame.localCheckpoint]]): a merge source
+    * is change-batch-scale by design, never the corpus.
+    *
+    * Matched pairs / target-only / source-only rows come from three
+    * separate joins (inner, left_anti, right-side left_anti) instead of
+    * one full outer: each is plannable for ANY merge condition (equi →
+    * sort-merge, non-equi → broadcast nested loop with the
+    * change-batch-sized source broadcast) and needs no null-marker
+    * disambiguation. Cardinality is enforced before any write
+    * ([[MergeCardinalityException]]); CHECK constraints run on the
+    * post-images; all changes ride the feed (insert /
+    * update_preimage+postimage / delete). */
+  def mergeInto(spark: SparkSession, root: String, prefix: String,
+                source: DataFrame, condSql: String,
+                matched: Seq[MergeClause], notMatched: Seq[MergeClause],
+                notMatchedBySource: Seq[MergeClause],
+                tableSchema: org.apache.spark.sql.types.StructType,
+                txn: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.{expr, lit, when}
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    require(notMatched.forall(_.set.isDefined),
+      "WHEN NOT MATCHED supports only INSERT")
+    val snap = snapshot(root, prefix, None).getOrElse(
+      sys.error(s"nothing to merge into for $prefix"))
+    if (txn.exists(snap.txns.contains)) snap.version
+    else {
+      val evs = schemaEvents(root, prefix, Some(snap.version))
+      val badSrc = source.columns.filterNot(_.startsWith(SrcColPrefix))
+      require(badSrc.isEmpty,
+        s"merge source columns must carry $SrcColPrefix: ${badSrc.mkString(", ")}")
+      val src = source.localCheckpoint(true)
+      val cond = expr(condSql)
+      // a SCHEMA-TYPED empty target (readFilesFilled on zero files is
+      // column-less, which would fail the condition's resolution) —
+      // MERGE into a fresh CREATE TABLE is pure insert and must work
+      def emptyTarget: DataFrame = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(tableSchema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField(DvPathCol,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(DvPosCol,
+            org.apache.spark.sql.types.LongType))))
+      // attribution: which target files hold at least one matched row
+      val targetAll =
+        if (snap.files.isEmpty) emptyTarget
+        else readFilesFilled(spark, root, prefix, snap.files, evs,
+          snap.dv, keepPositions = true)
+      val matchedFiles: Seq[String] =
+        if (notMatchedBySource.nonEmpty) snap.files
+        else targetAll.join(src, cond, "left_semi")
+          .select(DvPathCol).distinct()
+          .collect().map(_.getString(0))
+          .map(uri => snap.files.find(f => uri.endsWith(f)).getOrElse(
+            sys.error(s"unattributable file $uri")))
+          .toSeq.sorted
+      val touched =
+        if (matchedFiles.isEmpty) targetAll.limit(0)
+        else readFilesFilled(spark, root, prefix, matchedFiles, evs,
+          snap.dv, keepPositions = true)
+      val tSchema = org.apache.spark.sql.types.StructType(
+        touched.schema.filterNot(f => f.name == DvPathCol || f.name == DvPosCol))
+      val tCols = tSchema.fieldNames.toSeq
+      val pairs = touched.join(src, cond, "inner")
+      val targetOnly = touched.join(src, cond, "left_anti")
+      val srcOnly = src.join(touched, cond, "left_anti")
+      // first-wins clause selection: 1-based fired-clause index, 0 = none
+      def fired(clauses: Seq[MergeClause]): org.apache.spark.sql.Column =
+        clauses.zipWithIndex.foldRight(lit(0)) { case ((cl, i), rest) =>
+          when(cl.condition.map(expr).getOrElse(lit(true)), lit(i + 1))
+            .otherwise(rest)
+        }
+      def deleteIdx(clauses: Seq[MergeClause]): Seq[Integer] =
+        clauses.zipWithIndex.collect { case (c, i) if c.set.isEmpty =>
+          Integer.valueOf(i + 1) }
+      val act = "_graft_act"
+      /** SET application over already-fired rows: CASE per target
+        * column on the fired index; `insert` makes NULL (not the old
+        * value) the unassigned base. */
+      def applySets(df: DataFrame, clauses: Seq[MergeClause],
+                    insert: Boolean): DataFrame =
+        df.select(tCols.map { c =>
+          val base = if (insert) lit(null).cast(tSchema(c).dataType)
+                     else col(c)
+          clauses.zipWithIndex.foldLeft(base) { case (acc, (cl, i)) =>
+            cl.set.flatMap(_.toMap.get(c)) match {
+              case Some(v) => when(col(act) === (i + 1),
+                expr(v).cast(tSchema(c).dataType)).otherwise(acc)
+              case None => acc
+            }
+          }.as(c)
+        }: _*)
+      // matched family: evaluate per PAIR, keep firing pairs only;
+      // a target row whose every pair is unfired survives ONCE via the
+      // row-id anti join below (never through the pair rows — a
+      // multi-match row would duplicate)
+      val mFired = pairs.withColumn(act, fired(matched))
+        .filter(col(act) =!= 0).localCheckpoint(true)
+      if (matched.nonEmpty && matchedFiles.nonEmpty) {
+        // SQL's cardinality rule, modification-scoped like Delta's:
+        // >1 FIRING pair for one target row is ambiguous; unfired
+        // extra matches are harmless
+        val dups = mFired.groupBy(col(DvPathCol), col(DvPosCol))
+          .count().filter(col("count") > 1).count()
+        if (dups > 0) throw new MergeCardinalityException(dups)
+      }
+      val sFired = targetOnly.withColumn(act, fired(notMatchedBySource))
+        .filter(col(act) =!= 0)
+      val firedKeys = mFired.select(col(DvPathCol), col(DvPosCol))
+        .unionByName(sFired.select(col(DvPathCol), col(DvPosCol)))
+      val survivors = touched
+        .join(org.apache.spark.sql.functions.broadcast(firedKeys),
+          Seq(DvPathCol, DvPosCol), "left_anti")
+        .select(tCols.map(col): _*)
+      val mUpdates = applySets(mFired.filter(!col(act).isin(deleteIdx(matched): _*)),
+        matched, insert = false)
+      val sUpdates = applySets(sFired.filter(!col(act).isin(deleteIdx(notMatchedBySource): _*)),
+        notMatchedBySource, insert = false)
+      val inserts = applySets(srcOnly.withColumn(act, fired(notMatched))
+        .filter(col(act) =!= 0), notMatched, insert = true)
+      if (matchedFiles.isEmpty && inserts.isEmpty) snap.version
+      else {
+        val changedPost = mUpdates.unionByName(sUpdates).unionByName(inserts)
+        enforceConstraints(root, prefix, changedPost)
+        val out = survivors.unionByName(mUpdates)
+          .unionByName(sUpdates).unionByName(inserts)
+        val added = writeMarked(root, prefix, out,
+          if (tCols.contains("topic")) Seq("topic") else Seq.empty)
+        // change feed: deletes = firing DELETE-clause pre-images;
+        // updates carry both images; inserts their post-image
+        def split(firedDf: DataFrame, clauses: Seq[MergeClause]) = {
+          val d = deleteIdx(clauses)
+          val del = if (d.isEmpty) firedDf.limit(0)
+                    else firedDf.filter(col(act).isin(d: _*))
+          val upd = firedDf.filter(!col(act).isin(d: _*))
+          (del.select(tCols.map(col): _*), upd.select(tCols.map(col): _*))
+        }
+        val (mDel, mUpdPre) = split(mFired, matched)
+        val (sDel, sUpdPre) = split(sFired, notMatchedBySource)
+        val cdc = mDel.unionByName(sDel)
+          .withColumn("_change_type", lit("delete"))
+          .unionByName(mUpdPre.unionByName(sUpdPre)
+            .withColumn("_change_type", lit("update_preimage")))
+          .unionByName(mUpdates.unionByName(sUpdates)
+            .withColumn("_change_type", lit("update_postimage")))
+          .unionByName(inserts.withColumn("_change_type", lit("insert")))
+        writeCdc(root, prefix, cdc) {
+          commitRewrite(root, prefix, "merge", matchedFiles.toSet, added,
+            matchedFiles, snap.maxPos, txn)
+        }
+      }
+    }
+  }
+
   /** INSERT OVERWRITE (full-table replace, copy-on-write): `data`
     * becomes the table's ENTIRE content in one commit. New files land
     * beside the old bytes (append-mode write, then rename-marked so a

@@ -1338,6 +1338,108 @@ object LakehouseQueries extends QueryRegistry {
              |      UNION ALL SELECT id FROM range(0,1321) u(id))
              |UNION ALL
              |SELECT 'v0', COUNT(*) FROM range(0,3000) t(id)
+             |ORDER BY snap""".stripMargin)),
+
+    // SQL UPDATE (round 8): `UPDATE t SET … WHERE …` against a graft
+    // catalog table — the GraftDml lowering (UpdateTable is resolved
+    // by Spark's analyzer, rewritten by our post-hoc rule, executed
+    // copy-on-write by Snapshots.updateWhere; only the file holding
+    // the matched ba-range is rewritten). Assignments are
+    // simultaneous (ba both read and written in one SET list); v0
+    // stays readable; both CDC images ride the feed.
+    QueryDef("q291_sql_update",
+      (s, _) => {
+        val tbl = "graft_q291_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val root = freshScratch(s, "q291", "graft-dsv2up", Some(tbl))
+        ProduceJob.produceBatch(s, root, "u", topics = 1, numMessages = 1000)
+        s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$root/u')")
+        s.sql(s"UPDATE $tbl SET ba = ba + 10000, name = 'upd' " +
+          "WHERE ba >= 500 AND ba < 600")
+        val latest = s.sql(
+          s"""SELECT 'latest' AS snap, count(*) AS cnt,
+             |cast(sum(ba) AS bigint) AS sum_ba,
+             |count(if(name = 'upd', 1, null)) AS tagged FROM $tbl""".stripMargin)
+        val v0 = s.read.format("graft").option("version", "0").load(s"$root/u")
+          .agg(count(lit(1)).as("cnt"),
+            sum("ba").cast("bigint").as("sum_ba"),
+            count(when(col("name") === "upd", 1)).as("tagged"))
+          .select(lit("v0").as("snap"), col("cnt"), col("sum_ba"), col("tagged"))
+        val feed = graft.ingest.Snapshots
+          .readChangeFeed(s, root, "u", fromVersion = 0)
+          .groupBy(col("_change_type").as("snap"))
+          .agg(count(lit(1)).as("cnt"),
+            sum("ba").cast("bigint").as("sum_ba"),
+            count(when(col("name") === "upd", 1)).as("tagged"))
+        latest.unionAll(v0).unionByName(feed).orderBy("snap")
+      },
+      Some("""SELECT 'latest' AS snap, COUNT(*) AS cnt,
+             |  CAST(SUM(CASE WHEN id >= 500 AND id < 600 THEN id + 10000 ELSE id END) AS BIGINT) AS sum_ba,
+             |  100 AS tagged
+             |FROM range(0,1000) t(id)
+             |UNION ALL
+             |SELECT 'update_postimage', COUNT(*), CAST(SUM(id + 10000) AS BIGINT), 100
+             |FROM range(500,600) t(id)
+             |UNION ALL
+             |SELECT 'update_preimage', COUNT(*), CAST(SUM(id) AS BIGINT), 0
+             |FROM range(500,600) t(id)
+             |UNION ALL
+             |SELECT 'v0', COUNT(*), CAST(SUM(id) AS BIGINT), 0
+             |FROM range(0,1000) t(id)
+             |ORDER BY snap""".stripMargin)),
+
+    // SQL MERGE INTO (round 8): the full three-outcome clause surface
+    // in one statement — conditional UPDATE, fallthrough DELETE
+    // (first-wins order), conditional INSERT — lowered by GraftDml to
+    // Snapshots.mergeInto (copy-on-write; only files holding matched
+    // rows rewritten; unassigned INSERT columns NULL-fill). The
+    // oracle replays the clause algebra over range(): evens of
+    // 900..999 update, odds delete, 1000..1099 insert.
+    QueryDef("q292_sql_merge",
+      (s, _) => {
+        val tbl = "graft_q292_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val root = freshScratch(s, "q292", "graft-dsv2mg", Some(tbl))
+        ProduceJob.produceBatch(s, root, "m", topics = 1, numMessages = 1000)
+        s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$root/m')")
+        s.sql("""CREATE OR REPLACE TEMP VIEW q292_src AS
+          SELECT CAST(id AS BIGINT) AS ba, concat('s', id) AS nm
+          FROM range(900, 1100)""")
+        s.sql(s"""MERGE INTO $tbl t USING q292_src s
+          ON t.ba = s.ba
+          WHEN MATCHED AND s.ba % 2 = 0 THEN UPDATE SET name = s.nm
+          WHEN MATCHED THEN DELETE
+          WHEN NOT MATCHED THEN INSERT (ba, name) VALUES (s.ba, s.nm)""")
+        val latest = s.sql(
+          s"""SELECT 'latest' AS snap, count(*) AS cnt,
+             |cast(sum(ba) AS bigint) AS sum_ba,
+             |count(if(name LIKE 's%', 1, null)) AS tagged FROM $tbl""".stripMargin)
+        val feed = graft.ingest.Snapshots
+          .readChangeFeed(s, root, "m", fromVersion = 0)
+          .groupBy(col("_change_type").as("snap"))
+          .agg(count(lit(1)).as("cnt"),
+            sum("ba").cast("bigint").as("sum_ba"),
+            count(when(col("name").like("s%"), 1)).as("tagged"))
+        latest.unionByName(feed).orderBy("snap")
+      },
+      Some("""WITH odd_dead AS (SELECT id FROM range(900,1000) t(id) WHERE id % 2 = 1),
+             |     upd AS (SELECT id FROM range(900,1000) t(id) WHERE id % 2 = 0),
+             |     ins AS (SELECT id FROM range(1000,1100) t(id))
+             |SELECT 'delete' AS snap, COUNT(*) AS cnt,
+             |  CAST(SUM(id) AS BIGINT) AS sum_ba, 0 AS tagged FROM odd_dead
+             |UNION ALL
+             |SELECT 'insert', COUNT(*), CAST(SUM(id) AS BIGINT), COUNT(*) FROM ins
+             |UNION ALL
+             |SELECT 'latest',
+             |  (SELECT COUNT(*) FROM range(0,1000) t(id)) - (SELECT COUNT(*) FROM odd_dead)
+             |    + (SELECT COUNT(*) FROM ins),
+             |  CAST((SELECT SUM(id) FROM range(0,1000) t(id)) - (SELECT SUM(id) FROM odd_dead)
+             |    + (SELECT SUM(id) FROM ins) AS BIGINT),
+             |  (SELECT COUNT(*) FROM upd) + (SELECT COUNT(*) FROM ins)
+             |UNION ALL
+             |SELECT 'update_postimage', COUNT(*), CAST(SUM(id) AS BIGINT), COUNT(*) FROM upd
+             |UNION ALL
+             |SELECT 'update_preimage', COUNT(*), CAST(SUM(id) AS BIGINT), 0 FROM upd
              |ORDER BY snap""".stripMargin))
   )
 }

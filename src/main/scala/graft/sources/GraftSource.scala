@@ -294,7 +294,7 @@ object GraftSource {
   }
 }
 
-private[sources] class GraftTable(root: String, prefix: String,
+private[sources] class GraftTable(val root: String, val prefix: String,
                                   version: Option[Int], tableSchema: StructType)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -320,6 +320,9 @@ private[sources] class GraftTable(root: String, prefix: String,
     Snapshots.deleteMoR(SparkSession.active, root, prefix, cond)
     ()
   }
+
+  /** Time-travel pin, if any — `Table.version()` owns the name. */
+  private[sources] def pinnedVersion: Option[Int] = version
 
   override def name(): String =
     s"graft.$prefix@$root${version.map("#v" + _).getOrElse("")}"

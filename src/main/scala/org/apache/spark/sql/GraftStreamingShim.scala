@@ -20,4 +20,12 @@ object GraftStreamingShim {
   def asBatch(spark: SparkSession, df: DataFrame): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = false)
+
+  /** `classic.Dataset.ofRows` is `private[sql]`: the SQL DML commands
+    * (UPDATE/MERGE INTO, `graft.sources.GraftDml`) carry the MERGE
+    * source as the analyzer-resolved LogicalPlan and must evaluate it
+    * at run() time — the same hop Delta's MergeIntoCommand takes. */
+  def ofRows(spark: SparkSession,
+             plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ingest.{ProduceJob, Snapshots}
+
+/** SQL row-level DML (UPDATE / MERGE INTO) over graft tables: the
+  * GraftDml lowering must honor SQL semantics (simultaneous
+  * assignment, first-wins clauses, the cardinality rule), rewrite only
+  * matched files, keep old versions readable, and feed the CDC. */
+class GraftDmlSpec extends SparkTestBase {
+
+  private def fresh(tag: String): (String, String) = {
+    val root = s"/tmp/graft/dmlspec-$tag-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    new java.io.File(root).mkdirs()
+    // several files with disjoint contiguous ba spans (range partitions)
+    ProduceJob.produceBatch(spark, root, "t", topics = 1, numMessages = 4000)
+    val tbl = "dml_" + tag
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$root/t')")
+    (root, tbl)
+  }
+
+  test("UPDATE rewrites only files containing matches; v0 stays readable") {
+    val (root, tbl) = fresh("upd")
+    val v0Files = Snapshots.snapshot(root, "t").get.files
+    assert(v0Files.size > 1, "fixture must span several files")
+    spark.sql(s"UPDATE $tbl SET name = 'upd', ba = ba + 100000 WHERE ba >= 3990")
+    val v1 = Snapshots.snapshot(root, "t").get
+    assert(v1.op == "update")
+    // a selective predicate touches ONE range-partitioned file
+    assert(v1.removed.size == 1, s"rewrote ${v1.removed}")
+    assert((v0Files.toSet -- v1.files.toSet) == v1.removed.toSet)
+    val r = spark.sql(
+      s"SELECT count(*) cnt, sum(ba) s, count(if(name='upd',1,null)) u FROM $tbl")
+      .head()
+    assert(r.getLong(0) == 4000L)
+    assert(r.getLong(2) == 10L)
+    assert(r.getLong(1) == (0L until 4000L).sum + 10L * 100000L)
+    // snapshot isolation: v0 unchanged
+    val v0 = spark.read.format("graft").option("version", "0").load(s"$root/t")
+    assert(v0.agg(sum("ba")).head().getLong(0) == (0L until 4000L).sum)
+    // CDC carries both images
+    val feed = Snapshots.readChangeFeed(spark, root, "t", fromVersion = 0)
+      .groupBy("_change_type").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(feed.get("update_preimage").contains(10L))
+    assert(feed.get("update_postimage").contains(10L))
+  }
+
+  test("UPDATE assignments are simultaneous (swap) and NULL-predicate keeps rows") {
+    val (root, tbl) = fresh("swap")
+    val before = spark.sql(s"SELECT age, score FROM $tbl WHERE ba = 7").head()
+    spark.sql(s"UPDATE $tbl SET age = CAST(score AS INT), score = CAST(age AS DOUBLE) WHERE ba = 7")
+    val after = spark.sql(s"SELECT age, score FROM $tbl WHERE ba = 7").head()
+    assert(after.getInt(0) == before.getDouble(1).toInt)
+    assert(after.getDouble(1) == before.getInt(0).toDouble)
+    // NULL predicate keeps the row: no match -> no new version
+    val v = Snapshots.snapshot(root, "t").get.version
+    spark.sql(s"UPDATE $tbl SET name = 'x' WHERE CAST(NULL AS BOOLEAN)")
+    assert(Snapshots.snapshot(root, "t").get.version == v)
+  }
+
+  test("MERGE: all three clause families, first-wins order") {
+    val (root, tbl) = fresh("merge")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW dml_src AS
+      SELECT * FROM VALUES (5L, 'M5'), (7L, 'M7'), (9000L, 'NEW'),
+                           (9001L, 'SKIP') AS v(ba, tag)""")
+    spark.sql(s"""MERGE INTO $tbl t USING dml_src s
+      ON t.ba = s.ba
+      WHEN MATCHED AND s.tag = 'M5' THEN UPDATE SET name = s.tag
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED AND s.tag != 'SKIP' THEN INSERT (ba, name) VALUES (s.ba, s.tag)""")
+    val rows = spark.sql(
+      s"SELECT ba, name FROM $tbl WHERE ba IN (5, 7, 9000, 9001) ORDER BY ba")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((5L, "M5"), (9000L, "NEW"))) // 7 deleted, SKIP not inserted
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == 4000L)
+    val feed = Snapshots.readChangeFeed(spark, root, "t", fromVersion = 0)
+      .groupBy("_change_type").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(feed.get("delete").contains(1L))
+    assert(feed.get("insert").contains(1L))
+    assert(feed.get("update_postimage").contains(1L))
+  }
+
+  test("MERGE: WHEN NOT MATCHED BY SOURCE reaches unmatched target rows") {
+    val (_, tbl) = fresh("nmbs")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW dml_keep AS
+      SELECT CAST(id AS BIGINT) AS ba FROM range(0, 3000)""")
+    spark.sql(s"""MERGE INTO $tbl t USING dml_keep s
+      ON t.ba = s.ba
+      WHEN NOT MATCHED BY SOURCE AND t.ba < 3500 THEN UPDATE SET name = 'orphan'
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val r = spark.sql(
+      s"""SELECT count(*) cnt, count(if(name = 'orphan', 1, null)) o,
+                 max(ba) mx FROM $tbl""").head()
+    assert(r.getLong(0) == 3500L) // 3500..3999 deleted
+    assert(r.getLong(1) == 500L)  // 3000..3499 tagged
+    assert(r.getLong(2) == 3499L)
+  }
+
+  test("MERGE: >1 firing source row per target row is refused") {
+    val (_, tbl) = fresh("card")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW dml_dup AS
+      SELECT * FROM VALUES (5L, 'a'), (5L, 'b') AS v(ba, tag)""")
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $tbl t USING dml_dup s ON t.ba = s.ba
+        WHEN MATCHED THEN UPDATE SET name = s.tag""")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[Snapshots.MergeCardinalityException]),
+      e.toString)
+    // an UNFIRED extra match is harmless (modification-scoped rule)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW dml_dup2 AS
+      SELECT * FROM VALUES (5L, 'a'), (5L, 'b') AS v(ba, tag)""")
+    spark.sql(s"""MERGE INTO $tbl t USING dml_dup2 s ON t.ba = s.ba
+      WHEN MATCHED AND s.tag = 'a' THEN UPDATE SET name = s.tag""")
+    assert(spark.sql(s"SELECT name FROM $tbl WHERE ba = 5").head().getString(0) == "a")
+  }
+
+  test("MERGE: pure insert against a matching-nothing source hits no target file") {
+    val (root, tbl) = fresh("ins")
+    val v0 = Snapshots.snapshot(root, "t").get
+    spark.sql("""CREATE OR REPLACE TEMP VIEW dml_new AS
+      SELECT * FROM VALUES (90001L, 'n1'), (90002L, 'n2') AS v(ba, tag)""")
+    spark.sql(s"""MERGE INTO $tbl t USING dml_new s ON t.ba = s.ba
+      WHEN NOT MATCHED THEN INSERT (ba, name) VALUES (s.ba, s.tag)""")
+    val v1 = Snapshots.snapshot(root, "t").get
+    assert(v1.removed.isEmpty, "pure insert must rewrite nothing")
+    assert(v0.files.forall(v1.files.contains))
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == 4002L)
+  }
+
+  test("DML refuses subqueries and unknown assignment shapes") {
+    val (_, tbl) = fresh("refuse")
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $tbl SET name = 'x' " +
+        s"WHERE ba IN (SELECT CAST(id AS BIGINT) FROM range(10))")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[UnsupportedOperationException] &&
+      c.getMessage.contains("subqueries")), e.toString)
+  }
+}
