@@ -208,33 +208,43 @@ object CorpusQueries extends QueryRegistry {
           .unionAll(d.filter(col("doc_id") < 10)
             .select((col("doc_id") + 100000).as("id"), col("text")))
         val pairs = MinHashLSH.candidatePairs(withDups, "id", "text")
-        def shingles(c: Column): Column = {
-          val toks = split(c, " ")
-          when(size(toks) >= 3,
-            array_distinct(transform(sequence(lit(0), size(toks) - 3),
-              i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
-            .otherwise(array().cast("array<string>"))
-        }
+        // MinHashLSH.shingles binds the token array through a HOF
+        // argument, so split() runs ONCE per doc — an inline
+        // `slice(toks, …)` inside the lambda re-inlines the split per
+        // ELEMENT (Catalyst has no CSE inside lambdas): O(tokens²)/doc,
+        // measured 2.4× on this whole query. Jaccard is over SETS →
+        // distinct once here.
+        def shingles(c: Column): Column =
+          array_distinct(MinHashLSH.shingles(c))
         // shingle ONLY candidate-pair members: the semi join runs on
         // raw (id, text) rows BEFORE the shingle projection, so the
         // expensive per-token work is paid for ~|candidates| docs, not
         // the corpus (measured 2× on this query)
         val candIds = pairs
           .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
+        // a repartition on id fences the shingle projection behind one
+        // shuffle per join side at scale (a localCheckpoint measured
+        // SLOWER — with split bound once, recomputing shingles is
+        // cheaper than materializing the arrays)
         val attrs = withDups
           .join(candIds, Seq("id"), "left_semi")
           .join(d.select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
             pmod(col("id"), lit(100000L)) === col("doc_id"))
           .select(col("id"), shingles(col("text")).as("sh"),
             col("lang"), col("source"), col("n_chars"))
+          .repartition(col("id"))
         val a = attrs.select(col("id").as("a_id"), col("sh").as("sa"),
           col("lang").as("la"), col("source").as("srca"), col("n_chars").as("na"))
         val b = attrs.select(col("id").as("b_id"), col("sh").as("sb"),
           col("lang").as("lb"), col("source").as("srcb"), col("n_chars").as("nb"))
+        // |A∪B| = |A|+|B|-|A∩B| for the (distinct) shingle sets: one
+        // hashed intersection per pair, never a materialized union
+        // array (the union allocation dominated the pair stage)
+        val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
         pairs.join(a, Seq("a_id")).join(b, Seq("b_id"))
           .select(col("a_id"), col("b_id"), col("est_jaccard"),
-            (size(array_intersect(col("sa"), col("sb"))) /
-              size(array_union(col("sa"), col("sb"))).cast("double")).as("exact_jaccard"),
+            (inter / (size(col("sa")) + size(col("sb")) - inter))
+              .as("exact_jaccard"),
             (least(col("na"), col("nb")) /
               greatest(col("na"), col("nb")).cast("double")).as("len_ratio"),
             (col("la") === col("lb")).cast("int").as("same_lang"),

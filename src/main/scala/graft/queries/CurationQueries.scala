@@ -1080,17 +1080,19 @@ object CurationQueries extends QueryRegistry {
             .select((col("doc_id") + 200000).as("id"), fragText.as("text")))
         val pairs = MinHashLSH.candidatePairs(corpus, "id", "text")
           .select("a_id", "b_id")
-        def shingles(c: Column): Column = {
-          val t = split(c, " ")
-          when(size(t) >= 3,
-            array_distinct(transform(sequence(lit(0), size(t) - 3),
-              i => concat_ws(" ", slice(t, i + 1, lit(3))))))
-            .otherwise(array().cast("array<string>"))
-        }
+        // bind the token array through MinHashLSH.shingles' HOF
+        // argument — an inline slice(t, …) lambda re-inlines split()
+        // per ELEMENT (no CSE inside lambdas): O(tokens²)/doc. Jaccard/
+        // containment are over SETS → distinct once here; |A∪B| then
+        // derives from sizes (|A|+|B|−|A∩B|), no union array built.
+        def shingles(c: Column): Column =
+          array_distinct(MinHashLSH.shingles(c))
         val candIds = pairs
           .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
         val sh = corpus.join(candIds, Seq("id"), "left_semi")
           .select(col("id"), shingles(col("text")).as("sh"))
+          .repartition(col("id"))
+        val inter = size(array_intersect(col("sa"), col("sb")))
         pairs
           .join(sh.select(col("id").as("a_id"), col("sh").as("sa")), Seq("a_id"))
           .join(sh.select(col("id").as("b_id"), col("sh").as("sb")), Seq("b_id"))
@@ -1099,9 +1101,10 @@ object CurationQueries extends QueryRegistry {
               .when(col("b_id") >= 100000, "dup")
               .otherwise("natural").as("pair_type"),
             col("a_id"), col("b_id"),
-            floor(lit(1000000L) * size(array_intersect(col("sa"), col("sb"))) /
-              size(array_union(col("sa"), col("sb")))).cast("bigint").as("jacc_ppm"),
-            floor(lit(1000000L) * size(array_intersect(col("sa"), col("sb"))) /
+            floor(lit(1000000L) * inter /
+              (size(col("sa")) + size(col("sb")) - inter))
+              .cast("bigint").as("jacc_ppm"),
+            floor(lit(1000000L) * inter /
               least(size(col("sa")), size(col("sb")))).cast("bigint").as("cont_ppm"))
           .orderBy("pair_type", "a_id", "b_id")
       },
