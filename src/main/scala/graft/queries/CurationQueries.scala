@@ -607,8 +607,12 @@ object CurationQueries extends QueryRegistry {
         val withDups = d.select(col("doc_id").as("id"), col("text"))
           .unionAll(d.filter(col("doc_id") < 10)
             .select((col("doc_id") + 100000).as("id"), col("text")))
+        // the edge list feeds THREE plan branches (ab/bc wedge sides +
+        // the closing semi join) — materialize the LSH pipeline once;
+        // edges are bucket-cap-bounded, metadata-scale next to the corpus
         val e = MinHashLSH.candidatePairs(withDups, "id", "text")
           .select(col("a_id").as("x"), col("b_id").as("y"))
+          .localCheckpoint(false)
         val wedges = e.as("ab").join(e.as("bc"), col("ab.y") === col("bc.x"))
           .select(col("ab.x").as("x"), col("ab.y").as("y"), col("bc.y").as("z"))
         val closed = wedges.as("w").join(e.as("ac"),
