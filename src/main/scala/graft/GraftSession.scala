@@ -29,6 +29,10 @@ object GraftSession {
     // SQL): installed in EVERY engine session, the same line a cluster
     // deployment would carry
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    // the snapshot layer as a catalog: CREATE/ALTER/DROP TABLE,
+    // VERSION/TIMESTAMP AS OF in SQL, CALL graft.system.* maintenance
+    .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    .config("spark.sql.catalog.graft.warehouse", "/tmp/graft/lake")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

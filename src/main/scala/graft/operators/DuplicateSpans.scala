@@ -39,6 +39,10 @@ object DuplicateSpans {
     val toked = docs
       .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
       .filter(size(col("toks")) >= n)
+    // (`toks` is safe to reference inside the lambda here: the size
+    // filter between the split projection and this generate blocks
+    // project-collapse from re-inlining split(text) per gram — probed
+    // at sf1, the HOF-bound formulation measured identical)
     val exploded = toked.select(col("id"), expr(
       s"explode(transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' ')))")
       .as("g"))

@@ -1440,6 +1440,78 @@ object LakehouseQueries extends QueryRegistry {
              |SELECT 'update_postimage', COUNT(*), CAST(SUM(id) AS BIGINT), COUNT(*) FROM upd
              |UNION ALL
              |SELECT 'update_preimage', COUNT(*), CAST(SUM(id) AS BIGINT), 0 FROM upd
-             |ORDER BY snap""".stripMargin))
+             |ORDER BY snap""".stripMargin)),
+
+    // Catalog SQL lifecycle (round 8): the GraftCatalog plugin
+    // (spark.sql.catalog.graft) — CREATE NAMESPACE/TABLE with declared
+    // identity partitioning, INSERT INTO by name, ALTER TABLE ADD
+    // COLUMN DEFAULT (a metadata-only snapshot commit; pre-evolution
+    // rows read the default), native `VERSION AS OF` time travel. The
+    // fixed namespace is dropped CASCADE up front so every run builds
+    // the same four commits from nothing.
+    QueryDef("q293_catalog_sql",
+      (s, _) => {
+        s.sql("DROP NAMESPACE IF EXISTS graft.q293 CASCADE")
+        s.sql("CREATE NAMESPACE graft.q293")
+        s.sql("CREATE TABLE graft.q293.ev (id BIGINT, topic STRING) PARTITIONED BY (topic)")
+        s.sql("INSERT INTO graft.q293.ev SELECT id, concat('t', id % 2) FROM range(0, 1000)") // v0
+        s.sql("INSERT INTO graft.q293.ev SELECT id, 't9' FROM range(1000, 1500)")             // v1
+        s.sql("ALTER TABLE graft.q293.ev ADD COLUMN tier STRING DEFAULT 'std'")               // v2
+        s.sql("INSERT INTO graft.q293.ev SELECT id, 't9', 'new' FROM range(1500, 1600)")      // v3
+        s.sql("""SELECT 'latest' AS snap, count(*) AS cnt,
+                |  cast(sum(id) AS bigint) AS sum_id,
+                |  count(if(tier = 'std', 1, null)) AS std
+                |FROM graft.q293.ev
+                |UNION ALL
+                |SELECT 'v0', count(*), cast(sum(id) AS bigint), CAST(0 AS BIGINT)
+                |FROM graft.q293.ev VERSION AS OF 0
+                |ORDER BY snap""".stripMargin)
+      },
+      Some("""SELECT 'latest' AS snap, COUNT(*) AS cnt,
+             |  CAST(SUM(id) AS BIGINT) AS sum_id,
+             |  CAST(SUM(CASE WHEN id < 1500 THEN 1 ELSE 0 END) AS BIGINT) AS std
+             |FROM range(0, 1600) t(id)
+             |UNION ALL
+             |SELECT 'v0', COUNT(*), CAST(SUM(id) AS BIGINT), 0
+             |FROM range(0, 1000) t(id)
+             |ORDER BY snap""".stripMargin)),
+
+    // Catalog maintenance procedures (round 8): CALL
+    // graft.system.{compact,tag,restore,vacuum} — Spark 4's
+    // ProcedureCatalog as the OPTIMIZE/RESTORE/VACUUM SQL surface.
+    // Each CALL returns the committed version, and those versions are
+    // part of the checked output (the commit sequence is
+    // deterministic: insert v0, insert v1, compact v2, restore v3);
+    // reads prove compaction preserved content, the tag pins v1, and
+    // the restore+vacuum leave exactly v0's rows readable.
+    QueryDef("q294_catalog_maintenance",
+      (s, _) => {
+        s.sql("DROP NAMESPACE IF EXISTS graft.q294 CASCADE")
+        s.sql("CREATE NAMESPACE graft.q294")
+        s.sql("CREATE TABLE graft.q294.m (id BIGINT)")
+        s.sql("INSERT INTO graft.q294.m SELECT id FROM range(0, 1000)")     // v0
+        s.sql("INSERT INTO graft.q294.m SELECT id FROM range(1000, 1300)")  // v1
+        val cv = s.sql("CALL graft.system.compact(table => 'q294.m')").head().getInt(0)
+        s.sql("CALL graft.system.tag(table => 'q294.m', name => 'rel1', version => 1)")
+        val rv = s.sql("CALL graft.system.restore(table => 'q294.m', version => 0)").head().getInt(0)
+        // keep_from=1 so the tagged v1 stays readable below — vacuuming
+        // from the restore point would reclaim the tag's extra files
+        s.sql("CALL graft.system.vacuum(table => 'q294.m', keep_from => 1)")
+        s.sql(s"""SELECT 'a_versions' AS step, CAST($cv AS BIGINT) AS cnt,
+                |  CAST($rv AS BIGINT) AS sum_id
+                |UNION ALL
+                |SELECT 'b_tagread', count(*), cast(sum(id) AS bigint)
+                |FROM graft.q294.m VERSION AS OF 'rel1'
+                |UNION ALL
+                |SELECT 'c_postrestore', count(*), cast(sum(id) AS bigint)
+                |FROM graft.q294.m
+                |ORDER BY step""".stripMargin)
+      },
+      Some("""SELECT 'a_versions' AS step, CAST(2 AS BIGINT) AS cnt, CAST(3 AS BIGINT) AS sum_id
+             |UNION ALL
+             |SELECT 'b_tagread', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0, 1300) t(id)
+             |UNION ALL
+             |SELECT 'c_postrestore', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0, 1000) t(id)
+             |ORDER BY step""".stripMargin))
   )
 }

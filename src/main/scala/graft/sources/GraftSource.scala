@@ -295,7 +295,8 @@ object GraftSource {
 }
 
 private[sources] class GraftTable(val root: String, val prefix: String,
-                                  version: Option[Int], tableSchema: StructType)
+                                  version: Option[Int], tableSchema: StructType,
+                                  declaredParts: Seq[String] = Seq.empty)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -412,7 +413,10 @@ private[sources] class GraftTable(val root: String, val prefix: String,
                     case Some(d) => d.getName.takeWhile(_ != '=') :: chain(d)
                     case None => Nil
                   }
-                chain(dataDir)
+                // an empty layout (first insert into a fresh catalog
+                // table) falls back to the DDL-declared partitioning
+                val walked = chain(dataDir)
+                if (walked.nonEmpty) walked else declaredParts.toList
               }
               // appendBatch, not commit(): the txn is checked BEFORE
               // the file write, so a replayed/retried query re-writes
