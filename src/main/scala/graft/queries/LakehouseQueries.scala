@@ -1494,24 +1494,31 @@ object LakehouseQueries extends QueryRegistry {
         val cv = s.sql("CALL graft.system.compact(table => 'q294.m')").head().getInt(0)
         s.sql("CALL graft.system.tag(table => 'q294.m', name => 'rel1', version => 1)")
         val rv = s.sql("CALL graft.system.restore(table => 'q294.m', version => 0)").head().getInt(0)
+        // CALL history → (version, op, n_files, n_removed): fold the
+        // deterministic op sequence into the checked output. BEFORE
+        // the vacuum — vacuum prunes pre-keep_from versions from the
+        // log, shrinking history (by design).
+        val ops = s.sql("CALL graft.system.history(table => 'q294.m')")
+          .collect().map(r => s"${r.getInt(0)}:${r.getString(1)}").mkString(",")
         // keep_from=1 so the tagged v1 stays readable below — vacuuming
         // from the restore point would reclaim the tag's extra files
         s.sql("CALL graft.system.vacuum(table => 'q294.m', keep_from => 1)")
         s.sql(s"""SELECT 'a_versions' AS step, CAST($cv AS BIGINT) AS cnt,
-                |  CAST($rv AS BIGINT) AS sum_id
+                |  CAST($rv AS BIGINT) AS sum_id, '$ops' AS ops
                 |UNION ALL
-                |SELECT 'b_tagread', count(*), cast(sum(id) AS bigint)
+                |SELECT 'b_tagread', count(*), cast(sum(id) AS bigint), ''
                 |FROM graft.q294.m VERSION AS OF 'rel1'
                 |UNION ALL
-                |SELECT 'c_postrestore', count(*), cast(sum(id) AS bigint)
+                |SELECT 'c_postrestore', count(*), cast(sum(id) AS bigint), ''
                 |FROM graft.q294.m
                 |ORDER BY step""".stripMargin)
       },
-      Some("""SELECT 'a_versions' AS step, CAST(2 AS BIGINT) AS cnt, CAST(3 AS BIGINT) AS sum_id
+      Some("""SELECT 'a_versions' AS step, CAST(2 AS BIGINT) AS cnt, CAST(3 AS BIGINT) AS sum_id,
+             |  '0:append,1:append,2:compact,3:restore' AS ops
              |UNION ALL
-             |SELECT 'b_tagread', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0, 1300) t(id)
+             |SELECT 'b_tagread', COUNT(*), CAST(SUM(id) AS BIGINT), '' FROM range(0, 1300) t(id)
              |UNION ALL
-             |SELECT 'c_postrestore', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0, 1000) t(id)
+             |SELECT 'c_postrestore', COUNT(*), CAST(SUM(id) AS BIGINT), '' FROM range(0, 1000) t(id)
              |ORDER BY step""".stripMargin))
   )
 }

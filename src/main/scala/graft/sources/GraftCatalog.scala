@@ -312,6 +312,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "backfill_stats" => proc("backfill_stats", Seq(P("table", StringType))) { in =>
         Snapshots.backfillStats(rootOf(in.getString(0)), Prefix)
       }
+      case "history" => new UnboundProcedure {
+        override def name(): String = "history"
+        override def description(): String =
+          "graft table history: one row per committed version (DESCRIBE HISTORY)"
+        override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "history"
+          override def description(): String = "graft table history"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(P("table", StringType))
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): util.Iterator[Scan] = {
+            val root = rootOf(input.getString(0))
+            // NOT named `rows`: inside the LocalScan the member would
+            // shadow it and `= rows` becomes an infinite self-call
+            val hist = Snapshots.versions(root, Prefix).sorted.map { v =>
+              val s = Snapshots.snapshot(root, Prefix, Some(v)).get
+              new GenericInternalRow(Array[Any](v,
+                UTF8String.fromString(s.op), s.files.size, s.removed.size))
+            }.toArray[InternalRow]
+            util.List.of[Scan](new LocalScan {
+              override def readSchema(): StructType = HistorySchema
+              override def rows(): Array[InternalRow] = hist
+            }).iterator()
+          }
+        }
+      }
     }
   }
 }
@@ -323,7 +349,14 @@ object GraftCatalog {
 
   private val SystemNs = "system"
   private val ProcedureNames =
-    Array("compact", "zorder", "vacuum", "restore", "tag", "backfill_stats")
+    Array("compact", "zorder", "vacuum", "restore", "tag", "backfill_stats",
+      "history")
+
+  private val HistorySchema = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("n_removed", IntegerType, nullable = false)))
 
   private def P(n: String, t: DataType): ProcedureParameter =
     ProcedureParameter.in(n, t).build()

@@ -117,9 +117,17 @@ class GraftCatalogSpec extends SparkTestBase {
       .head().getInt(0)
     assert(rv == bv + 1 || rv == 4)
     assert(spark.sql(s"SELECT count(*) FROM graft.$ns.m").head().getLong(0) == 100L)
-    // vacuum keeps only the restored state's files reachable
+    // history BEFORE vacuum: one row per committed version, in order
+    val hist = spark.sql(s"CALL graft.system.history(table => '$ns.m')")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(hist.map(_._1) == (0 to rv).toSeq, hist.toString)
+    assert(hist.take(2).map(_._2) == Seq("append", "append"))
+    assert(hist.map(_._2).contains("compact") && hist.map(_._2).contains("restore"))
+    // vacuum prunes pre-keep_from versions (history shrinks with it)
     spark.sql(s"CALL graft.system.vacuum(table => '$ns.m', keep_from => $rv)")
     assert(spark.sql(s"SELECT count(*) FROM graft.$ns.m").head().getLong(0) == 100L)
+    assert(spark.sql(s"CALL graft.system.history(table => '$ns.m')")
+      .collect().map(_.getInt(0)).toSeq == Seq(rv))
     assert(spark.sql("SHOW PROCEDURES IN graft.system").collect().length >= 6 ||
       true) // SHOW PROCEDURES may not exist in this Spark — listProcedures covers it
   }
