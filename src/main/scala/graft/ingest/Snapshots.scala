@@ -373,6 +373,60 @@ object Snapshots {
   private def refsDir(root: String, prefix: String): Path =
     Paths.get(s"$root/$prefix._refs")
 
+  /** Zero-copy table CLONE (Delta's clone, with history): the target
+    * becomes a byte-identical, independently-evolving replica of the
+    * source at ZERO data cost — every data file is HARDLINKED (same
+    * inode; a cross-device link falls back to a copy), and the
+    * metadata (snapshot log, schema-evolution events, tags, deletion
+    * vectors, CDC stagings, CHECK constraints) is copied verbatim, so
+    * time travel, the change feed, and evolved-schema reads all work
+    * on the clone from the first second. Writes after the clone
+    * diverge freely: new files land only in the writer's directory,
+    * and a vacuum on either side only ever unlinks its OWN directory
+    * entries — the shared inodes survive until both sides drop them
+    * (the hardlink refcount IS the reference count). At 100 TB this
+    * is the dev/test-copy primitive: O(files) metadata work, zero
+    * bytes. The target must not exist yet. */
+  def cloneTable(srcRoot: String, srcPrefix: String,
+                 dstRoot: String, dstPrefix: String): Int = {
+    val snap = snapshot(srcRoot, srcPrefix, None).getOrElse(
+      sys.error(s"nothing to clone for $srcPrefix"))
+    require(snapshot(dstRoot, dstPrefix, None).isEmpty &&
+      !Files.isDirectory(dataDir(dstRoot, dstPrefix)),
+      s"clone target $dstPrefix@$dstRoot already exists")
+    def linkOrCopy(src: Path, dst: Path): Unit = {
+      Files.createDirectories(dst.getParent)
+      try { Files.createLink(dst, src); () }
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        Files.copy(src, dst); () }
+    }
+    def copyTree(src: Path, dst: Path, link: Boolean): Unit =
+      if (Files.isDirectory(src)) {
+        val it = Files.walk(src).iterator().asScala
+        it.foreach { p =>
+          if (Files.isRegularFile(p)) {
+            val d = dst.resolve(src.relativize(p).toString)
+            if (link) linkOrCopy(p, d)
+            else { Files.createDirectories(d.getParent); Files.copy(p, d); () }
+          }
+        }
+      }
+    // data files hardlink (the zero-copy part); the metadata dirs are
+    // small and mutable (log appends, ref creates) so they are COPIED —
+    // sharing their inodes would entangle the two tables' futures
+    copyTree(dataDir(srcRoot, srcPrefix), dataDir(dstRoot, dstPrefix), link = true)
+    copyTree(logDir(srcRoot, srcPrefix), logDir(dstRoot, dstPrefix), link = false)
+    copyTree(refsDir(srcRoot, srcPrefix), refsDir(dstRoot, dstPrefix), link = false)
+    copyTree(dvDir(srcRoot, srcPrefix), dvDir(dstRoot, dstPrefix), link = false)
+    copyTree(Paths.get(s"$srcRoot/$srcPrefix._cdc"),
+      Paths.get(s"$dstRoot/$dstPrefix._cdc"), link = false)
+    val cons = constraintsPath(srcRoot, srcPrefix)
+    if (Files.isRegularFile(cons)) {
+      Files.copy(cons, constraintsPath(dstRoot, dstPrefix)); ()
+    }
+    snap.version
+  }
+
   /** Create an immutable named tag on a committed version (CREATE_NEW:
     * re-tagging an existing name fails loudly — tags are release
     * markers, not branches, so a reader holding a tag name holds a

@@ -1519,6 +1519,47 @@ object LakehouseQueries extends QueryRegistry {
              |SELECT 'b_tagread', COUNT(*), CAST(SUM(id) AS BIGINT), '' FROM range(0, 1300) t(id)
              |UNION ALL
              |SELECT 'c_postrestore', COUNT(*), CAST(SUM(id) AS BIGINT), '' FROM range(0, 1000) t(id)
+             |ORDER BY step""".stripMargin)),
+
+    // Zero-copy CLONE (round 8): CALL graft.system.clone hardlinks
+    // every data file (zero bytes moved at any table size) and copies
+    // the metadata verbatim — history, tags, schema events, DVs ride
+    // along — then the two tables DIVERGE freely: an insert on the
+    // clone and a MoR DELETE on the source each stay on their own
+    // side, and the clone still time-travels to the shared v0. The
+    // dev/test-copy primitive a 100 TB lakehouse needs.
+    QueryDef("q295_clone",
+      (s, _) => {
+        s.sql("DROP NAMESPACE IF EXISTS graft.q295 CASCADE")
+        s.sql("CREATE NAMESPACE graft.q295")
+        s.sql("CREATE TABLE graft.q295.src (id BIGINT)")
+        s.sql("INSERT INTO graft.q295.src SELECT id FROM range(0, 1000)")     // v0
+        s.sql("INSERT INTO graft.q295.src SELECT id FROM range(1000, 1200)")  // v1
+        val cv = s.sql("CALL graft.system.clone(source => 'q295.src', target => 'q295.dst')")
+          .head().getInt(0)
+        s.sql("INSERT INTO graft.q295.dst SELECT id FROM range(2000, 2100)")
+        s.sql("DELETE FROM graft.q295.src WHERE id < 100")
+        s.sql(s"""SELECT 'a_clone_v' AS step, CAST($cv AS BIGINT) AS cnt,
+                |  CAST(0 AS BIGINT) AS sum_id
+                |UNION ALL
+                |SELECT 'b_src', count(*), cast(sum(id) AS bigint) FROM graft.q295.src
+                |UNION ALL
+                |SELECT 'c_dst', count(*), cast(sum(id) AS bigint) FROM graft.q295.dst
+                |UNION ALL
+                |SELECT 'd_dst_v0', count(*), cast(sum(id) AS bigint)
+                |FROM graft.q295.dst VERSION AS OF 0
+                |ORDER BY step""".stripMargin)
+      },
+      Some("""SELECT 'a_clone_v' AS step, CAST(1 AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS sum_id
+             |UNION ALL
+             |SELECT 'b_src', COUNT(*), CAST(SUM(id) AS BIGINT)
+             |FROM range(0, 1200) t(id) WHERE id >= 100
+             |UNION ALL
+             |SELECT 'c_dst', COUNT(*), CAST(SUM(id) AS BIGINT)
+             |FROM (SELECT id FROM range(0, 1200) t(id)
+             |      UNION ALL SELECT id FROM range(2000, 2100) u(id))
+             |UNION ALL
+             |SELECT 'd_dst_v0', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0, 1000) t(id)
              |ORDER BY step""".stripMargin))
   )
 }

@@ -312,6 +312,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "backfill_stats" => proc("backfill_stats", Seq(P("table", StringType))) { in =>
         Snapshots.backfillStats(rootOf(in.getString(0)), Prefix)
       }
+      case "clone" => proc("clone",
+        Seq(P("source", StringType), P("target", StringType))) { in =>
+        val srcDir = rootOf(in.getString(0))
+        val parts = in.getString(1).split("\\.")
+        require(parts.length >= 2,
+          s"clone target must be 'ns.table', got '${in.getString(1)}'")
+        val tgt = Identifier.of(parts.init, parts.last)
+        if (!namespaceExists(tgt.namespace()))
+          throw new NoSuchNamespaceException(tgt.namespace())
+        if (tableExists(tgt)) throw new TableAlreadyExistsException(tgt)
+        val dstDir = tableDir(tgt)
+        Files.createDirectories(dstDir)
+        // catalog metadata rides along (DDL schema + declared parts)
+        Files.copy(metaFile(Paths.get(srcDir)), metaFile(dstDir))
+        val sp = partsFile(Paths.get(srcDir))
+        if (Files.isRegularFile(sp)) { Files.copy(sp, partsFile(dstDir)); () }
+        Snapshots.cloneTable(srcDir, Prefix, dstDir.toString, Prefix)
+      }
       case "history" => new UnboundProcedure {
         override def name(): String = "history"
         override def description(): String =
@@ -350,7 +368,7 @@ object GraftCatalog {
   private val SystemNs = "system"
   private val ProcedureNames =
     Array("compact", "zorder", "vacuum", "restore", "tag", "backfill_stats",
-      "history")
+      "history", "clone")
 
   private val HistorySchema = StructType(Seq(
     StructField("version", IntegerType, nullable = false),

@@ -132,6 +132,45 @@ class GraftCatalogSpec extends SparkTestBase {
       true) // SHOW PROCEDURES may not exist in this Spark — listProcedures covers it
   }
 
+  test("CALL clone: zero-copy replica with history; sides diverge freely") {
+    val ns = freshNs()
+    spark.sql(s"CREATE TABLE graft.$ns.src (id BIGINT)")
+    spark.sql(s"INSERT INTO graft.$ns.src SELECT id FROM range(0, 100)")   // v0
+    spark.sql(s"INSERT INTO graft.$ns.src SELECT id FROM range(100, 150)") // v1
+    spark.sql(s"CALL graft.system.tag(table => '$ns.src', name => 'r0', version => 0)")
+    val cv = spark.sql(s"CALL graft.system.clone(source => '$ns.src', target => '$ns.dst')")
+      .head().getInt(0)
+    assert(cv == 1)
+    // identical content, working time travel + tags on the clone
+    assert(spark.sql(s"SELECT count(*), sum(id) FROM graft.$ns.dst").head().toSeq
+      == Seq(150L, (0L until 150L).sum))
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.dst VERSION AS OF 'r0'")
+      .head().getLong(0) == 100L)
+    // zero-copy: the clone's data files share inodes with the source
+    def inos(tbl: String): Set[Any] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(new java.io.File(s"/tmp/graft/lake/$ns/$tbl/t"))
+        .map(f => java.nio.file.Files.getAttribute(f.toPath, "unix:ino")).toSet
+    }
+    assert(inos("dst") == inos("src"))
+    // divergence: writes after the clone stay on their own side
+    spark.sql(s"INSERT INTO graft.$ns.dst SELECT id FROM range(500, 520)")
+    spark.sql(s"DELETE FROM graft.$ns.src WHERE id < 10")
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.dst").head().getLong(0) == 170L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.src").head().getLong(0) == 140L)
+    // vacuuming the source only unlinks ITS directory entries — the
+    // shared inodes survive through the clone's links
+    spark.sql(s"CALL graft.system.vacuum(table => '$ns.src', keep_from => 2)")
+    assert(spark.sql(s"SELECT count(*), sum(id) FROM graft.$ns.dst VERSION AS OF 1")
+      .head().toSeq == Seq(150L, (0L until 150L).sum))
+    // a clone onto an existing table is refused
+    intercept[TableAlreadyExistsException] {
+      spark.sql(s"CALL graft.system.clone(source => '$ns.src', target => '$ns.dst')")
+    }
+  }
+
   test("catalog metadata survives a fresh catalog instance (file-based)") {
     val ns = freshNs()
     spark.sql(s"CREATE TABLE graft.$ns.p (id BIGINT, topic STRING) PARTITIONED BY (topic)")
