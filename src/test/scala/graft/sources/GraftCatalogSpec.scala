@@ -171,6 +171,23 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("SQL UPDATE and MERGE INTO work on catalog tables (GraftDml fires)") {
+    val ns = freshNs()
+    spark.sql(s"CREATE TABLE graft.$ns.d (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO graft.$ns.d SELECT id, 'x' FROM range(0, 100)")
+    spark.sql(s"UPDATE graft.$ns.d SET v = 'upd' WHERE id >= 90")
+    assert(spark.sql(s"SELECT count(if(v = 'upd', 1, null)) FROM graft.$ns.d")
+      .head().getLong(0) == 10L)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW cat_dml_src AS
+      SELECT * FROM VALUES (5L, 'M'), (500L, 'N') AS s(id, tag)""")
+    spark.sql(s"""MERGE INTO graft.$ns.d t USING cat_dml_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.tag
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.tag)""")
+    val r = spark.sql(s"SELECT count(*), count(if(v IN ('M','N'), 1, null)) FROM graft.$ns.d")
+      .head()
+    assert(r.toSeq == Seq(101L, 2L))
+  }
+
   test("catalog metadata survives a fresh catalog instance (file-based)") {
     val ns = freshNs()
     spark.sql(s"CREATE TABLE graft.$ns.p (id BIGINT, topic STRING) PARTITIONED BY (topic)")
