@@ -1312,7 +1312,12 @@ object Snapshots {
     * set and records the originals as superseded. Data is unchanged
     * (same rows, same watermark); old versions stay readable until
     * [[vacuum]]. Returns the committed version. */
-  def compact(spark: SparkSession, root: String, prefix: String): Int = {
+  /** @param partitions optional OPTIMIZE scope: only hive directories
+    *   carrying ALL the given `col -> value` pairs are rewritten,
+    *   everything else survives untouched — at 100 TB compaction is a
+    *   per-partition maintenance task, never a whole-table rewrite. */
+  def compact(spark: SparkSession, root: String, prefix: String,
+              partitions: Map[String, String] = Map.empty): Int = {
     val snap = snapshot(root, prefix, None).getOrElse(
       sys.error(s"nothing to compact for $prefix"))
     val base = dataDir(root, prefix)
@@ -1328,7 +1333,11 @@ object Snapshots {
     val keep = Seq.newBuilder[String]
     val superseded = Seq.newBuilder[String]
     byDir.foreach { case (dir, fs) =>
-      if (fs.size <= 1) keep ++= fs // already one file — nothing to win
+      val dirVals = dir.split("/").filter(_.contains("=")).map { s =>
+        val i = s.indexOf('='); s.substring(0, i) -> s.substring(i + 1)
+      }.toMap
+      val inScope = partitions.forall { case (k, v) => dirVals.get(k).contains(v) }
+      if (!inScope || fs.size <= 1) keep ++= fs // out of scope / already one file
       else {
         val before = listDataFiles(root, prefix).toSet
         // DV-filtered: compaction materializes merge-on-read deletions

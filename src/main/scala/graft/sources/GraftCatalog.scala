@@ -285,8 +285,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"no such procedure ${ident.namespace().mkString(".")}.${ident.name()}")
     val spark = SparkSession.active
     ident.name() match {
-      case "compact" => proc("compact", Seq(P("table", StringType))) { in =>
-        Snapshots.compact(spark, rootOf(in.getString(0)), Prefix)
+      case "compact" => proc("compact", Seq(P("table", StringType),
+        ProcedureParameter.in("partition", StringType)
+          .defaultValue("''")
+          .comment("optional OPTIMIZE scope: 'col=value[,col=value]'")
+          .build())) { in =>
+        val scope = Option(if (in.isNullAt(1)) "" else in.getString(1))
+          .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty)
+          .map { kv =>
+            val i = kv.indexOf('=')
+            require(i > 0, s"partition scope must be col=value, got '$kv'")
+            kv.substring(0, i) -> kv.substring(i + 1)
+          }.toMap
+        Snapshots.compact(spark, rootOf(in.getString(0)), Prefix, scope)
       }
       case "zorder" => proc("zorder",
         Seq(P("table", StringType), P("columns", StringType))) { in =>

@@ -171,6 +171,28 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("CALL compact with a partition scope rewrites only that partition") {
+    val ns = freshNs()
+    spark.sql(s"CREATE TABLE graft.$ns.pc (id BIGINT, topic STRING) PARTITIONED BY (topic)")
+    spark.sql(s"INSERT INTO graft.$ns.pc SELECT id, concat('t', id % 2) FROM range(0, 100)")
+    spark.sql(s"INSERT INTO graft.$ns.pc SELECT id, concat('t', id % 2) FROM range(100, 200)")
+    val root = s"/tmp/graft/lake/$ns/pc"
+    def byPart(fs: Seq[String]): Map[String, Int] =
+      fs.groupBy(_.split("/").find(_.startsWith("topic=")).getOrElse(""))
+        .map { case (k, v) => k -> v.size }
+    val before = byPart(Snapshots.snapshot(root, "t").get.files)
+    assert(before("topic=t0") > 1 && before("topic=t1") > 1)
+    spark.sql(s"CALL graft.system.compact(table => '$ns.pc', partition => 'topic=t0')")
+    val after = byPart(Snapshots.snapshot(root, "t").get.files)
+    assert(after("topic=t0") == 1, after.toString)          // compacted
+    assert(after("topic=t1") == before("topic=t1"))          // untouched
+    assert(spark.sql(s"SELECT count(*), sum(id) FROM graft.$ns.pc").head().toSeq
+      == Seq(200L, (0L until 200L).sum))
+    // the 1-arg form still compacts everything
+    spark.sql(s"CALL graft.system.compact(table => '$ns.pc')")
+    assert(byPart(Snapshots.snapshot(root, "t").get.files).values.toSet == Set(1))
+  }
+
   test("SQL UPDATE and MERGE INTO work on catalog tables (GraftDml fires)") {
     val ns = freshNs()
     spark.sql(s"CREATE TABLE graft.$ns.d (id BIGINT, v STRING)")
