@@ -1112,6 +1112,29 @@ object Snapshots {
     * added by [[addColumn]] at or before the version are present for
     * every row — filled with their declared default (or NULL) for
     * files that predate the column. */
+  /** The table's resolved schema at `version`, from ONE representative
+    * file per (schema-epoch group × partition directory) —
+    * deterministically the lexicographically first — with all events
+    * folded. Partition-column TYPES infer from the set of directory
+    * names, so one file per directory reproduces full-listing
+    * inference exactly, while schema resolution stays O(epochs ×
+    * partition dirs), never O(files): resolving a million-file table
+    * never constructs a path list over the whole table just to learn
+    * its columns. */
+  def tableSchema(spark: SparkSession, root: String, prefix: String,
+                  version: Option[Int] = None): org.apache.spark.sql.types.StructType = {
+    val snap = snapshot(root, prefix, version).getOrElse(
+      sys.error(s"no snapshot for $prefix${version.map(" v" + _).getOrElse("")}"))
+    if (snap.files.isEmpty) new org.apache.spark.sql.types.StructType()
+    else {
+      val evs = schemaEvents(root, prefix, Some(snap.version))
+      val reps = snap.files.groupBy(f => (evs.map(e => e.preFiles.contains(f)),
+          Option(Paths.get(f).getParent).map(_.toString).getOrElse("")))
+        .values.map(_.min).toSeq.sorted
+      readFilesFilled(spark, root, prefix, reps, evs).schema
+    }
+  }
+
   def read(spark: SparkSession, root: String, prefix: String,
            version: Option[Int] = None): DataFrame = {
     val snap = snapshot(root, prefix, version).getOrElse(
@@ -1734,12 +1757,21 @@ object Snapshots {
     * ([[MergeCardinalityException]]); CHECK constraints run on the
     * post-images; all changes ride the feed (insert /
     * update_preimage+postimage / delete). */
+  /** @param equiKeys equi conjuncts of the merge condition as
+    *   (targetCol, sourceCol-in-the-src-namespace) pairs, extracted by
+    *   the DML rule from the RESOLVED condition. Used for stage-1
+    *   manifest pruning: if a target column carries INT64 stats, files
+    *   outside the source's [min, max] on that key can't hold a match
+    *   and are never opened — the keyed [[merge]]'s discipline, so a
+    *   small SQL MERGE against a 100 TB table attributes against a
+    *   handful of candidate files instead of scanning the table. */
   def mergeInto(spark: SparkSession, root: String, prefix: String,
                 source: DataFrame, condSql: String,
                 matched: Seq[MergeClause], notMatched: Seq[MergeClause],
                 notMatchedBySource: Seq[MergeClause],
                 tableSchema: org.apache.spark.sql.types.StructType,
-                txn: Option[String] = None): Int = {
+                txn: Option[String] = None,
+                equiKeys: Seq[(String, String)] = Seq.empty): Int = {
     import org.apache.spark.sql.functions.{expr, lit, when}
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
@@ -1765,10 +1797,35 @@ object Snapshots {
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField(DvPosCol,
             org.apache.spark.sql.types.LongType))))
-      // attribution: which target files hold at least one matched row
+      // stage-1 manifest pruning (the keyed merge's discipline): the
+      // first equi key whose target column carries INT64 stats bounds
+      // the candidate set by the source's [min, max] — files outside it
+      // can't match and are never opened
+      val candidates: Seq[String] =
+        if (snap.files.isEmpty) Seq.empty
+        else {
+          def integral(c: String): Boolean =
+            src.schema.find(_.name == c).exists(f => f.dataType match {
+              case org.apache.spark.sql.types.LongType |
+                   org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.ShortType => true
+              case _ => false
+            })
+          equiKeys.collectFirst {
+            case (tc, sc) if integral(sc) &&
+                snap.stats.exists(s => s.column == tc && s.typ == "L") =>
+              val mm = src.agg(
+                org.apache.spark.sql.functions.min(col(sc).cast("long")),
+                org.apache.spark.sql.functions.max(col(sc).cast("long"))).head()
+              if (mm.isNullAt(0)) Seq.empty[String]
+              else pruneFiles(root, prefix, tc, mm.getLong(0), mm.getLong(1),
+                Some(snap.version))
+          }.getOrElse(snap.files)
+        }
+      // stage-2 attribution: which candidate files hold a matched row
       val targetAll =
-        if (snap.files.isEmpty) emptyTarget
-        else readFilesFilled(spark, root, prefix, snap.files, evs,
+        if (candidates.isEmpty) emptyTarget
+        else readFilesFilled(spark, root, prefix, candidates, evs,
           snap.dv, keepPositions = true)
       val matchedFiles: Seq[String] =
         if (notMatchedBySource.nonEmpty) snap.files

@@ -156,7 +156,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // schema evolution); the DDL file covers the created-empty window
     val schema =
       if (Snapshots.snapshot(root, Prefix, version).isDefined)
-        Snapshots.read(SparkSession.active, root, Prefix, version).schema
+        Snapshots.tableSchema(SparkSession.active, root, Prefix, version)
       else persistedSchema(dir)
     new GraftTable(root, Prefix, version, schema, declaredParts(dir))
   }

@@ -110,12 +110,30 @@ object GraftDml extends Rule[LogicalPlan] {
             case other => throw new UnsupportedOperationException(
               s"graft MERGE: unsupported action ${other.getClass.getSimpleName}")
           }
+          // equi conjuncts (t.c = s.c2) feed the primitive's stage-1
+          // manifest pruning — a small MERGE against a huge table
+          // attributes against stat-bounded candidate files only
+          def conjuncts(e: Expression): Seq[Expression] = e match {
+            case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+              conjuncts(l) ++ conjuncts(r)
+            case other => Seq(other)
+          }
+          val equiKeys = conjuncts(m.mergeCondition).collect {
+            case org.apache.spark.sql.catalyst.expressions.EqualTo(
+                a: AttributeReference, b: AttributeReference)
+              if !srcAttrs.contains(a) && srcAttrs.contains(b) =>
+              (a.name, Snapshots.SrcColPrefix + b.name)
+            case org.apache.spark.sql.catalyst.expressions.EqualTo(
+                a: AttributeReference, b: AttributeReference)
+              if srcAttrs.contains(a) && !srcAttrs.contains(b) =>
+              (b.name, Snapshots.SrcColPrefix + a.name)
+          }
           GraftMergeCommand(t.root, t.prefix, m.sourceTable,
             toSql(m.mergeCondition, srcAttrs),
             m.matchedActions.map(clause),
             m.notMatchedActions.map(clause),
             m.notMatchedBySourceActions.map(clause),
-            EliminateSubqueryAliases(m.targetTable).schema)
+            EliminateSubqueryAliases(m.targetTable).schema, equiKeys)
         case None => m
       }
   }
@@ -146,7 +164,8 @@ case class GraftMergeCommand(root: String, prefix: String,
                              matched: Seq[Snapshots.MergeClause],
                              notMatched: Seq[Snapshots.MergeClause],
                              notMatchedBySource: Seq[Snapshots.MergeClause],
-                             targetSchema: StructType)
+                             targetSchema: StructType,
+                             equiKeys: Seq[(String, String)])
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
@@ -154,7 +173,8 @@ case class GraftMergeCommand(root: String, prefix: String,
     val src = srcRaw.select(srcRaw.columns.map(c =>
       col(c).as(Snapshots.SrcColPrefix + c)): _*)
     Snapshots.mergeInto(spark, root, prefix, src, condSql,
-      matched, notMatched, notMatchedBySource, targetSchema)
+      matched, notMatched, notMatchedBySource, targetSchema,
+      equiKeys = equiKeys)
     Seq.empty
   }
 }

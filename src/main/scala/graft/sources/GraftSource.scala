@@ -142,7 +142,10 @@ class GraftSource extends TableProvider with DataSourceRegister
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (root, prefix, version) = GraftSource.resolve(options)
-    val s = Snapshots.read(SparkSession.active, root, prefix, version).schema
+    // O(epochs) schema derivation — resolution must not build a path
+    // list over every data file (a million-file table would pay it on
+    // every query's analysis)
+    val s = Snapshots.tableSchema(SparkSession.active, root, prefix, version)
     inferred = Some(s)
     s
   }
@@ -160,7 +163,7 @@ class GraftSource extends TableProvider with DataSourceRegister
     // itself relaxes it); names and types must agree exactly.
     if (!inferred.contains(schema) &&
         Snapshots.snapshot(root, prefix, version).isDefined) {
-      val disk = Snapshots.read(SparkSession.active, root, prefix, version).schema
+      val disk = Snapshots.tableSchema(SparkSession.active, root, prefix, version)
       val declared = schema.fields.map(f => f.name -> f.dataType).toMap
       val actual = disk.fields.map(f => f.name -> f.dataType).toMap
       require(declared == actual,

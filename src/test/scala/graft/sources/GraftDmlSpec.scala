@@ -135,6 +135,34 @@ class GraftDmlSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == 4002L)
   }
 
+  test("MERGE attribution prunes candidate files via manifest stats (literally)") {
+    val (root, tbl) = fresh("prune")
+    val snap = Snapshots.snapshot(root, "t").get
+    // a file whose ba range is provably outside the merge keys [0, 50]:
+    // rename its bytes away — if attribution opened it, the read fails
+    val far = snap.stats.find(s => s.column == "ba" && s.typ == "L" && s.min >= 3000)
+      .getOrElse(fail("fixture lacks a far-range file stat")).file
+    val base = java.nio.file.Paths.get(s"$root/t")
+    java.nio.file.Files.move(base.resolve(far), base.resolve(far + ".hidden"))
+    try {
+      spark.sql("""CREATE OR REPLACE TEMP VIEW prune_src AS
+        SELECT * FROM VALUES (5L, 'p5'), (42L, 'p42') AS v(ba, tag)""")
+      // the MERGE must succeed WITHOUT the far file's bytes present —
+      // stat pruning keeps attribution from ever opening it
+      spark.sql(s"""MERGE INTO $tbl t USING prune_src s ON t.ba = s.ba
+        WHEN MATCHED THEN UPDATE SET name = s.tag""")
+    } finally {
+      java.nio.file.Files.move(base.resolve(far + ".hidden"), base.resolve(far))
+    }
+    val r = spark.sql(
+      s"SELECT name FROM $tbl WHERE ba IN (5, 42) ORDER BY ba")
+      .collect().map(_.getString(0)).toSeq
+    assert(r == Seq("p5", "p42"))
+    // the far file is back and was never rewritten
+    assert(Snapshots.snapshot(root, "t").get.files.contains(far))
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == 4000L)
+  }
+
   test("DML refuses subqueries and unknown assignment shapes") {
     val (_, tbl) = fresh("refuse")
     val e = intercept[Exception] {
