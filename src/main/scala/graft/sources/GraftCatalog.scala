@@ -195,7 +195,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"partition column(s) not in schema: ${parts.mkString(", ")}")
     val dir = tableDir(ident)
     Files.createDirectories(dir)
-    Files.writeString(metaFile(dir), schema.json)
+    // CREATE_NEW makes the metadata file the atomic claim: two racing
+    // CREATE TABLEs lose deterministically (the snapshot log's commit
+    // discipline, applied to the catalog layer)
+    try Files.writeString(metaFile(dir), schema.json,
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new TableAlreadyExistsException(ident)
+    }
     if (parts.nonEmpty) Files.writeString(partsFile(dir), parts.mkString("\n"))
     new GraftTable(dir.toString, Prefix, None, schema, parts)
   }
