@@ -1655,10 +1655,17 @@ object Snapshots {
     * CHECK constraints are enforced on the POST-image of matched rows
     * before any commit; updates ride the change feed as
     * update_preimage/update_postimage pairs (Delta CDF parity). */
+  /** @param ranges advisory manifest-prunable bounds extracted from
+    *   the predicate's conjuncts (the DML rule supplies them): the
+    *   attribution read opens only files whose stats can overlap EVERY
+    *   range — a selective UPDATE against a 100 TB table reads a
+    *   handful of candidate files, never the table. Advisory only:
+    *   the exact predicate still decides row membership. */
   def updateWhere(spark: SparkSession, root: String, prefix: String,
                   predicate: org.apache.spark.sql.Column,
                   sets: Seq[(String, org.apache.spark.sql.Column)],
-                  txn: Option[String] = None): Int = {
+                  txn: Option[String] = None,
+                  ranges: Seq[StatRange] = Seq.empty): Int = {
     require(sets.nonEmpty, "UPDATE needs at least one assignment")
     val snap = snapshot(root, prefix, None).getOrElse(
       sys.error(s"nothing to update for $prefix"))
@@ -1667,7 +1674,11 @@ object Snapshots {
       val matches = org.apache.spark.sql.functions.coalesce(
         predicate, org.apache.spark.sql.functions.lit(false))
       val evs = schemaEvents(root, prefix, Some(snap.version))
-      val withFile = readFilesFilled(spark, root, prefix, snap.files, evs,
+      val candidates =
+        if (ranges.isEmpty) snap.files
+        else pruneFilesMulti(root, prefix, ranges, Some(snap.version))
+      if (candidates.isEmpty) return snap.version // stats exclude every file
+      val withFile = readFilesFilled(spark, root, prefix, candidates, evs,
         snap.dv, keepPositions = true)
       val matchedFiles = withFile.filter(matches)
         .select(DvPathCol).distinct()
@@ -2164,9 +2175,14 @@ object Snapshots {
     * Old versions keep reading the rows (snapshot isolation);
     * [[restore]] past this commit restores its target's dv set, so
     * the deletion is undone with it. */
+  /** @param ranges advisory manifest-prunable bounds from the delete
+    *   predicate (the SQL DELETE path maps its pushed filters): the
+    *   hit scan opens only stat-overlapping files — a keyed DELETE
+    *   against a 100 TB table reads candidates, never the table. */
   def deleteMoR(spark: SparkSession, root: String, prefix: String,
                 predicate: org.apache.spark.sql.Column,
-                txn: Option[String] = None): Int = {
+                txn: Option[String] = None,
+                ranges: Seq[StatRange] = Seq.empty): Int = {
     val snap = snapshot(root, prefix, None).getOrElse(
       sys.error(s"nothing to delete from for $prefix"))
     if (txn.exists(snap.txns.contains)) snap.version
@@ -2176,10 +2192,14 @@ object Snapshots {
       val matches = org.apache.spark.sql.functions.coalesce(
         predicate, org.apache.spark.sql.functions.lit(false))
       val evs = schemaEvents(root, prefix, Some(snap.version))
+      val candidates =
+        if (ranges.isEmpty) snap.files
+        else pruneFilesMulti(root, prefix, ranges, Some(snap.version))
+      if (candidates.isEmpty) return snap.version // stats exclude every file
       // one materialization reused three ways: sidecar rows, touched
       // files for the conflict check, CDC pre-images. The hit set is
       // what a MoR delete is FOR — small next to the table.
-      val hits = readFilesFilled(spark, root, prefix, snap.files, evs,
+      val hits = readFilesFilled(spark, root, prefix, candidates, evs,
         snap.dv, keepPositions = true)
         .filter(matches).localCheckpoint(true)
       if (hits.isEmpty) snap.version // nothing matched — no new version

@@ -78,6 +78,55 @@ object GraftDml extends Rule[LogicalPlan] {
       s"graft DML: only top-level column assignment is supported, got ${other.sql}")
   }
 
+  /** Advisory stat-pruning bounds from the UPDATE predicate's
+    * attr-vs-literal comparisons, as V1 filters ([[GraftSource
+    * .toRanges]] owns the key encoding). Conjuncts that don't map are
+    * simply not used for pruning — the exact predicate still decides
+    * row membership, so this can only narrow IO, never semantics. */
+  private def rangeFilters(cond: Expression): Seq[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.{sources => v1}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // the analyzer wraps literals in casts (`ba >= CAST(20 AS
+    // BIGINT)`) and this rule runs pre-optimizer, so fold any
+    // constant side rather than pattern-matching bare Literals;
+    // internal string values (UTF8String) normalize to java String
+    // for the V1 filter encoding
+    def litOf(e: Expression): Option[Any] =
+      if (e.foldable)
+        Option(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)).map {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case x => x
+        }
+      else None
+    conjuncts(cond).flatMap {
+      case EqualTo(a: AttributeReference, r) if litOf(r).isDefined =>
+        Some(v1.EqualTo(a.name, litOf(r).get))
+      case EqualTo(l, a: AttributeReference) if litOf(l).isDefined =>
+        Some(v1.EqualTo(a.name, litOf(l).get))
+      case GreaterThan(a: AttributeReference, r) if litOf(r).isDefined =>
+        Some(v1.GreaterThan(a.name, litOf(r).get))
+      case GreaterThan(l, a: AttributeReference) if litOf(l).isDefined =>
+        Some(v1.LessThan(a.name, litOf(l).get))
+      case GreaterThanOrEqual(a: AttributeReference, r) if litOf(r).isDefined =>
+        Some(v1.GreaterThanOrEqual(a.name, litOf(r).get))
+      case GreaterThanOrEqual(l, a: AttributeReference) if litOf(l).isDefined =>
+        Some(v1.LessThanOrEqual(a.name, litOf(l).get))
+      case LessThan(a: AttributeReference, r) if litOf(r).isDefined =>
+        Some(v1.LessThan(a.name, litOf(r).get))
+      case LessThan(l, a: AttributeReference) if litOf(l).isDefined =>
+        Some(v1.GreaterThan(a.name, litOf(l).get))
+      case LessThanOrEqual(a: AttributeReference, r) if litOf(r).isDefined =>
+        Some(v1.LessThanOrEqual(a.name, litOf(r).get))
+      case LessThanOrEqual(l, a: AttributeReference) if litOf(l).isDefined =>
+        Some(v1.GreaterThanOrEqual(a.name, litOf(l).get))
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case u @ UpdateTable(table, assignments, condition) if u.resolved =>
       graftTable(table) match {
@@ -85,7 +134,8 @@ object GraftDml extends Rule[LogicalPlan] {
           val condSql = condition.map(toSql(_, AttributeSet.empty)).getOrElse("true")
           val sets = assignments.map(a =>
             (keyName(a.key), toSql(a.value, AttributeSet.empty)))
-          GraftUpdateCommand(t.root, t.prefix, condSql, sets)
+          GraftUpdateCommand(t.root, t.prefix, condSql, sets,
+            condition.map(rangeFilters).getOrElse(Seq.empty))
         case None => u
       }
 
@@ -145,12 +195,14 @@ object GraftDml extends Rule[LogicalPlan] {
   * the change feed. */
 case class GraftUpdateCommand(root: String, prefix: String,
                               condSql: String,
-                              sets: Seq[(String, String)])
+                              sets: Seq[(String, String)],
+                              pruning: Seq[org.apache.spark.sql.sources.Filter])
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     Snapshots.updateWhere(spark, root, prefix,
       org.apache.spark.sql.functions.expr(condSql),
-      sets.map { case (c, v) => (c, org.apache.spark.sql.functions.expr(v)) })
+      sets.map { case (c, v) => (c, org.apache.spark.sql.functions.expr(v)) },
+      ranges = pruning.flatMap(GraftSource.toRanges))
     Seq.empty
   }
 }

@@ -321,7 +321,10 @@ private[sources] class GraftTable(val root: String, val prefix: String,
     val cond =
       if (filters.isEmpty) lit(true)
       else filters.map(GraftSource.filterToColumn).reduce(_ && _)
-    Snapshots.deleteMoR(SparkSession.active, root, prefix, cond)
+    // advisory manifest pruning: the hit scan opens only files whose
+    // stats can overlap the delete's range conjuncts
+    Snapshots.deleteMoR(SparkSession.active, root, prefix, cond,
+      ranges = filters.toSeq.flatMap(GraftSource.toRanges))
     ()
   }
 

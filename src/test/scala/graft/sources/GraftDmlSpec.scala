@@ -147,20 +147,23 @@ class GraftDmlSpec extends SparkTestBase {
     try {
       spark.sql("""CREATE OR REPLACE TEMP VIEW prune_src AS
         SELECT * FROM VALUES (5L, 'p5'), (42L, 'p42') AS v(ba, tag)""")
-      // the MERGE must succeed WITHOUT the far file's bytes present —
-      // stat pruning keeps attribution from ever opening it
+      // MERGE, UPDATE, and DELETE must all succeed WITHOUT the far
+      // file's bytes present — stat pruning keeps their attribution /
+      // hit scans from ever opening it
       spark.sql(s"""MERGE INTO $tbl t USING prune_src s ON t.ba = s.ba
         WHEN MATCHED THEN UPDATE SET name = s.tag""")
+      spark.sql(s"UPDATE $tbl SET name = 'u' WHERE ba >= 20 AND ba < 25")
+      spark.sql(s"DELETE FROM $tbl WHERE ba >= 30 AND ba < 35")
     } finally {
       java.nio.file.Files.move(base.resolve(far + ".hidden"), base.resolve(far))
     }
     val r = spark.sql(
-      s"SELECT name FROM $tbl WHERE ba IN (5, 42) ORDER BY ba")
+      s"SELECT name FROM $tbl WHERE ba IN (5, 20, 42) ORDER BY ba")
       .collect().map(_.getString(0)).toSeq
-    assert(r == Seq("p5", "p42"))
+    assert(r == Seq("p5", "u", "p42"))
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == 3995L)
     // the far file is back and was never rewritten
     assert(Snapshots.snapshot(root, "t").get.files.contains(far))
-    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == 4000L)
   }
 
   test("DML refuses subqueries and unknown assignment shapes") {
