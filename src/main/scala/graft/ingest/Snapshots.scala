@@ -1338,9 +1338,14 @@ object Snapshots {
   /** @param partitions optional OPTIMIZE scope: only hive directories
     *   carrying ALL the given `col -> value` pairs are rewritten,
     *   everything else survives untouched — at 100 TB compaction is a
-    *   per-partition maintenance task, never a whole-table rewrite. */
+    *   per-partition maintenance task, never a whole-table rewrite.
+    * @param targetFileBytes output sizing (Delta OPTIMIZE's ~1 GB
+    *   default): a directory rewrites into ceil(bytes/target) files,
+    *   so a huge partition never collapses into one monster file; a
+    *   directory already at-or-below that file count is left alone. */
   def compact(spark: SparkSession, root: String, prefix: String,
-              partitions: Map[String, String] = Map.empty): Int = {
+              partitions: Map[String, String] = Map.empty,
+              targetFileBytes: Long = 1L << 30): Int = {
     val snap = snapshot(root, prefix, None).getOrElse(
       sys.error(s"nothing to compact for $prefix"))
     val base = dataDir(root, prefix)
@@ -1360,7 +1365,11 @@ object Snapshots {
         val i = s.indexOf('='); s.substring(0, i) -> s.substring(i + 1)
       }.toMap
       val inScope = partitions.forall { case (k, v) => dirVals.get(k).contains(v) }
-      if (!inScope || fs.size <= 1) keep ++= fs // out of scope / already one file
+      val outFiles =
+        if (!inScope) Int.MaxValue
+        else math.max(1, math.ceil(fs.map(f =>
+          Files.size(base.resolve(f))).sum.toDouble / targetFileBytes).toInt)
+      if (fs.size <= outFiles) keep ++= fs // out of scope / already at target
       else {
         val before = listDataFiles(root, prefix).toSet
         // DV-filtered: compaction materializes merge-on-read deletions
@@ -1370,7 +1379,7 @@ object Snapshots {
         // recovered column before writing back INTO that directory
         val dirCols = dir.split("/").filter(_.contains("=")).map(_.split("=")(0))
         dirCols.foldLeft(df)((d, c) => d.drop(c))
-          .coalesce(1).write.mode("append")
+          .coalesce(outFiles).write.mode("append")
           .parquet(base.resolve(dir).toString)
         // mark the rewrites: until a snapshot pins them they are
         // UNCOMMITTED, and commit() must never adopt them from a

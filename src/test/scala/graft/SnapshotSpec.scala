@@ -374,6 +374,32 @@ class SnapshotSpec extends SparkTestBase {
     assert(Snapshots.read(spark, root, "s6").count() == 700)
   }
 
+  test("compaction honors the target file size: big partitions split, small skip") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "s6b", topics = 1, numMessages = 2000)
+    ProduceJob.produceBatch(spark, root, "s6b", topics = 1, numMessages = 2000)
+    ProduceJob.produceBatch(spark, root, "s6b", topics = 1, numMessages = 2000)
+    val before = Snapshots.snapshot(root, "s6b").get
+    assert(before.files.size >= 3)
+    val bytes = before.files.map(f =>
+      Files.size(java.nio.file.Paths.get(
+        graft.ingest.Topics.tableDir(root, "s6b")).resolve(f))).sum
+    // a tiny target forces a multi-file rewrite — never one monster file
+    val target = bytes / 2
+    val v = Snapshots.compact(spark, root, "s6b", targetFileBytes = target)
+    val after = Snapshots.snapshot(root, "s6b").get
+    assert(after.version == v)
+    val expected = math.ceil(bytes.toDouble / target).toInt
+    assert(after.files.size == expected, s"${after.files.size} vs $expected")
+    assert(Snapshots.read(spark, root, "s6b").count() == 6000)
+    // a big target consolidates to one file; repeating is a no-op
+    // (a directory at-or-below its target count is left alone)
+    val v2 = Snapshots.compact(spark, root, "s6b")
+    assert(Snapshots.snapshot(root, "s6b").get.files.size == 1)
+    assert(Snapshots.compact(spark, root, "s6b") == v2)
+    assert(Snapshots.read(spark, root, "s6b").count() == 6000)
+  }
+
   test("concurrent commit to the same version loses deterministically") {
     val root = Files.createTempDirectory("graft_snap").toString
     ProduceJob.produceBatch(spark, root, "s7", topics = 1, numMessages = 100)
