@@ -210,6 +210,26 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(r.toSeq == Seq(101L, 2L))
   }
 
+  test("DML sees evolved schemas: defaults work in WHERE and SET") {
+    val ns = freshNs()
+    spark.sql(s"CREATE TABLE graft.$ns.ev (id BIGINT)")
+    spark.sql(s"INSERT INTO graft.$ns.ev SELECT id FROM range(0, 50)")
+    spark.sql(s"ALTER TABLE graft.$ns.ev ADD COLUMN tier STRING DEFAULT 'std'")
+    // pre-evolution rows read the default — the UPDATE's WHERE must
+    // see it, and SET must materialize the new column into rewrites
+    spark.sql(s"UPDATE graft.$ns.ev SET tier = 'gold' WHERE tier = 'std' AND id < 10")
+    val r = spark.sql(
+      s"SELECT count(if(tier = 'gold', 1, null)), count(if(tier = 'std', 1, null)) " +
+        s"FROM graft.$ns.ev").head()
+    assert(r.toSeq == Seq(10L, 40L))
+    spark.sql("""CREATE OR REPLACE TEMP VIEW evo_src AS
+      SELECT CAST(id AS BIGINT) AS id, 'vip' AS t FROM range(5, 7)""")
+    spark.sql(s"""MERGE INTO graft.$ns.ev e USING evo_src s ON e.id = s.id
+      WHEN MATCHED THEN UPDATE SET tier = s.t""")
+    assert(spark.sql(s"SELECT count(if(tier = 'vip', 1, null)) FROM graft.$ns.ev")
+      .head().getLong(0) == 2L)
+  }
+
   test("catalog metadata survives a fresh catalog instance (file-based)") {
     val ns = freshNs()
     spark.sql(s"CREATE TABLE graft.$ns.p (id BIGINT, topic STRING) PARTITIONED BY (topic)")
