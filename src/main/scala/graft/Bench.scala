@@ -119,6 +119,32 @@ object Bench {
           "override) — a read-throttled record would not be comparable")
       sys.exit(3)
     }
+    // compute-health probe (round-8 lesson: a whole-suite UNIFORM
+    // ~1.5x drift on identical committed code slipped past BOTH
+    // existing stamps — load1 0.17, read 1237 MB/s — the signature of
+    // a host CPU-frequency/steal throttle neither catches). One fixed
+    // single-threaded arithmetic workload, run twice (first pass is
+    // JIT warmup), stamped as cpu_mops. No refusal threshold — the
+    // healthy range varies by host; adjudicate a suspect record by
+    // comparing its stamp against the committed record's.
+    val cpuMops: Double = {
+      def pass(): Double = {
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0
+        val n = 200000000
+        val t0 = System.nanoTime()
+        while (i < n) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          x ^= (x >>> 33)
+          i += 1
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (x == 42L) System.err.print("") // keep the loop live
+        n / 1e6 / sec
+      }
+      pass(); pass()
+    }
+
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32"))
@@ -190,7 +216,7 @@ object Bench {
       .mkString("{", ",", "}")
     val rcFull = results.map { case (k, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"load1":${fmt(load1)},"read_mbps":${fmt(readMbps)},"queries":$qsFull,"rows":$rcFull,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"load1":${fmt(load1)},"read_mbps":${fmt(readMbps)},"cpu_mops":${fmt(cpuMops)},"queries":$qsFull,"rows":$rcFull,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_FULL.json")
     try Files.write(Paths.get(detailPath),
       full.getBytes(StandardCharsets.UTF_8))
@@ -199,7 +225,7 @@ object Bench {
     val byName = results.map { case (k, v, _) => k -> v }.toMap
     val qs = Headline.flatMap(h => byName.get(h).map(v => "\"" + h + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"load1":${fmt(load1)},"read_mbps":${fmt(readMbps)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"load1":${fmt(load1)},"read_mbps":${fmt(readMbps)},"cpu_mops":${fmt(cpuMops)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

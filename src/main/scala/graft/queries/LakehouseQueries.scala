@@ -1560,6 +1560,85 @@ object LakehouseQueries extends QueryRegistry {
              |      UNION ALL SELECT id FROM range(2000, 2100) u(id))
              |UNION ALL
              |SELECT 'd_dst_v0', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0, 1000) t(id)
-             |ORDER BY step""".stripMargin))
+             |ORDER BY step""".stripMargin)),
+
+    // MERGE WITH SCHEMA EVOLUTION (round 8): GraftTable declares
+    // AUTOMATIC_SCHEMA_EVOLUTION, so the analyzer's own
+    // ResolveMergeIntoSchemaEvolution routes the source's new column
+    // through GraftCatalog.alterTable (one metadata-only addColumn
+    // commit) BEFORE the merge resolves — Delta's auto-evolution
+    // surface, catalog-native. The 900 untouched rows NULL-fill the
+    // new column (no data file rewritten for them); pre-evolution
+    // versions stay readable without it.
+    QueryDef("q296_merge_schema_evolution",
+      (s, _) => {
+        s.sql("DROP NAMESPACE IF EXISTS graft.q296 CASCADE")
+        s.sql("CREATE NAMESPACE graft.q296")
+        s.sql("CREATE TABLE graft.q296.se (id BIGINT, v BIGINT)")
+        s.sql("INSERT INTO graft.q296.se SELECT id, id * 2 FROM range(0, 1000)") // v0
+        s.sql("""CREATE OR REPLACE TEMP VIEW q296_src AS
+          SELECT CAST(id AS BIGINT) AS id, CAST(id * 3 AS BIGINT) AS v,
+                 CAST(id * 10 AS BIGINT) AS extra
+          FROM range(900, 1100)""")
+        s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft.q296.se t
+          USING q296_src s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET v = s.v, extra = s.extra
+          WHEN NOT MATCHED THEN INSERT (id, v, extra) VALUES (s.id, s.v, s.extra)""")
+        s.sql("""SELECT 'latest' AS snap, count(*) AS cnt,
+                |  cast(sum(v) AS bigint) AS sum_v,
+                |  cast(sum(extra) AS bigint) AS sum_extra,
+                |  count(if(extra IS NULL, 1, null)) AS null_extra
+                |FROM graft.q296.se
+                |UNION ALL
+                |SELECT 'v0', count(*), cast(sum(v) AS bigint),
+                |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+                |FROM graft.q296.se VERSION AS OF 0
+                |ORDER BY snap""".stripMargin)
+      },
+      Some("""WITH touched AS (SELECT id FROM range(900, 1100) t(id))
+             |SELECT 'latest' AS snap,
+             |  (SELECT COUNT(*) FROM range(0, 1100) t(id)) AS cnt,
+             |  CAST((SELECT SUM(id * 2) FROM range(0, 900) t(id))
+             |     + (SELECT SUM(id * 3) FROM touched) AS BIGINT) AS sum_v,
+             |  CAST((SELECT SUM(id * 10) FROM touched) AS BIGINT) AS sum_extra,
+             |  CAST(900 AS BIGINT) AS null_extra
+             |UNION ALL
+             |SELECT 'v0', COUNT(*), CAST(SUM(id * 2) AS BIGINT),
+             |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+             |FROM range(0, 1000) t(id)
+             |ORDER BY snap""".stripMargin)),
+
+    // Nested-field DML (round 8): `SET st.a = …` lowers to ONE
+    // named_struct rebuild over the pre-image (GraftDml
+    // .lowerAssignments) — sibling fields copy through untouched,
+    // values still evaluate against the OLD row (the simultaneous-
+    // assignment contract), and only files holding matches rewrite.
+    // The oracle replays the field arithmetic over range(); output is
+    // flat (struct fields projected out) per the nested-type lint.
+    QueryDef("q297_nested_update",
+      (s, _) => {
+        s.sql("DROP NAMESPACE IF EXISTS graft.q297 CASCADE")
+        s.sql("CREATE NAMESPACE graft.q297")
+        s.sql("CREATE TABLE graft.q297.n (id BIGINT, st STRUCT<a: BIGINT, b: BIGINT>)")
+        s.sql("""INSERT INTO graft.q297.n
+          SELECT id, named_struct('a', id, 'b', id * 2) FROM range(0, 1000)""")
+        // st.a rebuilt from the pre-image's st.b; st.b untouched
+        s.sql("UPDATE graft.q297.n SET st.a = st.b + 100000 WHERE id >= 990")
+        s.sql("""CREATE OR REPLACE TEMP VIEW q297_src AS
+          SELECT CAST(id AS BIGINT) AS id, CAST(id * 7 AS BIGINT) AS nb
+          FROM range(0, 10)""")
+        s.sql("""MERGE INTO graft.q297.n t USING q297_src s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET st.b = s.nb""")
+        s.sql("""SELECT count(*) AS cnt,
+                |  cast(sum(st.a) AS bigint) AS sum_a,
+                |  cast(sum(st.b) AS bigint) AS sum_b
+                |FROM graft.q297.n""".stripMargin)
+      },
+      Some("""SELECT COUNT(*) AS cnt,
+             |  CAST(SUM(CASE WHEN id >= 990 THEN id * 2 + 100000 ELSE id END)
+             |       AS BIGINT) AS sum_a,
+             |  CAST(SUM(CASE WHEN id < 10 THEN id * 7 ELSE id * 2 END)
+             |       AS BIGINT) AS sum_b
+             |FROM range(0, 1000) t(id)""".stripMargin))
   )
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, Expression, GetStructField, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -78,6 +78,71 @@ object GraftDml extends Rule[LogicalPlan] {
       s"graft DML: only top-level column assignment is supported, got ${other.sql}")
   }
 
+  /** Assignment key → column path: `s.a.b` resolves to nested
+    * GetStructField extractions over the column attribute. Arrays and
+    * maps are not assignable sub-paths. */
+  private def keyPath(key: Expression): Seq[String] = key match {
+    case a: AttributeReference => Seq(a.name)
+    case g: GetStructField => keyPath(g.child) :+ g.extractFieldName
+    case other => throw new UnsupportedOperationException(
+      s"graft DML: unsupported assignment target ${other.sql} — " +
+        "only columns and struct fields are assignable")
+  }
+
+  /** Nested assignments lowered to TOP-LEVEL ones: every sub-path set
+    * on a struct column becomes one `named_struct(…)` value over the
+    * PRE-image (unassigned fields copy through by reference), so the
+    * primitives' simultaneous-assignment contract is untouched — all
+    * lowered values still evaluate against the old row in one select.
+    * Assigning a field of a NULL struct yields a NON-null struct with
+    * the other fields null (Delta's nested-update semantics — the
+    * field extraction on the null parent is null). Conflicts (a path
+    * and its prefix both assigned, or one path assigned twice) are
+    * refused, matching the SQL standard's ambiguity rule. */
+  private def lowerAssignments(assigns: Seq[(Seq[String], String)],
+                               schema: StructType): Seq[(String, String)] = {
+    def quote(n: String) = "`" + n.replace("`", "``") + "`"
+    def build(prefixSql: String, st: StructType,
+              subs: Seq[(Seq[String], String)]): String = {
+      val byHead = subs.groupBy(_._1.head)
+      byHead.keys.foreach { f =>
+        if (!st.fieldNames.contains(f)) throw new UnsupportedOperationException(
+          s"graft DML: no field '$f' under $prefixSql")
+      }
+      "named_struct(" + st.fields.map { f =>
+        val lit = s"'${f.name}'"
+        val self = s"$prefixSql.${quote(f.name)}"
+        byHead.get(f.name) match {
+          case None => s"$lit, $self"
+          case Some(Seq((path, v))) if path.length == 1 => s"$lit, ($v)"
+          case Some(list) =>
+            if (list.exists(_._1.length == 1)) throw new UnsupportedOperationException(
+              s"graft DML: conflicting assignments to '$self' and its sub-fields")
+            f.dataType match {
+              case inner: StructType =>
+                s"$lit, ${build(self, inner, list.map { case (p, v) => (p.tail, v) })}"
+              case other => throw new UnsupportedOperationException(
+                s"graft DML: cannot assign into ${other.simpleString} at $self")
+            }
+        }
+      }.mkString(", ") + ")"
+    }
+    assigns.groupBy(_._1.head).toSeq.map {
+      case (col, Seq((path, v))) if path.length == 1 => (col, v)
+      case (col, list) =>
+        if (list.exists(_._1.length == 1)) throw new UnsupportedOperationException(
+          s"graft DML: conflicting assignments to '$col' and its sub-fields")
+        schema.find(_.name == col).map(_.dataType) match {
+          case Some(st: StructType) =>
+            (col, build(quote(col), st, list.map { case (p, v) => (p.tail, v) }))
+          case Some(other) => throw new UnsupportedOperationException(
+            s"graft DML: cannot assign into ${other.simpleString} column '$col'")
+          case None => throw new UnsupportedOperationException(
+            s"graft DML: unknown column '$col'")
+        }
+    }
+  }
+
   /** Advisory stat-pruning bounds from the UPDATE predicate's
     * attr-vs-literal comparisons, as V1 filters ([[GraftSource
     * .toRanges]] owns the key encoding). Conjuncts that don't map are
@@ -132,8 +197,9 @@ object GraftDml extends Rule[LogicalPlan] {
       graftTable(table) match {
         case Some(t) =>
           val condSql = condition.map(toSql(_, AttributeSet.empty)).getOrElse("true")
-          val sets = assignments.map(a =>
-            (keyName(a.key), toSql(a.value, AttributeSet.empty)))
+          val sets = lowerAssignments(assignments.map(a =>
+            (keyPath(a.key), toSql(a.value, AttributeSet.empty))),
+            EliminateSubqueryAliases(table).schema)
           GraftUpdateCommand(t.root, t.prefix, condSql, sets,
             condition.map(rangeFilters).getOrElse(Seq.empty))
         case None => u
@@ -142,16 +208,23 @@ object GraftDml extends Rule[LogicalPlan] {
     case m: MergeIntoTable if m.resolved =>
       graftTable(m.targetTable) match {
         case Some(t) =>
-          if (m.withSchemaEvolution) throw new UnsupportedOperationException(
-            "graft MERGE: WITH SCHEMA EVOLUTION is not supported — evolve via addColumn first")
+          // WITH SCHEMA EVOLUTION needs no handling here: GraftTable
+          // declares AUTOMATIC_SCHEMA_EVOLUTION, so the analyzer's own
+          // ResolveMergeIntoSchemaEvolution has ALREADY routed the new
+          // source columns through the catalog's alterTable (a
+          // metadata-only addColumn commit) and re-loaded the relation
+          // by the time this node is resolved — the target schema seen
+          // below is the evolved one.
           val srcAttrs = AttributeSet(m.sourceTable.output)
           val dupSrc = m.sourceTable.output.groupBy(_.name).filter(_._2.size > 1).keys
           if (dupSrc.nonEmpty) throw new UnsupportedOperationException(
             s"graft MERGE: duplicate source column name(s): ${dupSrc.mkString(", ")}")
+          val targetSchema0 = EliminateSubqueryAliases(m.targetTable).schema
           def clause(a: MergeAction): Snapshots.MergeClause = a match {
             case UpdateAction(c, assigns, _) => Snapshots.MergeClause(
               c.map(toSql(_, srcAttrs)),
-              Some(assigns.map(asn => (keyName(asn.key), toSql(asn.value, srcAttrs)))))
+              Some(lowerAssignments(assigns.map(asn =>
+                (keyPath(asn.key), toSql(asn.value, srcAttrs))), targetSchema0)))
             case DeleteAction(c) =>
               Snapshots.MergeClause(c.map(toSql(_, srcAttrs)), None)
             case InsertAction(c, assigns) => Snapshots.MergeClause(

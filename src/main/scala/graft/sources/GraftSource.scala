@@ -347,10 +347,19 @@ private[sources] class GraftTable(val root: String, val prefix: String,
   // with a static partition spec and writeTo(...).overwrite(cond)
   // arrive as OverwriteByExpression with a real condition, routed to
   // the builder's overwrite(filters) → Snapshots.overwriteWhere.
+  // AUTOMATIC_SCHEMA_EVOLUTION opts into the analyzer's
+  // ResolveMergeIntoSchemaEvolution: MERGE … WITH SCHEMA EVOLUTION
+  // computes the source's new columns and routes them through the
+  // CATALOG's alterTable (GraftCatalog → Snapshots.addColumn, a
+  // metadata-only commit) before the merge resolves — so evolution
+  // works for catalog tables; a path-loaded relation has no catalog
+  // to alter and such a MERGE fails analysis on the unresolved
+  // column, never half-evolves.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, prefix, version, tableSchema)

@@ -230,6 +230,48 @@ class GraftCatalogSpec extends SparkTestBase {
       .head().getLong(0) == 2L)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds new source columns via the catalog") {
+    val ns = freshNs()
+    spark.sql(s"CREATE TABLE graft.$ns.se (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO graft.$ns.se SELECT id, 'x' FROM range(0, 100)")
+    val v0 = Snapshots.snapshot(s"/tmp/graft/lake/$ns/se", "t").get.version
+    spark.sql("""CREATE OR REPLACE TEMP VIEW se_src AS
+      SELECT CAST(id AS BIGINT) AS id, 'y' AS v, id * 10 AS extra
+      FROM range(95, 105)""")
+    // explicit assignments referencing the NEW column: the analyzer's
+    // ResolveMergeIntoSchemaEvolution must alterTable (addColumn
+    // metadata commit) BEFORE the merge resolves, or `t.extra` and
+    // `SET extra = …` cannot resolve at all
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft.$ns.se t
+      USING se_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v, extra = s.extra
+      WHEN NOT MATCHED THEN INSERT (id, v, extra) VALUES (s.id, s.v, s.extra)""")
+    val r = spark.sql(
+      s"""SELECT count(*), count(if(extra IS NULL, 1, null)),
+         |cast(sum(extra) AS bigint), count(if(v = 'y', 1, null))
+         |FROM graft.$ns.se""".stripMargin).head()
+    // 100 originals + 5 inserts; the 95 untouched rows NULL-fill extra
+    assert(r.toSeq == Seq(105L, 95L, (95L until 105L).map(_ * 10).sum, 10L))
+    // the evolution itself is one metadata-only commit + the merge's
+    // rewrite commit — and pre-evolution versions stay readable
+    val snaps = Snapshots.snapshot(s"/tmp/graft/lake/$ns/se", "t").get
+    assert(snaps.version == v0 + 2, s"expected addColumn+merge, got v${snaps.version}")
+    val old = spark.sql(s"SELECT * FROM graft.$ns.se VERSION AS OF $v0")
+    assert(!old.columns.contains("extra") && old.count() == 100L)
+    // star actions evolve too (UPDATE SET * / INSERT * expand over the
+    // evolved relation)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW se_src2 AS
+      SELECT CAST(200 AS BIGINT) AS id, 'z' AS v,
+             CAST(7 AS BIGINT) AS extra, 'tagged' AS note""")
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft.$ns.se t
+      USING se_src2 s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val r2 = spark.sql(
+      s"SELECT count(*), count(note), max(note) FROM graft.$ns.se").head()
+    assert(r2.toSeq == Seq(106L, 1L, "tagged"))
+  }
+
   test("catalog metadata survives a fresh catalog instance (file-based)") {
     val ns = freshNs()
     spark.sql(s"CREATE TABLE graft.$ns.p (id BIGINT, topic STRING) PARTITIONED BY (topic)")

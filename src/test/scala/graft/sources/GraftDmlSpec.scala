@@ -166,6 +166,49 @@ class GraftDmlSpec extends SparkTestBase {
     assert(Snapshots.snapshot(root, "t").get.files.contains(far))
   }
 
+  test("UPDATE and MERGE assign nested struct fields (named_struct lowering)") {
+    val root = s"/tmp/graft/dmlspec-nest-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    new java.io.File(root).mkdirs()
+    val tbl = "dml_nest"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (
+      id BIGINT, st STRUCT<a: BIGINT, b: STRING>, note STRING)
+      USING graft OPTIONS (path '$root/t')""")
+    spark.sql(s"""INSERT INTO $tbl
+      SELECT id, IF(id = 99, CAST(NULL AS STRUCT<a: BIGINT, b: STRING>),
+                    named_struct('a', id, 'b', concat('b', id))), 'orig'
+      FROM range(0, 100)""")
+    // sub-field SET: other fields copy through; values see the OLD row
+    // (st.a doubles FROM the pre-image even though st is being rebuilt)
+    spark.sql(s"UPDATE $tbl SET st.a = st.a * 2, note = 'u' WHERE id IN (3, 4)")
+    val r = spark.sql(
+      s"SELECT st.a, st.b, note FROM $tbl WHERE id IN (3, 4) ORDER BY id")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2))).toSeq
+    assert(r == Seq((6L, "b3", "u"), (8L, "b4", "u")))
+    // assigning a field of a NULL struct yields a non-null struct with
+    // the other fields null (Delta's nested-update semantics)
+    spark.sql(s"UPDATE $tbl SET st.a = 500 WHERE id = 99")
+    val n = spark.sql(s"SELECT st.a, st.b FROM $tbl WHERE id = 99").head()
+    assert(n.getLong(0) == 500L && n.isNullAt(1))
+    // MERGE clause-level nested assignment
+    spark.sql("""CREATE OR REPLACE TEMP VIEW nest_src AS
+      SELECT CAST(7 AS BIGINT) AS id, 'merged' AS tag""")
+    spark.sql(s"""MERGE INTO $tbl t USING nest_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET st.b = s.tag""")
+    val m = spark.sql(s"SELECT st.a, st.b FROM $tbl WHERE id = 7").head()
+    assert(m.getLong(0) == 7L && m.getString(1) == "merged")
+    // a path and its prefix in one SET is ambiguous — refused
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $tbl SET st = named_struct('a', CAST(1 AS BIGINT), " +
+        s"'b', 'x'), st.a = 2 WHERE id = 1")
+    }
+    assert(causes(e).exists(c => c.isInstanceOf[UnsupportedOperationException] &&
+      c.getMessage.contains("conflicting")), e.toString)
+  }
+
   test("DML refuses subqueries and unknown assignment shapes") {
     val (_, tbl) = fresh("refuse")
     val e = intercept[Exception] {
