@@ -1639,6 +1639,43 @@ object LakehouseQueries extends QueryRegistry {
              |       AS BIGINT) AS sum_a,
              |  CAST(SUM(CASE WHEN id < 10 THEN id * 7 ELSE id * 2 END)
              |       AS BIGINT) AS sum_b
-             |FROM range(0, 1000) t(id)""".stripMargin))
+             |FROM range(0, 1000) t(id)""".stripMargin)),
+
+    // Streaming read BY TABLE NAME (round 8): GraftTable declares
+    // MICRO_BATCH_READ, so `readStream.table("graft.ns.t")` plans the
+    // NATIVE DSv2 micro-batch stream (GraftMicroBatchStream — offsets
+    // are commit versions, the V1 source's exact semantics; each
+    // batch's executed plan is sliced into input partitions, rows
+    // never pass through the driver). Two source commits at
+    // maxVersionsPerTrigger=1 drain as exactly two sink commits —
+    // batch-for-batch incrementality by name on both ends.
+    QueryDef("q298_stream_by_name",
+      (s, _) => {
+        s.sql("DROP NAMESPACE IF EXISTS graft.q298 CASCADE")
+        s.sql("CREATE NAMESPACE graft.q298")
+        s.sql("CREATE TABLE graft.q298.src (id BIGINT)")
+        s.sql("INSERT INTO graft.q298.src SELECT id FROM range(0, 1000)")     // v0
+        s.sql("INSERT INTO graft.q298.src SELECT id FROM range(1000, 1500)")  // v1
+        s.sql("CREATE TABLE graft.q298.out (id BIGINT, id2 BIGINT)")
+        val q = s.readStream
+          .option("maxVersionsPerTrigger", "1")
+          .table("graft.q298.src")
+          .filter(col("id") % 3 === 0)
+          .select(col("id"), (col("id") * 2).as("id2"))
+          .writeStream.format("graft")
+          .option("checkpointLocation", "/tmp/graft/lake/q298/_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start("/tmp/graft/lake/q298/out/t")
+        q.awaitTermination()
+        s.table("graft.q298.out")
+          .agg(count(lit(1)).as("cnt"), sum("id").cast("bigint").as("sum_id"),
+            sum("id2").cast("bigint").as("sum_id2"))
+          .select(col("cnt"), col("sum_id"), col("sum_id2"),
+            lit(Snapshots.versions("/tmp/graft/lake/q298/out", "t").size)
+              .cast("bigint").as("commits"))
+      },
+      Some("""SELECT COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_id,
+             |CAST(SUM(id * 2) AS BIGINT) AS sum_id2, CAST(2 AS BIGINT) AS commits
+             |FROM range(0, 1500) t(id) WHERE id % 3 = 0""".stripMargin))
   )
 }

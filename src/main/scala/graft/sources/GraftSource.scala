@@ -69,10 +69,12 @@ class GraftSource extends TableProvider with DataSourceRegister
     * `maxVersionsPerTrigger` (poll cap). Combined with the sink above,
     * `readStream("graft") → transform → writeStream("graft")` is an
     * incremental lakehouse-to-lakehouse pipeline — the reference's
-    * consume→offload loop with tables on both ends. Spark routes here
-    * (not the DSv2 table path) because GraftTable declares no
-    * MICRO_BATCH_READ; the V1 Source contract is the stable surface
-    * for custom micro-batch sources. */
+    * consume→offload loop with tables on both ends. GraftTable now
+    * declares MICRO_BATCH_READ, so MicroBatchExecution prefers the
+    * native DSv2 stream ([[graft.streaming.GraftMicroBatchStream]],
+    * same offsets and options); this V1 Source remains the fallback
+    * Spark uses when v2 readers are disabled
+    * (spark.sql.streaming.disabledV2MicroBatchReaders). */
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
@@ -359,10 +361,11 @@ private[sources] class GraftTable(val root: String, val prefix: String,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, prefix, version, tableSchema)
+    new GraftScanBuilder(root, prefix, version, tableSchema, options)
 
   /** APPEND and OVERWRITE through the snapshot log. Append: new
     * parquet files land under the table dir (respecting any existing
@@ -451,7 +454,9 @@ private[sources] class GraftTable(val root: String, val prefix: String,
 }
 
 private[sources] class GraftScanBuilder(root: String, prefix: String,
-                                        version: Option[Int], fullSchema: StructType)
+                                        version: Option[Int], fullSchema: StructType,
+                                        options: CaseInsensitiveStringMap =
+                                          CaseInsensitiveStringMap.empty())
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -565,7 +570,8 @@ private[sources] class GraftScanBuilder(root: String, prefix: String,
 
   override def build(): Scan = aggPushed match {
     case Some(vs) => new GraftCountScan(prefix, vs)
-    case None => new GraftScan(root, prefix, version, required, pushed, limitFiles)
+    case None =>
+      new GraftScan(root, prefix, version, required, pushed, limitFiles, options)
   }
 }
 
@@ -607,10 +613,26 @@ private[sources] class GraftCountRelation(values: Seq[Long],
 
 private[sources] class GraftScan(root: String, prefix: String, version: Option[Int],
                                  required: StructType, pushed: Array[Filter],
-                                 limitFiles: Option[Seq[String]] = None)
+                                 limitFiles: Option[Seq[String]] = None,
+                                 options: CaseInsensitiveStringMap =
+                                   CaseInsensitiveStringMap.empty())
   extends V1Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** `spark.readStream.table("graft.ns.t")` / `.format("graft")` —
+    * the table as a NATIVE micro-batch source (the capability routes
+    * MicroBatchExecution here instead of the V1 StreamSourceProvider).
+    * Offsets are commit versions; options `startingVersion` /
+    * `maxVersionsPerTrigger` keep the V1 source's meaning. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(version.isEmpty,
+      "a streaming read starts from 'startingVersion', not a pinned 'version'/'tag'")
+    new graft.streaming.GraftMicroBatchStream(root, prefix, required,
+      Option(options.get("startingVersion")).map(_.toLong - 1).getOrElse(-1L),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+  }
 
   /** Post-pruning on-disk bytes of the surviving file list — computed
     * from metadata only. Reporting it lets the planner auto-broadcast

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.{Partition, TaskContext}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+import graft.ingest.Snapshots
+
+/** The snapshot table as a DSv2 MICRO-BATCH STREAM — what makes
+  * `spark.readStream.table("graft.ns.t")` (and the `format("graft")`
+  * path, which Spark routes here once the table declares
+  * MICRO_BATCH_READ) a native streaming source. Semantics are
+  * IDENTICAL to the V1 [[SnapshotStreamSource]]: offsets ARE commit
+  * versions, batch (start, end] delivers the rows those commits
+  * appended ([[Snapshots.readChanges]] — compaction/delete/restore
+  * commits contribute nothing), `startingVersion` floors the replay
+  * and `maxVersionsPerTrigger` caps batch width (admission control),
+  * Trigger.AvailableNow pins the drain target at trigger start.
+  *
+  * Execution: each micro-batch's DataFrame is planned DRIVER-side
+  * through the full snapshot machinery (schema-evolution replay,
+  * partition-dir reconstruction) and its executed plan's InternalRow
+  * RDD is sliced into one [[InputPartition]] per RDD partition. The
+  * reader computes its slice with the live TaskContext — the exact
+  * mechanism ordinary Spark tasks use (a task deserializes its RDD
+  * and calls `iterator(split, context)`), so rows never pass through
+  * the driver and per-batch parallelism is the underlying scan's.
+  * At 100 TB nothing scales with table size: offset discovery lists
+  * the log (O(versions)); a batch touches only the files its commits
+  * added. */
+private[graft] class GraftMicroBatchStream(root: String, prefix: String,
+                                           schema: StructType, floor: Long,
+                                           maxPerTrigger: Option[Int])
+  extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow pin — commits landing after the trigger
+    * started are left for the next run. */
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Snapshots.versions(root, prefix).lastOption.map(_.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def initialOffset(): Offset = LongOffset(floor)
+
+  override def deserializeOffset(json: String): Offset = LongOffset(json.toLong)
+
+  private def ver(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.toLong
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control surface")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = Option(start).map(ver).getOrElse(floor)
+    val latest0 = Snapshots.versions(root, prefix).lastOption
+      .map(_.toLong).getOrElse(-1L)
+    val latest = availableNowCap.fold(latest0)(math.min(latest0, _))
+    val next = maxPerTrigger.map(m => math.min(latest, from + m)).getOrElse(latest)
+    if (next <= from) null else LongOffset(next)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val batch = Snapshots.readChanges(spark, root, prefix,
+      ver(start).toInt, Some(ver(end).toInt))
+    // project to the schema pinned at stream start: a column ADDED
+    // mid-stream is dropped until restart, a column dropped mid-stream
+    // fails resolution loudly (Delta's evolve-then-restart rule)
+    val projected = batch.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val rdd = projected.queryExecution.toRdd
+    rdd.partitions.map(p => new RddSliceInputPartition(rdd, p): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    RddBridgeReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftMicroBatchStream[$prefix@$root]"
+}
+
+/** One executed-plan RDD partition as a DSv2 input split. The RDD
+  * rides inside the partition exactly as it rides inside an ordinary
+  * task binary (RDD lineage is Serializable by contract; the
+  * SparkContext reference is @transient). */
+private[graft] class RddSliceInputPartition(val rdd: RDD[InternalRow],
+                                            val slice: Partition)
+  extends InputPartition
+
+private[graft] object RddBridgeReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val s = p.asInstanceOf[RddSliceInputPartition]
+    // compute under the live TaskContext — interruption, metrics, and
+    // task-completion listeners all attach to the real running task
+    val it = s.rdd.iterator(s.slice, TaskContext.get())
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -272,6 +272,39 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(r2.toSeq == Seq(106L, 1L, "tagged"))
   }
 
+  test("readStream.table streams a catalog graft table via the native DSv2 stream") {
+    val ns = freshNs()
+    spark.sql(s"CREATE TABLE graft.$ns.s (id BIGINT)")
+    spark.sql(s"INSERT INTO graft.$ns.s SELECT id FROM range(0, 100)")   // v0
+    spark.sql(s"INSERT INTO graft.$ns.s SELECT id FROM range(100, 150)") // v1
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mbr_ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = spark.readStream.table(s"graft.$ns.s")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = df.select("id").collect().map(_.getLong(0))
+          got.synchronized { got ++= ids }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(); q
+    }
+    val q1 = drain()
+    assert(got.synchronized(got.sorted.toSeq) == (0L until 150L).toSeq)
+    // the native DSv2 stream served it (not the V1 fallback)
+    assert(q1.recentProgress.exists(_.sources.exists(
+      _.description.contains("GraftMicroBatchStream"))),
+      q1.recentProgress.flatMap(_.sources.map(_.description)).mkString("; "))
+    // restart on the same checkpoint: only the NEW commit is delivered
+    spark.sql(s"INSERT INTO graft.$ns.s SELECT id FROM range(150, 160)") // v2
+    got.synchronized(got.clear())
+    drain()
+    assert(got.synchronized(got.sorted.toSeq) == (150L until 160L).toSeq)
+  }
+
   test("catalog metadata survives a fresh catalog instance (file-based)") {
     val ns = freshNs()
     spark.sql(s"CREATE TABLE graft.$ns.p (id BIGINT, topic STRING) PARTITIONED BY (topic)")
