@@ -1233,7 +1233,9 @@ object Snapshots {
     * attribution of its added files, tagged `insert`. */
   def readChangeFeed(spark: SparkSession, root: String, prefix: String,
                      fromVersion: Int, toVersion: Option[Int] = None): DataFrame = {
-    require(snapshot(root, prefix, Some(fromVersion)).isDefined,
+    // -1 = "before the first commit": v0's insert records ride too
+    // (the CDC-relation bootstrap case, mirroring readChanges)
+    require(fromVersion == -1 || snapshot(root, prefix, Some(fromVersion)).isDefined,
       s"no snapshot v$fromVersion for $prefix")
     val to = snapshot(root, prefix, toVersion).getOrElse(
       sys.error(s"no snapshot for $prefix"))

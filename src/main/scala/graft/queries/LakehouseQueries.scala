@@ -1676,6 +1676,53 @@ object LakehouseQueries extends QueryRegistry {
       },
       Some("""SELECT COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_id,
              |CAST(SUM(id * 2) AS BIGINT) AS sum_id2, CAST(2 AS BIGINT) AS commits
-             |FROM range(0, 1500) t(id) WHERE id % 3 = 0""".stripMargin))
+             |FROM range(0, 1500) t(id) WHERE id % 3 = 0""".stripMargin)),
+
+    // The change feed as a RELATION (round 8): `option("readChangeFeed",
+    // true)` — Delta's CDF read shape. The whole history replays as
+    // row-grain change records (v0's inserts included — the inclusive
+    // startingVersion contract); a bounded [startingVersion,
+    // endingVersion] window narrows to one commit's records, and its
+    // cost is that window's changes, never the table. The same option
+    // on readStream paces the identical feed by commit versions
+    // (GraftSourceSpec pins that path).
+    QueryDef("q299_change_feed_relation",
+      (s, _) => {
+        s.sql("DROP NAMESPACE IF EXISTS graft.q299 CASCADE")
+        s.sql("CREATE NAMESPACE graft.q299")
+        s.sql("CREATE TABLE graft.q299.c (id BIGINT)")
+        s.sql("INSERT INTO graft.q299.c SELECT id FROM range(0, 1000)")          // v0
+        s.sql("DELETE FROM graft.q299.c WHERE id < 100")                         // v1
+        s.sql("UPDATE graft.q299.c SET id = id + 10000 WHERE id >= 900")         // v2
+        val path = "/tmp/graft/lake/q299/c/t"
+        val full = s.read.format("graft")
+          .option("readChangeFeed", "true").load(path)
+          .groupBy(col("_change_type").as("ct"))
+          .agg(count(lit(1)).as("cnt"), sum("id").cast("bigint").as("sum_id"))
+          .withColumn("win", lit("a_full"))
+        val window = s.read.format("graft")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "1").option("endingVersion", "1").load(path)
+          .groupBy(col("_change_type").as("ct"))
+          .agg(count(lit(1)).as("cnt"), sum("id").cast("bigint").as("sum_id"))
+          .withColumn("win", lit("b_window"))
+        full.unionByName(window).orderBy("win", "ct")
+      },
+      Some("""WITH full_feed AS (
+             |  SELECT 'insert' AS ct, COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_id
+             |  FROM range(0, 1000) t(id)
+             |  UNION ALL
+             |  SELECT 'delete', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0, 100) t(id)
+             |  UNION ALL
+             |  SELECT 'update_preimage', COUNT(*), CAST(SUM(id) AS BIGINT)
+             |  FROM range(900, 1000) t(id)
+             |  UNION ALL
+             |  SELECT 'update_postimage', COUNT(*), CAST(SUM(id + 10000) AS BIGINT)
+             |  FROM range(900, 1000) t(id))
+             |SELECT ct, cnt, sum_id, 'a_full' AS win FROM full_feed
+             |UNION ALL
+             |SELECT 'delete', COUNT(*), CAST(SUM(id) AS BIGINT), 'b_window'
+             |FROM range(0, 100) t(id)
+             |ORDER BY win, ct""".stripMargin))
   )
 }

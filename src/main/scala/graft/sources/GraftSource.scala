@@ -82,7 +82,20 @@ class GraftSource extends TableProvider with DataSourceRegister
     val (root, prefix, version) = GraftSource.resolve(opts)
     require(version.isEmpty,
       "a streaming read starts from 'startingVersion', not a pinned 'version'/'tag'")
-    (shortName(), Snapshots.read(ctx.sparkSession, root, prefix).schema)
+    // the v1 fallback relation is constructed EAGERLY at load() even
+    // when the v2 stream will serve the query — return the widened CDC
+    // schema here so the fallback's schema matches; createSource (only
+    // reached if v2 readers are disabled) is where a CDC stream refuses
+    val base = Snapshots.read(ctx.sparkSession, root, prefix).schema
+    val out =
+      if (opts.getBoolean("readChangeFeed", false))
+        StructType(base.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.IntegerType, nullable = false)))
+      else base
+    (shortName(), out)
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -93,6 +106,8 @@ class GraftSource extends TableProvider with DataSourceRegister
     val (root, prefix, version) = GraftSource.resolve(opts)
     require(version.isEmpty,
       "a streaming read starts from 'startingVersion', not a pinned 'version'/'tag'")
+    require(!opts.getBoolean("readChangeFeed", false),
+      "readChangeFeed streaming needs the DSv2 path (v2 readers disabled?)")
     new graft.streaming.SnapshotStreamSource(ctx.sparkSession, root, prefix,
       Option(opts.get("startingVersion")).map(_.toLong - 1).getOrElse(-1L),
       Option(opts.get("maxVersionsPerTrigger")).map(_.toInt))
@@ -147,7 +162,23 @@ class GraftSource extends TableProvider with DataSourceRegister
     // O(epochs) schema derivation — resolution must not build a path
     // list over every data file (a million-file table would pay it on
     // every query's analysis)
-    val s = Snapshots.tableSchema(SparkSession.active, root, prefix, version)
+    val base = Snapshots.tableSchema(SparkSession.active, root, prefix, version)
+    // the CHANGE FEED as a relation (Delta's readChangeFeed option):
+    // the table schema widens by the two CDC columns. A pinned
+    // version/tag is ambiguous against a commit-window read — the
+    // window is the CDC read's own time axis (startingVersion/
+    // endingVersion)
+    if (options.getBoolean("readChangeFeed", false))
+      require(version.isEmpty,
+        "readChangeFeed takes startingVersion/endingVersion, not a pinned version/tag")
+    val s =
+      if (options.getBoolean("readChangeFeed", false))
+        StructType(base.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.IntegerType, nullable = false)))
+      else base
     inferred = Some(s)
     s
   }
@@ -163,7 +194,7 @@ class GraftSource extends TableProvider with DataSourceRegister
     // the check — that's the CREATE-then-INSERT shape, where the DDL
     // schema IS the table definition. Nullability is advisory (Spark
     // itself relaxes it); names and types must agree exactly.
-    if (!inferred.contains(schema) &&
+    if (!inferred.contains(schema) && !opts.getBoolean("readChangeFeed", false) &&
         Snapshots.snapshot(root, prefix, version).isDefined) {
       val disk = Snapshots.tableSchema(SparkSession.active, root, prefix, version)
       val declared = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -172,7 +203,14 @@ class GraftSource extends TableProvider with DataSourceRegister
         s"declared schema does not match graft table $prefix: " +
           s"declared ${schema.simpleString}, on disk ${disk.simpleString}")
     }
-    new GraftTable(root, prefix, version, schema)
+    if (opts.getBoolean("readChangeFeed", false)) {
+      // batch CDC window: startingVersion (default 0) .. endingVersion
+      // (default latest); a streaming CDC read paces by offsets instead
+      val from = Option(opts.get("startingVersion")).map(_.toInt).getOrElse(0)
+      val to = Option(opts.get("endingVersion")).map(_.toInt)
+      new GraftTable(root, prefix, version, schema, cdc = Some((from, to)))
+    } else
+      new GraftTable(root, prefix, version, schema)
   }
 }
 
@@ -301,7 +339,8 @@ object GraftSource {
 
 private[sources] class GraftTable(val root: String, val prefix: String,
                                   version: Option[Int], tableSchema: StructType,
-                                  declaredParts: Seq[String] = Seq.empty)
+                                  declaredParts: Seq[String] = Seq.empty,
+                                  cdc: Option[(Int, Option[Int])] = None)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -314,7 +353,7 @@ private[sources] class GraftTable(val root: String, val prefix: String,
     * untranslatable so Spark rewrites the delete as a scan-and-replace
     * plan instead of us guessing. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    version.isEmpty && filters.forall(f =>
+    version.isEmpty && cdc.isEmpty && filters.forall(f =>
       try { GraftSource.filterToColumn(f); true }
       catch { case _: RuntimeException => false })
 
@@ -365,7 +404,12 @@ private[sources] class GraftTable(val root: String, val prefix: String,
       TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, prefix, version, tableSchema, options)
+    cdc match {
+      case Some((from, to)) =>
+        new GraftCdcScanBuilder(root, prefix, tableSchema, from, to, options)
+      case None =>
+        new GraftScanBuilder(root, prefix, version, tableSchema, options)
+    }
 
   /** APPEND and OVERWRITE through the snapshot log. Append: new
     * parquet files land under the table dir (respecting any existing
@@ -380,6 +424,7 @@ private[sources] class GraftTable(val root: String, val prefix: String,
     * version keeps working by construction in both modes. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty, "cannot write to a time-travel read")
+    require(cdc.isEmpty, "cannot write to a change-feed read")
     new WriteBuilder with SupportsOverwrite {
       private var replaceAll = false
       private var replaceCond: Option[org.apache.spark.sql.Column] = None
@@ -698,6 +743,80 @@ private[sources] class GraftV1Relation(root: String, prefix: String,
     val projected =
       if (required.isEmpty) base.select()
       else base.select(required.fieldNames.map(col).toIndexedSeq: _*)
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}
+
+/** The CHANGE FEED as a relation — `spark.read.format("graft")
+  * .option("readChangeFeed", true).option("startingVersion", n)
+  * [.option("endingVersion", m)].load(root/prefix)` (Delta's CDF read
+  * shape). Rows are the row-grain change records each commit produced
+  * (insert / delete / update_preimage / update_postimage), shaped to
+  * the LATEST schema with `_change_type` and `_commit_version`
+  * appended. Column pruning pushes down; a streaming read
+  * (`readStream` with the same option) paces the same feed by commit
+  * versions through [[graft.streaming.GraftMicroBatchStream]] instead
+  * of a fixed window. At 100 TB a CDC window's cost is the changes in
+  * the window, never the table. */
+private[sources] class GraftCdcScanBuilder(root: String, prefix: String,
+                                           cdcSchema: StructType,
+                                           from: Int, to: Option[Int],
+                                           options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = cdcSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val names = requiredSchema.fieldNames.toSet
+    required = StructType(cdcSchema.fields.filter(f => names.contains(f.name)))
+  }
+
+  override def build(): Scan =
+    new GraftCdcScan(root, prefix, required, from, to, options)
+}
+
+private[sources] class GraftCdcScan(root: String, prefix: String,
+                                    required: StructType,
+                                    from: Int, to: Option[Int],
+                                    options: CaseInsensitiveStringMap)
+  extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftCdcScan $prefix versions=[$from, ${to.getOrElse("latest")}]"
+
+  /** Streaming CDC: same feed, paced by commit versions (offsets). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new graft.streaming.GraftMicroBatchStream(root, prefix, required,
+      Option(options.get("startingVersion")).map(_.toLong - 1).getOrElse(-1L),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+      cdc = true)
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+    new GraftCdcRelation(root, prefix, required, from, to, context).asInstanceOf[T]
+}
+
+private[sources] class GraftCdcRelation(root: String, prefix: String,
+                                        required: StructType,
+                                        from: Int, to: Option[Int],
+                                        ctx: SQLContext)
+  extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  override def schema: StructType = required
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(): RDD[Row] = {
+    // the option window is INCLUSIVE of startingVersion (Delta's CDF
+    // contract); the primitive's from is exclusive
+    val feed = Snapshots.readChangeFeed(ctx.sparkSession, root, prefix, from - 1, to)
+    val projected =
+      if (required.isEmpty) feed.select()
+      else feed.select(required.fieldNames.map(col).toIndexedSeq: _*)
     projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }

@@ -36,7 +36,8 @@ import graft.ingest.Snapshots
   * added. */
 private[graft] class GraftMicroBatchStream(root: String, prefix: String,
                                            schema: StructType, floor: Long,
-                                           maxPerTrigger: Option[Int])
+                                           maxPerTrigger: Option[Int],
+                                           cdc: Boolean = false)
   extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -73,14 +74,45 @@ private[graft] class GraftMicroBatchStream(root: String, prefix: String,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val spark = SparkSession.active
-    val batch = Snapshots.readChanges(spark, root, prefix,
-      ver(start).toInt, Some(ver(end).toInt))
+    // cdc = the ROW-GRAIN change feed (deletes/updates ride as change
+    // records); default = file-grain appends (readChanges contract)
+    val batch =
+      if (cdc) Snapshots.readChangeFeed(spark, root, prefix,
+        ver(start).toInt, Some(ver(end).toInt))
+      else Snapshots.readChanges(spark, root, prefix,
+        ver(start).toInt, Some(ver(end).toInt))
     // project to the schema pinned at stream start: a column ADDED
     // mid-stream is dropped until restart, a column dropped mid-stream
     // fails resolution loudly (Delta's evolve-then-restart rule)
     val projected = batch.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val rdd = projected.queryExecution.toRdd
-    rdd.partitions.map(p => new RddSliceInputPartition(rdd, p): InputPartition)
+    // materialize the dependency graph DRIVER-side (what DAGScheduler's
+    // stage walk does before an ordinary job): `dependencies_` is a
+    // non-transient lazy field, so forcing it here ships it inside the
+    // serialized lineage — without this, an executor-side
+    // getDependencies (UnionRDD.compute's parent() call) would try to
+    // recompute child partitions, which ARE transient (FileScanRDD's
+    // file list is driver-only). Returns true if a shuffle dependency
+    // is anywhere in the graph — those parents' map stages never ran,
+    // so the lineage is not shippable as-is.
+    def hasShuffle(r: org.apache.spark.rdd.RDD[_]): Boolean =
+      r.dependencies.exists {
+        case _: org.apache.spark.ShuffleDependency[_, _, _] => true
+        case d => hasShuffle(d.rdd)
+      }
+    val shippable =
+      if (!hasShuffle(rdd)) rdd
+      else {
+        // rare (append/CDC batch plans are scan+project+broadcast-join
+        // +union): run the plan to completion ONCE as a real job and
+        // stream the materialized blocks instead
+        val ck = projected.localCheckpoint(true)
+        val r2 = ck.queryExecution.toRdd
+        hasShuffle(r2) // forces the (trivial) dependency graph
+        r2
+      }
+    shippable.partitions.map(p =>
+      new RddSliceInputPartition(shippable, p): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -431,6 +431,57 @@ class GraftSourceSpec extends SparkTestBase {
     }
   }
 
+  test("readChangeFeed option: the CDC feed as a batch relation and as a stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+    ProduceJob.produceBatch(spark, dir, "c", topics = 1, numMessages = 100) // v0: ba 0..99
+    spark.sql(s"DROP TABLE IF EXISTS graft_cdf_spec")
+    spark.sql(s"CREATE TABLE graft_cdf_spec USING graft OPTIONS (path '$dir/c')")
+    spark.sql(s"DELETE FROM graft_cdf_spec WHERE ba >= 90")              // v1: 10 deletes
+    spark.sql(s"UPDATE graft_cdf_spec SET ba = ba + 1000 WHERE ba = 0")  // v2: 1 update
+    // batch window: whole history
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true").load(s"$dir/c")
+    assert(feed.columns.takeRight(2).toSeq == Seq("_change_type", "_commit_version"))
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 100L, "delete" -> 10L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L), byType.toString)
+    // bounded window [1, 1]: only the delete commit
+    val win = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "1").load(s"$dir/c")
+    assert(win.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("delete"))
+    assert(win.count() == 10L)
+    // column pruning reaches the CDC scan too
+    assert(feed.select("ba").columns.toSeq == Seq("ba"))
+    // a pinned version cannot combine with a CDC window
+    intercept[Exception] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("version", "0").load(s"$dir/c").collect()
+    }
+    // streaming CDC: row-grain deletes RIDE THE STREAM (the file-grain
+    // default delivers appends only)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .load(s"$dir/c")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.groupBy("_change_type").count().collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .option("checkpointLocation", s"$dir/_cdc_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = got.synchronized(got.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap)
+    assert(streamed == Map("insert" -> 100L, "delete" -> 10L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L), streamed.toString)
+    spark.sql("DROP TABLE graft_cdf_spec")
+  }
+
   test("SQL DELETE FROM routes to one merge-on-read commit; untranslatable predicates refuse") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_del").toString
     ProduceJob.produceBatch(spark, dir, "dl", topics = 1, numMessages = 1000) // v0: ba 0..999
