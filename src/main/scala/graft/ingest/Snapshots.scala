@@ -427,6 +427,98 @@ object Snapshots {
     snap.version
   }
 
+  private def branchMetaPath(root: String, prefix: String): Path =
+    Paths.get(s"$root/$prefix._branch")
+
+  /** Writable BRANCH refs — Iceberg's branch workflow re-expressed
+    * over linear logs: a branch is a ZERO-COPY CLONE ([[cloneTable]])
+    * that RECORDS ITS FORK POINT, and publishing is [[fastForward]].
+    * The write-audit-publish loop at table grain: branch → write and
+    * audit on the branch (every write primitive works — it IS a
+    * table) → fast-forward to publish; abandoning is dropping the
+    * branch. Returns the fork version. */
+  def branchTable(srcRoot: String, srcPrefix: String,
+                  dstRoot: String, dstPrefix: String): Int = {
+    val base = cloneTable(srcRoot, srcPrefix, dstRoot, dstPrefix)
+    Files.writeString(branchMetaPath(dstRoot, dstPrefix),
+      s"$srcRoot\n$srcPrefix\n$base\n",
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    base
+  }
+
+  /** Publish a branch back to its source table by FAST-FORWARD: adopt
+    * the branch's commits past the fork, REFUSING if the table itself
+    * advanced since (divergent histories need a MERGE INTO, not a
+    * publish — Iceberg's fast-forward has the same precondition).
+    *
+    * Adoption order keeps every intermediate state readable: data
+    * files hardlink first (zero-copy — the clone machinery's
+    * discipline in reverse), DV/CDC sidecars copy next, and only then
+    * do the log entries land one version at a time — a reader never
+    * sees a manifest referencing a missing file, and a racing commit
+    * collides loudly on the log file's exclusive create. After the
+    * publish the branch's fork point advances to the published
+    * version, so a long-lived dev branch keeps working:
+    * write → publish → write → publish. At 100 TB the cost is
+    * O(files touched on the branch), zero data bytes. */
+  def fastForward(root: String, prefix: String,
+                  brRoot: String, brPrefix: String): Int = {
+    val metaP = branchMetaPath(brRoot, brPrefix)
+    require(Files.isRegularFile(metaP),
+      s"$brPrefix@$brRoot is not a branch (no fork record — use branchTable)")
+    val lines = Files.readAllLines(metaP).asScala.toSeq
+    val (srcRoot, srcPrefix, base) = (lines(0), lines(1), lines(2).toInt)
+    require(Paths.get(srcRoot).toAbsolutePath.normalize ==
+        Paths.get(root).toAbsolutePath.normalize && srcPrefix == prefix,
+      s"branch $brPrefix forked from $srcPrefix@$srcRoot, not $prefix@$root")
+    val cur = snapshot(root, prefix, None).getOrElse(
+      sys.error(s"no snapshot for $prefix"))
+    require(cur.version == base,
+      s"fast-forward refused: $prefix advanced past the fork " +
+        s"(v$base → v${cur.version}) — reconcile with MERGE INTO instead")
+    val brLatest = snapshot(brRoot, brPrefix, None).getOrElse(
+      sys.error(s"no snapshot for branch $brPrefix"))
+    if (brLatest.version <= base) return cur.version // nothing to publish
+    def adopt(src: Path, dst: Path, link: Boolean): Unit =
+      if (Files.isDirectory(src)) {
+        val it = Files.walk(src).iterator().asScala
+        it.foreach { p =>
+          if (Files.isRegularFile(p)) {
+            val d = dst.resolve(src.relativize(p).toString)
+            if (!Files.exists(d)) {
+              Files.createDirectories(d.getParent)
+              if (link)
+                try { Files.createLink(d, p); () }
+                catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+                  Files.copy(p, d); () }
+              else { Files.copy(p, d); () }
+            }
+          }
+        }
+      }
+    adopt(dataDir(brRoot, brPrefix), dataDir(root, prefix), link = true)
+    adopt(dvDir(brRoot, brPrefix), dvDir(root, prefix), link = false)
+    adopt(Paths.get(s"$brRoot/$brPrefix._cdc"),
+      Paths.get(s"$root/$prefix._cdc"), link = false)
+    val brCons = constraintsPath(brRoot, brPrefix)
+    if (Files.isRegularFile(brCons)) {
+      Files.copy(brCons, constraintsPath(root, prefix),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+    }
+    (base + 1 to brLatest.version).foreach { v =>
+      val name = f"v$v%05d.json"
+      // plain copy without REPLACE: a racing table commit owns the
+      // version file and the publish fails loudly instead of clobbering
+      Files.copy(logDir(brRoot, brPrefix).resolve(name),
+        logDir(root, prefix).resolve(name))
+    }
+    // the branch's fork point moves to the published version — the
+    // branch and table states are identical again, so the next
+    // write→publish cycle just works
+    Files.writeString(metaP, s"$srcRoot\n$srcPrefix\n${brLatest.version}\n")
+    brLatest.version
+  }
+
   /** Create an immutable named tag on a committed version (CREATE_NEW:
     * re-tagging an existing name fails loudly — tags are release
     * markers, not branches, so a reader holding a tag name holds a

@@ -1723,6 +1723,52 @@ object LakehouseQueries extends QueryRegistry {
              |UNION ALL
              |SELECT 'delete', COUNT(*), CAST(SUM(id) AS BIGINT), 'b_window'
              |FROM range(0, 100) t(id)
-             |ORDER BY win, ct""".stripMargin))
+             |ORDER BY win, ct""".stripMargin)),
+
+    // Writable branches (round 8): CALL graft.system.branch = zero-copy
+    // clone + recorded fork point; audit writes land on the branch (a
+    // full table — INSERT/DELETE/anything); CALL fast_forward publishes
+    // by adopting the branch's commits IFF the source hasn't advanced
+    // past the fork (divergence refuses — MERGE INTO is the reconcile
+    // path). The write-audit-publish loop at table grain, O(branch
+    // files) metadata work and zero data bytes at any table size. The
+    // checked output pins the fork/publish versions, pre-publish
+    // isolation (via v0 time travel), and the published state.
+    QueryDef("q300_branch_publish",
+      (s, _) => {
+        s.sql("DROP NAMESPACE IF EXISTS graft.q300 CASCADE")
+        s.sql("CREATE NAMESPACE graft.q300")
+        s.sql("CREATE TABLE graft.q300.t (id BIGINT)")
+        s.sql("INSERT INTO graft.q300.t SELECT id FROM range(0, 1000)") // v0
+        val fork = s.sql(
+          "CALL graft.system.branch(source => 'q300.t', target => 'q300.dev')")
+          .head().getInt(0)
+        s.sql("INSERT INTO graft.q300.dev SELECT id FROM range(1000, 1200)") // dev v1
+        s.sql("DELETE FROM graft.q300.dev WHERE id < 50")                    // dev v2
+        val preCnt = s.sql("SELECT count(*) FROM graft.q300.t").head().getLong(0)
+        val pub = s.sql(
+          "CALL graft.system.fast_forward(table => 'q300.t', branch => 'q300.dev')")
+          .head().getInt(0)
+        s.sql(s"""SELECT 'a_vers' AS step, CAST($fork AS BIGINT) AS cnt,
+                |  CAST($pub AS BIGINT) AS sum_id
+                |UNION ALL
+                |SELECT 'b_preiso', CAST($preCnt AS BIGINT), CAST(0 AS BIGINT)
+                |UNION ALL
+                |SELECT 'c_published', count(*), cast(sum(id) AS bigint)
+                |FROM graft.q300.t
+                |UNION ALL
+                |SELECT 'd_v0', count(*), cast(sum(id) AS bigint)
+                |FROM graft.q300.t VERSION AS OF 0
+                |ORDER BY step""".stripMargin)
+      },
+      Some("""SELECT 'a_vers' AS step, CAST(0 AS BIGINT) AS cnt, CAST(2 AS BIGINT) AS sum_id
+             |UNION ALL
+             |SELECT 'b_preiso', CAST(1000 AS BIGINT), CAST(0 AS BIGINT)
+             |UNION ALL
+             |SELECT 'c_published', COUNT(*), CAST(SUM(id) AS BIGINT)
+             |FROM range(50, 1200) t(id)
+             |UNION ALL
+             |SELECT 'd_v0', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0, 1000) t(id)
+             |ORDER BY step""".stripMargin))
   )
 }

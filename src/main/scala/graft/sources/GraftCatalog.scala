@@ -349,6 +349,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (Files.isRegularFile(sp)) { Files.copy(sp, partsFile(dstDir)); () }
         Snapshots.cloneTable(srcDir, Prefix, dstDir.toString, Prefix)
       }
+      case "branch" => proc("branch",
+        Seq(P("source", StringType), P("target", StringType))) { in =>
+        // a WRITABLE branch: zero-copy clone + recorded fork point
+        // (Snapshots.branchTable). Write/audit on the branch with every
+        // normal primitive, then publish with fast_forward.
+        val srcDir = rootOf(in.getString(0))
+        val parts = in.getString(1).split("\\.")
+        require(parts.length >= 2,
+          s"branch target must be 'ns.table', got '${in.getString(1)}'")
+        val tgt = Identifier.of(parts.init, parts.last)
+        if (!namespaceExists(tgt.namespace()))
+          throw new NoSuchNamespaceException(tgt.namespace())
+        if (tableExists(tgt)) throw new TableAlreadyExistsException(tgt)
+        val dstDir = tableDir(tgt)
+        Files.createDirectories(dstDir)
+        Files.copy(metaFile(Paths.get(srcDir)), metaFile(dstDir))
+        val sp = partsFile(Paths.get(srcDir))
+        if (Files.isRegularFile(sp)) { Files.copy(sp, partsFile(dstDir)); () }
+        Snapshots.branchTable(srcDir, Prefix, dstDir.toString, Prefix)
+      }
+      case "fast_forward" => proc("fast_forward",
+        Seq(P("table", StringType), P("branch", StringType))) { in =>
+        // publish: adopt the branch's commits iff the table hasn't
+        // advanced past the fork (divergence refuses — MERGE instead)
+        Snapshots.fastForward(rootOf(in.getString(0)), Prefix,
+          rootOf(in.getString(1)), Prefix)
+      }
       case "history" => new UnboundProcedure {
         override def name(): String = "history"
         override def description(): String =
@@ -387,7 +414,7 @@ object GraftCatalog {
   private val SystemNs = "system"
   private val ProcedureNames =
     Array("compact", "zorder", "vacuum", "restore", "tag", "backfill_stats",
-      "history", "clone")
+      "history", "clone", "branch", "fast_forward")
 
   private val HistorySchema = StructType(Seq(
     StructField("version", IntegerType, nullable = false),

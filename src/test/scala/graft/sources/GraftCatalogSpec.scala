@@ -272,6 +272,54 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(r2.toSeq == Seq(106L, 1L, "tagged"))
   }
 
+  test("CALL branch + fast_forward: write-audit-publish at table grain") {
+    val ns = freshNs()
+    spark.sql(s"CREATE TABLE graft.$ns.main (id BIGINT)")
+    spark.sql(s"INSERT INTO graft.$ns.main SELECT id FROM range(0, 100)") // v0
+    val fork = spark.sql(
+      s"CALL graft.system.branch(source => '$ns.main', target => '$ns.dev')")
+      .head().getInt(0)
+    assert(fork == 0)
+    // write + audit on the branch; the source is untouched
+    spark.sql(s"INSERT INTO graft.$ns.dev SELECT id FROM range(100, 150)") // dev v1
+    spark.sql(s"DELETE FROM graft.$ns.dev WHERE id < 10")                  // dev v2
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.main").head().getLong(0) == 100L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.dev").head().getLong(0) == 140L)
+    // publish: the table fast-forwards to the branch's state
+    val pub = spark.sql(
+      s"CALL graft.system.fast_forward(table => '$ns.main', branch => '$ns.dev')")
+      .head().getInt(0)
+    assert(pub == 2)
+    val r = spark.sql(s"SELECT count(*), cast(sum(id) AS bigint) FROM graft.$ns.main").head()
+    assert(r.toSeq == Seq(140L, (10L until 150L).sum))
+    // pre-publish history stays readable on the published table
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.main VERSION AS OF 0")
+      .head().getLong(0) == 100L)
+    // the fork point advanced with the publish — the next cycle works
+    spark.sql(s"INSERT INTO graft.$ns.dev SELECT id FROM range(200, 210)") // dev v3
+    assert(spark.sql(
+      s"CALL graft.system.fast_forward(table => '$ns.main', branch => '$ns.dev')")
+      .head().getInt(0) == 3)
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.main").head().getLong(0) == 150L)
+    // divergence refuses: both sides advance past the (new) fork
+    spark.sql(s"INSERT INTO graft.$ns.main SELECT id FROM range(300, 301)")
+    spark.sql(s"INSERT INTO graft.$ns.dev SELECT id FROM range(400, 401)")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.fast_forward(table => '$ns.main', branch => '$ns.dev')")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage).exists(
+      _.contains("advanced past the fork"))), e.toString)
+    // a plain clone (no fork record) cannot fast-forward
+    spark.sql(s"CALL graft.system.clone(source => '$ns.main', target => '$ns.copy')")
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.fast_forward(table => '$ns.main', branch => '$ns.copy')")
+    }
+    assert(causes(e2).exists(c => Option(c.getMessage).exists(
+      _.contains("not a branch"))), e2.toString)
+  }
+
   test("readStream.table streams a catalog graft table via the native DSv2 stream") {
     val ns = freshNs()
     spark.sql(s"CREATE TABLE graft.$ns.s (id BIGINT)")
