@@ -479,6 +479,13 @@ object Snapshots {
     val brLatest = snapshot(brRoot, brPrefix, None).getOrElse(
       sys.error(s"no snapshot for branch $brPrefix"))
     if (brLatest.version <= base) return cur.version // nothing to publish
+    // a branch vacuumed past the fork can't replay its commits — check
+    // the log is contiguous BEFORE adopting anything
+    (base + 1 to brLatest.version).foreach { v =>
+      require(Files.isRegularFile(logDir(brRoot, brPrefix).resolve(f"v$v%05d.json")),
+        s"fast-forward refused: branch $brPrefix is missing commit v$v " +
+          "(vacuumed past the fork?)")
+    }
     def adopt(src: Path, dst: Path, link: Boolean): Unit =
       if (Files.isDirectory(src)) {
         val it = Files.walk(src).iterator().asScala

@@ -111,8 +111,17 @@ private[graft] class GraftMicroBatchStream(root: String, prefix: String,
         hasShuffle(r2) // forces the (trivial) dependency graph
         r2
       }
+    // ship the lineage ONCE via broadcast (Spark's own task-binary
+    // discipline): without this every InputPartition would carry its
+    // own serialized copy of the full RDD graph — per-task overhead
+    // that grows with both plan size and batch width at 100 TB.
+    // Boxed: SparkContext.broadcast refuses a bare RDD (the guard
+    // exists because users usually mean the DATA); shipping lineage
+    // is exactly what we want here, the same bytes an ordinary
+    // stage's task binary carries.
+    val bc = spark.sparkContext.broadcast(LineageBox(shippable))
     shippable.partitions.map(p =>
-      new RddSliceInputPartition(shippable, p): InputPartition)
+      new RddSliceInputPartition(bc, p): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -126,11 +135,14 @@ private[graft] class GraftMicroBatchStream(root: String, prefix: String,
 }
 
 /** One executed-plan RDD partition as a DSv2 input split. The RDD
-  * rides inside the partition exactly as it rides inside an ordinary
-  * task binary (RDD lineage is Serializable by contract; the
-  * SparkContext reference is @transient). */
-private[graft] class RddSliceInputPartition(val rdd: RDD[InternalRow],
-                                            val slice: Partition)
+  * lineage rides ONCE as a broadcast (exactly how ordinary stages ship
+  * their task binary — Serializable by contract, SparkContext
+  * @transient); each split carries only its Partition object. */
+private[graft] case class LineageBox(rdd: RDD[InternalRow])
+
+private[graft] class RddSliceInputPartition(
+    val rdd: org.apache.spark.broadcast.Broadcast[LineageBox],
+    val slice: Partition)
   extends InputPartition
 
 private[graft] object RddBridgeReaderFactory extends PartitionReaderFactory {
@@ -138,7 +150,7 @@ private[graft] object RddBridgeReaderFactory extends PartitionReaderFactory {
     val s = p.asInstanceOf[RddSliceInputPartition]
     // compute under the live TaskContext — interruption, metrics, and
     // task-completion listeners all attach to the real running task
-    val it = s.rdd.iterator(s.slice, TaskContext.get())
+    val it = s.rdd.value.rdd.iterator(s.slice, TaskContext.get())
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean =
