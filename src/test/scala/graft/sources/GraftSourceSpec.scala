@@ -482,6 +482,17 @@ class GraftSourceSpec extends SparkTestBase {
     spark.sql("DROP TABLE graft_cdf_spec")
   }
 
+  test("CDC column pruning reaches the change-feed scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdfp2").toString
+    ProduceJob.produceBatch(spark, dir, "p", topics = 1, numMessages = 50)
+    val df = spark.read.format("graft").option("readChangeFeed", "true")
+      .load(s"$dir/p").select("ba", "_change_type")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<ba:bigint,_change_type:string>"),
+      plan.take(3000))
+    assert(df.count() == 50L)
+  }
+
   test("SQL DELETE FROM routes to one merge-on-read commit; untranslatable predicates refuse") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_del").toString
     ProduceJob.produceBatch(spark, dir, "dl", topics = 1, numMessages = 1000) // v0: ba 0..999
