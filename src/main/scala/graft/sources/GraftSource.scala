@@ -403,13 +403,34 @@ private[sources] class GraftTable(val root: String, val prefix: String,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION,
       TableCapability.MICRO_BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // on the PATH form these options were consumed by getTable
+    // (provider-level resolve); a BY-NAME read (`spark.read.option(…)
+    // .table("graft.ns.t")`) hands them straight here, where they
+    // would otherwise be silently ignored — refuse instead of
+    // mis-serving latest/plain rows. By-name time travel is native
+    // SQL (`VERSION/TIMESTAMP AS OF`); the CDC relation is path-form.
+    // (Spark's own `versionAsOf`/`timestampAsOf` option names ARE
+    // honored by name — the engine routes them through the catalog's
+    // time-travel loadTable before any scan builds; only OUR
+    // path-form spellings would fall through to here)
+    if (version.isEmpty)
+      Seq("version", "tag").foreach { o =>
+        require(!options.containsKey(o),
+          s"option '$o' is not honored on a by-name read — " +
+            "use VERSION AS OF / versionAsOf / timestampAsOf, or the path form")
+      }
+    if (cdc.isEmpty)
+      require(!options.getBoolean("readChangeFeed", false),
+        "readChangeFeed is not honored on a by-name read — use the path " +
+          "form: spark.read.format(\"graft\").option(\"readChangeFeed\", true).load(root/table)")
     cdc match {
       case Some((from, to)) =>
         new GraftCdcScanBuilder(root, prefix, tableSchema, from, to, options)
       case None =>
         new GraftScanBuilder(root, prefix, version, tableSchema, options)
     }
+  }
 
   /** APPEND and OVERWRITE through the snapshot log. Append: new
     * parquet files land under the table dir (respecting any existing

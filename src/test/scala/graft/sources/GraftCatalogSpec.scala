@@ -353,6 +353,29 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(got.synchronized(got.sorted.toSeq) == (150L until 160L).toSeq)
   }
 
+  test("by-name reads refuse path-form options instead of mis-serving") {
+    val ns = freshNs()
+    spark.sql(s"CREATE TABLE graft.$ns.g (id BIGINT)")
+    spark.sql(s"INSERT INTO graft.$ns.g SELECT id FROM range(0, 10)")
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    Seq("version" -> "0", "tag" -> "x",
+      "readChangeFeed" -> "true").foreach { case (k, v) =>
+      val e = intercept[Exception] {
+        spark.read.option(k, v).table(s"graft.$ns.g").collect()
+      }
+      assert(causes(e).exists(c => Option(c.getMessage).exists(
+        _.contains("not honored on a by-name read"))), s"$k: $e")
+    }
+    // the untouched by-name read still works
+    assert(spark.read.table(s"graft.$ns.g").count() == 10L)
+    // Spark's OWN option names route through the catalog's time-travel
+    // loadTable — by-name time travel via options just works
+    spark.sql(s"INSERT INTO graft.$ns.g SELECT id FROM range(10, 30)") // v1
+    assert(spark.read.option("versionAsOf", "0").table(s"graft.$ns.g")
+      .count() == 10L)
+  }
+
   test("catalog metadata survives a fresh catalog instance (file-based)") {
     val ns = freshNs()
     spark.sql(s"CREATE TABLE graft.$ns.p (id BIGINT, topic STRING) PARTITIONED BY (topic)")
