@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -376,6 +376,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Snapshots.fastForward(rootOf(in.getString(0)), Prefix,
           rootOf(in.getString(1)), Prefix)
       }
+      case "detail" => new UnboundProcedure {
+        override def name(): String = "detail"
+        override def description(): String =
+          "graft table detail: current version, files, bytes, DVs, partitioning (DESCRIBE DETAIL)"
+        override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "detail"
+          override def description(): String = "graft table detail"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(P("table", StringType))
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): util.Iterator[Scan] = {
+            val root = rootOf(input.getString(0))
+            // metadata-only: size from the manifest's live file list —
+            // no data file opened at any table size
+            val snap = Snapshots.snapshot(root, Prefix, None)
+            val base = Paths.get(graft.ingest.Topics.tableDir(root, Prefix))
+            val row = snap match {
+              case Some(sn) =>
+                val bytes = sn.files.map(f =>
+                  try Files.size(base.resolve(f)) catch { case _: Exception => 0L }).sum
+                new GenericInternalRow(Array[Any](sn.version, sn.files.size,
+                  bytes, sn.dv.size,
+                  UTF8String.fromString(declaredParts(Paths.get(root)).mkString(","))))
+              case None => // created-empty table: DDL exists, no commits yet
+                new GenericInternalRow(Array[Any](-1, 0, 0L, 0,
+                  UTF8String.fromString(declaredParts(Paths.get(root)).mkString(","))))
+            }
+            util.List.of[Scan](new LocalScan {
+              override def readSchema(): StructType = DetailSchema
+              override def rows(): Array[InternalRow] = Array[InternalRow](row)
+            }).iterator()
+          }
+        }
+      }
       case "history" => new UnboundProcedure {
         override def name(): String = "history"
         override def description(): String =
@@ -414,7 +448,14 @@ object GraftCatalog {
   private val SystemNs = "system"
   private val ProcedureNames =
     Array("compact", "zorder", "vacuum", "restore", "tag", "backfill_stats",
-      "history", "clone", "branch", "fast_forward")
+      "history", "clone", "branch", "fast_forward", "detail")
+
+  private val DetailSchema = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("num_files", IntegerType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("num_dvs", IntegerType, nullable = false),
+    StructField("partition_columns", StringType, nullable = false)))
 
   private val HistorySchema = StructType(Seq(
     StructField("version", IntegerType, nullable = false),

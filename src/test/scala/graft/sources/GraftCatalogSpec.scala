@@ -353,6 +353,23 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(got.synchronized(got.sorted.toSeq) == (150L until 160L).toSeq)
   }
 
+  test("CALL detail: current version, files, bytes, DVs, partitioning") {
+    val ns = freshNs()
+    spark.sql(s"CREATE TABLE graft.$ns.d (id BIGINT, topic STRING) PARTITIONED BY (topic)")
+    // created-empty: version -1, zero files
+    val empty = spark.sql(s"CALL graft.system.detail(table => '$ns.d')").head()
+    assert(empty.getInt(0) == -1 && empty.getInt(1) == 0 &&
+      empty.getString(4) == "topic")
+    spark.sql(s"INSERT INTO graft.$ns.d SELECT id, concat('t', id % 2) FROM range(0, 100)")
+    spark.sql(s"DELETE FROM graft.$ns.d WHERE id = 5") // MoR: a DV appears
+    val r = spark.sql(s"CALL graft.system.detail(table => '$ns.d')").head()
+    assert(r.getInt(0) == 1, r.toString)          // insert + delete commits
+    assert(r.getInt(1) >= 2, r.toString)          // ≥1 file per partition
+    assert(r.getLong(2) > 0L, r.toString)         // live bytes from the manifest
+    assert(r.getInt(3) == 1, r.toString)          // one deletion vector
+    assert(r.getString(4) == "topic")
+  }
+
   test("by-name reads refuse path-form options instead of mis-serving") {
     val ns = freshNs()
     spark.sql(s"CREATE TABLE graft.$ns.g (id BIGINT)")
