@@ -463,6 +463,19 @@ private[sources] class GraftTable(val root: String, val prefix: String,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              // user-supplied idempotency (Delta's txnAppId/txnVersion):
+              // the same (txnAppId, txnVersion) pair commits AT MOST
+              // ONCE across sessions and retries — an application
+              // replaying its own work (a restarted backfill, a
+              // re-submitted job) no-ops the second time. Default
+              // remains the query id, which dedups engine-level
+              // retries of one query only.
+              val userTxn = for {
+                app <- Option(info.options.get("txnAppId"))
+                v <- Option(info.options.get("txnVersion"))
+              } yield s"user-$app-$v"
+              def txnOr(pfx: String): Option[String] =
+                userTxn.orElse(Option(info.queryId()).map(pfx + _))
               // mode("overwrite") + option("replaceWhere", "<pred>")
               // scopes the replace to a region (the Delta option) —
               // it arrives as a truncate, the predicate rides the
@@ -475,13 +488,13 @@ private[sources] class GraftTable(val root: String, val prefix: String,
               cond match {
                 case Some(c) =>
                   Snapshots.overwriteWhere(data.sparkSession, root, prefix, c,
-                    data, txn = Option(info.queryId()).map("dsv2-rw-" + _))
+                    data, txn = txnOr("dsv2-rw-"))
                   return
                 case None =>
               }
               if (replaceAll || overwrite) {
                 Snapshots.overwrite(data.sparkSession, root, prefix, data,
-                  txn = Option(info.queryId()).map("dsv2-ow-" + _))
+                  txn = txnOr("dsv2-ow-"))
                 return
               }
               val dataDir = new java.io.File(Topics.tableDir(root, prefix))
@@ -509,7 +522,7 @@ private[sources] class GraftTable(val root: String, val prefix: String,
               // duplicates), and the marked files can't be swept in
               // by a racing ingest commit
               Snapshots.appendBatch(data.sparkSession, root, prefix, data,
-                txn = Option(info.queryId()).map("dsv2-" + _),
+                txn = txnOr("dsv2-"),
                 partitionCols = parts)
               ()
             }

@@ -482,6 +482,23 @@ class GraftSourceSpec extends SparkTestBase {
     spark.sql("DROP TABLE graft_cdf_spec")
   }
 
+  test("txnAppId/txnVersion make writes idempotent across retries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_txn").toString
+    ProduceJob.produceBatch(spark, dir, "w", topics = 1, numMessages = 100) // v0
+    def append(ver: String): Unit =
+      spark.read.format("graft").load(s"$dir/w").limit(10)
+        .write.format("graft").mode("append")
+        .option("txnAppId", "backfill").option("txnVersion", ver)
+        .save(s"$dir/w")
+    append("1")
+    assert(spark.read.format("graft").load(s"$dir/w").count() == 110L)
+    append("1") // replay of the same application version: no-op
+    assert(spark.read.format("graft").load(s"$dir/w").count() == 110L)
+    assert(Snapshots.versions(dir, "w") == Seq(0, 1))
+    append("2") // a NEW application version commits
+    assert(spark.read.format("graft").load(s"$dir/w").count() == 120L)
+  }
+
   test("CDC column pruning reaches the change-feed scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cdfp2").toString
     ProduceJob.produceBatch(spark, dir, "p", topics = 1, numMessages = 50)
