@@ -204,6 +204,11 @@ class GraftSource extends TableProvider with DataSourceRegister
           s"declared ${schema.simpleString}, on disk ${disk.simpleString}")
     }
     if (opts.getBoolean("readChangeFeed", false)) {
+      // guarded here TOO (not just inferSchema): a user-specified
+      // schema skips inferSchema entirely, and a pinned version would
+      // otherwise be silently ignored by the CDC scan
+      require(version.isEmpty,
+        "readChangeFeed takes startingVersion/endingVersion, not a pinned version/tag")
       // batch CDC window: startingVersion (default 0) .. endingVersion
       // (default latest); a streaming CDC read paces by offsets instead
       val from = Option(opts.get("startingVersion")).map(_.toInt).getOrElse(0)
