@@ -1338,7 +1338,11 @@ object Snapshots {
       s"no snapshot v$fromVersion for $prefix")
     val to = snapshot(root, prefix, toVersion).getOrElse(
       sys.error(s"no snapshot for $prefix"))
-    val cols = read(spark, root, prefix, Some(to.version)).columns.toSeq
+    // O(epochs) schema resolution, NOT read(...).columns: analyzing a
+    // full-table frame path-checks every live file — metadata cost
+    // proportional to the table, paid just for a column list (and it
+    // would wrongly require files OUTSIDE the window to exist)
+    val cols = tableSchema(spark, root, prefix, Some(to.version)).fieldNames.toSeq
     val events = schemaEvents(root, prefix, Some(to.version))
     def shape(df: DataFrame, v: Int): DataFrame = {
       // rows committed before a column existed (CDC records staged

@@ -85,8 +85,10 @@ class GraftSource extends TableProvider with DataSourceRegister
     // the v1 fallback relation is constructed EAGERLY at load() even
     // when the v2 stream will serve the query — return the widened CDC
     // schema here so the fallback's schema matches; createSource (only
-    // reached if v2 readers are disabled) is where a CDC stream refuses
-    val base = Snapshots.read(ctx.sparkSession, root, prefix).schema
+    // reached if v2 readers are disabled) is where a CDC stream refuses.
+    // tableSchema, NOT read().schema: deriving a schema must stay
+    // O(epochs x partition dirs), never analyze a full-table frame
+    val base = Snapshots.tableSchema(ctx.sparkSession, root, prefix)
     val out =
       if (opts.getBoolean("readChangeFeed", false))
         StructType(base.fields ++ Seq(

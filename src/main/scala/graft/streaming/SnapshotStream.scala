@@ -41,7 +41,7 @@ class SnapshotSourceProvider extends StreamSourceProvider {
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
     val (root, prefix) = SnapshotSourceProvider.params(parameters)
-    ("graft-snapshot", Snapshots.read(ctx.sparkSession, root, prefix).schema)
+    ("graft-snapshot", Snapshots.tableSchema(ctx.sparkSession, root, prefix))
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -66,7 +66,9 @@ private[graft] class SnapshotStreamSource(spark: SparkSession,
                                               maxPerTrigger: Option[Int])
   extends Source with SupportsTriggerAvailableNow {
 
-  private val schema0 = Snapshots.read(spark, root, prefix).schema
+  // O(epochs) derivation — a stream start must not analyze (and
+  // path-check) a full-table frame just for its schema
+  private val schema0 = Snapshots.tableSchema(spark, root, prefix)
 
   /** Trigger.AvailableNow pin: versions committed after the trigger
     * started are left for the next run (the engine drains batches

@@ -482,6 +482,59 @@ class GraftSourceSpec extends SparkTestBase {
     spark.sql("DROP TABLE graft_cdf_spec")
   }
 
+  test("a bounded CDC window / stream batch never touches files outside its commits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdfw").toString
+    // three plain appends (produceBatch would add internal
+    // produce/compact versions and shift the window)
+    Snapshots.appendBatch(spark, dir, "w",
+      ProduceJob.personProjection(spark.range(0, 100).toDF("cnt"), "cnt", "w", 1),
+      Some("cdfw0")) // v0
+    val v0Files = Snapshots.snapshot(dir, "w").get.files
+    Snapshots.appendBatch(spark, dir, "w",
+      ProduceJob.personProjection(spark.range(100, 150).toDF("cnt"), "cnt", "w", 1),
+      Some("cdfw1")) // v1
+    Snapshots.appendBatch(spark, dir, "w",
+      ProduceJob.personProjection(spark.range(150, 170).toDF("cnt"), "cnt", "w", 1),
+      Some("cdfw2")) // v2
+    assert(Snapshots.versions(dir, "w") == Seq(0, 1, 2))
+    // make v0's bytes UNREADABLE: if any plan outside the window
+    // touched them, it would fail loudly instead of proving the point.
+    // One exception is honest: schema resolution samples ONE footer per
+    // (epoch group x partition dir) — the lexicographic min — an
+    // O(metadata) cost that may land on a v0 file; keep exactly that
+    // representative readable and hide every other v0 byte
+    val rep = Snapshots.snapshot(dir, "w").get.files.min
+    val hidden = v0Files.filterNot(_ == rep)
+    hidden.foreach { f =>
+      val p = java.nio.file.Paths.get(s"$dir/w/$f")
+      java.nio.file.Files.move(p,
+        p.resolveSibling(p.getFileName.toString + ".hidden"))
+    }
+    // batch CDC window [1, 2]: only those commits' files open
+    val win = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "2").load(s"$dir/w")
+    assert(win.count() == 70L)
+    // streaming from startingVersion=1: same discipline
+    val got = new java.util.concurrent.atomic.AtomicLong()
+    val q = spark.readStream.format("graft").option("startingVersion", "1")
+      .load(s"$dir/w")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.addAndGet(df.count()); ()
+      }
+      .option("checkpointLocation", s"$dir/_wckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(got.get() == 70L)
+    // restore for hygiene
+    hidden.foreach { f =>
+      val p = java.nio.file.Paths.get(s"$dir/w/$f.hidden")
+      java.nio.file.Files.move(p,
+        p.resolveSibling(p.getFileName.toString.stripSuffix(".hidden")))
+    }
+  }
+
   test("txnAppId/txnVersion make writes idempotent across retries") {
     val dir = java.nio.file.Files.createTempDirectory("graft_txn").toString
     ProduceJob.produceBatch(spark, dir, "w", topics = 1, numMessages = 100) // v0
