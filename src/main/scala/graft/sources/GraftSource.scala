@@ -189,22 +189,37 @@ class GraftSource extends TableProvider with DataSourceRegister
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val (root, prefix, version) = GraftSource.resolve(opts)
-    // A user/DDL schema over a COMMITTED table must match the data:
-    // the V1 bridge hands back InternalRows laid out for the REAL
-    // types (needConversion=false), so a type drift would silently
-    // misread field offsets instead of erroring. An empty path skips
-    // the check — that's the CREATE-then-INSERT shape, where the DDL
-    // schema IS the table definition. Nullability is advisory (Spark
-    // itself relaxes it); names and types must agree exactly.
-    if (!inferred.contains(schema) && !opts.getBoolean("readChangeFeed", false) &&
-        Snapshots.snapshot(root, prefix, version).isDefined) {
-      val disk = Snapshots.tableSchema(SparkSession.active, root, prefix, version)
-      val declared = schema.fields.map(f => f.name -> f.dataType).toMap
-      val actual = disk.fields.map(f => f.name -> f.dataType).toMap
-      require(declared == actual,
-        s"declared schema does not match graft table $prefix: " +
-          s"declared ${schema.simpleString}, on disk ${disk.simpleString}")
-    }
+    // A user/DDL schema over a COMMITTED table must agree with the
+    // data: the V1 bridge hands back InternalRows laid out for the
+    // REAL types (needConversion=false), so a type drift would
+    // silently misread field offsets instead of erroring, and a
+    // declared column the data lacks could never be served. A
+    // declared SUBSET is fine — a session-catalog entry goes stale
+    // the moment the log evolves (ALTER via the path, mergeSchema) —
+    // and the table serves the LIVE disk schema, Delta's rule: the
+    // log owns the schema, the catalog entry is a pointer. An empty
+    // path skips everything — CREATE-then-INSERT, where the DDL
+    // schema IS the definition. Nullability is advisory.
+    val effective =
+      if (inferred.contains(schema) || opts.getBoolean("readChangeFeed", false) ||
+          opts.getBoolean("mergeSchema", false) ||
+          Snapshots.snapshot(root, prefix, version).isEmpty) schema
+      else {
+        val disk = Snapshots.tableSchema(SparkSession.active, root, prefix, version)
+        val actual = disk.fields.map(f => f.name -> f.dataType).toMap
+        schema.fields.foreach { f =>
+          actual.get(f.name) match {
+            case None => throw new IllegalArgumentException(
+              s"declared column '${f.name}' does not exist in graft table " +
+                s"$prefix (on disk: ${disk.simpleString})")
+            case Some(dt) => require(dt == f.dataType,
+              s"declared schema does not match graft table $prefix: " +
+                s"'${f.name}' declared ${f.dataType.simpleString}, " +
+                s"on disk ${dt.simpleString}")
+          }
+        }
+        disk
+      }
     if (opts.getBoolean("readChangeFeed", false)) {
       // guarded here TOO (not just inferSchema): a user-specified
       // schema skips inferSchema entirely, and a pinned version would
@@ -215,9 +230,9 @@ class GraftSource extends TableProvider with DataSourceRegister
       // (default latest); a streaming CDC read paces by offsets instead
       val from = Option(opts.get("startingVersion")).map(_.toInt).getOrElse(0)
       val to = Option(opts.get("endingVersion")).map(_.toInt)
-      new GraftTable(root, prefix, version, schema, cdc = Some((from, to)))
+      new GraftTable(root, prefix, version, effective, cdc = Some((from, to)))
     } else
-      new GraftTable(root, prefix, version, schema)
+      new GraftTable(root, prefix, version, effective)
   }
 }
 
@@ -470,6 +485,36 @@ private[sources] class GraftTable(val root: String, val prefix: String,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              // mergeSchema (Delta's write-time evolution): NEW data
+              // columns become metadata-only addColumn commits BEFORE
+              // the write; table columns the frame lacks NULL-fill;
+              // a same-name type conflict refuses (evolution adds, it
+              // never rewrites types). Without the option a mismatched
+              // frame was already refused at getTable.
+              val aligned =
+                if (!info.options.getBoolean("mergeSchema", false) ||
+                    Snapshots.snapshot(root, prefix, None).isEmpty) data
+                else {
+                  val disk = Snapshots.tableSchema(data.sparkSession, root, prefix)
+                  val diskByName = disk.fields.map(f => f.name -> f.dataType).toMap
+                  data.schema.fields.foreach { f =>
+                    diskByName.get(f.name).foreach { t =>
+                      require(t == f.dataType,
+                        s"mergeSchema cannot change column '${f.name}' " +
+                          s"from ${t.simpleString} to ${f.dataType.simpleString}")
+                    }
+                  }
+                  data.schema.fields.filterNot(f => diskByName.contains(f.name))
+                    .foreach { f =>
+                      Snapshots.addColumn(root, prefix, f.name, f.dataType.sql, None)
+                      ()
+                    }
+                  val dataCols = data.columns.toSet
+                  disk.fields.filterNot(f => dataCols.contains(f.name))
+                    .foldLeft(data) { (d, f) =>
+                      d.withColumn(f.name, lit(null).cast(f.dataType))
+                    }
+                }
               // user-supplied idempotency (Delta's txnAppId/txnVersion):
               // the same (txnAppId, txnVersion) pair commits AT MOST
               // ONCE across sessions and retries — an application
@@ -495,12 +540,12 @@ private[sources] class GraftTable(val root: String, val prefix: String,
               cond match {
                 case Some(c) =>
                   Snapshots.overwriteWhere(data.sparkSession, root, prefix, c,
-                    data, txn = txnOr("dsv2-rw-"))
+                    aligned, txn = txnOr("dsv2-rw-"))
                   return
                 case None =>
               }
               if (replaceAll || overwrite) {
-                Snapshots.overwrite(data.sparkSession, root, prefix, data,
+                Snapshots.overwrite(data.sparkSession, root, prefix, aligned,
                   txn = txnOr("dsv2-ow-"))
                 return
               }
@@ -528,7 +573,7 @@ private[sources] class GraftTable(val root: String, val prefix: String,
               // unreferenced for the next commit to adopt as
               // duplicates), and the marked files can't be swept in
               // by a racing ingest commit
-              Snapshots.appendBatch(data.sparkSession, root, prefix, data,
+              Snapshots.appendBatch(data.sparkSession, root, prefix, aligned,
                 txn = txnOr("dsv2-"),
                 partitionCols = parts)
               ()

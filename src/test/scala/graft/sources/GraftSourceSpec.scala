@@ -535,6 +535,45 @@ class GraftSourceSpec extends SparkTestBase {
     }
   }
 
+  test("mergeSchema: appends evolve new columns, null-fill missing, refuse type changes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ms").toString
+    spark.sql(s"DROP TABLE IF EXISTS ms_spec")
+    spark.sql(s"CREATE TABLE ms_spec (id BIGINT, v STRING) USING graft OPTIONS (path '$dir/t')")
+    spark.sql("INSERT INTO ms_spec SELECT id, 'x' FROM range(0, 10)")
+    // a mismatched frame WITHOUT the option is refused (no silent drift)
+    intercept[Exception] {
+      spark.range(10, 20).selectExpr("id", "'y' AS v", "id * 2 AS extra")
+        .write.format("graft").mode("append").save(s"$dir/t")
+    }
+    // with mergeSchema: one metadata-only addColumn commit + the append
+    spark.range(10, 20).selectExpr("id", "'y' AS v", "id * 2 AS extra")
+      .write.format("graft").mode("append").option("mergeSchema", "true")
+      .save(s"$dir/t")
+    val t = spark.read.format("graft").load(s"$dir/t")
+    assert(t.schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+    val r = t.agg(count(lit(1)), sum("extra"),
+      count(when(col("extra").isNull, 1))).head()
+    assert(r.toSeq == Seq(20L, (10L until 20L).map(_ * 2).sum, 10L))
+    // a frame MISSING table columns null-fills them
+    spark.range(20, 25).selectExpr("id")
+      .write.format("graft").mode("append").option("mergeSchema", "true")
+      .save(s"$dir/t")
+    val r2 = spark.read.format("graft").load(s"$dir/t")
+      .agg(count(lit(1)), count(when(col("v").isNull, 1))).head()
+    assert(r2.toSeq == Seq(25L, 5L))
+    // evolution adds columns, it never rewrites types
+    val e = intercept[Exception] {
+      spark.range(0, 1).selectExpr("id", "1.5 AS v")
+        .write.format("graft").mode("append").option("mergeSchema", "true")
+        .save(s"$dir/t")
+    }
+    def causes(t2: Throwable): Seq[Throwable] =
+      if (t2 == null) Seq.empty else t2 +: causes(t2.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage).exists(
+      _.contains("mergeSchema cannot change column"))), e.toString)
+    spark.sql("DROP TABLE ms_spec")
+  }
+
   test("txnAppId/txnVersion make writes idempotent across retries") {
     val dir = java.nio.file.Files.createTempDirectory("graft_txn").toString
     ProduceJob.produceBatch(spark, dir, "w", topics = 1, numMessages = 100) // v0
