@@ -1769,6 +1769,46 @@ object LakehouseQueries extends QueryRegistry {
              |FROM range(50, 1200) t(id)
              |UNION ALL
              |SELECT 'd_v0', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0, 1000) t(id)
-             |ORDER BY step""".stripMargin))
+             |ORDER BY step""".stripMargin)),
+
+    // Write options (round 8): mergeSchema evolves the NEW data column
+    // through one metadata-only addColumn commit before the append
+    // (pre-evolution rows read NULL — no file rewritten), and
+    // txnAppId/txnVersion make the write idempotent at the APPLICATION
+    // level: the literal same write replayed commits nothing. The
+    // checked output pins the evolved aggregate, the NULL fill, and
+    // the commit count (insert + addcol + append = 3 — the replay adds
+    // none).
+    QueryDef("q301_write_options",
+      (s, _) => {
+        s.sql("DROP NAMESPACE IF EXISTS graft.q301 CASCADE")
+        s.sql("CREATE NAMESPACE graft.q301")
+        s.sql("CREATE TABLE graft.q301.w (id BIGINT, v BIGINT)")
+        s.sql("INSERT INTO graft.q301.w SELECT id, id * 2 FROM range(0, 1000)") // v0
+        val path = "/tmp/graft/lake/q301/w/t"
+        def write(): Unit =
+          s.range(1000, 1200)
+            .selectExpr("id", "id * 3 AS v", "CAST(id * 10 AS BIGINT) AS extra")
+            .write.format("graft").mode("append")
+            .option("mergeSchema", "true")
+            .option("txnAppId", "q301").option("txnVersion", "1")
+            .save(path)
+        write() // v1 addcol + v2 append
+        write() // replayed application version: no-op
+        s.table("graft.q301.w")
+          .agg(count(lit(1)).as("cnt"), sum("v").cast("bigint").as("sum_v"),
+            sum("extra").cast("bigint").as("sum_extra"),
+            count(when(col("extra").isNull, 1)).as("null_extra"))
+          .select(col("cnt"), col("sum_v"), col("sum_extra"), col("null_extra"),
+            lit(Snapshots.versions("/tmp/graft/lake/q301/w", "t").size)
+              .cast("bigint").as("commits"))
+      },
+      Some("""SELECT
+             |  (SELECT COUNT(*) FROM range(0, 1200) t(id)) AS cnt,
+             |  CAST((SELECT SUM(id * 2) FROM range(0, 1000) t(id))
+             |     + (SELECT SUM(id * 3) FROM range(1000, 1200) t(id)) AS BIGINT) AS sum_v,
+             |  CAST((SELECT SUM(id * 10) FROM range(1000, 1200) t(id)) AS BIGINT) AS sum_extra,
+             |  CAST(1000 AS BIGINT) AS null_extra,
+             |  CAST(3 AS BIGINT) AS commits""".stripMargin))
   )
 }
