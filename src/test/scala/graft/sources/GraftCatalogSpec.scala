@@ -370,6 +370,21 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(r.getString(4) == "topic")
   }
 
+  test("TRUNCATE TABLE routes through SupportsDelete; old versions stay readable") {
+    val ns = freshNs()
+    spark.sql(s"CREATE TABLE graft.$ns.tr (id BIGINT)")
+    spark.sql(s"INSERT INTO graft.$ns.tr SELECT id FROM range(0, 100)") // v0
+    spark.sql(s"TRUNCATE TABLE graft.$ns.tr")                           // v1
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.tr").head().getLong(0) == 0L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.tr VERSION AS OF 0")
+      .head().getLong(0) == 100L)
+    // truncating an already-empty table is a no-op, not an error
+    spark.sql(s"TRUNCATE TABLE graft.$ns.tr")
+    // and the table keeps working afterwards
+    spark.sql(s"INSERT INTO graft.$ns.tr SELECT id FROM range(0, 7)")
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.tr").head().getLong(0) == 7L)
+  }
+
   test("by-name reads refuse path-form options instead of mis-serving") {
     val ns = freshNs()
     spark.sql(s"CREATE TABLE graft.$ns.g (id BIGINT)")
