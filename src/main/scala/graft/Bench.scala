@@ -124,9 +124,7 @@ object Bench {
     // existing stamps — load1 0.17, read 1237 MB/s — the signature of
     // a host CPU-frequency/steal throttle neither catches). One fixed
     // single-threaded arithmetic workload, run twice (first pass is
-    // JIT warmup), stamped as cpu_mops. No refusal threshold — the
-    // healthy range varies by host; adjudicate a suspect record by
-    // comparing its stamp against the committed record's.
+    // JIT warmup), stamped as cpu_mops.
     val cpuMops: Double = {
       def pass(): Double = {
         var x = 0x9E3779B97F4A7C15L
@@ -143,6 +141,23 @@ object Bench {
         n / 1e6 / sec
       }
       pass(); pass()
+    }
+    // REFUSAL gate (round-9: the r8 driver bench silently recorded a
+    // 474 s throttled run at cpu_mops 454 — the stamp adjudicated it
+    // but did not prevent it). BENCH_NOTES pins 577 as the slow-regime
+    // reference and its own rule marks anything within ~10% of it as
+    // still-throttled; default threshold = 577 * 1.1. Override with
+    // SPARK_GRAFT_MIN_CPU_MOPS (<= 0 disables the check, keeps the
+    // stamp).
+    val minCpuMops = sys.env.get("SPARK_GRAFT_MIN_CPU_MOPS").map(_.toDouble)
+      .getOrElse(577.0 * 1.1)
+    if (minCpuMops > 0 && cpuMops < minCpuMops) {
+      System.err.println(
+        f"[bench] REFUSING to run: cpu probe $cpuMops%.0f Mops/s < " +
+          f"$minCpuMops%.0f (slow-regime reference 577 + 10%%; set " +
+          "SPARK_GRAFT_MIN_CPU_MOPS to override) — a frequency/steal-" +
+          "throttled record would not be comparable round-over-round")
+      sys.exit(3)
     }
 
     val spark = GraftSession.tune(SparkSession.builder()

@@ -51,15 +51,15 @@ object ProduceJob {
   def produceBatch(spark: SparkSession, root: String, prefix: String,
                    topics: Int = 1, numMessages: Long = 100000,
                    codec: String = "none"): Report = {
-    val dir = Topics.tableDir(root, prefix)
     val rows = personProjection(
       spark.range(numMessages).toDF("cnt"), "cnt", prefix, topics)
-    rows.write.mode("append")
-      .option("compression", codec)
-      .partitionBy("topic")
-      .parquet(dir)
+    // staged write + explicit-files commit: the producer KNOWS its
+    // output files, so the snapshot commit never walks the table dir
+    // (at 1M files the sweep walk dominated every batch produce)
+    val added = Snapshots.writeStaged(root, prefix, rows, Seq("topic"),
+      writerOptions = Map("compression" -> codec))
     commitManifest(root, prefix, numMessages - 1)
-    Snapshots.commit(root, prefix, numMessages - 1)
+    Snapshots.commitFiles(root, prefix, added, Some(numMessages - 1))
     Report(numMessages, 0L, numMessages - 1)
   }
 
@@ -104,20 +104,17 @@ object ProduceJob {
   def produceStudents(spark: SparkSession, root: String, prefix: String,
                       numMessages: Long = 1000000L,
                       flushEvery: Long = 10000L): Report = {
-    val dir = Topics.tableDir(root, prefix)
-    spark.range(numMessages).toDF("i").select(
+    val rows = spark.range(numMessages).toDF("i").select(
       concat(lit("name"), col("i")).as("name"),
       (col("i") % 100).cast("int").as("age"),
       concat(lit("payload"), col("i")).as("payload"),
       concat(lit("address"), col("i")).as("address"),
       col("i").as("number"),
       lit(prefix).as("topic"))
-      .write.mode("append")
-      .option("maxRecordsPerFile", flushEvery)
-      .partitionBy("topic")
-      .parquet(dir)
+    val added = Snapshots.writeStaged(root, prefix, rows, Seq("topic"),
+      writerOptions = Map("maxRecordsPerFile" -> flushEvery.toString))
     commitManifest(root, prefix, numMessages - 1)
-    Snapshots.commit(root, prefix, numMessages - 1)
+    Snapshots.commitFiles(root, prefix, added, Some(numMessages - 1))
     Report(numMessages, 0L, numMessages - 1)
   }
 

@@ -2,6 +2,7 @@ package graft.ingest
 
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HadoopPath}
@@ -53,6 +54,34 @@ object Snapshots {
   private def logDir(root: String, prefix: String): Path =
     Paths.get(s"$root/$prefix._log")
 
+  /** A full-state checkpoint is written alongside every Nth version
+    * file (Delta's `_last_checkpoint` cadence): readers replay at most
+    * N delta manifests on top of one checkpoint, so the open cost of a
+    * million-commit table is O(N), not O(history). Mutable only for
+    * the log spec (exercising multi-checkpoint chains cheaply). */
+  @volatile private[graft] var checkpointInterval: Int = 10
+
+  private def ckptPath(root: String, prefix: String, v: Int): Path =
+    logDir(root, prefix).resolve(f"v$v%05d.ckpt.json")
+
+  /** Count of log/checkpoint FILE READS (not dir listings) — the
+    * delta-log spec pins "a reader opens one checkpoint plus a bounded
+    * delta tail" with this, so a regression back to O(history) replay
+    * is unrepresentable. */
+  private[graft] val logOpens = new java.util.concurrent.atomic.AtomicLong
+
+  private def readLogFile(p: Path): String = {
+    logOpens.incrementAndGet()
+    Files.readString(p)
+  }
+
+  /** Parse one JSON string-array field (the manifest's only array
+    * shape) out of a manifest's raw text. */
+  private def jsonArr(s: String, key: String): Seq[String] =
+    s"""\"$key\":\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(s)
+      .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Seq.empty)
+
   private def dataDir(root: String, prefix: String): Path =
     Paths.get(Topics.tableDir(root, prefix))
 
@@ -60,10 +89,10 @@ object Snapshots {
   def versions(root: String, prefix: String): Seq[Int] = {
     val d = logDir(root, prefix)
     if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator().asScala
+    else Using.resource(Files.list(d))(_.iterator().asScala
       .map(_.getFileName.toString)
       .collect { case s if s.matches("v\\d{5}\\.json") => s.substring(1, 6).toInt }
-      .toSeq.sorted
+      .toSeq).sorted
   }
 
   /** List current data files under the table dir (recursive, parquet
@@ -71,17 +100,34 @@ object Snapshots {
   private def listDataFiles(root: String, prefix: String): Seq[String] = {
     val base = dataDir(root, prefix)
     if (!Files.isDirectory(base)) Seq.empty
-    else Files.walk(base).iterator().asScala
+    else Using.resource(Files.walk(base))(_.iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
       .map(p => base.relativize(p).toString)
-      .toSeq.sorted
+      .toSeq).sorted
   }
 
-  /** Every file any committed snapshot pins. */
-  private def referencedFiles(root: String, prefix: String): Set[String] =
-    versions(root, prefix)
-      .flatMap(v => snapshot(root, prefix, Some(v)).map(_.files).getOrElse(Seq.empty))
-      .toSet
+  /** Every file any committed snapshot pins — O(checkpoint + tail),
+    * not O(versions × files): the newest checkpoint carries the
+    * cumulative `refsEver` set, and versions after it contribute only
+    * their `add` lists (a delta's full state is its parent's plus its
+    * adds, so the union of all states is the union of all adds plus
+    * any full-format roots — Delta derives its tombstone set the same
+    * way from checkpoint + tail actions). */
+  private def referencedFiles(root: String, prefix: String): Set[String] = {
+    val vs = versions(root, prefix)
+    val ckptV = vs.reverse.find { v =>
+      val p = ckptPath(root, prefix, v)
+      Files.isRegularFile(p) && readLogFile(p).contains("\"refsEver\":")
+    }
+    val base: Set[String] = ckptV.map { v =>
+      jsonArr(readLogFile(ckptPath(root, prefix, v)), "refsEver").toSet
+    }.getOrElse(Set.empty)
+    vs.filter(v => ckptV.forall(v > _)).foldLeft(base) { (acc, v) =>
+      val s = rawJson(root, prefix, v)
+      if (s.contains("\"files\":")) acc ++ jsonArr(s, "files")
+      else acc ++ jsonArr(s, "add")
+    }
+  }
 
   /** Marker prefix for compaction rewrites. Compaction must write its
     * output BEFORE committing the snapshot that pins it; if that commit
@@ -215,29 +261,79 @@ object Snapshots {
     carried ++ files.filterNot(known).sorted.flatMap(f => footerStats(base, f))
   }
 
+  private def arrJson(xs: Seq[String]) =
+    xs.map(f => "\"" + f + "\"").mkString("[", ", ", "]")
+
   /** Atomic write of one snapshot version; loses the race loudly.
     * (private[graft]: the conflict spec exercises the collision
-    * directly — a live thread race can't be scheduled deterministically.) */
+    * directly — a live thread race can't be scheduled deterministically.)
+    *
+    * The version file is a DELTA against `parent` (Delta's add/remove
+    * actions): `add`/`del` are the file-set difference, `txnsAdd` and
+    * `statsAdd` the new entries only — so commit metadata is O(files
+    * changed this commit), never O(table). With parent = None the delta
+    * is self-contained (add = the full set), which is also the legacy
+    * compatibility story: pre-round-9 manifests carry a full `files`
+    * list and read as their own checkpoint. Every
+    * [[checkpointInterval]]th version additionally writes a full-state
+    * `v%05d.ckpt.json` so readers replay a bounded tail. */
   private[graft] def writeSnapshot(root: String, prefix: String, version: Int,
                             maxPos: Long, files: Seq[String],
                             removed: Seq[String], op: String = "append",
                             txns: Seq[String] = Seq.empty,
                             stats: Seq[FileStat] = Seq.empty,
-                            extraFields: Seq[(String, String)] = Seq.empty): Int = {
-    def arr(xs: Seq[String]) = xs.map(f => "\"" + f + "\"").mkString("[", ", ", "]")
-    val extras = extraFields
-      .map { case (k, v) => s""", "$k": "$v"""" }.mkString
+                            extraFields: Seq[(String, String)] = Seq.empty,
+                            parent: Option[Snapshot] = None): Int = {
+    val pFiles = parent.map(_.files.toSet).getOrElse(Set.empty)
+    val fSet = files.toSet
+    val add = files.filterNot(pFiles).sorted
+    val del = parent.map(_.files.filterNot(fSet).sorted).getOrElse(Seq.empty)
+    val pTxns = parent.map(_.txns.toSet).getOrElse(Set.empty)
+    val txnsAdd = txns.filterNot(pTxns)
+    val pStats = parent.map(_.stats.toSet).getOrElse(Set.empty[FileStat])
+    val statsAdd = stats.filterNot(pStats)
+    val extras = (("parent" -> parent.map(_.version).getOrElse(-1).toString) +:
+      extraFields).map { case (k, v) => s""", "$k": "$v"""" }.mkString
     val json =
-      s"""{"version": $version, "op": "$op", "maxPos": $maxPos, "files": ${arr(files)}, "removed": ${arr(removed)}, "txns": ${arr(txns)}, "stats": ${arr(stats.map(_.encoded))}$extras}"""
+      s"""{"version": $version, "fmt": 2, "op": "$op", "maxPos": $maxPos, "add": ${arrJson(add)}, "del": ${arrJson(del)}, "removed": ${arrJson(removed)}, "txnsAdd": ${arrJson(txnsAdd)}, "statsAdd": ${arrJson(statsAdd.map(_.encoded))}$extras}"""
     Files.createDirectories(logDir(root, prefix))
-    try {
-      Files.writeString(logDir(root, prefix).resolve(f"v$version%05d.json"), json,
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-      version
-    } catch {
+    try Files.writeString(logDir(root, prefix).resolve(f"v$version%05d.json"), json,
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new ConcurrentCommitException(version)
     }
+    if (version > 0 && version % checkpointInterval == 0)
+      writeCheckpoint(root, prefix, version, maxPos, files, removed, op,
+        txns, stats, extraFields)
+    version
+  }
+
+  /** Full-state checkpoint for one committed version (legacy manifest
+    * shape, plus the cumulative `refsEver` set that keeps
+    * [[referencedFiles]] O(checkpoint + tail)). Idempotent — a racer
+    * or replay that finds the file just keeps it. */
+  private def writeCheckpoint(root: String, prefix: String, version: Int,
+                              maxPos: Long, files: Seq[String],
+                              removed: Seq[String], op: String,
+                              txns: Seq[String], stats: Seq[FileStat],
+                              extraFields: Seq[(String, String)]): Unit = {
+    val refs = (referencedFiles(root, prefix) ++ files).toSeq.sorted
+    // cumulative schema-event versions (this version included if it IS
+    // one) — what keeps schemaEvents O(tail) on long histories
+    val evs = (schemaEventVersions(root, prefix, Some(version)) ++
+      (op match {
+        case "addcol" | "renamecol" | "dropcol" => Seq(version)
+        case _ => Seq.empty
+      })).distinct.sorted
+    val extras = extraFields.map { case (k, v) => s""", "$k": "$v"""" }.mkString
+    val json =
+      s"""{"version": $version, "op": "$op", "maxPos": $maxPos, "files": ${arrJson(files)}, "removed": ${arrJson(removed)}, "txns": ${arrJson(txns)}, "stats": ${arrJson(stats.map(_.encoded))}, "refsEver": ${arrJson(refs)}, "evs": ${arrJson(evs.map(_.toString))}$extras}"""
+    try {
+      Files.writeString(ckptPath(root, prefix, version), json,
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      ()
+    } catch { case _: java.nio.file.FileAlreadyExistsException => () }
   }
 
   /** Commit the table's current state as the next version. Append
@@ -268,7 +364,7 @@ object Snapshots {
         prev.map(_.stats).getOrElse(Seq.empty))
       try writeSnapshot(root, prefix, next, maxPos, files, Seq.empty, "append",
         prev.map(_.txns).getOrElse(Seq.empty) ++ txn, stats,
-        extraFields = dvField(prev.map(_.dv).getOrElse(Seq.empty)))
+        extraFields = dvField(prev.map(_.dv).getOrElse(Seq.empty)), parent = prev)
       catch {
         case e: ConcurrentCommitException =>
           if (retries > 0) commit(root, prefix, maxPos, retries - 1, txn) else throw e
@@ -298,9 +394,11 @@ object Snapshots {
         prevPub.map(_.stats).getOrElse(Seq.empty))
       try writeSnapshot(root, prefix, nextVersion(root, prefix), maxPos, files,
         Seq.empty, "staged", prevPub.map(_.txns).getOrElse(Seq.empty), stats,
-        extraFields = Seq("audit" -> audit,
-          "parent" -> prevPub.map(_.version).getOrElse(-1).toString) ++
-          dvField(prevPub.map(_.dv).getOrElse(Seq.empty)))
+        // the delta's built-in parent field IS the staged commit's
+        // published-parent record (publish resolves the staged delta
+        // against it)
+        extraFields = Seq("audit" -> audit) ++
+          dvField(prevPub.map(_.dv).getOrElse(Seq.empty)), parent = prevPub)
       catch {
         case e: ConcurrentCommitException =>
           if (retries > 0) commitStaged(root, prefix, maxPos, audit, retries - 1)
@@ -342,7 +440,8 @@ object Snapshots {
         try writeSnapshot(root, prefix, nextVersion(root, prefix),
           math.max(head.map(_.maxPos).getOrElse(-1L), staged.maxPos), files,
           Seq.empty, "publish", txns, stats,
-          extraFields = Seq("publishedFrom" -> sv.toString) ++ dvField(dv))
+          extraFields = Seq("publishedFrom" -> sv.toString) ++ dvField(dv),
+          parent = head)
         catch {
           case e: ConcurrentCommitException =>
             if (retries > 0) publish(root, prefix, audit, retries - 1) else throw e
@@ -401,9 +500,8 @@ object Snapshots {
         Files.copy(src, dst); () }
     }
     def copyTree(src: Path, dst: Path, link: Boolean): Unit =
-      if (Files.isDirectory(src)) {
-        val it = Files.walk(src).iterator().asScala
-        it.foreach { p =>
+      if (Files.isDirectory(src)) Using.resource(Files.walk(src)) { st =>
+        st.iterator().asScala.foreach { p =>
           if (Files.isRegularFile(p)) {
             val d = dst.resolve(src.relativize(p).toString)
             if (link) linkOrCopy(p, d)
@@ -473,12 +571,29 @@ object Snapshots {
       s"branch $brPrefix forked from $srcPrefix@$srcRoot, not $prefix@$root")
     val cur = snapshot(root, prefix, None).getOrElse(
       sys.error(s"no snapshot for $prefix"))
-    require(cur.version == base,
-      s"fast-forward refused: $prefix advanced past the fork " +
-        s"(v$base → v${cur.version}) — reconcile with MERGE INTO instead")
+    // Resumable publish: a previous fast-forward that died between
+    // log copies left the table advanced past the recorded fork with
+    // commits BYTE-IDENTICAL to the branch's — adopt those as already
+    // published and continue, instead of wedging the branch behind a
+    // misleading divergence error. Any non-identical commit is a real
+    // divergence and refuses as before.
+    if (cur.version > base) (base + 1 to cur.version).foreach { v =>
+      val name = f"v$v%05d.json"
+      val tp = logDir(root, prefix).resolve(name)
+      val bp = logDir(brRoot, brPrefix).resolve(name)
+      require(Files.isRegularFile(tp) && Files.isRegularFile(bp) &&
+        java.util.Arrays.equals(Files.readAllBytes(tp), Files.readAllBytes(bp)),
+        s"fast-forward refused: $prefix advanced past the fork " +
+          s"(v$base → v${cur.version}) — reconcile with MERGE INTO instead")
+    }
     val brLatest = snapshot(brRoot, brPrefix, None).getOrElse(
       sys.error(s"no snapshot for branch $brPrefix"))
-    if (brLatest.version <= base) return cur.version // nothing to publish
+    if (brLatest.version <= cur.version) {
+      // nothing left to publish (possibly a resumed run that already
+      // copied everything but died before the fork-record update)
+      Files.writeString(metaP, s"$srcRoot\n$srcPrefix\n${cur.version}\n")
+      return cur.version
+    }
     // a branch vacuumed past the fork can't replay its commits — check
     // the log is contiguous BEFORE adopting anything
     (base + 1 to brLatest.version).foreach { v =>
@@ -487,9 +602,8 @@ object Snapshots {
           "(vacuumed past the fork?)")
     }
     def adopt(src: Path, dst: Path, link: Boolean): Unit =
-      if (Files.isDirectory(src)) {
-        val it = Files.walk(src).iterator().asScala
-        it.foreach { p =>
+      if (Files.isDirectory(src)) Using.resource(Files.walk(src)) { st =>
+        st.iterator().asScala.foreach { p =>
           if (Files.isRegularFile(p)) {
             val d = dst.resolve(src.relativize(p).toString)
             if (!Files.exists(d)) {
@@ -512,17 +626,25 @@ object Snapshots {
       Files.copy(brCons, constraintsPath(root, prefix),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
     }
-    (base + 1 to brLatest.version).foreach { v =>
+    (cur.version + 1 to brLatest.version).foreach { v =>
       val name = f"v$v%05d.json"
       // plain copy without REPLACE: a racing table commit owns the
       // version file and the publish fails loudly instead of clobbering
       Files.copy(logDir(brRoot, brPrefix).resolve(name),
         logDir(root, prefix).resolve(name))
+      // adopt the branch's full-state checkpoint for this version too —
+      // it anchors the table's delta-chain resolution and refsEver scan
+      val bc = ckptPath(brRoot, brPrefix, v)
+      if (Files.isRegularFile(bc) && !Files.exists(ckptPath(root, prefix, v))) {
+        Files.copy(bc, ckptPath(root, prefix, v)); ()
+      }
+      // advance the fork record with EVERY adopted version: a crash
+      // after this point resumes through the byte-identical tolerance
+      // above instead of wedging
+      Files.writeString(metaP, s"$srcRoot\n$srcPrefix\n$v\n")
     }
-    // the branch's fork point moves to the published version — the
-    // branch and table states are identical again, so the next
+    // the branch and table states are identical again, so the next
     // write→publish cycle just works
-    Files.writeString(metaP, s"$srcRoot\n$srcPrefix\n${brLatest.version}\n")
     brLatest.version
   }
 
@@ -574,7 +696,7 @@ object Snapshots {
   /** Raw manifest text of one version (for field probes that Snapshot
     * does not carry). */
   private def rawJson(root: String, prefix: String, v: Int): String =
-    Files.readString(logDir(root, prefix).resolve(f"v$v%05d.json"))
+    readLogFile(logDir(root, prefix).resolve(f"v$v%05d.json"))
 
   /** One string field of a version's manifest, as written via
     * writeSnapshot's extraFields. */
@@ -611,30 +733,66 @@ object Snapshots {
 
   /** Load a snapshot (latest PUBLISHED if version is None — staged
     * write-audit-publish commits are invisible to default readers and
-    * must be addressed by explicit version). */
+    * must be addressed by explicit version). Resolution opens ONE
+    * checkpoint (or legacy full manifest) plus the delta tail back to
+    * it — bounded by [[checkpointInterval]], never by history. */
   def snapshot(root: String, prefix: String, version: Option[Int] = None): Option[Snapshot] = {
     val vs = versions(root, prefix)
     val v = version match {
       case Some(x) => if (vs.contains(x)) Some(x) else None
       case None => vs.reverse.find(x => opOf(root, prefix, x) != "staged")
     }
-    v.map { ver =>
-      val s = Files.readString(logDir(root, prefix).resolve(f"v$ver%05d.json"))
-      val maxPos = "\"maxPos\":\\s*(-?\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
-      def arr(key: String): Seq[String] =
-        s"""\"$key\":\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(s)
-          .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
-          .getOrElse(Seq.empty)
-      val files = arr("files")
-      val removed = arr("removed")
-      // pre-"op" snapshots (rounds 1-2): a removed list meant compaction
-      val op = "\"op\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
-        .getOrElse(if (removed.nonEmpty) "compact" else "append")
-      val addedCol = "\"addedCol\":\\s*\"([^\"]*)\"".r.findFirstMatchIn(s).map(_.group(1))
-      val dv = "\"dv\":\\s*\"([^\"]*)\"".r.findFirstMatchIn(s).map(_.group(1))
-        .toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
-      Snapshot(ver, maxPos, files, removed, op,
-        arr("txns"), arr("stats").flatMap(FileStat.decode), addedCol, dv)
+    v.map(ver => resolveSnapshot(root, prefix, ver))
+  }
+
+  private def parseManifest(s: String, ver: Int): Snapshot = {
+    val maxPos = "\"maxPos\":\\s*(-?\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
+    val files = jsonArr(s, "files")
+    val removed = jsonArr(s, "removed")
+    // pre-"op" snapshots (rounds 1-2): a removed list meant compaction
+    val op = "\"op\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
+      .getOrElse(if (removed.nonEmpty) "compact" else "append")
+    val addedCol = "\"addedCol\":\\s*\"([^\"]*)\"".r.findFirstMatchIn(s).map(_.group(1))
+    val dv = "\"dv\":\\s*\"([^\"]*)\"".r.findFirstMatchIn(s).map(_.group(1))
+      .toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+    Snapshot(ver, maxPos, files, removed, op,
+      jsonArr(s, "txns"), jsonArr(s, "stats").flatMap(FileStat.decode), addedCol, dv)
+  }
+
+  /** Resolve one version's full state: its checkpoint if one exists,
+    * a legacy full manifest as its own checkpoint, else the parent
+    * chain replayed with this version's add/del/txnsAdd/statsAdd
+    * delta. A statsAdd entry REPLACES a carried parent entry for the
+    * same (file, column, kind) — stats are footer-derived, so the
+    * freshest derivation wins. */
+  private def resolveSnapshot(root: String, prefix: String, ver: Int): Snapshot = {
+    val cp = ckptPath(root, prefix, ver)
+    if (Files.isRegularFile(cp)) parseManifest(readLogFile(cp), ver)
+    else {
+      val s = rawJson(root, prefix, ver)
+      if (s.contains("\"files\":")) parseManifest(s, ver)
+      else {
+        val pv = "\"parent\":\\s*\"(-?\\d+)\"".r.findFirstMatchIn(s).map(_.group(1).toInt)
+          .getOrElse(sys.error(s"delta manifest v$ver of $prefix has no parent"))
+        val base: Option[Snapshot] =
+          if (pv < 0) None
+          else if (Files.isRegularFile(ckptPath(root, prefix, pv)) ||
+            Files.isRegularFile(logDir(root, prefix).resolve(f"v$pv%05d.json")))
+            Some(resolveSnapshot(root, prefix, pv))
+          else sys.error(s"log of $prefix truncated: v$ver needs v$pv " +
+            "(vacuumed without a checkpoint barrier?)")
+        val delta = parseManifest(s, ver) // files/txns/stats fields absent → empty
+        val add = jsonArr(s, "add")
+        val delSet = jsonArr(s, "del").toSet
+        val files = (base.map(_.files).getOrElse(Seq.empty).filterNot(delSet) ++ add).sorted
+        val statsAdd = jsonArr(s, "statsAdd").flatMap(FileStat.decode)
+        val addKeys = statsAdd.map(st => (st.file, st.column, st.typ)).toSet
+        val fileSet = files.toSet
+        val stats = base.map(_.stats).getOrElse(Seq.empty)
+          .filter(st => fileSet(st.file) && !addKeys((st.file, st.column, st.typ))) ++ statsAdd
+        val txns = base.map(_.txns).getOrElse(Seq.empty) ++ jsonArr(s, "txnsAdd")
+        delta.copy(files = files, txns = txns, stats = stats)
+      }
     }
   }
 
@@ -685,10 +843,31 @@ object Snapshots {
 
   /** Schema-evolution events up to `upTo` (inclusive; None = all),
     * oldest first. */
+  /** Versions ≤ `upTo` that committed a schema event. The newest
+    * checkpoint carries the CUMULATIVE list (`evs`), so the probe cost
+    * is O(tail since checkpoint), not O(history) — the round-8 raw-op
+    * probe made each version's check cheap, this makes their COUNT
+    * bounded too (a million-commit table probes ≤ interval versions). */
+  private def schemaEventVersions(root: String, prefix: String,
+                                  upTo: Option[Int]): Seq[Int] = {
+    val vs = versions(root, prefix).filter(v => upTo.forall(v <= _))
+    val ckpt: Option[(Int, String)] = vs.reverse.iterator.map { v =>
+      val p = ckptPath(root, prefix, v)
+      if (Files.isRegularFile(p)) Some(v -> readLogFile(p)) else None
+    }.collectFirst { case Some((v, txt)) if txt.contains("\"evs\":") => (v, txt) }
+    val base = ckpt.map { case (_, txt) => jsonArr(txt, "evs").map(_.toInt) }
+      .getOrElse(Seq.empty)
+    val tail = vs.filter(v => ckpt.forall(v > _._1))
+      .filter(v => opOf(root, prefix, v) match {
+        case "addcol" | "renamecol" | "dropcol" => true
+        case _ => false
+      })
+    (base.filter(v => vs.contains(v)) ++ tail).distinct.sorted
+  }
+
   def schemaEvents(root: String, prefix: String,
                    upTo: Option[Int] = None): Seq[SchemaEvent] =
-    versions(root, prefix)
-      .filter(v => upTo.forall(v <= _))
+    schemaEventVersions(root, prefix, upTo)
       .flatMap(v => snapshot(root, prefix, Some(v)))
       .flatMap { s =>
         (s.op, s.addedCol.map(_.split('|'))) match {
@@ -729,7 +908,8 @@ object Snapshots {
     val encoded = (Seq(name, ddlType) ++ defaultSql).mkString("|")
     try writeSnapshot(root, prefix, nextVersion(root, prefix), prev.maxPos, prev.files,
       Seq.empty, "addcol", prev.txns, prev.stats,
-      extraFields = Seq("addedCol" -> encoded) ++ dvField(prev.dv))
+      extraFields = Seq("addedCol" -> encoded) ++ dvField(prev.dv),
+      parent = Some(prev))
     catch {
       case e: ConcurrentCommitException =>
         if (retries > 0) addColumn(root, prefix, name, ddlType, defaultSql, retries - 1)
@@ -757,7 +937,8 @@ object Snapshots {
     require(!cols.contains(to), s"rename target $to already exists in $prefix")
     try writeSnapshot(root, prefix, nextVersion(root, prefix), prev.maxPos, prev.files,
       Seq.empty, "renamecol", prev.txns, prev.stats,
-      extraFields = Seq("addedCol" -> s"$from|$to") ++ dvField(prev.dv))
+      extraFields = Seq("addedCol" -> s"$from|$to") ++ dvField(prev.dv),
+      parent = Some(prev))
     catch {
       case e: ConcurrentCommitException =>
         if (retries > 0) renameColumn(root, prefix, from, to, retries - 1)
@@ -779,7 +960,8 @@ object Snapshots {
     require(cols.size > 1, s"cannot drop the last column of $prefix")
     try writeSnapshot(root, prefix, nextVersion(root, prefix), prev.maxPos, prev.files,
       Seq.empty, "dropcol", prev.txns, prev.stats,
-      extraFields = Seq("addedCol" -> name) ++ dvField(prev.dv))
+      extraFields = Seq("addedCol" -> name) ++ dvField(prev.dv),
+      parent = Some(prev))
     catch {
       case e: ConcurrentCommitException =>
         if (retries > 0) dropColumn(root, prefix, name, retries - 1)
@@ -1033,7 +1215,7 @@ object Snapshots {
       val kept = prev.stats.filterNot(s => missingSet.contains(s.file))
       writeSnapshot(root, prefix, nextVersion(root, prefix), prev.maxPos,
         prev.files, Seq.empty, "restat", prev.txns, kept ++ fresh,
-        extraFields = dvField(prev.dv))
+        extraFields = dvField(prev.dv), parent = Some(prev))
     }
   }
 
@@ -1359,15 +1541,32 @@ object Snapshots {
         case (d, dr: DroppedColumn) =>
           if (d.columns.contains(dr.name)) d.drop(dr.name) else d
       }
+      // Delta's CDF contract: _commit_version is LONG and the commit
+      // wall-clock rides as _commit_timestamp (the version file's
+      // mtime — the same anchor timestamp time travel resolves by)
+      val ts = new java.sql.Timestamp(Files.getLastModifiedTime(
+        logDir(root, prefix).resolve(f"v$v%05d.json")).toMillis)
       evolved.select((cols.map(col) :+ col("_change_type") :+
-        org.apache.spark.sql.functions.lit(v).as("_commit_version")): _*)
+        org.apache.spark.sql.functions.lit(v.toLong).as("_commit_version") :+
+        org.apache.spark.sql.functions.lit(ts).as("_commit_timestamp")): _*)
     }
-    val parts = versions(root, prefix)
+    // staged (write-audit-publish) versions are invisible to readers,
+    // so they are invisible to the change feed too (readChanges' rule):
+    // a staged batch's rows surface as the PUBLISH commit's inserts —
+    // exactly when readers first see them — and an abandoned audit
+    // never surfaces at all. Each version therefore diffs against the
+    // previous PUBLISHED version, not v-1 (which may be the staged
+    // head itself, whose files would make the publish diff empty).
+    val published = versions(root, prefix)
+      .filter(v => opOf(root, prefix, v) != "staged")
+    val parts = published
       .filter(v => v > fromVersion && v <= to.version)
       .flatMap { v =>
         val cur = snapshot(root, prefix, Some(v)).get
         lazy val addedFiles = (cur.files.toSet --
-          snapshot(root, prefix, Some(v - 1)).map(_.files.toSet).getOrElse(Set.empty)).toSeq.sorted
+          published.filter(_ < v).lastOption
+            .flatMap(pv => snapshot(root, prefix, Some(pv)).map(_.files.toSet))
+            .getOrElse(Set.empty)).toSeq.sorted
         def fromFiles(tag: String): Option[DataFrame] =
           if (addedFiles.isEmpty) None
           else Some(shape(readFilesFilled(spark, root, prefix, addedFiles, events)
@@ -1426,7 +1625,7 @@ object Snapshots {
         cur.txns, target.stats,
         // the TARGET's dv set, not the current one: a restore past a
         // merge-on-read delete must bring the deleted rows back
-        extraFields = dvField(target.dv))
+        extraFields = dvField(target.dv), parent = Some(cur))
       catch {
         case e: ConcurrentCommitException =>
           attempts -= 1; if (attempts <= 0) throw e
@@ -1476,25 +1675,18 @@ object Snapshots {
           Files.size(base.resolve(f))).sum.toDouble / targetFileBytes).toInt)
       if (fs.size <= outFiles) keep ++= fs // out of scope / already at target
       else {
-        val before = listDataFiles(root, prefix).toSet
         // DV-filtered: compaction materializes merge-on-read deletions
         // into the rewritten files (their stale dv entries then no-op)
         val df = readFilesFilled(spark, root, prefix, fs, evs, snap.dv)
         // partition values live in the directory name — drop the
-        // recovered column before writing back INTO that directory
+        // recovered column before writing back INTO that directory;
+        // staged write + markers: until a snapshot pins the rewrites
+        // they are UNCOMMITTED and commit() must never adopt them
+        // (lost race / crash => duplicated rows)
         val dirCols = dir.split("/").filter(_.contains("=")).map(_.split("=")(0))
-        dirCols.foldLeft(df)((d, c) => d.drop(c))
-          .coalesce(outFiles).write.mode("append")
-          .parquet(base.resolve(dir).toString)
-        // mark the rewrites: until a snapshot pins them they are
-        // UNCOMMITTED, and commit() must never adopt them from a
-        // directory listing (lost race / crash ⇒ duplicated rows)
-        (listDataFiles(root, prefix).toSet -- before).foreach { rel =>
-          val abs = base.resolve(rel)
-          val marked = abs.resolveSibling(CompactedPrefix + abs.getFileName)
-          Files.move(abs, marked)
-          keep += base.relativize(marked).toString
-        }
+        keep ++= writeStaged(root, prefix,
+          dirCols.foldLeft(df)((d, c) => d.drop(c)).coalesce(outFiles),
+          subDir = dir)
         superseded ++= fs
       }
     }
@@ -1533,7 +1725,7 @@ object Snapshots {
       try committed = writeSnapshot(root, prefix, nextVersion(root, prefix),
         cur.maxPos max maxPosFloor, files, removed, op,
         cur.txns ++ txn, assembleStats(base, files, cur.stats),
-        extraFields = dvField(cur.dv))
+        extraFields = dvField(cur.dv), parent = Some(cur))
       catch {
         case e: ConcurrentCommitException =>
           attempts -= 1; if (attempts <= 0) throw e
@@ -1593,7 +1785,6 @@ object Snapshots {
               sys.error(s"unattributable file $uri")))
             .toSeq.sorted
         }
-      val before = listDataFiles(root, prefix).toSet
       // schema-aware rewrite read: matched files may predate an
       // addColumn — fill defaults so the rewritten files materialize
       // the current schema
@@ -1601,19 +1792,17 @@ object Snapshots {
         if (matchedFiles.isEmpty) source.limit(0)
         else readFilesFilled(spark, root, prefix, matchedFiles,
           schemaEvents(root, prefix, Some(snap.version)), snap.dv)
+      // a using-columns join REORDERS output (keys first) — restore the
+      // table's logical order so rewritten files keep the canonical
+      // physical layout (mixed per-file orders make multi-file schema
+      // sampling nondeterministic)
       val survivors = oldMatched.join(srcKeys, keys, "left_anti")
+        .select(oldMatched.columns.map(col): _*)
       val out = survivors.unionByName(source)
-      val writer = out.write.mode("append")
-      (if (out.columns.contains("topic")) writer.partitionBy("topic") else writer)
-        .parquet(base.toString)
-      // marker rename: like compaction, merge output is invalid until
-      // its snapshot commits — commit() must never adopt it from a listing
-      val added = (listDataFiles(root, prefix).toSet -- before).toSeq.map { rel =>
-        val abs = base.resolve(rel)
-        val marked = abs.resolveSibling(CompactedPrefix + abs.getFileName)
-        Files.move(abs, marked)
-        base.relativize(marked).toString
-      }
+      // staged write + marker rename: merge output is invalid until its
+      // snapshot commits — commit() must never adopt it from a listing
+      val added = writeStaged(root, prefix, out,
+        if (out.columns.contains("topic")) Seq("topic") else Seq.empty)
       // row-grain change records: a source row whose key existed is an
       // update post-image, otherwise an insert; the replaced old rows
       // ride along as update pre-images (Delta CDF parity) so a
@@ -1726,7 +1915,6 @@ object Snapshots {
         .toSeq.sorted
       if (matchedFiles.isEmpty) snap.version // nothing to delete
       else {
-        val before = listDataFiles(root, prefix).toSet
         // filled read, not a plain one: survivors of a pre-evolution
         // file must materialize their filled defaults into the rewrite
         // (a plain read would write the old physical schema, and the
@@ -1735,15 +1923,8 @@ object Snapshots {
         // same shape
         val touched = readFilesFilled(spark, root, prefix, matchedFiles, evs, snap.dv)
         val survivors = touched.filter(!matches)
-        val writer = survivors.write.mode("append")
-        (if (survivors.columns.contains("topic")) writer.partitionBy("topic") else writer)
-          .parquet(base.toString)
-        val added = (listDataFiles(root, prefix).toSet -- before).toSeq.map { rel =>
-          val abs = base.resolve(rel)
-          val marked = abs.resolveSibling(CompactedPrefix + abs.getFileName)
-          Files.move(abs, marked)
-          base.relativize(marked).toString
-        }
+        val added = writeStaged(root, prefix, survivors,
+          if (survivors.columns.contains("topic")) Seq("topic") else Seq.empty)
         // row-grain change records: the deleted rows' pre-images
         val cdc = touched.filter(matches)
           .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete"))
@@ -1820,7 +2001,7 @@ object Snapshots {
           }
         } :+ col(hit): _*)
         enforceConstraints(root, prefix, out.filter(col(hit)).drop(hit))
-        val added = writeMarked(root, prefix, out.drop(hit),
+        val added = writeStaged(root, prefix, out.drop(hit),
           if (touched.columns.contains("topic")) Seq("topic") else Seq.empty)
         val cdc = touched.filter(matches)
           .withColumn("_change_type",
@@ -2030,7 +2211,7 @@ object Snapshots {
         enforceConstraints(root, prefix, changedPost)
         val out = survivors.unionByName(mUpdates)
           .unionByName(sUpdates).unionByName(inserts)
-        val added = writeMarked(root, prefix, out,
+        val added = writeStaged(root, prefix, out,
           if (tCols.contains("topic")) Seq("topic") else Seq.empty)
         // change feed: deletes = firing DELETE-clause pre-images;
         // updates carry both images; inserts their post-image
@@ -2090,20 +2271,42 @@ object Snapshots {
     * commit (a crash before that commit leaves marked orphans no
     * commit ever adopts; [[vacuum]] reclaims them). Returns the
     * marked names relative to the table dir, sorted. */
-  private def writeMarked(root: String, prefix: String, data: DataFrame,
-                          partitionCols: Seq[String] = Seq.empty): Seq[String] = {
+  /** Write `data` through a STAGING directory beside the table dir and
+    * move the parquet output into place under rename-markers. The
+    * writer learns its own output files from the staging listing —
+    * O(files written), NEVER a walk of the table directory (at 1M
+    * files the before/after-listing idiom cost two full tree walks per
+    * write) — and a racing listing-adoption [[commit]] can never sweep
+    * half-written output: the staging dir lives outside the data dir
+    * and the moved files carry the marker prefix no sweep adopts.
+    * Same-filesystem moves are renames — zero data bytes. */
+  private[ingest] def writeStaged(root: String, prefix: String, data: DataFrame,
+                                  partitionCols: Seq[String] = Seq.empty,
+                                  subDir: String = "",
+                                  writerOptions: Map[String, String] = Map.empty): Seq[String] = {
     val base = dataDir(root, prefix)
     Files.createDirectories(base)
-    val before = listDataFiles(root, prefix).toSet
-    val writer = data.write.mode("append")
+    val staging = base.resolveSibling(
+      s"${base.getFileName}._staging-" + java.util.UUID.randomUUID().toString.take(8))
+    val writer = data.write.mode("overwrite").options(writerOptions)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(base.toString)
-    (listDataFiles(root, prefix).toSet -- before).toSeq.map { rel =>
-      val abs = base.resolve(rel)
-      val marked = abs.resolveSibling(CompactedPrefix + abs.getFileName)
-      Files.move(abs, marked)
-      base.relativize(marked).toString
+      .parquet(staging.toString)
+    val rels = Using.resource(Files.walk(staging))(_.iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(p => staging.relativize(p).toString)
+      .toSeq)
+    val out = rels.map { rel =>
+      val relPath = if (subDir.isEmpty) Paths.get(rel) else Paths.get(subDir).resolve(rel)
+      val dst0 = base.resolve(relPath)
+      val dst = dst0.resolveSibling(CompactedPrefix + dst0.getFileName)
+      Files.createDirectories(dst.getParent)
+      Files.move(staging.resolve(rel), dst)
+      base.relativize(dst).toString
     }.sorted
+    // drop the staging skeleton (_SUCCESS marker, emptied dirs)
+    Using.resource(Files.walk(staging))(_.iterator().asScala.toSeq)
+      .reverse.foreach(Files.deleteIfExists)
+    out
   }
 
   def overwrite(spark: SparkSession, root: String, prefix: String,
@@ -2114,7 +2317,7 @@ object Snapshots {
     else {
       enforceConstraints(root, prefix, data)
       val base = dataDir(root, prefix)
-      val added = writeMarked(root, prefix, data,
+      val added = writeStaged(root, prefix, data,
         if (data.columns.contains("topic")) Seq("topic") else Seq.empty)
       val evs = schemaEvents(root, prefix, Some(snap.version))
       val cdc = readFilesFilled(spark, root, prefix, snap.files, evs, snap.dv)
@@ -2129,7 +2332,8 @@ object Snapshots {
           val cur = snapshot(root, prefix, None).get
           try committed = writeSnapshot(root, prefix, nextVersion(root, prefix),
             cur.maxPos max snap.maxPos, added, cur.files.sorted, "overwrite",
-            cur.txns ++ txn, assembleStats(base, added, Seq.empty))
+            cur.txns ++ txn, assembleStats(base, added, Seq.empty),
+            parent = Some(cur))
           catch {
             case e: ConcurrentCommitException =>
               attempts -= 1; if (attempts <= 0) throw e
@@ -2158,29 +2362,41 @@ object Snapshots {
     if (txn.exists(t => snap0.exists(_.txns.contains(t)))) snap0.get.version
     else {
       enforceConstraints(root, prefix, data)
-      val base = dataDir(root, prefix)
-      val added = writeMarked(root, prefix, data, partitionCols)
-      var attempts = 5
-      var committed = -1
-      while (committed < 0) {
-        val cur = snapshot(root, prefix, None)
-        // a racing first delivery of the SAME txn may have landed while
-        // we wrote — re-check, orphaning our copy (vacuum's problem)
-        if (txn.exists(t => cur.exists(_.txns.contains(t))))
-          return cur.get.version
-        val files = (cur.map(_.files).getOrElse(Seq.empty) ++ added).sorted
-        try committed = writeSnapshot(root, prefix, nextVersion(root, prefix),
-          cur.map(_.maxPos).getOrElse(-1L), files, Seq.empty, "append",
-          cur.map(_.txns).getOrElse(Seq.empty) ++ txn,
-          assembleStats(base, files, cur.map(_.stats).getOrElse(Seq.empty)),
-          extraFields = dvField(cur.map(_.dv).getOrElse(Seq.empty)))
-        catch {
-          case e: ConcurrentCommitException =>
-            attempts -= 1; if (attempts <= 0) throw e
-        }
-      }
-      committed
+      val added = writeStaged(root, prefix, data, partitionCols)
+      commitFiles(root, prefix, added, maxPos = None, txn = txn)
     }
+  }
+
+  /** Commit already-written (marker-named) files on top of the current
+    * published head — the explicit-files append every batch writer
+    * rides: the writer KNOWS its output (from [[writeStaged]]'s staging
+    * listing), so the commit touches the log only, never a walk of the
+    * table directory. `maxPos` None preserves the current watermark. */
+  private[ingest] def commitFiles(root: String, prefix: String,
+                                  added: Seq[String],
+                                  maxPos: Option[Long] = None,
+                                  txn: Option[String] = None): Int = {
+    val base = dataDir(root, prefix)
+    var attempts = 5
+    var committed = -1
+    while (committed < 0) {
+      val cur = snapshot(root, prefix, None)
+      // a racing first delivery of the SAME txn may have landed while
+      // we wrote — re-check, orphaning our copy (vacuum's problem)
+      if (txn.exists(t => cur.exists(_.txns.contains(t))))
+        return cur.get.version
+      val files = (cur.map(_.files).getOrElse(Seq.empty) ++ added).sorted
+      try committed = writeSnapshot(root, prefix, nextVersion(root, prefix),
+        maxPos.getOrElse(cur.map(_.maxPos).getOrElse(-1L)), files, Seq.empty,
+        "append", cur.map(_.txns).getOrElse(Seq.empty) ++ txn,
+        assembleStats(base, files, cur.map(_.stats).getOrElse(Seq.empty)),
+        extraFields = dvField(cur.map(_.dv).getOrElse(Seq.empty)), parent = cur)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempts -= 1; if (attempts <= 0) throw e
+      }
+    }
+    committed
   }
 
   /** replaceWhere (PARTIAL overwrite — Delta's `option("replaceWhere",
@@ -2215,7 +2431,7 @@ object Snapshots {
           "rows outside the replaced region would silently survive the next replace")
       enforceConstraints(root, prefix, data)
       val base = dataDir(root, prefix)
-      val added = writeMarked(root, prefix, data,
+      val added = writeStaged(root, prefix, data,
         if (data.columns.contains("topic")) Seq("topic") else Seq.empty)
       val evs = schemaEvents(root, prefix, Some(snap.version))
       // the matched set is what a region replace is FOR — small next
@@ -2257,7 +2473,7 @@ object Snapshots {
           try committed = writeSnapshot(root, prefix, nextVersion(root, prefix),
             cur.maxPos max snap.maxPos, files, Seq.empty, "replacewhere",
             cur.txns ++ txn, assembleStats(base, files, cur.stats),
-            extraFields = dvField(cur.dv ++ dvName))
+            extraFields = dvField(cur.dv ++ dvName), parent = Some(cur))
           catch {
             case e: ConcurrentCommitException =>
               attempts -= 1; if (attempts <= 0) throw e
@@ -2347,7 +2563,7 @@ object Snapshots {
             try committed = writeSnapshot(root, prefix, nextVersion(root, prefix),
               cur.maxPos, cur.files, Seq.empty, "deletemor",
               cur.txns ++ txn, cur.stats,
-              extraFields = dvField(cur.dv :+ name))
+              extraFields = dvField(cur.dv :+ name), parent = Some(cur))
             catch {
               case e: ConcurrentCommitException =>
                 attempts -= 1; if (attempts <= 0) throw e
@@ -2413,22 +2629,17 @@ object Snapshots {
                 sys.error(s"unattributable file $uri")))
               .toSeq.sorted
           }
-        val before = listDataFiles(root, prefix).toSet
         val oldMatched =
           if (matchedFiles.isEmpty) upserts.limit(0)
           else readFilesFilled(spark, root, prefix, matchedFiles,
             schemaEvents(root, prefix, Some(snap.version)))
+        // using-join reorders (keys first) — restore the logical order,
+        // same reasoning as merge()
         val survivors = oldMatched.join(changedKeys, keys, "left_anti")
+          .select(oldMatched.columns.map(col): _*)
         val out = survivors.unionByName(upserts)
-        val writer = out.write.mode("append")
-        (if (out.columns.contains("topic")) writer.partitionBy("topic") else writer)
-          .parquet(base.toString)
-        val added = (listDataFiles(root, prefix).toSet -- before).toSeq.map { rel =>
-          val abs = base.resolve(rel)
-          val marked = abs.resolveSibling(CompactedPrefix + abs.getFileName)
-          Files.move(abs, marked)
-          base.relativize(marked).toString
-        }
+        val added = writeStaged(root, prefix, out,
+          if (out.columns.contains("topic")) Seq("topic") else Seq.empty)
         // row-grain CDC for the replica rides the feed increment itself
         // (change types preserved — a downstream replica can chain).
         // NET grain: only each key's last change is re-staged, so
@@ -2436,7 +2647,8 @@ object Snapshots {
         // incremental aggregate would need the REPLICA's own old rows
         // as pre-images, not the source's intermediate ones — diff
         // time-travel reads of the replica for that)
-        writeCdc(root, prefix, last.drop("_rn", "_commit_version")) {
+        writeCdc(root, prefix,
+          last.drop("_rn", "_commit_version", "_commit_timestamp")) {
           commitRewrite(root, prefix, "merge", matchedFiles.toSet, added,
             matchedFiles, snap.maxPos, txn)
         }
@@ -2513,19 +2725,10 @@ object Snapshots {
               column: String, targetFiles: Int = 8): Int = {
     val snap = snapshot(root, prefix, None).getOrElse(
       sys.error(s"nothing to cluster for $prefix"))
-    val base = dataDir(root, prefix)
-    val before = listDataFiles(root, prefix).toSet
     val df = read(spark, root, prefix, Some(snap.version))
       .repartitionByRange(targetFiles, col(column))
-    val writer = df.write.mode("append")
-    (if (df.columns.contains("topic")) writer.partitionBy("topic") else writer)
-      .parquet(base.toString)
-    val added = (listDataFiles(root, prefix).toSet -- before).toSeq.map { rel =>
-      val abs = base.resolve(rel)
-      val marked = abs.resolveSibling(CompactedPrefix + abs.getFileName)
-      Files.move(abs, marked)
-      base.relativize(marked).toString
-    }
+    val added = writeStaged(root, prefix, df,
+      if (df.columns.contains("topic")) Seq("topic") else Seq.empty)
     commitRewrite(root, prefix, "compact", snap.files.toSet, added,
       snap.files, snap.maxPos, txn = None)
   }
@@ -2588,19 +2791,11 @@ object Snapshots {
         shiftleft(shiftright(b, j).bitwiseAND(flit(1L)), j * columns.size + i)
       }
     }.reduce(_.bitwiseOR(_))
-    val before = listDataFiles(root, prefix).toSet
     val out = df.withColumn("_graft_z", zKey)
       .repartitionByRange(targetFiles, col("_graft_z"))
       .drop("_graft_z")
-    val writer = out.write.mode("append")
-    (if (out.columns.contains("topic")) writer.partitionBy("topic") else writer)
-      .parquet(base.toString)
-    val added = (listDataFiles(root, prefix).toSet -- before).toSeq.map { rel =>
-      val abs = base.resolve(rel)
-      val marked = abs.resolveSibling(CompactedPrefix + abs.getFileName)
-      Files.move(abs, marked)
-      base.relativize(marked).toString
-    }
+    val added = writeStaged(root, prefix, out,
+      if (out.columns.contains("topic")) Seq("topic") else Seq.empty)
     commitRewrite(root, prefix, "compact", snap.files.toSet, added,
       snap.files, snap.maxPos, txn = None)
   }
@@ -2635,10 +2830,31 @@ object Snapshots {
       }
       .foreach(f => Files.deleteIfExists(base.resolve(f)))
     def rmTree(p: Path): Unit = if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+      Using.resource(Files.walk(p))(_.iterator().asScala.toSeq)
+        .reverse.foreach(Files.deleteIfExists)
+    }
+    // checkpoint barrier: a kept DELTA manifest whose parent falls
+    // below the cut must become self-resolvable BEFORE its chain is
+    // truncated (ascending order: every parent still exists while its
+    // dependents checkpoint)
+    val dropping = vs.filter(_ < keepFrom).toSet
+    if (dropping.nonEmpty) keepVs.foreach { v =>
+      if (!Files.isRegularFile(ckptPath(root, prefix, v))) {
+        val raw = rawJson(root, prefix, v)
+        val parentBelowCut = !raw.contains("\"files\":") &&
+          "\"parent\":\\s*\"(-?\\d+)\"".r.findFirstMatchIn(raw)
+            .map(_.group(1).toInt).exists(p => p >= 0 && dropping(p))
+        if (parentBelowCut) {
+          val snap = resolveSnapshot(root, prefix, v)
+          writeCheckpoint(root, prefix, v, snap.maxPos, snap.files,
+            snap.removed, snap.op, snap.txns, snap.stats,
+            snap.addedCol.map("addedCol" -> _).toSeq ++ dvField(snap.dv))
+        }
+      }
     }
     vs.filter(_ < keepFrom).foreach { v =>
       Files.deleteIfExists(logDir(root, prefix).resolve(f"v$v%05d.json"))
+      Files.deleteIfExists(ckptPath(root, prefix, v)) // checkpoints die with their version
       rmTree(cdcDir(root, prefix, v)) // change records die with their version
     }
     // CDC staging dirs are pre-commit state; one older than the grace
@@ -2646,8 +2862,19 @@ object Snapshots {
     // rename happened — or died)
     val cdcRoot = Paths.get(s"$root/$prefix._cdc")
     if (Files.isDirectory(cdcRoot))
-      Files.list(cdcRoot).iterator().asScala.toSeq
+      Using.resource(Files.list(cdcRoot))(_.iterator().asScala.toSeq)
         .filter(_.getFileName.toString.startsWith("staging-"))
+        .filter(p => try now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs
+                     catch { case _: java.io.IOException => false })
+        .foreach(rmTree)
+    // writeStaged data-staging siblings: a crash between the parquet
+    // write and the move-into-place leaves the whole dir outside the
+    // table — same grace rule as CDC staging
+    val parent = dataDir(root, prefix).toAbsolutePath.getParent
+    val stagePfx = dataDir(root, prefix).getFileName.toString + "._staging-"
+    if (parent != null && Files.isDirectory(parent))
+      Using.resource(Files.list(parent))(_.iterator().asScala.toSeq)
+        .filter(_.getFileName.toString.startsWith(stagePfx))
         .filter(p => try now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs
                      catch { case _: java.io.IOException => false })
         .foreach(rmTree)
@@ -2659,7 +2886,7 @@ object Snapshots {
       .toSet
     val dvRoot = dvDir(root, prefix)
     if (Files.isDirectory(dvRoot))
-      Files.list(dvRoot).iterator().asScala.toSeq
+      Using.resource(Files.list(dvRoot))(_.iterator().asScala.toSeq)
         .filterNot(p => keptDv(p.getFileName.toString))
         .filter(p => try now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs
                      catch { case _: java.io.IOException => false })

@@ -1809,6 +1809,58 @@ object LakehouseQueries extends QueryRegistry {
              |     + (SELECT SUM(id * 3) FROM range(1000, 1200) t(id)) AS BIGINT) AS sum_v,
              |  CAST((SELECT SUM(id * 10) FROM range(1000, 1200) t(id)) AS BIGINT) AS sum_extra,
              |  CAST(1000 AS BIGINT) AS null_extra,
-             |  CAST(3 AS BIGINT) AS commits""".stripMargin))
+             |  CAST(3 AS BIGINT) AS commits""".stripMargin)),
+
+    // DML with subqueries (round 9): `DELETE … WHERE k IN (SELECT …)`
+    // and friends — the r8 verdict's one user-visible DML hole. The
+    // subquery's resolved plan rides the lowered command and is
+    // registered as a run-time temp view; the re-resolved predicate
+    // then plans as a DISTRIBUTED semi-join against the re-read files
+    // (never a driver collect), so a billion-key bad-keys table works
+    // at 100 TB. Exercised three ways: DELETE via IN-subquery, UPDATE
+    // via IN-subquery, DELETE via scalar-subquery bound; correlated
+    // subqueries stay refused (spec-pinned). The oracle replays the
+    // same subquery algebra over range().
+    QueryDef("q302_dml_subquery",
+      (s, _) => {
+        val tbl = "graft_q302_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val root = freshScratch(s, "q302", "graft-dmlsq", Some(tbl))
+        ProduceJob.produceBatch(s, root, "q", topics = 1, numMessages = 1000) // v0: ba 0..999
+        s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$root/q')")
+        // DELETE the "bad keys": multiples of 7 below 700 (100 keys)
+        s.sql(s"DELETE FROM $tbl WHERE ba IN " +
+          "(SELECT CAST(id AS BIGINT) * 7 FROM range(100))")
+        // UPDATE a subquery-picked panel: multiples of 11 below 220
+        s.sql(s"UPDATE $tbl SET name = 'picked' WHERE ba IN " +
+          "(SELECT CAST(id AS BIGINT) * 11 FROM range(20))")
+        // DELETE everything above a scalar-subquery bound
+        s.sql(s"DELETE FROM $tbl WHERE ba > " +
+          "(SELECT CAST(max(id) AS BIGINT) FROM range(950))")
+        val latest = s.sql(
+          s"""SELECT 'latest' AS snap, count(*) AS cnt,
+             |cast(sum(ba) AS bigint) AS sum_ba,
+             |count(if(name = 'picked', 1, null)) AS tagged FROM $tbl""".stripMargin)
+        val v0 = s.read.format("graft").option("version", "0").load(s"$root/q")
+          .agg(count(lit(1)).as("cnt"),
+            sum("ba").cast("bigint").as("sum_ba"),
+            count(when(col("name") === "picked", 1)).as("tagged"))
+          .select(lit("v0").as("snap"), col("cnt"), col("sum_ba"), col("tagged"))
+        latest.unionAll(v0).orderBy("snap")
+      },
+      Some("""WITH alive AS (
+             |  SELECT id FROM range(0,1000) t(id)
+             |  WHERE id NOT IN (SELECT id * 7 FROM range(100) s(id))
+             |    AND id <= (SELECT MAX(id) FROM range(950) m(id))
+             |)
+             |SELECT 'latest' AS snap, COUNT(*) AS cnt,
+             |  CAST(SUM(id) AS BIGINT) AS sum_ba,
+             |  COUNT(CASE WHEN id IN (SELECT id * 11 FROM range(20) u(id))
+             |        THEN 1 END) AS tagged
+             |FROM alive
+             |UNION ALL
+             |SELECT 'v0', COUNT(*), CAST(SUM(id) AS BIGINT), 0
+             |FROM range(0,1000) t(id)
+             |ORDER BY snap""".stripMargin))
   )
 }

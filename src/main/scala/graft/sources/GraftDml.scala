@@ -31,9 +31,16 @@ import graft.ingest.Snapshots
   * by name. Target attributes keep their names; MERGE source
   * attributes are renamed into the [[Snapshots.SrcColPrefix]]
   * namespace (both sides of a merge may share column names — `t.id` vs
-  * `s.id` — and text has no exprIds). Subqueries don't survive
-  * textualization and are refused up front; everything else
-  * (functions, casts, literals, conjunctions) round-trips exactly.
+  * `s.id` — and text has no exprIds). UNCORRELATED subqueries (`IN
+  * (SELECT …)`, scalar, `EXISTS`) cross too: each subquery's resolved
+  * plan rides the command (like MERGE's source) and is registered as a
+  * uniquely-named temp view at run time, with the textualized
+  * predicate referencing it — the optimizer then plans the membership
+  * test as a distributed semi/anti join against the re-read frames, so
+  * a billion-key `DELETE … WHERE k IN (SELECT bad_keys …)` never
+  * collects to the driver. Correlated subqueries have no view-shaped
+  * equivalent and are refused up front; everything else (functions,
+  * casts, literals, conjunctions) round-trips exactly.
   *
   * Scale: both commands rewrite only the files that contain affected
   * rows (manifest-attributed, like DELETE) — a 10-row UPDATE against a
@@ -51,26 +58,84 @@ object GraftDml extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def refuse(e: Expression): Unit = {
-    if (e.exists(_.isInstanceOf[SubqueryExpression]))
-      throw new UnsupportedOperationException(
-        "graft DML: subqueries in UPDATE/MERGE conditions or values are not supported")
-    ()
-  }
+  /** Accumulates one command's subquery hand-offs: index i holds the
+    * resolved plan whose run-time temp view replaces the token
+    * `__graft_view_i__` inside the textualized expression. */
+  private type SubqAcc = scala.collection.mutable.ArrayBuffer[LogicalPlan]
+
+  private def refuseCorrelated(): Nothing =
+    throw new UnsupportedOperationException(
+      "graft DML: correlated subqueries in UPDATE/MERGE/DELETE " +
+        "conditions or values are not supported")
 
   /** Resolved expression → SQL text, with source-side attributes moved
-    * into the `_graft_src_` namespace (target attrs keep their name). */
-  private def toSql(e: Expression, srcAttrs: AttributeSet): String = {
-    refuse(e)
-    e.transform {
+    * into the `_graft_src_` namespace (target attrs keep their name).
+    * Uncorrelated subqueries are lifted out: the plan lands in `subq`
+    * and the text references the run-time view token (see [[SubqAcc]]). */
+  private def toSql(e: Expression, srcAttrs: AttributeSet,
+                    subq: SubqAcc = new SubqAcc): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, ScalarSubquery}
+    def attrFix(x: Expression): Expression = x.transform {
       // strip qualifiers (`spark_catalog`.`default`.`t`.`ba` won't
       // re-resolve against the primitives' fresh frames) and move
       // source attrs into their namespace
       case a: AttributeReference if srcAttrs.contains(a) =>
         a.withName(Snapshots.SrcColPrefix + a.name).withQualifier(Seq.empty)
       case a: AttributeReference => a.withQualifier(Seq.empty)
-    }.sql
+    }
+    def placeholder(i: Int, dt: org.apache.spark.sql.types.DataType) =
+      AttributeReference(s"__graft_subq_${i}__", dt)()
+    val templates = scala.collection.mutable.Map[Int, String]()
+    val lifted = e.transformUp {
+      case in: InSubquery =>
+        if (in.query.outerAttrs.nonEmpty) refuseCorrelated()
+        if (in.values.exists(_.exists(_.isInstanceOf[SubqueryExpression])))
+          refuseCorrelated() // a subquery inside the IN's lhs tuple
+        val lhs = in.values.map(v => attrFix(v).sql).mkString("(", ", ", ")")
+        val i = subq.length; subq += in.query.plan
+        templates(i) = s"($lhs IN (SELECT * FROM __graft_view_${i}__))"
+        placeholder(i, org.apache.spark.sql.types.BooleanType)
+      case sc: ScalarSubquery =>
+        if (sc.outerAttrs.nonEmpty) refuseCorrelated()
+        val i = subq.length; subq += sc.plan
+        templates(i) = s"(SELECT * FROM __graft_view_${i}__)"
+        placeholder(i, sc.dataType)
+      case ex: Exists =>
+        if (ex.outerAttrs.nonEmpty) refuseCorrelated()
+        val i = subq.length; subq += ex.plan
+        templates(i) = s"EXISTS (SELECT * FROM __graft_view_${i}__)"
+        placeholder(i, org.apache.spark.sql.types.BooleanType)
+    }
+    // whatever subquery kind survived the lift has no view equivalent
+    if (lifted.exists(_.isInstanceOf[SubqueryExpression])) refuseCorrelated()
+    // AttributeReference.sql backticks the name only when it needs
+    // quoting — replace both spellings
+    templates.foldLeft(attrFix(lifted).sql) { case (s, (i, tpl)) =>
+      s.replace(s"`__graft_subq_${i}__`", tpl)
+        .replace(s"__graft_subq_${i}__", tpl)
+    }
   }
+
+  /** Register each carried subquery plan as a uniquely-named temp view
+    * for the duration of `f` (dropped in finally), returning the names
+    * positionally — [[bindViews]] splices them into the SQL text. */
+  private[sources] def withSubqViews[T](spark: SparkSession,
+                                        subqPlans: Seq[LogicalPlan])
+                                       (f: Seq[String] => T): T = {
+    val names = subqPlans.map(_ => "graft_subq_" +
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    subqPlans.zip(names).foreach { case (p, n) =>
+      org.apache.spark.sql.GraftStreamingShim.ofRows(spark, p)
+        .createOrReplaceTempView(n)
+    }
+    try f(names)
+    finally names.foreach(n => spark.catalog.dropTempView(n))
+  }
+
+  private[sources] def bindViews(sql: String, names: Seq[String]): String =
+    names.zipWithIndex.foldLeft(sql) { case (s, (n, i)) =>
+      s.replace(s"__graft_view_${i}__", n)
+    }
 
   private def keyName(key: Expression): String = key match {
     case a: AttributeReference => a.name
@@ -80,10 +145,18 @@ object GraftDml extends Rule[LogicalPlan] {
 
   /** Assignment key → column path: `s.a.b` resolves to nested
     * GetStructField extractions over the column attribute. Arrays and
-    * maps are not assignable sub-paths. */
+    * maps are not assignable sub-paths. Field names are canonicalized
+    * through the ordinal, NOT `extractFieldName` — the analyzer
+    * resolves `SET ST.A = …` case-insensitively but extractFieldName
+    * returns the user's typed casing, which would then miss the
+    * schema's `a` in [[lowerAssignments]]. */
   private def keyPath(key: Expression): Seq[String] = key match {
     case a: AttributeReference => Seq(a.name)
-    case g: GetStructField => keyPath(g.child) :+ g.extractFieldName
+    case g: GetStructField => g.child.dataType match {
+      case st: StructType => keyPath(g.child) :+ st(g.ordinal).name
+      case other => throw new UnsupportedOperationException(
+        s"graft DML: cannot assign into ${other.simpleString} at ${g.sql}")
+    }
     case other => throw new UnsupportedOperationException(
       s"graft DML: unsupported assignment target ${other.sql} — " +
         "only columns and struct fields are assignable")
@@ -196,18 +269,36 @@ object GraftDml extends Rule[LogicalPlan] {
     case u @ UpdateTable(table, assignments, condition) if u.resolved =>
       graftTable(table) match {
         case Some(t) =>
-          val condSql = condition.map(toSql(_, AttributeSet.empty)).getOrElse("true")
+          val subq = new SubqAcc
+          val condSql = condition.map(toSql(_, AttributeSet.empty, subq)).getOrElse("true")
           val sets = lowerAssignments(assignments.map(a =>
-            (keyPath(a.key), toSql(a.value, AttributeSet.empty))),
+            (keyPath(a.key), toSql(a.value, AttributeSet.empty, subq))),
             EliminateSubqueryAliases(table).schema)
           GraftUpdateCommand(t.root, t.prefix, condSql, sets,
-            condition.map(rangeFilters).getOrElse(Seq.empty))
+            condition.map(rangeFilters).getOrElse(Seq.empty), subq.toSeq)
         case None => u
+      }
+
+    // `DELETE FROM t WHERE k IN (SELECT …)`: the native SupportsDelete
+    // path needs the condition as V1 filters, which a subquery can
+    // never be — intercept ONLY those deletes (plain ones keep the
+    // metadata-only MoR route) and lower to the same deleteMoR with
+    // the subquery riding as a plan + run-time view.
+    case d @ DeleteFromTable(table, condition)
+        if d.resolved && condition.exists(_.isInstanceOf[SubqueryExpression]) =>
+      graftTable(table) match {
+        case Some(t) =>
+          val subq = new SubqAcc
+          val condSql = toSql(condition, AttributeSet.empty, subq)
+          GraftDeleteCommand(t.root, t.prefix, condSql,
+            rangeFilters(condition), subq.toSeq)
+        case None => d
       }
 
     case m: MergeIntoTable if m.resolved =>
       graftTable(m.targetTable) match {
         case Some(t) =>
+          val subq = new SubqAcc
           // WITH SCHEMA EVOLUTION needs no handling here: GraftTable
           // declares AUTOMATIC_SCHEMA_EVOLUTION, so the analyzer's own
           // ResolveMergeIntoSchemaEvolution has ALREADY routed the new
@@ -222,14 +313,14 @@ object GraftDml extends Rule[LogicalPlan] {
           val targetSchema0 = EliminateSubqueryAliases(m.targetTable).schema
           def clause(a: MergeAction): Snapshots.MergeClause = a match {
             case UpdateAction(c, assigns, _) => Snapshots.MergeClause(
-              c.map(toSql(_, srcAttrs)),
+              c.map(toSql(_, srcAttrs, subq)),
               Some(lowerAssignments(assigns.map(asn =>
-                (keyPath(asn.key), toSql(asn.value, srcAttrs))), targetSchema0)))
+                (keyPath(asn.key), toSql(asn.value, srcAttrs, subq))), targetSchema0)))
             case DeleteAction(c) =>
-              Snapshots.MergeClause(c.map(toSql(_, srcAttrs)), None)
+              Snapshots.MergeClause(c.map(toSql(_, srcAttrs, subq)), None)
             case InsertAction(c, assigns) => Snapshots.MergeClause(
-              c.map(toSql(_, srcAttrs)),
-              Some(assigns.map(asn => (keyName(asn.key), toSql(asn.value, srcAttrs)))))
+              c.map(toSql(_, srcAttrs, subq)),
+              Some(assigns.map(asn => (keyName(asn.key), toSql(asn.value, srcAttrs, subq)))))
             case other => throw new UnsupportedOperationException(
               s"graft MERGE: unsupported action ${other.getClass.getSimpleName}")
           }
@@ -252,11 +343,12 @@ object GraftDml extends Rule[LogicalPlan] {
               (b.name, Snapshots.SrcColPrefix + a.name)
           }
           GraftMergeCommand(t.root, t.prefix, m.sourceTable,
-            toSql(m.mergeCondition, srcAttrs),
+            toSql(m.mergeCondition, srcAttrs, subq),
             m.matchedActions.map(clause),
             m.notMatchedActions.map(clause),
             m.notMatchedBySourceActions.map(clause),
-            EliminateSubqueryAliases(m.targetTable).schema, equiKeys)
+            EliminateSubqueryAliases(m.targetTable).schema, equiKeys,
+            subq.toSeq)
         case None => m
       }
   }
@@ -269,13 +361,38 @@ object GraftDml extends Rule[LogicalPlan] {
 case class GraftUpdateCommand(root: String, prefix: String,
                               condSql: String,
                               sets: Seq[(String, String)],
-                              pruning: Seq[org.apache.spark.sql.sources.Filter])
+                              pruning: Seq[org.apache.spark.sql.sources.Filter],
+                              subqPlans: Seq[LogicalPlan] = Seq.empty)
   extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = subqPlans
   override def run(spark: SparkSession): Seq[Row] = {
-    Snapshots.updateWhere(spark, root, prefix,
-      org.apache.spark.sql.functions.expr(condSql),
-      sets.map { case (c, v) => (c, org.apache.spark.sql.functions.expr(v)) },
-      ranges = pruning.flatMap(GraftSource.toRanges))
+    import org.apache.spark.sql.functions.expr
+    GraftDml.withSubqViews(spark, subqPlans) { names =>
+      Snapshots.updateWhere(spark, root, prefix,
+        expr(GraftDml.bindViews(condSql, names)),
+        sets.map { case (c, v) => (c, expr(GraftDml.bindViews(v, names))) },
+        ranges = pruning.flatMap(GraftSource.toRanges))
+    }
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM t WHERE … (SELECT …) …` — the subquery-bearing delete
+  * the native SupportsDelete filter path can't express, lowered to the
+  * same merge-on-read [[Snapshots.deleteMoR]] with the membership test
+  * planned as a distributed join against the run-time view. */
+case class GraftDeleteCommand(root: String, prefix: String,
+                              condSql: String,
+                              pruning: Seq[org.apache.spark.sql.sources.Filter],
+                              subqPlans: Seq[LogicalPlan])
+  extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = subqPlans
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftDml.withSubqViews(spark, subqPlans) { names =>
+      Snapshots.deleteMoR(spark, root, prefix,
+        org.apache.spark.sql.functions.expr(GraftDml.bindViews(condSql, names)),
+        ranges = pruning.flatMap(GraftSource.toRanges))
+    }
     Seq.empty
   }
 }
@@ -290,16 +407,24 @@ case class GraftMergeCommand(root: String, prefix: String,
                              notMatched: Seq[Snapshots.MergeClause],
                              notMatchedBySource: Seq[Snapshots.MergeClause],
                              targetSchema: StructType,
-                             equiKeys: Seq[(String, String)])
+                             equiKeys: Seq[(String, String)],
+                             subqPlans: Seq[LogicalPlan] = Seq.empty)
   extends LeafRunnableCommand {
-  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def innerChildren: Seq[LogicalPlan] = source +: subqPlans
   override def run(spark: SparkSession): Seq[Row] = {
     val srcRaw = org.apache.spark.sql.GraftStreamingShim.ofRows(spark, source)
     val src = srcRaw.select(srcRaw.columns.map(c =>
       col(c).as(Snapshots.SrcColPrefix + c)): _*)
-    Snapshots.mergeInto(spark, root, prefix, src, condSql,
-      matched, notMatched, notMatchedBySource, targetSchema,
-      equiKeys = equiKeys)
+    GraftDml.withSubqViews(spark, subqPlans) { names =>
+      def bindClause(cl: Snapshots.MergeClause) = cl.copy(
+        condition = cl.condition.map(GraftDml.bindViews(_, names)),
+        set = cl.set.map(_.map { case (c, v) => (c, GraftDml.bindViews(v, names)) }))
+      Snapshots.mergeInto(spark, root, prefix, src,
+        GraftDml.bindViews(condSql, names),
+        matched.map(bindClause), notMatched.map(bindClause),
+        notMatchedBySource.map(bindClause), targetSchema,
+        equiKeys = equiKeys)
+    }
     Seq.empty
   }
 }

@@ -95,7 +95,9 @@ class GraftSource extends TableProvider with DataSourceRegister
           org.apache.spark.sql.types.StructField("_change_type",
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("_commit_version",
-            org.apache.spark.sql.types.IntegerType, nullable = false)))
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("_commit_timestamp",
+            org.apache.spark.sql.types.TimestampType, nullable = false)))
       else base
     (shortName(), out)
   }
@@ -179,7 +181,9 @@ class GraftSource extends TableProvider with DataSourceRegister
           org.apache.spark.sql.types.StructField("_change_type",
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("_commit_version",
-            org.apache.spark.sql.types.IntegerType, nullable = false)))
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("_commit_timestamp",
+            org.apache.spark.sql.types.TimestampType, nullable = false)))
       else base
     inferred = Some(s)
     s
@@ -525,7 +529,10 @@ private[sources] class GraftTable(val root: String, val prefix: String,
               val userTxn = for {
                 app <- Option(info.options.get("txnAppId"))
                 v <- Option(info.options.get("txnVersion"))
-              } yield s"user-$app-$v"
+              // length-prefixed: a bare "user-$app-$v" would collide
+              // (appId="a", v="1-2") with (appId="a-1", v="2") and
+              // silently no-op a legitimate write
+              } yield s"user-${app.length}:$app:$v"
               def txnOr(pfx: String): Option[String] =
                 userTxn.orElse(Option(info.queryId()).map(pfx + _))
               // mode("overwrite") + option("replaceWhere", "<pred>")

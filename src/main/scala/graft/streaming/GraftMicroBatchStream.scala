@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.{Partition, TaskContext}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
@@ -105,10 +107,21 @@ private[graft] class GraftMicroBatchStream(root: String, prefix: String,
       else {
         // rare (append/CDC batch plans are scan+project+broadcast-join
         // +union): run the plan to completion ONCE as a real job and
-        // stream the materialized blocks instead
-        val ck = projected.localCheckpoint(true)
-        val r2 = ck.queryExecution.toRdd
-        hasShuffle(r2) // forces the (trivial) dependency graph
+        // stream a fresh parquet SCAN of the result. File-backed, not
+        // localCheckpoint(true) — that stored the batch in
+        // executor-memory blocks with truncated lineage, so one lost
+        // executor made the batch unrecoverable mid-query (Spark's own
+        // doc caveat; invisible at local[32], fatal on a real
+        // cluster). A parquet-backed batch re-reads from disk on any
+        // task retry; the scan+project lineage is shuffle-free and
+        // ships like the main path's.
+        val dir = stagingDir(ver(start), ver(end))
+        projected.write.mode("overwrite").parquet(dir.toString)
+        stagedBatches.put(ver(end), dir)
+        val back = spark.read.schema(schema).parquet(dir.toString)
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        val r2 = back.queryExecution.toRdd
+        hasShuffle(r2) // forces the (scan-only) dependency graph
         r2
       }
     // ship the lineage ONCE via broadcast (Spark's own task-binary
@@ -124,12 +137,61 @@ private[graft] class GraftMicroBatchStream(root: String, prefix: String,
       new RddSliceInputPartition(bc, p): InputPartition)
   }
 
+  /** Staging for the (rare) shuffle-bearing batch plans — parquet
+    * under `<table>._streamstage/`, one dir per batch, deleted when
+    * the engine commits the batch's offset (and swept by age at
+    * stream start for dirs a crashed run left behind). */
+  private val stagedBatches =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.nio.file.Path]()
+
+  private def stageRoot: java.nio.file.Path =
+    java.nio.file.Paths.get(s"$root/$prefix._streamstage")
+
+  private def stagingDir(from: Long, to: Long): java.nio.file.Path =
+    stageRoot.resolve(s"b$from-$to-" +
+      java.util.UUID.randomUUID().toString.take(8))
+
+  private def rmTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists)
+      finally s.close()
+      ()
+    }
+
+  // sweep batch dirs a crashed run abandoned (age-gated: a CONCURRENT
+  // stream's in-flight batch is younger than the grace window)
+  locally {
+    val grace = 60L * 60 * 1000
+    if (java.nio.file.Files.isDirectory(stageRoot)) {
+      val now = System.currentTimeMillis()
+      val s = java.nio.file.Files.list(stageRoot)
+      try s.iterator().asScala.toSeq
+        .filter(p => try now - java.nio.file.Files
+          .getLastModifiedTime(p).toMillis >= grace
+        catch { case _: java.io.IOException => false })
+        .foreach(rmTree)
+      finally s.close()
+    }
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     RddBridgeReaderFactory
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = {
+    // the engine has durably recorded `end` — batches at or below it
+    // can never be replanned, so their staging is garbage now
+    val v = ver(end)
+    stagedBatches.entrySet().iterator().asScala.toSeq
+      .filter(_.getKey <= v)
+      .foreach { e => rmTree(e.getValue); stagedBatches.remove(e.getKey) }
+  }
 
-  override def stop(): Unit = ()
+  override def stop(): Unit = {
+    stagedBatches.values().iterator().asScala.toSeq.foreach(rmTree)
+    stagedBatches.clear()
+  }
 
   override def toString: String = s"GraftMicroBatchStream[$prefix@$root]"
 }

@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import graft.ingest.{ProduceJob, Snapshots, Topics}
+
+/** The delta-encoded commit log (round 9): every version file records
+  * add/del ACTIONS against its parent — O(files changed this commit),
+  * never O(table) — with a full-state checkpoint every
+  * [[Snapshots.checkpointInterval]] versions so readers replay a
+  * BOUNDED tail (Delta's `_last_checkpoint` shape). These specs make
+  * the two 100 TB properties unrepresentable to regress:
+  * (a) commit metadata bytes scale with the commit, not the table;
+  * (b) snapshot resolution opens one checkpoint + tail deltas, not
+  * the whole history. */
+class DeltaLogSpec extends SparkTestBase {
+
+  test("commit metadata is O(files added), not O(table): version files stay flat as the table grows") {
+    val root = Files.createTempDirectory("graft_dlog").toString
+    // 25 commits of k files each → the table holds 25k files at v24,
+    // but each version file mentions only ITS OWN k additions
+    (0 until 25).foreach { i =>
+      ProduceJob.produceBatch(spark, root, "dl", topics = 1, numMessages = 10 + i)
+    }
+    assert(Snapshots.versions(root, "dl") == (0 until 25))
+    val perCommit = Snapshots.snapshot(root, "dl", Some(0)).get.files.size
+    val snap = Snapshots.snapshot(root, "dl", None).get
+    assert(snap.files.size == 25 * perCommit)
+    // delta manifests: size must NOT grow with the version number —
+    // v24's file (24 table files) stays within ~2x of v1's (1 file).
+    // v0 has no parent, so it is its own full root — excluded.
+    val sizes = (1 until 25).map(v =>
+      Files.size(Paths.get(s"$root/dl._log").resolve(f"v$v%05d.json")))
+    assert(sizes.max <= sizes.min * 2,
+      s"delta manifest sizes should be flat, got min=${sizes.min} max=${sizes.max}")
+    // and the LAST delta must not mention any earlier version's files
+    val raw = Files.readString(Paths.get(s"$root/dl._log/v00024.json"))
+    val earlier = Snapshots.snapshot(root, "dl", Some(23)).get.files
+    assert(earlier.forall(f => !raw.contains(f)),
+      "a delta manifest re-pinned files it did not add")
+    // checkpoints exist at the interval versions (10, 20 by default)
+    assert(Files.isRegularFile(Paths.get(s"$root/dl._log/v00010.ckpt.json")))
+    assert(Files.isRegularFile(Paths.get(s"$root/dl._log/v00020.ckpt.json")))
+  }
+
+  test("snapshot resolution opens one checkpoint + bounded delta tail, not the history") {
+    val root = Files.createTempDirectory("graft_dlog").toString
+    (0 until 25).foreach { i =>
+      ProduceJob.produceBatch(spark, root, "dr", topics = 1, numMessages = 10 + i)
+    }
+    // latest = v24; nearest checkpoint = v20 → resolution should read
+    // the 4 deltas v24..v21 plus the v20 checkpoint, plus the head
+    // probe (opOf on v24). Budget: interval + a small constant, NEVER
+    // the 25-version history.
+    val perCommit = Snapshots.snapshot(root, "dr", Some(0)).get.files.size
+    val before = Snapshots.logOpens.get()
+    val snap = Snapshots.snapshot(root, "dr", None).get
+    val opens = Snapshots.logOpens.get() - before
+    assert(snap.version == 24 && snap.files.size == 25 * perCommit)
+    assert(opens <= Snapshots.checkpointInterval + 3,
+      s"snapshot resolution read $opens log files — O(history) replay is back")
+    // resolving the checkpoint version itself is ONE read
+    val b2 = Snapshots.logOpens.get()
+    assert(Snapshots.snapshot(root, "dr", Some(20)).get.files.size == 21 * perCommit)
+    assert(Snapshots.logOpens.get() - b2 <= 2)
+  }
+
+  test("delta chain state equals a from-scratch fold: files, stats, txns, maxPos carry exactly") {
+    val root = Files.createTempDirectory("graft_dlog").toString
+    // mixed history inside one checkpoint window: appends, a delete
+    // (file rewrite), an update, a schema add — all delta-encoded
+    ProduceJob.produceBatch(spark, root, "dm", topics = 1, numMessages = 100)
+    ProduceJob.produceBatch(spark, root, "dm", topics = 1, numMessages = 50)
+    Snapshots.delete(spark, root, "dm", col("ba") % 10 === 0, txn = Some("t-del"))
+    Snapshots.updateWhere(spark, root, "dm", col("ba") === 7,
+      Seq("name" -> lit("seven")), txn = Some("t-upd"))
+    Snapshots.addColumn(root, "dm", "extra", "INT", Some("1"))
+    val snap = Snapshots.snapshot(root, "dm", None).get
+    // every pinned file exists on disk and every stat row points at a
+    // pinned file (a dropped parent stat must not survive the carry)
+    val base = Paths.get(Topics.tableDir(root, "dm"))
+    assert(snap.files.nonEmpty && snap.files.forall(f => Files.isRegularFile(base.resolve(f))))
+    assert(snap.stats.nonEmpty && snap.stats.forall(st => snap.files.contains(st.file)))
+    assert(snap.txns.toSet == Set("t-del", "t-upd"))
+    assert(snap.maxPos == 49) // the later produce's watermark carried
+    // row-level truth: deleted rows gone, update applied, fill visible
+    val df = Snapshots.read(spark, root, "dm")
+    assert(df.filter(col("ba") % 10 === 0 && col("ba") < 100).count() == 0)
+    // ba=7 exists in BOTH produce batches → two rows updated
+    assert(df.filter(col("name") === "seven").count() == 2)
+    assert(df.filter(col("extra") === 1).count() == df.count())
+  }
+
+  test("vacuum past a delta's parent writes a checkpoint barrier first; truncated chains still resolve") {
+    val root = Files.createTempDirectory("graft_dlog").toString
+    val iv = Snapshots.checkpointInterval
+    Snapshots.checkpointInterval = 1000 // force a long chain with NO periodic checkpoint
+    try {
+      (0 until 6).foreach { i =>
+        ProduceJob.produceBatch(spark, root, "dv", topics = 1, numMessages = 10 + i)
+      }
+      // keep only v4+ — v4's parent (v3) falls below the cut, so vacuum
+      // must materialize v4 (and v5 if needed) as self-resolvable
+      Snapshots.vacuum(root, "dv", keepFrom = 4, orphanGraceMs = 0)
+      assert(Snapshots.versions(root, "dv") == Seq(4, 5))
+      val snap = Snapshots.snapshot(root, "dv", None).get
+      assert(snap.version == 5)
+      assert(Snapshots.read(spark, root, "dv").count() == (10 + 11 + 12 + 13 + 14 + 15))
+      // time travel to the oldest kept version still works
+      assert(Snapshots.snapshot(root, "dv", Some(4)).get.files.size <
+        snap.files.size)
+    } finally Snapshots.checkpointInterval = iv
+  }
+
+  test("legacy full manifests read as their own checkpoints; new deltas chain on top") {
+    val root = Files.createTempDirectory("graft_dlog").toString
+    // hand-write a pre-round-9 FULL manifest (the legacy format)
+    val rows = ProduceJob.personProjection(
+      spark.range(20).toDF("cnt"), "cnt", "lg", 1)
+    rows.write.mode("append").partitionBy("topic")
+      .parquet(Topics.tableDir(root, "lg"))
+    val legacyFiles = {
+      val b = Paths.get(Topics.tableDir(root, "lg"))
+      val s = Files.walk(b)
+      try s.iterator().asScala.filter(p =>
+        Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => b.relativize(p).toString).toSeq.sorted
+      finally s.close()
+    }
+    val legacy = legacyFiles.map(f => "\"" + f + "\"").mkString("[", ", ", "]")
+    Files.createDirectories(Paths.get(s"$root/lg._log"))
+    Files.writeString(Paths.get(s"$root/lg._log/v00000.json"),
+      s"""{"version": 0, "op": "append", "maxPos": 19, "files": $legacy, "removed": [], "txns": [], "stats": []}""")
+    assert(Snapshots.snapshot(root, "lg", None).get.files == legacyFiles)
+    // a new delta commit chains on the legacy root
+    ProduceJob.produceBatch(spark, root, "lg", topics = 1, numMessages = 5)
+    val snap = Snapshots.snapshot(root, "lg", None).get
+    assert(snap.version == 1 && snap.files.size > legacyFiles.size)
+    assert(legacyFiles.toSet.subsetOf(snap.files.toSet))
+    assert(Snapshots.read(spark, root, "lg").count() == 25)
+  }
+}

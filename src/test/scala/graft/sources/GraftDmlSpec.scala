@@ -209,15 +209,52 @@ class GraftDmlSpec extends SparkTestBase {
       c.getMessage.contains("conflicting")), e.toString)
   }
 
-  test("DML refuses subqueries and unknown assignment shapes") {
+  test("UPDATE and DELETE accept uncorrelated IN-subqueries (distributed, no collect)") {
+    val (root, tbl) = fresh("subq")
+    // UPDATE via IN (SELECT …): 10 rows tagged
+    spark.sql(s"UPDATE $tbl SET name = 'bad' " +
+      s"WHERE ba IN (SELECT CAST(id AS BIGINT) * 10 FROM range(10))")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE name = 'bad'")
+      .head().getLong(0) == 10L)
+    // DELETE via IN (SELECT …): the exact rows leave; the rest survive
+    spark.sql(s"DELETE FROM $tbl WHERE ba IN (SELECT CAST(id AS BIGINT) * 10 FROM range(10))")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == 3990L)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE ba % 10 = 0 AND ba < 100")
+      .head().getLong(0) == 0L)
+    // scalar subquery in a SET value and in a DELETE bound
+    spark.sql(s"UPDATE $tbl SET age = (SELECT CAST(max(id) AS INT) FROM range(7)) WHERE ba = 11")
+    assert(spark.sql(s"SELECT age FROM $tbl WHERE ba = 11").head().getInt(0) == 6)
+    spark.sql(s"DELETE FROM $tbl WHERE ba > (SELECT max(CAST(id AS BIGINT)) FROM range(3990))")
+    assert(spark.sql(s"SELECT max(ba) FROM $tbl").head().getLong(0) == 3989L)
+    // old versions stay readable (MoR delete + CoW updates chained)
+    val v0 = spark.read.format("graft").option("version", "0").load(s"$root/t")
+    assert(v0.count() == 4000L)
+  }
+
+  test("MERGE clause conditions accept uncorrelated subqueries") {
+    val (_, tbl) = fresh("msubq")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW msubq_src AS
+      SELECT * FROM VALUES (1L, 'a'), (2L, 'b'), (3L, 'c') AS v(ba, tag)""")
+    // the DELETE clause fires only for keys inside the subquery set
+    spark.sql(s"""MERGE INTO $tbl t USING msubq_src s
+      ON t.ba = s.ba
+      WHEN MATCHED AND t.ba IN (SELECT CAST(id AS BIGINT) FROM range(2)) THEN DELETE
+      WHEN MATCHED THEN UPDATE SET name = s.tag""")
+    val rows = spark.sql(s"SELECT ba, name FROM $tbl WHERE ba < 4 ORDER BY ba")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((0L, "hangc"), (2L, "b"), (3L, "c"))) // ba=1 deleted
+  }
+
+  test("DML refuses correlated subqueries and unknown assignment shapes") {
     val (_, tbl) = fresh("refuse")
-    val e = intercept[Exception] {
-      spark.sql(s"UPDATE $tbl SET name = 'x' " +
-        s"WHERE ba IN (SELECT CAST(id AS BIGINT) FROM range(10))")
-    }
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: causes(t.getCause)
+    // correlated: the inner query references the outer row
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $tbl SET name = 'x' WHERE EXISTS (" +
+        s"SELECT 1 FROM range(10) r WHERE CAST(r.id AS BIGINT) = ba)")
+    }
     assert(causes(e).exists(c => c.isInstanceOf[UnsupportedOperationException] &&
-      c.getMessage.contains("subqueries")), e.toString)
+      c.getMessage.contains("correlated subqueries")), e.toString)
   }
 }

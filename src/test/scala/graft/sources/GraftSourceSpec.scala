@@ -441,7 +441,13 @@ class GraftSourceSpec extends SparkTestBase {
     // batch window: whole history
     val feed = spark.read.format("graft")
       .option("readChangeFeed", "true").load(s"$dir/c")
-    assert(feed.columns.takeRight(2).toSeq == Seq("_change_type", "_commit_version"))
+    // Delta's CDF column contract: LONG version + commit timestamp
+    assert(feed.columns.takeRight(3).toSeq ==
+      Seq("_change_type", "_commit_version", "_commit_timestamp"))
+    assert(feed.schema("_commit_version").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(feed.schema("_commit_timestamp").dataType ==
+      org.apache.spark.sql.types.TimestampType)
     val byType = feed.groupBy("_change_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byType == Map("insert" -> 100L, "delete" -> 10L,
