@@ -731,6 +731,14 @@ object Snapshots {
   def resolveTimestamp(root: String, prefix: String, tsMillis: Long): Option[Int] =
     commitTimes(root, prefix).filter(_._2 <= tsMillis).map(_._1).lastOption
 
+  /** The LOWEST version committed at or after `tsMillis` — Delta's CDF
+    * `startingTimestamp` contract (the window opens at the first
+    * commit the instant could have observed); None when every commit
+    * predates it. */
+  def resolveTimestampFrom(root: String, prefix: String, tsMillis: Long): Option[Int] =
+    commitTimes(root, prefix).filter(_._2 >= tsMillis).map(_._1)
+      .sorted.headOption
+
   /** Load a snapshot (latest PUBLISHED if version is None — staged
     * write-audit-publish commits are invisible to default readers and
     * must be addressed by explicit version). Resolution opens ONE
@@ -2311,8 +2319,17 @@ object Snapshots {
 
   def overwrite(spark: SparkSession, root: String, prefix: String,
                 data: DataFrame, txn: Option[String] = None): Int = {
-    val snap = snapshot(root, prefix, None).getOrElse(
-      sys.error(s"nothing to overwrite for $prefix — commit the table first"))
+    val snap0 = snapshot(root, prefix, None)
+    if (snap0.isEmpty) {
+      // REPLACE TABLE AS SELECT / INSERT OVERWRITE on a freshly
+      // CREATEd, never-committed table: nothing to remove, so the
+      // overwrite IS the first append (commitFiles dedups txn replays)
+      enforceConstraints(root, prefix, data)
+      val added = writeStaged(root, prefix, data,
+        if (data.columns.contains("topic")) Seq("topic") else Seq.empty)
+      return commitFiles(root, prefix, added, maxPos = None, txn = txn)
+    }
+    val snap = snap0.get
     if (txn.exists(snap.txns.contains)) snap.version
     else {
       enforceConstraints(root, prefix, data)
@@ -2420,8 +2437,22 @@ object Snapshots {
   def overwriteWhere(spark: SparkSession, root: String, prefix: String,
                      predicate: org.apache.spark.sql.Column, data: DataFrame,
                      txn: Option[String] = None): Int = {
-    val snap = snapshot(root, prefix, None).getOrElse(
-      sys.error(s"nothing to overwrite for $prefix — commit the table first"))
+    val snap0 = snapshot(root, prefix, None)
+    if (snap0.isEmpty) {
+      // replaceWhere into a never-committed table: the region is empty,
+      // so only the row-containment contract needs enforcing before
+      // the write lands as the first append
+      val m0 = org.apache.spark.sql.functions.coalesce(
+        predicate, org.apache.spark.sql.functions.lit(false))
+      require(data.filter(!m0).isEmpty,
+        "replaceWhere: every incoming row must satisfy the predicate — " +
+          "rows outside the replaced region would silently survive the next replace")
+      enforceConstraints(root, prefix, data)
+      val added = writeStaged(root, prefix, data,
+        if (data.columns.contains("topic")) Seq("topic") else Seq.empty)
+      return commitFiles(root, prefix, added, maxPos = None, txn = txn)
+    }
+    val snap = snap0.get
     if (txn.exists(snap.txns.contains)) snap.version
     else {
       val matches = org.apache.spark.sql.functions.coalesce(

@@ -1861,6 +1861,52 @@ object LakehouseQueries extends QueryRegistry {
              |UNION ALL
              |SELECT 'v0', COUNT(*), CAST(SUM(id) AS BIGINT), 0
              |FROM range(0,1000) t(id)
-             |ORDER BY snap""".stripMargin))
+             |ORDER BY snap""".stripMargin)),
+
+    // CTAS / RTAS (round 9): CREATE TABLE AS SELECT through the graft
+    // catalog (Spark's non-atomic exec: catalog createTable + DSv2
+    // write), REPLACE TABLE AS SELECT (drop + recreate + refill — the
+    // overwrite lands on a never-committed table and commits as its
+    // first append), and partitioned CTAS with identity partitioning.
+    // The checked output pins the created content, the replaced
+    // content + fresh history (v0 = the RTAS write), and pruned
+    // partition counts.
+    QueryDef("q303_ctas",
+      (s, _) => {
+        s.sql("DROP NAMESPACE IF EXISTS graft.q303 CASCADE")
+        s.sql("CREATE NAMESPACE graft.q303")
+        s.sql("CREATE TABLE graft.q303.t AS SELECT id, id * 2 AS v FROM range(0, 1000)")
+        // localCheckpoint(true) pins the pre-replace aggregate NOW —
+        // lazily, the union would re-analyze this frame after the
+        // REPLACE swapped the schema out from under it
+        val created = s.table("graft.q303.t")
+          .agg(count(lit(1)).as("cnt"), sum("v").cast("bigint").as("agg"))
+          .select(lit("a_ctas").as("step"), col("cnt"), col("agg"))
+          .localCheckpoint(true)
+        s.sql("REPLACE TABLE graft.q303.t AS SELECT id AS k FROM range(0, 500)")
+        val replaced = s.table("graft.q303.t")
+          .agg(count(lit(1)).as("cnt"), sum("k").cast("bigint").as("agg"))
+          .select(lit("b_rtas").as("step"), col("cnt"), col("agg"))
+        val v0 = s.sql(
+          "SELECT count(*) AS cnt, cast(sum(k) AS bigint) AS agg " +
+            "FROM graft.q303.t VERSION AS OF 0")
+          .select(lit("c_rtas_v0").as("step"), col("cnt"), col("agg"))
+        s.sql("""CREATE TABLE graft.q303.p PARTITIONED BY (topic) AS
+                |SELECT id, concat('t', id % 3) AS topic FROM range(0, 900)""".stripMargin)
+        val pruned = s.table("graft.q303.p").filter(col("topic") === "t1")
+          .agg(count(lit(1)).as("cnt"), sum("id").cast("bigint").as("agg"))
+          .select(lit("d_part").as("step"), col("cnt"), col("agg"))
+        created.unionAll(replaced).unionAll(v0).unionAll(pruned).orderBy("step")
+      },
+      Some("""SELECT 'a_ctas' AS step, COUNT(*) AS cnt, CAST(SUM(id * 2) AS BIGINT) AS agg
+             |FROM range(0, 1000) t(id)
+             |UNION ALL
+             |SELECT 'b_rtas', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0, 500) t(id)
+             |UNION ALL
+             |SELECT 'c_rtas_v0', COUNT(*), CAST(SUM(id) AS BIGINT) FROM range(0, 500) t(id)
+             |UNION ALL
+             |SELECT 'd_part', COUNT(*), CAST(SUM(id) AS BIGINT)
+             |FROM range(0, 900) t(id) WHERE id % 3 = 1
+             |ORDER BY step""".stripMargin))
   )
 }

@@ -113,7 +113,10 @@ class GraftSource extends TableProvider with DataSourceRegister
     require(!opts.getBoolean("readChangeFeed", false),
       "readChangeFeed streaming needs the DSv2 path (v2 readers disabled?)")
     new graft.streaming.SnapshotStreamSource(ctx.sparkSession, root, prefix,
-      Option(opts.get("startingVersion")).map(_.toLong - 1).getOrElse(-1L),
+      Option(opts.get("startingVersion")).map(_.toLong - 1)
+        .orElse(Option(opts.get("startingTimestamp")).map(t =>
+          GraftSource.resolveFromTs(root, prefix, t).toLong - 1))
+        .getOrElse(-1L),
       Option(opts.get("maxVersionsPerTrigger")).map(_.toInt))
   }
 
@@ -231,9 +234,21 @@ class GraftSource extends TableProvider with DataSourceRegister
       require(version.isEmpty,
         "readChangeFeed takes startingVersion/endingVersion, not a pinned version/tag")
       // batch CDC window: startingVersion (default 0) .. endingVersion
-      // (default latest); a streaming CDC read paces by offsets instead
-      val from = Option(opts.get("startingVersion")).map(_.toInt).getOrElse(0)
+      // (default latest); a streaming CDC read paces by offsets
+      // instead. Timestamp forms (Delta parity): startingTimestamp =
+      // first commit AT OR AFTER the instant, endingTimestamp = last
+      // commit at or before it — both resolve against commit-file
+      // mtimes, the same anchor timestampAsOf uses.
+      val from = Option(opts.get("startingVersion")).map(_.toInt)
+        .orElse(Option(opts.get("startingTimestamp")).map { t =>
+          GraftSource.resolveFromTs(root, prefix, t)
+        }).getOrElse(0)
       val to = Option(opts.get("endingVersion")).map(_.toInt)
+        .orElse(Option(opts.get("endingTimestamp")).map { t =>
+          Snapshots.resolveTimestamp(root, prefix, GraftSource.parseTsPub(t))
+            .getOrElse(sys.error(
+              s"no commit of $prefix at or before endingTimestamp '$t'"))
+        })
       new GraftTable(root, prefix, version, effective, cdc = Some((from, to)))
     } else
       new GraftTable(root, prefix, version, effective)
@@ -295,6 +310,15 @@ object GraftSource {
       })
     (root, prefix, version)
   }
+
+  /** Timestamp-form CDC/stream floor: the first commit at or after
+    * the instant (loud error when the instant is past the head —
+    * silently starting empty would mask a typo'd date). */
+  private[sources] def resolveFromTs(root: String, prefix: String, t: String): Int =
+    Snapshots.resolveTimestampFrom(root, prefix, parseTsPub(t)).getOrElse(
+      sys.error(s"no commit of $prefix at or after startingTimestamp '$t'"))
+
+  private[sources] def parseTsPub(t: String): Long = parseTs(t)
 
   /** `timestampAsOf` accepts epoch millis, `yyyy-MM-dd HH:mm:ss[.SSS]`
     * (UTC — the session convention), or an ISO-8601 instant. */
@@ -768,7 +792,10 @@ private[sources] class GraftScan(root: String, prefix: String, version: Option[I
     require(version.isEmpty,
       "a streaming read starts from 'startingVersion', not a pinned 'version'/'tag'")
     new graft.streaming.GraftMicroBatchStream(root, prefix, required,
-      Option(options.get("startingVersion")).map(_.toLong - 1).getOrElse(-1L),
+      Option(options.get("startingVersion")).map(_.toLong - 1)
+        .orElse(Option(options.get("startingTimestamp")).map(t =>
+          GraftSource.resolveFromTs(root, prefix, t).toLong - 1))
+        .getOrElse(-1L),
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
   }
 

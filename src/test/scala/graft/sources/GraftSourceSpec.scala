@@ -693,4 +693,47 @@ class GraftSourceSpec extends SparkTestBase {
       java.util.Map.of("path", s"$root/t", "tag", "nope"))
     intercept[RuntimeException](GraftSource.resolve(bad))
   }
+
+  test("startingTimestamp/endingTimestamp resolve CDC windows and stream floors by commit time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts").toString
+    ProduceJob.produceBatch(spark, dir, "w", topics = 1, numMessages = 100) // v0
+    ProduceJob.produceBatch(spark, dir, "w", topics = 1, numMessages = 50)  // v1
+    ProduceJob.produceBatch(spark, dir, "w", topics = 1, numMessages = 25)  // v2
+    // pin commit times to known instants (the resolver reads mtimes)
+    Seq(0, 1, 2).foreach { v =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(f"$dir/w._log/v$v%05d.json"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L * (v + 1)))
+    }
+    // CDF window opened at the first commit AT OR AFTER 1.5e6 → v1..v2
+    val win = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", "1500000").load(s"$dir/w")
+    assert(win.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(win.count() == 75)
+    // endingTimestamp bounds the window from above: ≤ 2.5e6 → v1 only
+    val both = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", "1500000")
+      .option("endingTimestamp", "2500000").load(s"$dir/w")
+    assert(both.count() == 50)
+    // an instant past the head refuses loudly instead of starting empty
+    intercept[Exception] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingTimestamp", "99999999999999").load(s"$dir/w").collect()
+    }
+    // stream floor by timestamp: only v1+ replays
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft")
+      .option("startingTimestamp", "1500000").load(s"$dir/w")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got += df.count(); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(got.sum == 75, got.toSeq.toString)
+  }
 }
