@@ -773,9 +773,36 @@ object Snapshots {
     * delta. A statsAdd entry REPLACES a carried parent entry for the
     * same (file, column, kind) — stats are footer-derived, so the
     * freshest derivation wins. */
+  /** Content-addressed parse cache for CHECKPOINT manifests. A
+    * checkpoint is the one log file big enough (O(table)) that regex
+    * re-parsing dominates long-history commit loops — the 2000-commit
+    * probe showed per-commit latency growing with the newest
+    * checkpoint's size. Keyed by (version, content hash): a recreated
+    * table at the same path can never be served a stale parse, and
+    * the file read itself still happens (and is counted) — only the
+    * parse is skipped. Bounded by wholesale clear (access is bursty:
+    * one hot checkpoint per table between checkpoint writes). */
+  private val ckptParseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Snapshot]()
+
+  private def parseCkptCached(p: Path, ver: Int): Snapshot = {
+    logOpens.incrementAndGet()
+    val bytes = Files.readAllBytes(p)
+    val key = ver.toString + ":" + java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("MD5").digest(bytes))
+    val hit = ckptParseCache.get(key)
+    if (hit != null) hit
+    else {
+      val s = parseManifest(new String(bytes, java.nio.charset.StandardCharsets.UTF_8), ver)
+      if (ckptParseCache.size > 64) ckptParseCache.clear()
+      ckptParseCache.put(key, s)
+      s
+    }
+  }
+
   private def resolveSnapshot(root: String, prefix: String, ver: Int): Snapshot = {
     val cp = ckptPath(root, prefix, ver)
-    if (Files.isRegularFile(cp)) parseManifest(readLogFile(cp), ver)
+    if (Files.isRegularFile(cp)) parseCkptCached(cp, ver)
     else {
       val s = rawJson(root, prefix, ver)
       if (s.contains("\"files\":")) parseManifest(s, ver)

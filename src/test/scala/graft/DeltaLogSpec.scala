@@ -115,6 +115,27 @@ class DeltaLogSpec extends SparkTestBase {
     } finally Snapshots.checkpointInterval = iv
   }
 
+  test("vacuum sweeps crashed writeStaged staging dirs (age-gated), never young ones") {
+    val root = Files.createTempDirectory("graft_dlog").toString
+    ProduceJob.produceBatch(spark, root, "sw", topics = 1, numMessages = 50)
+    val base = Paths.get(Topics.tableDir(root, "sw"))
+    // simulate a crash between the staged write and the move: an
+    // abandoned staging dir sits NEXT TO the table dir
+    val stale = base.resolveSibling(s"${base.getFileName}._staging-deadbeef")
+    Files.createDirectories(stale)
+    Files.writeString(stale.resolve("part-orphan.parquet"), "x")
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600_000))
+    val young = base.resolveSibling(s"${base.getFileName}._staging-cafe0001")
+    Files.createDirectories(young)
+    Files.writeString(young.resolve("part-inflight.parquet"), "y")
+    Snapshots.vacuum(root, "sw", keepFrom = 0) // default grace: 10 min
+    assert(!Files.exists(stale), "stale staging dir must be swept")
+    assert(Files.exists(young), "in-flight staging dir must survive the grace window")
+    // the table itself is untouched
+    assert(Snapshots.read(spark, root, "sw").count() == 50)
+  }
+
   test("legacy full manifests read as their own checkpoints; new deltas chain on top") {
     val root = Files.createTempDirectory("graft_dlog").toString
     // hand-write a pre-round-9 FULL manifest (the legacy format)
