@@ -1467,6 +1467,36 @@ object Snapshots {
     * delivered, so it is NOT a change). Consumers that checkpoint the
     * last version they processed get append-only change feeds without
     * rescanning the table. */
+  /** Per-version file additions for a commit window — the
+    * change-attribution rule of [[readChanges]] (staged versions are
+    * invisible; compaction/delete/restore rewrites attribute nothing),
+    * exposed for streaming ADMISSION CONTROL (maxFilesPerTrigger /
+    * maxBytesPerTrigger): the scheduler sizes a micro-batch from the
+    * window's additions without planning a frame. Cost is O(window ×
+    * checkpointInterval) log reads — window-bounded, never O(table). */
+  def additionsInWindow(root: String, prefix: String,
+                        fromExclusive: Int, toInclusive: Int): Seq[(Int, Seq[String])] = {
+    val published = versions(root, prefix)
+      .filter(v => opOf(root, prefix, v) != "staged")
+    published.filter(v => v > fromExclusive && v <= toInclusive).map { v =>
+      val cur = snapshot(root, prefix, Some(v)).get
+      val adds =
+        if (cur.op == "compact" || cur.op == "delete" ||
+          cur.op == "deletemor" || cur.op == "restore") Seq.empty[String]
+        else (cur.files.toSet --
+          published.filter(_ < v).lastOption
+            .flatMap(pv => snapshot(root, prefix, Some(pv)).map(_.files.toSet))
+            .getOrElse(Set.empty)).toSeq.sorted
+      (v, adds)
+    }
+  }
+
+  /** On-disk bytes of one table-relative data file (0 when missing —
+    * admission control must not die on a vacuumed straggler). */
+  def fileBytes(root: String, prefix: String, rel: String): Long =
+    try Files.size(dataDir(root, prefix).resolve(rel))
+    catch { case _: java.io.IOException => 0L }
+
   def readChanges(spark: SparkSession, root: String, prefix: String,
                   fromVersion: Int, toVersion: Option[Int] = None): DataFrame = {
     // -1 = "before the first commit": v0's files count as changes too

@@ -521,6 +521,9 @@ object LakehouseQueries extends QueryRegistry {
           .filter(col("_rn") === 1)
         val replica = base
           .join(feed.select("ba").distinct(), Seq("ba"), "left_anti")
+          // using-join reorders (keys first) — restore table order, or
+          // the positional exceptAll below compares mismatched columns
+          .select(cols.map(col): _*)
           .unionByName(lastChange.filter(isUpsert).select(cols.map(col): _*))
           .localCheckpoint(true) // reused by both exceptAll probes + final agg
         val latest = Snapshots.read(s, root, "f")

@@ -796,7 +796,9 @@ private[sources] class GraftScan(root: String, prefix: String, version: Option[I
         .orElse(Option(options.get("startingTimestamp")).map(t =>
           GraftSource.resolveFromTs(root, prefix, t).toLong - 1))
         .getOrElse(-1L),
-      Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
   }
 
   /** Post-pruning on-disk bytes of the surviving file list — computed
@@ -910,9 +912,14 @@ private[sources] class GraftCdcScan(root: String, prefix: String,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new graft.streaming.GraftMicroBatchStream(root, prefix, required,
-      Option(options.get("startingVersion")).map(_.toLong - 1).getOrElse(-1L),
+      Option(options.get("startingVersion")).map(_.toLong - 1)
+        .orElse(Option(options.get("startingTimestamp")).map(t =>
+          GraftSource.resolveFromTs(root, prefix, t).toLong - 1))
+        .getOrElse(-1L),
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
-      cdc = true)
+      cdc = true,
+      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new GraftCdcRelation(root, prefix, required, from, to, context).asInstanceOf[T]

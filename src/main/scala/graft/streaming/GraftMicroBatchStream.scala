@@ -39,7 +39,9 @@ import graft.ingest.Snapshots
 private[graft] class GraftMicroBatchStream(root: String, prefix: String,
                                            schema: StructType, floor: Long,
                                            maxPerTrigger: Option[Int],
-                                           cdc: Boolean = false)
+                                           cdc: Boolean = false,
+                                           maxFilesPerTrigger: Option[Int] = None,
+                                           maxBytesPerTrigger: Option[Long] = None)
   extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -70,7 +72,32 @@ private[graft] class GraftMicroBatchStream(root: String, prefix: String,
     val latest0 = Snapshots.versions(root, prefix).lastOption
       .map(_.toLong).getOrElse(-1L)
     val latest = availableNowCap.fold(latest0)(math.min(latest0, _))
-    val next = maxPerTrigger.map(m => math.min(latest, from + m)).getOrElse(latest)
+    var next = maxPerTrigger.map(m => math.min(latest, from + m)).getOrElse(latest)
+    // size-based admission (Delta's maxFilesPerTrigger /
+    // maxBytesPerTrigger): admit versions while the cumulative added
+    // files/bytes stay within the caps — ALWAYS at least one version,
+    // or a single over-cap commit would stall the stream forever. The
+    // window walk is O(versions admitted × checkpointInterval) log
+    // reads — never O(table).
+    if (next > from && (maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined)) {
+      val window = Snapshots.additionsInWindow(root, prefix, from.toInt, next.toInt)
+      var files = 0L
+      var bytes = 0L
+      var admitted = from
+      var stop = false
+      window.foreach { case (v, adds) =>
+        if (!stop) {
+          files += adds.size
+          if (maxBytesPerTrigger.isDefined)
+            bytes += adds.map(Snapshots.fileBytes(root, prefix, _)).sum
+          val over = maxFilesPerTrigger.exists(files > _) ||
+            maxBytesPerTrigger.exists(bytes > _)
+          if (over && admitted > from) stop = true
+          else admitted = v.toLong
+        }
+      }
+      next = admitted
+    }
     if (next <= from) null else LongOffset(next)
   }
 

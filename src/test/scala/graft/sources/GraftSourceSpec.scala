@@ -736,4 +736,44 @@ class GraftSourceSpec extends SparkTestBase {
     q.awaitTermination(60000)
     assert(got.sum == 75, got.toSeq.toString)
   }
+
+  test("maxFilesPerTrigger / maxBytesPerTrigger pace micro-batches by added files, never stall") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_adm").toString
+    // 3 commits of 4 files each (range default parallelism under the
+    // shared session writes 4 splits)
+    (0 until 3).foreach { i =>
+      ProduceJob.produceBatch(spark, dir, "a", topics = 1, numMessages = 100 + i)
+    }
+    val perCommit = Snapshots.snapshot(dir, "a", Some(0)).get.files.size
+    def run(opts: Map[String, String]): Seq[Long] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = opts.foldLeft(spark.readStream.format("graft")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load(s"$dir/a")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got += df.count(); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      got.toSeq
+    }
+    // file cap below one commit's width: must still advance (one
+    // version per batch — a single over-cap commit can never stall)
+    val tight = run(Map("maxFilesPerTrigger" -> "1"))
+    assert(tight.size == 3 && tight.sum == 100 + 101 + 102, tight.toString)
+    // cap of one commit's width: one version per batch
+    val exact = run(Map("maxFilesPerTrigger" -> perCommit.toString))
+    assert(exact.size == 3 && exact.sum == 303, exact.toString)
+    // cap of two commits' width: two batches (2 versions + 1)
+    val two = run(Map("maxFilesPerTrigger" -> (2 * perCommit).toString))
+    assert(two.size == 2 && two.sum == 303, two.toString)
+    // byte cap below one commit's bytes: one version per batch
+    val bytes = run(Map("maxBytesPerTrigger" -> "1"))
+    assert(bytes.size == 3 && bytes.sum == 303, bytes.toString)
+    // no cap: one batch drains everything
+    val all = run(Map.empty)
+    assert(all.size == 1 && all.sum == 303, all.toString)
+  }
 }
