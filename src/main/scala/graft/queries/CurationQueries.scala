@@ -1378,6 +1378,66 @@ object CurationQueries extends QueryRegistry {
            |FROM sz LEFT JOIN rem ON rem.cell = sz.cell
            |ORDER BY cell""".stripMargin)),
 
+    // Semantic decontamination (round 9) — the embedding-level
+    // complement of q137's n-gram decontamination: train vectors whose
+    // cosine to ANY held-out test vector exceeds the threshold are
+    // leakage and must leave the training set. Blocked through the
+    // SAME staged IVF artifact as q227/q278 (join on cell = cell, no
+    // broadcast hint, never all-pairs): at 100 TB each cell compares
+    // its own train×test slice only, and the test panel is a
+    // deterministic id-hash split so the oracle replays the exact
+    // blocking + split + threshold.
+    QueryDef("q304_semantic_decontamination",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val path = Fixtures.stagedDir(dir, "embeddings", "ivf_index_v2") { tmp =>
+          val built = IvfIndex.centroids(emb, "vec_id", "embedding", k = 16)
+          IvfIndex.persist(IvfIndex.assignCells(
+            emb.select(col("vec_id").as("id"),
+              transform(col("embedding"), x => x.cast("double")).as("v")),
+            "v", built.map(_.toIndexedSeq).toIndexedSeq), tmp)
+          IvfIndex.writeCentroids(built, tmp)
+        }
+        val index = s.read.parquet(path)
+        val test = index.filter(col("id") % 10 === 7)
+          .select(col("cell"), col("id").as("t_id"), col("v").as("tv"))
+        val train = index.filter(col("id") % 10 =!= 7)
+          .select(col("cell"), col("id"), col("v"))
+        val leaked = train.join(test, "cell")
+          .filter(AnnLsh.cosine(col("v"), col("tv")) > 0.3)
+          .select(col("cell"), col("id")).distinct()
+          .groupBy("cell").agg(count(lit(1)).as("n_leaked"))
+        train.groupBy("cell").agg(count(lit(1)).as("n_train"))
+          .join(index.filter(col("id") % 10 === 7)
+            .groupBy("cell").agg(count(lit(1)).as("n_test")), Seq("cell"), "left")
+          .join(leaked, Seq("cell"), "left")
+          .select(col("cell").cast("int").as("cell"), col("n_train"),
+            coalesce(col("n_test"), lit(0L)).as("n_test"),
+            coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+            (col("n_train") - coalesce(col("n_leaked"), lit(0L))).as("n_clean"))
+          .orderBy("cell")
+      },
+      Some(
+        s"""WITH $ivfAssignCtes,
+           |tr AS (SELECT cell, vec_id, v FROM a1 WHERE vec_id % 10 <> 7),
+           |te AS (SELECT cell, vec_id, v FROM a1 WHERE vec_id % 10 = 7),
+           |lk AS (
+           |  SELECT cell, COUNT(DISTINCT id) AS n_leaked FROM (
+           |    SELECT tr.cell AS cell, tr.vec_id AS id
+           |    FROM tr JOIN te ON tr.cell = te.cell
+           |    WHERE list_dot_product(tr.v, te.v)
+           |      / sqrt(list_dot_product(tr.v, tr.v) * list_dot_product(te.v, te.v)) > 0.3)
+           |  GROUP BY cell),
+           |ntr AS (SELECT cell, COUNT(*) AS n_train FROM tr GROUP BY cell),
+           |nte AS (SELECT cell, COUNT(*) AS n_test FROM te GROUP BY cell)
+           |SELECT CAST(ntr.cell AS INT) AS cell, ntr.n_train,
+           |  COALESCE(nte.n_test, 0) AS n_test,
+           |  COALESCE(lk.n_leaked, 0) AS n_leaked,
+           |  ntr.n_train - COALESCE(lk.n_leaked, 0) AS n_clean
+           |FROM ntr LEFT JOIN nte ON nte.cell = ntr.cell
+           |LEFT JOIN lk ON lk.cell = ntr.cell
+           |ORDER BY cell""".stripMargin)),
+
     // Hard-negative mining — contrastive-training data prep: for each
     // probe, the most similar corpus vector with a DIFFERENT label
     // (the negative that teaches the most). Probe batch broadcasts
