@@ -897,7 +897,8 @@ object Snapshots {
         case "addcol" | "renamecol" | "dropcol" => true
         case _ => false
       })
-    (base.filter(v => vs.contains(v)) ++ tail).distinct.sorted
+    val live = vs.toSet // vacuumed event versions drop out (legacy rule)
+    (base.filter(live) ++ tail).distinct.sorted
   }
 
   def schemaEvents(root: String, prefix: String,
@@ -1476,17 +1477,23 @@ object Snapshots {
     * checkpointInterval) log reads — window-bounded, never O(table). */
   def additionsInWindow(root: String, prefix: String,
                         fromExclusive: Int, toInclusive: Int): Seq[(Int, Seq[String])] = {
-    val published = versions(root, prefix)
+    // op-probe only the window plus the one published version before
+    // it (the window's first diff base) — NOT the whole history
+    val vs = versions(root, prefix)
+    val window = vs.filter(v => v > fromExclusive && v <= toInclusive)
       .filter(v => opOf(root, prefix, v) != "staged")
-    published.filter(v => v > fromExclusive && v <= toInclusive).map { v =>
+    var prevPub = vs.filter(_ <= fromExclusive).reverse
+      .find(v => opOf(root, prefix, v) != "staged")
+      .flatMap(pv => snapshot(root, prefix, Some(pv)).map(_.files.toSet))
+      .getOrElse(Set.empty[String])
+    window.map { v =>
       val cur = snapshot(root, prefix, Some(v)).get
+      val curFiles = cur.files.toSet
       val adds =
         if (cur.op == "compact" || cur.op == "delete" ||
           cur.op == "deletemor" || cur.op == "restore") Seq.empty[String]
-        else (cur.files.toSet --
-          published.filter(_ < v).lastOption
-            .flatMap(pv => snapshot(root, prefix, Some(pv)).map(_.files.toSet))
-            .getOrElse(Set.empty)).toSeq.sorted
+        else (curFiles -- prevPub).toSeq.sorted
+      prevPub = curFiles
       (v, adds)
     }
   }
