@@ -245,6 +245,32 @@ class GraftDmlSpec extends SparkTestBase {
     assert(rows == Seq((0L, "hangc"), (2L, "b"), (3L, "c"))) // ba=1 deleted
   }
 
+  test("subquery temp views are session-invisible after the command (finally-drop)") {
+    val (_, tbl) = fresh("viewdrop")
+    spark.sql(s"DELETE FROM $tbl WHERE ba IN (SELECT CAST(id AS BIGINT) FROM range(5))")
+    spark.sql(s"UPDATE $tbl SET name = 'x' WHERE ba IN (SELECT CAST(id AS BIGINT) + 5 FROM range(5))")
+    val lingering = spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_subq_"))
+    assert(lingering.isEmpty, lingering.map(_.name).mkString(", "))
+    // and the failure path drops them too (correlated refusal happens
+    // at ANALYSIS, before views exist; force a RUN-time failure via a
+    // subquery whose evaluation explodes)
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $tbl WHERE ba IN " +
+        "(SELECT CAST(raise_error('boom') AS BIGINT) FROM range(1))")
+    }
+    assert(spark.catalog.listTables().collect()
+      .forall(!_.name.startsWith("graft_subq_")))
+  }
+
+  test("subquery DELETE works through the catalog route too") {
+    spark.sql("DROP NAMESPACE IF EXISTS graft.dmlsubq CASCADE")
+    spark.sql("CREATE NAMESPACE graft.dmlsubq")
+    spark.sql("CREATE TABLE graft.dmlsubq.t AS SELECT id FROM range(0, 100)")
+    spark.sql("DELETE FROM graft.dmlsubq.t WHERE id IN (SELECT id * 2 FROM range(10))")
+    assert(spark.table("graft.dmlsubq.t").count() == 90)
+  }
+
   test("DML refuses correlated subqueries and unknown assignment shapes") {
     val (_, tbl) = fresh("refuse")
     def causes(t: Throwable): Seq[Throwable] =
