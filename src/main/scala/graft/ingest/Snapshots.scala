@@ -317,8 +317,11 @@ object Snapshots {
                               maxPos: Long, files: Seq[String],
                               removed: Seq[String], op: String,
                               txns: Seq[String], stats: Seq[FileStat],
-                              extraFields: Seq[(String, String)]): Unit = {
-    val refs = (referencedFiles(root, prefix) ++ files).toSeq.sorted
+                              extraFields: Seq[(String, String)],
+                              refsOverride: Option[Seq[String]] = None,
+                              overwrite: Boolean = false): Unit = {
+    val refs = refsOverride.getOrElse(
+      (referencedFiles(root, prefix) ++ files).toSeq.sorted)
     // cumulative schema-event versions (this version included if it IS
     // one) — what keeps schemaEvents O(tail) on long histories
     val evs = (schemaEventVersions(root, prefix, Some(version)) ++
@@ -329,11 +332,49 @@ object Snapshots {
     val extras = extraFields.map { case (k, v) => s""", "$k": "$v"""" }.mkString
     val json =
       s"""{"version": $version, "op": "$op", "maxPos": $maxPos, "files": ${arrJson(files)}, "removed": ${arrJson(removed)}, "txns": ${arrJson(txns)}, "stats": ${arrJson(stats.map(_.encoded))}, "refsEver": ${arrJson(refs)}, "evs": ${arrJson(evs.map(_.toString))}$extras}"""
+    if (overwrite && Files.exists(ckptPath(root, prefix, version))) {
+      replaceCheckpoint(root, prefix, version, json)
+      return
+    }
     try {
       Files.writeString(ckptPath(root, prefix, version), json,
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
       ()
-    } catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // An existing checkpoint for OUR version number is normally a
+        // racer's byte-identical write — keep it. But a checkpoint
+        // whose `files` DIFFER is stale metadata from an abandoned
+        // commit at a reallocated version number (a dropped staged
+        // commit whose cleanup crashed mid-way) — trusting it would
+        // serve the abandoned file set, so replace it atomically.
+        val p = ckptPath(root, prefix, version)
+        val stale = try {
+          jsonArr(Files.readString(p), "files") != jsonArr(json, "files")
+        } catch { case _: java.io.IOException => false }
+        if (stale) replaceCheckpoint(root, prefix, version, json)
+    }
+  }
+
+  /** Atomically replace one checkpoint file (temp write + ATOMIC_MOVE;
+    * the parse cache is content-keyed, so readers can never be served
+    * the old parse for the new bytes). Maintenance-path only. */
+  private def replaceCheckpoint(root: String, prefix: String, version: Int,
+                                json: String): Unit = {
+    val p = ckptPath(root, prefix, version)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    Files.writeString(tmp, json, StandardOpenOption.CREATE_NEW,
+      StandardOpenOption.WRITE)
+    try {
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+    }
   }
 
   /** Commit the table's current state as the next version. Append
@@ -464,6 +505,12 @@ object Snapshots {
       rawField(root, prefix, v, "publishedFrom").contains(sv.toString)),
       s"audit '$audit' was published; refusing to drop its staged version")
     Files.deleteIfExists(logDir(root, prefix).resolve(f"v$sv%05d.json"))
+    // the staged commit's CHECKPOINT must die with it: nextVersion
+    // reallocates this version number, and a stale full-state
+    // checkpoint outranks the new version's manifest in
+    // resolveSnapshot — readers would silently resolve the abandoned
+    // staged file set instead of the commit that reused the number
+    Files.deleteIfExists(ckptPath(root, prefix, sv))
     ()
   }
 
@@ -633,10 +680,17 @@ object Snapshots {
       Files.copy(logDir(brRoot, brPrefix).resolve(name),
         logDir(root, prefix).resolve(name))
       // adopt the branch's full-state checkpoint for this version too —
-      // it anchors the table's delta-chain resolution and refsEver scan
+      // it anchors the table's delta-chain resolution and refsEver scan.
+      // A pre-existing DIFFERENT checkpoint at this version is an
+      // orphan from an abandoned commit whose number the adoption now
+      // reuses (a crashed dropStaged) — replace it, don't trust it.
       val bc = ckptPath(brRoot, brPrefix, v)
-      if (Files.isRegularFile(bc) && !Files.exists(ckptPath(root, prefix, v))) {
-        Files.copy(bc, ckptPath(root, prefix, v)); ()
+      if (Files.isRegularFile(bc)) {
+        val tc = ckptPath(root, prefix, v)
+        if (!Files.exists(tc)) { Files.copy(bc, tc); () }
+        else if (!java.util.Arrays.equals(Files.readAllBytes(bc),
+                                          Files.readAllBytes(tc)))
+          replaceCheckpoint(root, prefix, v, Files.readString(bc))
       }
       // advance the fork record with EVERY adopted version: a crash
       // after this point resumes through the byte-identical tolerance
@@ -781,7 +835,17 @@ object Snapshots {
     * table at the same path can never be served a stale parse, and
     * the file read itself still happens (and is counted) — only the
     * parse is skipped. Bounded by wholesale clear (access is bursty:
-    * one hot checkpoint per table between checkpoint writes). */
+    * one hot checkpoint per table between checkpoint writes).
+    *
+    * Why clear() can't thrash (r9 advisor target): a table has ONE hot
+    * entry at a time (its newest checkpoint's (version, hash) key);
+    * the other entries are stale keys from superseded checkpoints that
+    * nothing will ever look up again. The clear fires once per 64
+    * insertions — i.e. once per ~64 checkpoint WRITES across all
+    * tables — and costs each hot table exactly one re-parse. Thrashing
+    * would need >64 simultaneously hot checkpoints (>64 tables in one
+    * JVM's commit loops), and even then every access degrades to
+    * parse-on-read — the pre-cache behavior, never worse. */
   private val ckptParseCache =
     new java.util.concurrent.ConcurrentHashMap[String, Snapshot]()
 
@@ -801,34 +865,53 @@ object Snapshots {
   }
 
   private def resolveSnapshot(root: String, prefix: String, ver: Int): Snapshot = {
-    val cp = ckptPath(root, prefix, ver)
-    if (Files.isRegularFile(cp)) parseCkptCached(cp, ver)
-    else {
-      val s = rawJson(root, prefix, ver)
-      if (s.contains("\"files\":")) parseManifest(s, ver)
-      else {
-        val pv = "\"parent\":\\s*\"(-?\\d+)\"".r.findFirstMatchIn(s).map(_.group(1).toInt)
-          .getOrElse(sys.error(s"delta manifest v$ver of $prefix has no parent"))
-        val base: Option[Snapshot] =
-          if (pv < 0) None
+    // ITERATIVE descend + fold (r9 advisor target): on a healthy log
+    // the parent chain is bounded by checkpointInterval, but a legacy
+    // log written under a huge/misconfigured interval can carry an
+    // arbitrarily long un-checkpointed chain — recursing per parent
+    // would overflow the stack around ~10k versions. Descend first,
+    // collecting delta manifests until a checkpoint / full manifest /
+    // root anchors the state, then fold the deltas oldest-first.
+    var pending = List.empty[(Int, String)] // head = oldest after the loop
+    var cur = ver
+    var base: Option[Snapshot] = None
+    var descending = true
+    while (descending) {
+      val cp = ckptPath(root, prefix, cur)
+      if (Files.isRegularFile(cp)) {
+        base = Some(parseCkptCached(cp, cur)); descending = false
+      } else {
+        val s = rawJson(root, prefix, cur)
+        if (s.contains("\"files\":")) {
+          base = Some(parseManifest(s, cur)); descending = false
+        } else {
+          val pv = "\"parent\":\\s*\"(-?\\d+)\"".r.findFirstMatchIn(s)
+            .map(_.group(1).toInt)
+            .getOrElse(sys.error(s"delta manifest v$cur of $prefix has no parent"))
+          pending ::= (cur, s)
+          if (pv < 0) { base = None; descending = false }
           else if (Files.isRegularFile(ckptPath(root, prefix, pv)) ||
             Files.isRegularFile(logDir(root, prefix).resolve(f"v$pv%05d.json")))
-            Some(resolveSnapshot(root, prefix, pv))
-          else sys.error(s"log of $prefix truncated: v$ver needs v$pv " +
+            cur = pv
+          else sys.error(s"log of $prefix truncated: v$cur needs v$pv " +
             "(vacuumed without a checkpoint barrier?)")
-        val delta = parseManifest(s, ver) // files/txns/stats fields absent → empty
-        val add = jsonArr(s, "add")
-        val delSet = jsonArr(s, "del").toSet
-        val files = (base.map(_.files).getOrElse(Seq.empty).filterNot(delSet) ++ add).sorted
-        val statsAdd = jsonArr(s, "statsAdd").flatMap(FileStat.decode)
-        val addKeys = statsAdd.map(st => (st.file, st.column, st.typ)).toSet
-        val fileSet = files.toSet
-        val stats = base.map(_.stats).getOrElse(Seq.empty)
-          .filter(st => fileSet(st.file) && !addKeys((st.file, st.column, st.typ))) ++ statsAdd
-        val txns = base.map(_.txns).getOrElse(Seq.empty) ++ jsonArr(s, "txnsAdd")
-        delta.copy(files = files, txns = txns, stats = stats)
+        }
       }
     }
+    pending.foldLeft(base) { (acc, entry) =>
+      val (v, s) = entry
+      val delta = parseManifest(s, v) // files/txns/stats fields absent → empty
+      val add = jsonArr(s, "add")
+      val delSet = jsonArr(s, "del").toSet
+      val files = (acc.map(_.files).getOrElse(Seq.empty).filterNot(delSet) ++ add).sorted
+      val statsAdd = jsonArr(s, "statsAdd").flatMap(FileStat.decode)
+      val addKeys = statsAdd.map(st => (st.file, st.column, st.typ)).toSet
+      val fileSet = files.toSet
+      val stats = acc.map(_.stats).getOrElse(Seq.empty)
+        .filter(st => fileSet(st.file) && !addKeys((st.file, st.column, st.typ))) ++ statsAdd
+      val txns = acc.map(_.txns).getOrElse(Seq.empty) ++ jsonArr(s, "txnsAdd")
+      Some(delta.copy(files = files, txns = txns, stats = stats))
+    }.getOrElse(sys.error(s"unresolvable snapshot v$ver of $prefix"))
   }
 
   /** One schema-evolution event, ordered by commit version. The read
@@ -1474,7 +1557,12 @@ object Snapshots {
     * exposed for streaming ADMISSION CONTROL (maxFilesPerTrigger /
     * maxBytesPerTrigger): the scheduler sizes a micro-batch from the
     * window's additions without planning a frame. Cost is O(window ×
-    * checkpointInterval) log reads — window-bounded, never O(table). */
+    * checkpointInterval) log reads — window-bounded, never O(table).
+    * On a STAGED-commit-heavy log (r9 advisor target) the cost gains
+    * only the op-probes that skip staged versions: one small-file read
+    * per staged version inside the window, plus the backward find for
+    * the first published base, which stops at the first non-staged
+    * version — bounded by the contiguous staged run, never O(history). */
   def additionsInWindow(root: String, prefix: String,
                         fromExclusive: Int, toInclusive: Int): Seq[(Int, Seq[String])] = {
     // op-probe only the window plus the one published version before
@@ -2351,7 +2439,16 @@ object Snapshots {
     * write) — and a racing listing-adoption [[commit]] can never sweep
     * half-written output: the staging dir lives outside the data dir
     * and the moved files carry the marker prefix no sweep adopts.
-    * Same-filesystem moves are renames — zero data bytes. */
+    * Same-filesystem moves are renames — zero data bytes.
+    *
+    * Concurrent writers to ONE table are safe by construction (r9
+    * advisor target): each writer owns a UUID-named staging dir (no
+    * shared mutable path), the moved part files carry task-unique
+    * names (a collision would fail the move loudly, never clobber),
+    * and a writer that crashes mid-move leaves only marker-named
+    * orphans plus its staging dir — no commit adopts either, and
+    * [[vacuum]] reclaims both age-gated. The racing COMMITS serialize
+    * on the log's CREATE_NEW as always. */
   private[ingest] def writeStaged(root: String, prefix: String, data: DataFrame,
                                   partitionCols: Seq[String] = Seq.empty,
                                   subDir: String = "",
@@ -2986,5 +3083,29 @@ object Snapshots {
         .filter(p => try now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs
                      catch { case _: java.io.IOException => false })
         .foreach(rmTree)
+    // Bound refsEver (round-10): the cumulative ever-referenced set
+    // exists for ONE purpose — keeping [[commit]]'s listing sweep from
+    // re-adopting files an earlier commit already owns. A physically
+    // deleted file can never be listed again, so carrying its name
+    // forever makes the checkpoint O(files ever written) on
+    // churn-heavy tables (a year of daily OPTIMIZE ≈ the whole write
+    // history) — Delta bounds its tombstone set by the retention
+    // window for the same reason. Prune to (files still on disk) ∪
+    // (files kept versions pin) and re-anchor the NEWEST kept
+    // version's checkpoint with the bounded set: every later
+    // checkpoint folds from this one, so the bound propagates.
+    keepVs.maxOption.foreach { v =>
+      val liveNow = listDataFiles(root, prefix).toSet
+      val pruned = ((ever.intersect(liveNow)) ++ kept).toSeq.sorted
+      // only rewrite when something actually fell out — a no-op vacuum
+      // must not churn checkpoint bytes
+      if (pruned.size < ever.size) {
+        val snap = resolveSnapshot(root, prefix, v)
+        writeCheckpoint(root, prefix, v, snap.maxPos, snap.files,
+          snap.removed, snap.op, snap.txns, snap.stats,
+          snap.addedCol.map("addedCol" -> _).toSeq ++ dvField(snap.dv),
+          refsOverride = Some(pruned), overwrite = true)
+      }
+    }
   }
 }

@@ -65,8 +65,11 @@ object GraftDml extends Rule[LogicalPlan] {
 
   private def refuseCorrelated(): Nothing =
     throw new UnsupportedOperationException(
-      "graft DML: correlated subqueries in UPDATE/MERGE/DELETE " +
-        "conditions or values are not supported")
+      "graft DML: correlated or nested subqueries in UPDATE/MERGE/DELETE " +
+        "conditions or values are not supported — supported alternatives: " +
+        "uncorrelated IN (SELECT ...), uncorrelated EXISTS (SELECT ...), " +
+        "uncorrelated scalar (SELECT ...) values, or MERGE INTO with the " +
+        "per-row logic joined in the source")
 
   /** Resolved expression → SQL text, with source-side attributes moved
     * into the `_graft_src_` namespace (target attrs keep their name).
@@ -86,6 +89,17 @@ object GraftDml extends Rule[LogicalPlan] {
     def placeholder(i: Int, dt: org.apache.spark.sql.types.DataType) =
       AttributeReference(s"__graft_subq_${i}__", dt)()
     val templates = scala.collection.mutable.Map[Int, String]()
+    // NESTED subqueries must refuse on the ORIGINAL tree: transformUp
+    // rewrites bottom-up, so by the time the outer InSubquery case runs
+    // its lhs subquery is already a placeholder attribute and the
+    // in.values guard below can never fire — the refusal would instead
+    // surface later as an unresolved `__graft_subq_i__` token
+    e.foreach {
+      case in: InSubquery
+          if in.values.exists(_.exists(_.isInstanceOf[SubqueryExpression])) =>
+        refuseCorrelated()
+      case _ => ()
+    }
     val lifted = e.transformUp {
       case in: InSubquery =>
         if (in.query.outerAttrs.nonEmpty) refuseCorrelated()
@@ -109,16 +123,32 @@ object GraftDml extends Rule[LogicalPlan] {
     // whatever subquery kind survived the lift has no view equivalent
     if (lifted.exists(_.isInstanceOf[SubqueryExpression])) refuseCorrelated()
     // AttributeReference.sql backticks the name only when it needs
-    // quoting — replace both spellings
-    templates.foldLeft(attrFix(lifted).sql) { case (s, (i, tpl)) =>
-      s.replace(s"`__graft_subq_${i}__`", tpl)
-        .replace(s"__graft_subq_${i}__", tpl)
+    // quoting — replace both spellings. Substitution runs to FIXPOINT:
+    // a template spliced into another template (template i's text can
+    // reference tokens j < i) still gets its tokens replaced regardless
+    // of the map's iteration order. Terminates because template i never
+    // contains its own token (placeholders are minted after their
+    // template's children were already lifted).
+    var out = attrFix(lifted).sql
+    var changed = true
+    while (changed) {
+      val next = templates.foldLeft(out) { case (s, (i, tpl)) =>
+        s.replace(s"`__graft_subq_${i}__`", tpl)
+          .replace(s"__graft_subq_${i}__", tpl)
+      }
+      changed = next != out
+      out = next
     }
+    out
   }
 
   /** Register each carried subquery plan as a uniquely-named temp view
     * for the duration of `f` (dropped in finally), returning the names
-    * positionally — [[bindViews]] splices them into the SQL text. */
+    * positionally — [[bindViews]] splices them into the SQL text.
+    * Concurrent DML on ONE session is safe (r9 advisor target): every
+    * command mints fresh UUID view names, `createOrReplaceTempView` on
+    * a fresh name can never replace another command's view, and the
+    * finally-drop removes only the names this command created. */
   private[sources] def withSubqViews[T](spark: SparkSession,
                                         subqPlans: Seq[LogicalPlan])
                                        (f: Seq[String] => T): T = {

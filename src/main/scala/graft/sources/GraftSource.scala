@@ -556,7 +556,18 @@ private[sources] class GraftTable(val root: String, val prefix: String,
               // length-prefixed: a bare "user-$app-$v" would collide
               // (appId="a", v="1-2") with (appId="a-1", v="2") and
               // silently no-op a legitimate write
-              } yield s"user-${app.length}:$app:$v"
+              } yield {
+                // pre-round-9 logs committed the un-prefixed form — a
+                // writer replaying the same (appId, version) pair
+                // against such a table must still no-op, so when the
+                // LEGACY id is already committed the replay keeps
+                // matching it instead of re-applying under the new
+                // encoding (new pairs always take the unambiguous form)
+                val legacy = s"user-$app-$v"
+                if (Snapshots.snapshot(root, prefix, None)
+                      .exists(_.txns.contains(legacy))) legacy
+                else s"user-${app.length}:$app:$v"
+              }
               def txnOr(pfx: String): Option[String] =
                 userTxn.orElse(Option(info.queryId()).map(pfx + _))
               // mode("overwrite") + option("replaceWhere", "<pred>")

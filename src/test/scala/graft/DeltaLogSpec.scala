@@ -136,6 +136,88 @@ class DeltaLogSpec extends SparkTestBase {
     assert(Snapshots.read(spark, root, "sw").count() == 50)
   }
 
+  test("refsEver is bounded by live files after vacuum, not by files ever written") {
+    val root = Files.createTempDirectory("graft_dlog").toString
+    val iv = Snapshots.checkpointInterval
+    Snapshots.checkpointInterval = 4
+    try {
+      // churn-heavy history: append ×2 + compact + vacuum, repeated —
+      // the shape where an unbounded ever-referenced set accumulates
+      // every superseded original and every rewrite ever made
+      (0 until 6).foreach { _ =>
+        ProduceJob.produceBatch(spark, root, "rb", topics = 1, numMessages = 50)
+        ProduceJob.produceBatch(spark, root, "rb", topics = 1, numMessages = 50)
+        Snapshots.compact(spark, root, "rb")
+        val head = Snapshots.snapshot(root, "rb").get.version
+        Snapshots.vacuum(root, "rb", keepFrom = head, orphanGraceMs = 0)
+      }
+      val head = Snapshots.snapshot(root, "rb").get
+      assert(Snapshots.read(spark, root, "rb").count() == 600)
+      // the newest checkpoint's refsEver must be O(live files): the
+      // set's only job is stopping commit()'s listing sweep from
+      // re-adopting files already owned, and a physically deleted file
+      // can never be listed again
+      val logd = Paths.get(s"$root/rb._log")
+      val newestCkpt = Files.list(logd).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".ckpt.json")).toSeq.sorted.lastOption
+      assert(newestCkpt.isDefined, "churned table must carry a checkpoint")
+      val txt = Files.readString(logd.resolve(newestCkpt.get))
+      val refs = "\"refsEver\":\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+        .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).size).getOrElse(-1)
+      assert(refs >= head.files.size)
+      assert(refs <= head.files.size + 2,
+        s"refsEver carries $refs names for a ${head.files.size}-file table — O(history), not O(live)")
+      // no-re-adoption still holds: the next commit adopts only its
+      // own new files, and the row count stays conserved
+      ProduceJob.produceBatch(spark, root, "rb", topics = 1, numMessages = 25)
+      assert(Snapshots.read(spark, root, "rb").count() == 625)
+    } finally Snapshots.checkpointInterval = iv
+  }
+
+  test("a 20k-version un-checkpointed chain resolves iteratively (no stack overflow)") {
+    val root = Files.createTempDirectory("graft_dlog").toString
+    val iv = Snapshots.checkpointInterval
+    Snapshots.checkpointInterval = Int.MaxValue // NO periodic checkpoints
+    try {
+      // synthesize the log directly (no data files needed to exercise
+      // resolution): each version replaces the previous one's single
+      // file, so every manifest is a tiny delta and the chain to v0 is
+      // the full 20k versions — recursion would overflow the stack here
+      val n = 20000
+      var prev: Option[Snapshots.Snapshot] = None
+      (0 to n).foreach { k =>
+        Snapshots.writeSnapshot(root, "deep", k, maxPos = k,
+          files = Seq(s"f$k"), removed = Seq.empty, parent = prev)
+        prev = Some(Snapshots.Snapshot(k, k, Seq(s"f$k"), Seq.empty))
+      }
+      val snap = Snapshots.snapshot(root, "deep", Some(n)).get
+      assert(snap.files == Seq(s"f$n"))
+      assert(snap.maxPos == n.toLong)
+    } finally Snapshots.checkpointInterval = iv
+  }
+
+  test("concurrent appendBatch writers to one table: both commit, rows conserved") {
+    val root = Files.createTempDirectory("graft_dlog").toString
+    ProduceJob.produceBatch(spark, root, "cw", topics = 1, numMessages = 100) // v0
+    // two writers race writeStaged + commitFiles on the same table:
+    // UUID staging dirs can't collide, the commits serialize on the
+    // log's CREATE_NEW and the loser retries onto the new head
+    val dfs = Seq(
+      ProduceJob.personProjection(spark.range(100, 150).toDF("cnt"), "cnt", "cw", 1),
+      ProduceJob.personProjection(spark.range(150, 230).toDF("cnt"), "cnt", "cw", 1))
+    val threads = dfs.map { df =>
+      new Thread(() => {
+        Snapshots.appendBatch(spark, root, "cw", df,
+          partitionCols = Seq("topic")); ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(Snapshots.versions(root, "cw") == Seq(0, 1, 2))
+    assert(Snapshots.read(spark, root, "cw").count() == 230)
+    assert(Snapshots.read(spark, root, "cw").select("ba").distinct().count() == 230)
+  }
+
   test("legacy full manifests read as their own checkpoints; new deltas chain on top") {
     val root = Files.createTempDirectory("graft_dlog").toString
     // hand-write a pre-round-9 FULL manifest (the legacy format)

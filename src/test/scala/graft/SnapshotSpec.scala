@@ -1133,6 +1133,59 @@ class SnapshotSpec extends SparkTestBase {
     intercept[RuntimeException] { Snapshots.dropStaged(root, "w3", "bad-batch") }
   }
 
+  test("dropStaged removes the staged CHECKPOINT too; the reallocated version resolves to the new commit") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    val iv = Snapshots.checkpointInterval
+    Snapshots.checkpointInterval = 2
+    try {
+      ProduceJob.produceBatch(spark, root, "w5", topics = 1, numMessages = 100) // v0
+      ProduceJob.produceBatch(spark, root, "w5", topics = 1, numMessages = 100) // v1
+      // stage at v2 — a checkpoint-interval version, so the staged
+      // commit writes v00002.ckpt.json alongside its manifest
+      ProduceJob.personProjection(spark.range(200, 300).toDF("cnt"), "cnt", "w5", 1)
+        .write.mode("append").partitionBy("topic")
+        .parquet(graft.ingest.Topics.tableDir(root, "w5"))
+      val sv = Snapshots.commitStaged(root, "w5", 299, audit = "abandon")
+      assert(sv == 2)
+      val ckpt = java.nio.file.Paths.get(s"$root/w5._log/v00002.ckpt.json")
+      assert(Files.isRegularFile(ckpt))
+      Snapshots.dropStaged(root, "w5", "abandon")
+      // the checkpoint died with the manifest — otherwise nextVersion
+      // reallocates 2, writeCheckpoint keeps the stale file, and
+      // resolveSnapshot prefers it: readers would silently see the
+      // ABANDONED staged file set instead of the new commit
+      assert(!Files.exists(ckpt))
+      Snapshots.vacuum(root, "w5", keepFrom = 0, orphanGraceMs = 0)
+      ProduceJob.produceBatch(spark, root, "w5", topics = 1, numMessages = 50) // v2 reused
+      assert(Snapshots.snapshot(root, "w5").get.version == 2)
+      assert(Snapshots.read(spark, root, "w5").count() == 250)
+    } finally Snapshots.checkpointInterval = iv
+  }
+
+  test("a stale checkpoint at a reallocated version is replaced, never trusted (crashed dropStaged)") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    val iv = Snapshots.checkpointInterval
+    Snapshots.checkpointInterval = 2
+    try {
+      ProduceJob.produceBatch(spark, root, "w6", topics = 1, numMessages = 100) // v0
+      ProduceJob.produceBatch(spark, root, "w6", topics = 1, numMessages = 100) // v1
+      ProduceJob.personProjection(spark.range(200, 300).toDF("cnt"), "cnt", "w6", 1)
+        .write.mode("append").partitionBy("topic")
+        .parquet(graft.ingest.Topics.tableDir(root, "w6"))
+      Snapshots.commitStaged(root, "w6", 299, audit = "crashy")
+      // simulate a dropStaged that died between its two deletes: the
+      // manifest is gone, the checkpoint survives as an orphan
+      Files.delete(java.nio.file.Paths.get(s"$root/w6._log/v00002.json"))
+      Snapshots.vacuum(root, "w6", keepFrom = 0, orphanGraceMs = 0)
+      // the next commit reallocates v2; its checkpoint write collides
+      // with the orphan, detects the differing file set, and REPLACES
+      // it — readers resolve the new commit, not the abandoned batch
+      ProduceJob.produceBatch(spark, root, "w6", topics = 1, numMessages = 50)
+      assert(Snapshots.snapshot(root, "w6").get.version == 2)
+      assert(Snapshots.read(spark, root, "w6").count() == 250)
+    } finally Snapshots.checkpointInterval = iv
+  }
+
   test("dropStaged refuses to drop a published audit") {
     val root = Files.createTempDirectory("graft_snap").toString
     ProduceJob.produceBatch(spark, root, "w4", topics = 1, numMessages = 100)

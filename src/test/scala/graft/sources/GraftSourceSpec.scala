@@ -597,6 +597,30 @@ class GraftSourceSpec extends SparkTestBase {
     assert(spark.read.format("graft").load(s"$dir/w").count() == 120L)
   }
 
+  test("txn ids committed under the LEGACY (un-prefixed) encoding still match on replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_txn_legacy").toString
+    ProduceJob.produceBatch(spark, dir, "w", topics = 1, numMessages = 100) // v0
+    // a pre-round-9 log carries the bare "user-$app-$v" form — plant
+    // one the way an old writer would have committed it
+    Snapshots.commit(dir, "w", maxPos = 99, txn = Some("user-backfill-7"))
+    def append(): Unit =
+      spark.read.format("graft").load(s"$dir/w").limit(10)
+        .write.format("graft").mode("append")
+        .option("txnAppId", "backfill").option("txnVersion", "7")
+        .save(s"$dir/w")
+    // a writer replaying (backfill, 7) after the encoding upgrade must
+    // find its OLD id and no-op — re-applying would duplicate the batch
+    append()
+    assert(spark.read.format("graft").load(s"$dir/w").count() == 100L)
+    // a different version still commits (and under the new encoding)
+    spark.read.format("graft").load(s"$dir/w").limit(10)
+      .write.format("graft").mode("append")
+      .option("txnAppId", "backfill").option("txnVersion", "8")
+      .save(s"$dir/w")
+    assert(spark.read.format("graft").load(s"$dir/w").count() == 110L)
+    assert(Snapshots.snapshot(dir, "w").get.txns.contains("user-8:backfill:8"))
+  }
+
   test("CDC column pruning reaches the change-feed scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cdfp2").toString
     ProduceJob.produceBatch(spark, dir, "p", topics = 1, numMessages = 50)
