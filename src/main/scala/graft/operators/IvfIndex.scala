@@ -52,6 +52,17 @@ object IvfIndex {
     df.withColumn("cell", (array_position(ds, array_min(ds)) - 1).cast("int"))
   }
 
+  /** Cell count as a function of corpus size — IVF practice (k ≈ √n,
+    * floor 16): in-cell pair work for the blocked operators (SemDeDup,
+    * decontamination, blocked SMOTE, label noise) is Σ|cell|² ≈ n²/k,
+    * so a FIXED k degrades to quadratic as the corpus grows, while
+    * k = √n keeps expected per-cell size at √n and total pair work at
+    * n^1.5 — sub-quadratic at any scale. Both engines compute this
+    * identically (IEEE sqrt is correctly rounded; floor matches
+    * DuckDB's `GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))`). */
+  def scaledK(n: Long): Int =
+    math.max(16, math.floor(math.sqrt(n.toDouble)).toInt)
+
   /** Build the index relation: (id, v, cell). */
   def build(emb: DataFrame, idCol: String, vecCol: String, k: Int = 16): (DataFrame, Seq[Seq[Double]]) = {
     val cs = centroids(emb, idCol, vecCol, k).map(_.toIndexedSeq).toIndexedSeq

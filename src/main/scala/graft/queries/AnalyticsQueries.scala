@@ -1830,16 +1830,8 @@ object AnalyticsQueries extends QueryRegistry {
     // the bound is inert and results are unchanged.
     QueryDef("q278_label_noise",
       (s, dir) => {
-        import graft.operators.IvfIndex
         val emb = Tables.embeddings(s, dir)
-        val path = Fixtures.stagedDir(dir, "embeddings", "ivf_index_v2") { tmp =>
-          val built = IvfIndex.centroids(emb, "vec_id", "embedding", k = 16)
-          IvfIndex.persist(IvfIndex.assignCells(
-            emb.select(col("vec_id").as("id"),
-              transform(col("embedding"), x => x.cast("double")).as("v")),
-            "v", built.map(_.toIndexedSeq).toIndexedSeq), tmp)
-          IvfIndex.writeCentroids(built, tmp)
-        }
+        val path = Fixtures.stagedIvf(s, dir)
         val e = s.read.parquet(path)
           .select(col("id").as("vec_id"), col("cell"), col("v"))
           .join(emb.select(col("vec_id"), col("label")), "vec_id")

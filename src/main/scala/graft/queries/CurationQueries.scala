@@ -735,7 +735,8 @@ object CurationQueries extends QueryRegistry {
 
     // IVF-partitioned ANN: search only the nprobe cells nearest the
     // probe. The oracle replays the whole deterministic quantizer in
-    // SQL: 16 lowest-id seeds → argmin assignment (left-fold dist², the
+    // SQL: k = max(16, ⌊√n⌋) lowest-id seeds (scaledK — the same
+    // count-derived rule) → argmin assignment (left-fold dist², the
     // q35-proven list_reduce form) → per-dimension means rounded to
     // micros (matching IvfIndex.centroids' quantization, so AVG ulp
     // noise can't flip a cell) → re-assignment → 4 nearest cells to the
@@ -751,14 +752,7 @@ object CurationQueries extends QueryRegistry {
         // recompute was two driver jobs per probe). Searches go
         // through the TABLE so the cell filter prunes at the
         // file-listing level (asserted in PlanSpec).
-        val path = Fixtures.stagedDir(dir, "embeddings", "ivf_index_v2") { tmp =>
-          val built = IvfIndex.centroids(emb, "vec_id", "embedding", k = 16)
-          IvfIndex.persist(IvfIndex.assignCells(
-            emb.select(col("vec_id").as("id"),
-              transform(col("embedding"), x => x.cast("double")).as("v")),
-            "v", built.map(_.toIndexedSeq).toIndexedSeq), tmp)
-          IvfIndex.writeCentroids(built, tmp)
-        }
+        val path = Fixtures.stagedIvf(s, dir)
         val cs = IvfIndex.readCentroids(path)
         val index = s.read.parquet(path)
         val probe = emb.filter(col("vec_id") === 0)
@@ -772,7 +766,8 @@ object CurationQueries extends QueryRegistry {
            |pcells AS (
            |  SELECT cell FROM (
            |    SELECT g.g AS cell, ${ivfD2("pv", "cs[g.g+1]")} AS dist
-           |    FROM generate_series(0,15) g(g), cents, probe)
+           |    FROM generate_series(0,4095) g(g), cents, probe
+           |    WHERE g.g < ${Fixtures.ivfKSql})
            |  ORDER BY dist, cell LIMIT 4)
            |SELECT vec_id AS id, $cosineSql AS sim
            |FROM a1, probe
@@ -1334,19 +1329,11 @@ object CurationQueries extends QueryRegistry {
     // 100-TB shape: the in-cell self-join is ONE shuffle on `cell`;
     // cost is sum(|cell|^2), which is exactly the published
     // algorithm's knob — k grows with the corpus so |cell| stays
-    // bounded (here k=16 at fixture scale), and cells are
+    // bounded (k = max(16, ⌊√n⌋) via IvfIndex.scaledK), and cells are
     // file-partitioned so each task joins one cell's files.
     QueryDef("q227_semantic_dedup",
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val path = Fixtures.stagedDir(dir, "embeddings", "ivf_index_v2") { tmp =>
-          val built = IvfIndex.centroids(emb, "vec_id", "embedding", k = 16)
-          IvfIndex.persist(IvfIndex.assignCells(
-            emb.select(col("vec_id").as("id"),
-              transform(col("embedding"), x => x.cast("double")).as("v")),
-            "v", built.map(_.toIndexedSeq).toIndexedSeq), tmp)
-          IvfIndex.writeCentroids(built, tmp)
-        }
+        val path = Fixtures.stagedIvf(s, dir)
         val index = s.read.parquet(path)
         val a = index.select(col("cell"), col("id").as("a_id"), col("v").as("va"))
         val b = index.select(col("cell"), col("id").as("b_id"), col("v").as("vb"))
@@ -1389,15 +1376,7 @@ object CurationQueries extends QueryRegistry {
     // blocking + split + threshold.
     QueryDef("q304_semantic_decontamination",
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val path = Fixtures.stagedDir(dir, "embeddings", "ivf_index_v2") { tmp =>
-          val built = IvfIndex.centroids(emb, "vec_id", "embedding", k = 16)
-          IvfIndex.persist(IvfIndex.assignCells(
-            emb.select(col("vec_id").as("id"),
-              transform(col("embedding"), x => x.cast("double")).as("v")),
-            "v", built.map(_.toIndexedSeq).toIndexedSeq), tmp)
-          IvfIndex.writeCentroids(built, tmp)
-        }
+        val path = Fixtures.stagedIvf(s, dir)
         val index = s.read.parquet(path)
         val test = index.filter(col("id") % 10 === 7)
           .select(col("cell"), col("id").as("t_id"), col("v").as("tv"))
@@ -1629,7 +1608,7 @@ object CurationQueries extends QueryRegistry {
              |GROUP BY 1, 2 ORDER BY dot DESC, a, b LIMIT 10""".stripMargin)),
 
     // IVF serving-tuning curve: recall@10 as a function of nprobe
-    // (1, 2, 4, 8, 16 of 16 cells) over 8 probes against the exact
+    // (1, 2, 4, 8, 16 of k cells) over 8 probes against the exact
     // cosine top-10 — the measurement that decides an ANN deployment's
     // latency/recall point. SET-BASED, not 40 looped searches: score
     // every (probe, candidate) once (broadcast probes over the staged
@@ -1640,14 +1619,7 @@ object CurationQueries extends QueryRegistry {
     QueryDef("q273_ivf_nprobe_curve",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val path = Fixtures.stagedDir(dir, "embeddings", "ivf_index_v2") { tmp =>
-          val built = IvfIndex.centroids(emb, "vec_id", "embedding", k = 16)
-          IvfIndex.persist(IvfIndex.assignCells(
-            emb.select(col("vec_id").as("id"),
-              transform(col("embedding"), x => x.cast("double")).as("v")),
-            "v", built.map(_.toIndexedSeq).toIndexedSeq), tmp)
-          IvfIndex.writeCentroids(built, tmp)
-        }
+        val path = Fixtures.stagedIvf(s, dir)
         val cs = IvfIndex.readCentroids(path)
         val index = s.read.parquet(path)
         val probesLocal = emb.filter(col("vec_id") < 8)
@@ -1693,7 +1665,8 @@ object CurationQueries extends QueryRegistry {
         s"""WITH $ivfAssignCtes,
            |probes AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 8),
            |cd AS (SELECT pid, g.g AS cell, ${ivfD2("pv", "cs[g.g+1]")} AS dist
-           |       FROM generate_series(0,15) g(g) CROSS JOIN cents CROSS JOIN probes),
+           |       FROM generate_series(0,4095) g(g) CROSS JOIN cents CROSS JOIN probes
+           |       WHERE g.g < ${Fixtures.ivfKSql}),
            |cr AS (SELECT pid, cell,
            |         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dist, cell) AS crk
            |       FROM cd),

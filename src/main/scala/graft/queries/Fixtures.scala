@@ -73,6 +73,29 @@ object Fixtures {
     ()
   }
 
+  /** The SHARED staged IVF index over `embeddings` — one artifact on
+    * disk serving q67's search, q227's SemDeDup, q255b's blocked
+    * SMOTE, q273's nprobe curve, q278's label noise, and q304's
+    * decontamination. Cell count SCALES with the corpus
+    * ([[graft.operators.IvfIndex.scaledK]]: k = max(16, ⌊√n⌋)) so the
+    * blocked operators' in-cell pair work stays sub-quadratic at any
+    * scale; the DuckDB twin ([[ivfAssignCtes]]) computes the same k
+    * from the same COUNT(*). */
+  private[graft] def stagedIvf(s: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions.{col, transform}
+    import graft.operators.IvfIndex
+    stagedDir(dir, "embeddings", "ivf_index_v3") { tmp =>
+      val emb = Tables.embeddings(s, dir)
+      val k = IvfIndex.scaledK(emb.count())
+      val built = IvfIndex.centroids(emb, "vec_id", "embedding", k)
+      IvfIndex.persist(IvfIndex.assignCells(
+        emb.select(col("vec_id").as("id"),
+          transform(col("embedding"), x => x.cast("double")).as("v")),
+        "v", built.map(_.toIndexedSeq).toIndexedSeq), tmp)
+      IvfIndex.writeCentroids(built, tmp)
+    }
+  }
+
   /** Left-fold distance² between two DuckDB lists (the q35-proven
     * list_reduce form — sequential accumulation, matching Spark's
     * aggregate(zip_with(...)) bit-for-bit). */
@@ -80,16 +103,30 @@ object Fixtures {
     s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1,64),
        |      i -> ($vec[i]-$cent[i])*($vec[i]-$cent[i]))), (acc,x) -> acc+x)""".stripMargin
 
+  /** SQL reference to the corpus-scaled cell count (the `kk` CTE of
+    * [[ivfAssignCtes]]) — for oracle clauses that need k outside the
+    * shared CTEs (q67's probe-cell ranking, q273's curve). */
+  private[queries] val ivfKSql: String = "(SELECT k FROM kk)"
+
   /** DuckDB replay of the IVF coarse quantizer (IvfIndex.centroids +
-    * assignCells): 16 lowest-id seeds → argmin assignment → per-
-    * dimension means rounded to micros (AVG ulp noise cannot flip a
-    * cell) → re-assignment. Ends in `a1(vec_id, v, cell)` and keeps
-    * `cents` in scope — shared by the q67 search, q227 SemDeDup, and
-    * q255b blocked-SMOTE oracles. */
+    * assignCells): k = max(16, ⌊√n⌋) lowest-id seeds (the SAME scaling
+    * rule as IvfIndex.scaledK, computed from the same COUNT(*)) →
+    * argmin assignment → per-dimension means rounded to micros (AVG
+    * ulp noise cannot flip a cell) → re-assignment. Ends in
+    * `a1(vec_id, v, cell)` and keeps `cents`/`kk` in scope — shared by
+    * the q67 search, q227 SemDeDup, q255b blocked-SMOTE, q273 curve,
+    * q278 label-noise, and q304 decontamination oracles. The cell
+    * generator is a fixed 0..4095 range filtered to k (table-function
+    * args must be constants): k = 4096 corresponds to ~16.7M vectors —
+    * far past any oracle SF. */
   private[queries] val ivfAssignCtes: String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |seeds AS (SELECT list(v ORDER BY vec_id) AS s
-       |          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+    s"""kk AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k
+       |       FROM embeddings),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (SELECT list(v ORDER BY vec_id) AS s FROM (
+       |            SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+       |            FROM e)
+       |          WHERE rn <= $ivfKSql),
        |a0 AS (
        |  SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cell
        |  FROM (SELECT vec_id, v,
@@ -104,9 +141,10 @@ object Fixtures {
        |cents AS (
        |  SELECT list(c ORDER BY cell) AS cs FROM (
        |    SELECT g.g AS cell, COALESCE(m.mean, s.s[g.g+1]) AS c
-       |    FROM generate_series(0,15) g(g)
+       |    FROM generate_series(0,4095) g(g)
        |    LEFT JOIN m ON m.cell = g.g
-       |    CROSS JOIN seeds s)),
+       |    CROSS JOIN seeds s
+       |    WHERE g.g < $ivfKSql)),
        |a1 AS (
        |  SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cell
        |  FROM (SELECT vec_id, v,

@@ -63,7 +63,7 @@ class TrainingOpsSpec extends SparkTestBase {
     val blocked = run("q255b_smote_blocked").collect()
     assert(blocked.nonEmpty)
     // same IVF artifact the query staged
-    val path = graft.queries.Fixtures.stagedDir(sf, "embeddings", "ivf_index_v2")(_ => ())
+    val path = graft.queries.Fixtures.stagedIvf(spark, sf)
     val cells = spark.read.parquet(path).select(col("id"), col("cell")).collect()
       .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
     blocked.foreach { r =>
