@@ -41,15 +41,43 @@ object IvfIndex {
     (0 until k).map(i => means.getOrElse(i, seeds(i)).toSeq)
   }
 
-  /** Distance-squared to a literal centroid. */
-  private def dist2(v: Column, c: Seq[Double]): Column =
-    aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-
-  /** Assign each row to its nearest centroid cell (argmin index). */
+  /** Assign each row to its nearest centroid cell (argmin index; ties
+    * break to the LOWEST cell, matching the oracle's
+    * `list_position(ds, list_min(ds))` first-occurrence rule).
+    *
+    * Implemented as a per-partition kernel (MLlib KMeans' shape), not
+    * a k-wide expression array: with corpus-scaled k the old
+    * `array(dist2(c0), …, dist2(ck))` column was a ~k·dim-node
+    * expression tree — at k=447 (the sf10 corpus) planning/codegen
+    * degenerated and the build never finished. The kernel is one
+    * narrow pass, O(n·k·dim) flops with zero shuffle, and the
+    * per-dimension accumulation order is IDENTICAL to the HOF fold the
+    * DuckDB oracle replays (strict left-to-right adds), so assignments
+    * stay bit-reproducible cross-engine. */
   def assignCells(df: DataFrame, vecCol: String, cs: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
-    val ds = array(cs.map(c => dist2(col(vecCol), c.toSeq)): _*)
-    df.withColumn("cell", (array_position(ds, array_min(ds)) - 1).cast("int"))
+    val spark = df.sparkSession
+    val schema = df.schema.add("cell", org.apache.spark.sql.types.IntegerType,
+      nullable = false)
+    val vIdx = df.schema.fieldIndex(vecCol)
+    val cents: Array[Array[Double]] = cs.map(_.toArray).toArray
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val v = row.getSeq[Double](vIdx)
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cents.length) {
+          val cent = cents(c)
+          var d = 0.0
+          var i = 0
+          while (i < cent.length) { val t = v(i) - cent(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c } // strict <: first min wins
+          c += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ best)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Cell count as a function of corpus size — IVF practice (k ≈ √n,
