@@ -1910,6 +1910,76 @@ object LakehouseQueries extends QueryRegistry {
              |UNION ALL
              |SELECT 'd_part', COUNT(*), CAST(SUM(id) AS BIGINT)
              |FROM range(0, 900) t(id) WHERE id % 3 = 1
+             |ORDER BY step""".stripMargin)),
+
+    // Correlated DML subqueries (round 10): the equality-correlated
+    // aggregated scalar — `SET age = (SELECT max(x) FROM s WHERE s.k =
+    // t.k)` — the next thing a user tries after q302's uncorrelated
+    // form (Delta historically refused it). The lowering strips the
+    // correlated equi-conjuncts out of the subquery plan, registers
+    // the rest as a run-time view with namespaced columns, and
+    // re-emits the same correlated scalar against that view — Spark's
+    // optimizer then DECORRELATES it into an aggregate + join, so the
+    // per-row lookup runs distributed (no collect, no size cap) with
+    // standard scalar semantics (no match → NULL). Exercised in a SET
+    // value, a no-match NULL panel, and a DELETE bound with the
+    // correlation under an expression (ba % 5); the oracle replays
+    // the same correlated algebra over range().
+    QueryDef("q305_dml_correlated",
+      (s, _) => {
+        val tbl = "graft_q305_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val root = freshScratch(s, "q305", "graft-dmlcorr", Some(tbl))
+        ProduceJob.produceBatch(s, root, "q", topics = 1, numMessages = 1000) // ba 0..999
+        s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$root/q')")
+        s.sql("""CREATE OR REPLACE TEMP VIEW q305_src AS
+                |SELECT CAST(id % 10 AS BIGINT) AS k, CAST(id AS BIGINT) AS x
+                |FROM range(100)""".stripMargin)
+        s.sql("""CREATE OR REPLACE TEMP VIEW q305_src2 AS
+                |SELECT CAST(id AS BIGINT) AS k, CAST(id * 3 AS BIGINT) AS x
+                |FROM range(5)""".stripMargin)
+        // correlated SET value: per-row group max → age = ba%10 + 90
+        s.sql(s"UPDATE $tbl SET age = CAST((SELECT max(x) FROM q305_src " +
+          s"WHERE q305_src.k = ba % 10) AS INT) WHERE ba < 500")
+        // no-match rows take NULL (ba 505..509 miss the 5-key view)
+        s.sql(s"UPDATE $tbl SET age = CAST((SELECT max(x) FROM q305_src2 " +
+          s"WHERE q305_src2.k = ba - 500) AS INT) WHERE ba >= 500 AND ba < 510")
+        // correlated DELETE bound, correlation under an expression
+        s.sql(s"DELETE FROM $tbl WHERE ba >= 900 AND ba % 10 > " +
+          s"(SELECT max(x) FROM q305_src2 WHERE q305_src2.k = ba % 5)")
+        val t = s.table(tbl)
+        val a = t.filter(col("ba") < 500)
+          .agg(count(lit(1)).as("cnt"), sum("age").cast("bigint").as("agg"))
+          .select(lit("a_upd").as("step"), col("cnt"), col("agg"))
+        val b = t.filter(col("ba") >= 500 && col("ba") < 510 && col("age").isNotNull)
+          .agg(count(lit(1)).as("cnt"), sum("age").cast("bigint").as("agg"))
+          .select(lit("b_match").as("step"), col("cnt"), col("agg"))
+        val c = t.agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("agg"))
+          .select(lit("c_alive").as("step"), col("cnt"), col("agg"))
+        a.unionAll(b).unionAll(c).orderBy("step")
+      },
+      Some("""WITH src AS (SELECT id % 10 AS k, id AS x FROM range(100) t(id)),
+             |src2 AS (SELECT id AS k, id * 3 AS x FROM range(5) t(id)),
+             |aged AS (
+             |  SELECT id AS ba,
+             |    CASE WHEN id < 500
+             |           THEN (SELECT max(x) FROM src WHERE src.k = id % 10)
+             |         WHEN id BETWEEN 500 AND 509
+             |           THEN (SELECT max(x) FROM src2 WHERE src2.k = id - 500)
+             |         ELSE NULL END AS new_age
+             |  FROM range(0, 1000) t(id)),
+             |alive AS (
+             |  SELECT * FROM aged
+             |  WHERE NOT (ba >= 900 AND ba % 10 >
+             |    (SELECT max(x) FROM src2 WHERE src2.k = ba % 5)))
+             |SELECT 'a_upd' AS step, COUNT(*) AS cnt,
+             |  CAST(SUM(new_age) AS BIGINT) AS agg
+             |FROM alive WHERE ba < 500
+             |UNION ALL
+             |SELECT 'b_match', COUNT(*), CAST(SUM(new_age) AS BIGINT)
+             |FROM alive WHERE ba BETWEEN 500 AND 509 AND new_age IS NOT NULL
+             |UNION ALL
+             |SELECT 'c_alive', COUNT(*), CAST(SUM(ba) AS BIGINT) FROM alive
              |ORDER BY step""".stripMargin))
   )
 }

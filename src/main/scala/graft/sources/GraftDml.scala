@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, Expression, GetStructField, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, EqualTo, Expression, GetStructField, OuterReference, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -66,10 +66,91 @@ object GraftDml extends Rule[LogicalPlan] {
   private def refuseCorrelated(): Nothing =
     throw new UnsupportedOperationException(
       "graft DML: correlated or nested subqueries in UPDATE/MERGE/DELETE " +
-        "conditions or values are not supported — supported alternatives: " +
-        "uncorrelated IN (SELECT ...), uncorrelated EXISTS (SELECT ...), " +
-        "uncorrelated scalar (SELECT ...) values, or MERGE INTO with the " +
+        "conditions or values are not supported beyond the " +
+        "equality-correlated aggregated scalar form — supported " +
+        "alternatives: uncorrelated IN (SELECT ...), uncorrelated EXISTS " +
+        "(SELECT ...), uncorrelated scalar (SELECT ...) values, " +
+        "equality-correlated scalar aggregates like " +
+        "(SELECT max(x) FROM s WHERE s.k = t.k), or MERGE INTO with the " +
         "per-row logic joined in the source")
+
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case other => Seq(other)
+  }
+
+  /** Lower an EQUALITY-CORRELATED aggregated scalar subquery —
+    * `(SELECT agg(x) FROM s WHERE s.k = t.k [AND local])` — the form a
+    * user reaches for right after the uncorrelated one (and the one
+    * Delta historically refused). The correlated equi-conjuncts are
+    * stripped out of the subquery's plan; what remains (a standalone,
+    * outer-reference-free plan) registers as a run-time view with its
+    * columns renamed into a per-subquery namespace, and the emitted
+    * text re-states the SAME correlated scalar subquery against that
+    * view — Spark's analyzer then resolves the bare outer columns
+    * against the re-read frame and its optimizer DECORRELATES the
+    * lookup into an aggregate + join, so the per-row evaluation is
+    * distributed (no collect, no size cap) with standard scalar
+    * semantics (no match → NULL; COUNT over no match → 0).
+    *
+    * Returns None (→ refusal) for shapes outside the contract: a
+    * grouped aggregate, outer references anywhere but top-level
+    * equality conjuncts of Filters, or non-aggregated plans. */
+  private def liftCorrelatedScalar(plan: LogicalPlan, idx: Int,
+                                   attrFix: Expression => Expression): Option[(LogicalPlan, String)] = {
+    def hasOuter(e: Expression): Boolean = e.exists {
+      case _: OuterReference => true
+      case s: SubqueryExpression => s.getOuterAttrs.nonEmpty
+      case _ => false
+    }
+    plan match {
+      case agg: Aggregate if agg.groupingExpressions.isEmpty &&
+          agg.aggregateExpressions.length == 1 &&
+          !agg.aggregateExpressions.exists(hasOuter) =>
+        val corr = scala.collection.mutable.ArrayBuffer[(Expression, Expression)]()
+        var bad = false
+        val cleaned = agg.child.transformUp {
+          case f: Filter if hasOuter(f.condition) =>
+            val (outerCj, localCj) = conjunctsOf(f.condition).partition(hasOuter)
+            val pairs = outerCj.map {
+              case EqualTo(l, r) if hasOuter(r) && !hasOuter(l) &&
+                  r.references.isEmpty => (l, r)
+              case EqualTo(l, r) if hasOuter(l) && !hasOuter(r) &&
+                  l.references.isEmpty => (r, l)
+              case _ => bad = true; null
+            }
+            if (!bad) corr ++= pairs
+            localCj.reduceOption(And).map(Filter(_, f.child)).getOrElse(f.child)
+        }
+        // anything still referencing the outer row after the strip —
+        // an OR mixing scopes, outer refs in a join condition, a
+        // doubly-nested correlation — is outside the contract
+        if (bad || corr.isEmpty ||
+            cleaned.exists(_.expressions.exists(hasOuter))) None
+        else {
+          val pfx = s"_graft_sq${idx}_"
+          val renamed = Project(
+            cleaned.output.map(a => Alias(a, pfx + a.name)()), cleaned)
+          val innerIds = cleaned.outputSet
+          def innerFix(e: Expression): Expression = e.transform {
+            case a: AttributeReference if innerIds.contains(a) =>
+              a.withName(pfx + a.name).withQualifier(Seq.empty)
+          }
+          val aggExpr = agg.aggregateExpressions.head match {
+            case al: Alias => al.child
+            case other => other
+          }
+          val aggSql = innerFix(aggExpr).sql
+          val condSql = corr.map { case (inner, outerSide) =>
+            val o = outerSide.transform { case OuterReference(a) => a }
+            s"(${innerFix(inner).sql} = ${attrFix(o).sql})"
+          }.mkString(" AND ")
+          Some((renamed,
+            s"(SELECT $aggSql FROM __graft_view_${idx}__ WHERE $condSql)"))
+        }
+      case _ => None
+    }
+  }
 
   /** Resolved expression → SQL text, with source-side attributes moved
     * into the `_graft_src_` namespace (target attrs keep their name).
@@ -110,9 +191,16 @@ object GraftDml extends Rule[LogicalPlan] {
         templates(i) = s"($lhs IN (SELECT * FROM __graft_view_${i}__))"
         placeholder(i, org.apache.spark.sql.types.BooleanType)
       case sc: ScalarSubquery =>
-        if (sc.outerAttrs.nonEmpty) refuseCorrelated()
-        val i = subq.length; subq += sc.plan
-        templates(i) = s"(SELECT * FROM __graft_view_${i}__)"
+        val i = subq.length
+        if (sc.outerAttrs.nonEmpty) {
+          val (viewPlan, template) = liftCorrelatedScalar(sc.plan, i, attrFix)
+            .getOrElse(refuseCorrelated())
+          subq += viewPlan
+          templates(i) = template
+        } else {
+          subq += sc.plan
+          templates(i) = s"(SELECT * FROM __graft_view_${i}__)"
+        }
         placeholder(i, sc.dataType)
       case ex: Exists =>
         if (ex.outerAttrs.nonEmpty) refuseCorrelated()

@@ -271,6 +271,43 @@ class GraftDmlSpec extends SparkTestBase {
     assert(spark.table("graft.dmlsubq.t").count() == 90)
   }
 
+  test("equality-correlated scalar subqueries work in SET values and DELETE/UPDATE conditions") {
+    val (_, tbl) = fresh("corr")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW corr_src AS
+      SELECT CAST(id % 10 AS BIGINT) AS k, CAST(id AS INT) AS x FROM range(100)""")
+    // SET value: per-row lookup of max(x) over the matching k group —
+    // max over {k, k+10, ..., k+90} = k + 90
+    spark.sql(s"UPDATE $tbl SET age = (SELECT max(x) FROM corr_src WHERE corr_src.k = ba % 10) " +
+      s"WHERE ba < 20")
+    val rows = spark.sql(s"SELECT ba, age FROM $tbl WHERE ba < 20 ORDER BY ba")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    rows.foreach { case (ba, age) => assert(age == (ba % 10 + 90).toInt, s"ba=$ba age=$age") }
+    // no-match rows take NULL (standard scalar-subquery semantics)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW corr_src2 AS
+      SELECT CAST(id AS BIGINT) AS k, CAST(id * 2 AS INT) AS x FROM range(5)""")
+    spark.sql(s"UPDATE $tbl SET age = (SELECT max(x) FROM corr_src2 WHERE corr_src2.k = ba) " +
+      s"WHERE ba >= 20 AND ba < 30")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE ba >= 20 AND ba < 30 AND age IS NULL")
+      .head().getLong(0) == 10L)
+    // DELETE bound by a correlated aggregate: remove rows whose ba
+    // exceeds their k-group's max x (k in 0..4 → max 2k; rest no match
+    // → NULL comparison → not deleted)
+    val before = spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0)
+    spark.sql(s"DELETE FROM $tbl WHERE ba < 5 AND " +
+      s"ba > (SELECT max(x) FROM corr_src2 WHERE corr_src2.k = ba % 5)")
+    // ba in 0..4: max x at k=ba is 2*ba → delete where ba > 2*ba → none
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == before)
+    spark.sql(s"DELETE FROM $tbl WHERE ba >= 5 AND ba < 10 AND " +
+      s"ba > (SELECT min(x) FROM corr_src2 WHERE corr_src2.k = ba - 5)")
+    // ba in 5..9: min x at k=ba-5 is 2(ba-5) → delete where ba > 2ba-10 → ba < 10 → all 5
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == before - 5)
+    // local conjuncts inside the subquery survive the strip
+    spark.sql(s"UPDATE $tbl SET age = (SELECT count(*) FROM corr_src " +
+      s"WHERE corr_src.k = ba % 10 AND corr_src.x >= 50) WHERE ba >= 30 AND ba < 40")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE ba >= 30 AND ba < 40 AND age = 5")
+      .head().getLong(0) == 10L)
+  }
+
   test("DML refuses correlated subqueries and unknown assignment shapes") {
     val (_, tbl) = fresh("refuse")
     def causes(t: Throwable): Seq[Throwable] =
