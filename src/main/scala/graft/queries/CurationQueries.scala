@@ -1608,7 +1608,7 @@ object CurationQueries extends QueryRegistry {
              |GROUP BY 1, 2 ORDER BY dot DESC, a, b LIMIT 10""".stripMargin)),
 
     // IVF serving-tuning curve: recall@10 as a function of nprobe
-    // (1, 2, 4, 8, 16 of k cells) over 8 probes against the exact
+    // (1, 2, 4, 8, and k — the full scan — of k cells) over 8 probes against the exact
     // cosine top-10 — the measurement that decides an ANN deployment's
     // latency/recall point. SET-BASED, not 40 looped searches: score
     // every (probe, candidate) once (broadcast probes over the staged
@@ -1647,7 +1647,10 @@ object CurationQueries extends QueryRegistry {
         val exact = scores.withColumn("rk", row_number().over(
             Window.partitionBy("pid").orderBy(col("sim").desc, col("id"))))
           .filter(col("rk") <= 10).select("pid", "id")
-        val nps = Seq(1, 2, 4, 8, 16).toDF("np")
+        // operating points 1..8 plus k itself — the full-scan point
+        // stays on the curve at ANY corpus-scaled cell count (its
+        // recall is exact by construction, which the spec pins)
+        val nps = (Seq(1, 2, 4, 8) :+ cs.length).distinct.toDF("np")
         val ann = scores.join(broadcast(cellRank), Seq("pid", "cell"))
           .crossJoin(broadcast(nps))
           .filter(col("crk") <= col("np"))
@@ -1675,7 +1678,9 @@ object CurationQueries extends QueryRegistry {
            |ex AS (SELECT pid, id FROM (
            |         SELECT pid, id, ROW_NUMBER() OVER (PARTITION BY pid
            |           ORDER BY sim DESC, id) AS rk FROM sc) WHERE rk <= 10),
-           |np AS (SELECT unnest([1, 2, 4, 8, 16]) AS np),
+           |np AS (SELECT DISTINCT np FROM (
+           |         SELECT unnest([1, 2, 4, 8]) AS np
+           |         UNION ALL SELECT CAST(k AS INT) FROM kk)),
            |ann AS (SELECT np, pid, id FROM (
            |         SELECT n.np, s.pid, s.id, ROW_NUMBER() OVER (
            |           PARTITION BY n.np, s.pid ORDER BY s.sim DESC, s.id) AS rk

@@ -294,10 +294,14 @@ class PipelineAdditionsSpec extends SparkTestBase {
   test("q273: recall is monotone in nprobe and exact at full scan") {
     val rows = SparkEntry.queries("q273_ivf_nprobe_curve")(spark, sf01)
       .collect().sortBy(_.getInt(0))
-    assert(rows.map(_.getInt(0)).sameElements(Array(1, 2, 4, 8, 16)))
+    // the curve's last point is k itself (corpus-scaled), so the
+    // full-scan operating point exists at any scale factor
+    val k = graft.operators.IvfIndex.scaledK(
+      graft.Tables.embeddings(spark, sf01).count())
+    assert(rows.map(_.getInt(0)).sameElements(Array(1, 2, 4, 8, k)))
     val hits = rows.map(_.getLong(1))
     hits.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
-    assert(hits.last == 80L, "nprobe=16 scans every cell -> exact recall")
+    assert(hits.last == 80L, s"nprobe=$k scans every cell -> exact recall")
     assert(hits.head >= 40L, "even nprobe=1 should recover half the neighbors")
   }
 
