@@ -124,7 +124,7 @@ object Bench {
     // a host CPU-frequency/steal throttle neither catches). One fixed
     // single-threaded arithmetic workload, run twice (first pass is
     // JIT warmup), stamped as cpu_mops.
-    val cpuMops: Double = {
+    def cpuProbe(): Double = {
       def pass(): Double = {
         var x = 0x9E3779B97F4A7C15L
         var i = 0
@@ -141,16 +141,20 @@ object Bench {
       }
       pass(); pass()
     }
+    val cpuMops: Double = cpuProbe()
     // cpu gate (round-9: the r8 driver bench silently recorded a 474 s
     // throttled run at cpu_mops 454 — the stamp adjudicated it but did
     // not prevent it). The default threshold derives from the COMMITTED
     // record's own cpu_mops stamp (94% of it — the healthy regime on
-    // whatever host class recorded it), not a hardcoded host constant:
-    // on a legitimately slower machine the first healthy record
-    // re-anchors the gate. Fallback when no stamped record exists =
-    // 577 * 1.1 (BENCH_NOTES' slow-regime reference + 10%). Override
-    // with SPARK_GRAFT_MIN_CPU_MOPS (<= 0 disables the check, keeps
-    // the stamp).
+    // whatever host class recorded it), CLAMPED to no less than the
+    // 577 * 1.1 fallback (BENCH_NOTES' slow-regime reference + 10%):
+    // without the clamp, a sequence of runs each just inside the 94%
+    // band re-anchors the gate downward without bound — an unbounded
+    // ratchet into exactly the throttled regime the gate exists to
+    // refuse (round-11 advisor finding). A genuinely slower host class
+    // sets SPARK_GRAFT_MIN_CPU_MOPS explicitly (<= 0 disables the
+    // check, keeps the stamp) — the derived anchor alone can never
+    // admit it, since the fallback would refuse its first record too.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_FULL.json")
     val recordMops: Option[Double] =
       try {
@@ -160,14 +164,15 @@ object Bench {
             .findFirstMatchIn(Files.readString(p)).map(_.group(1).toDouble)
         else None
       } catch { case _: Throwable => None }
+    val fallbackMops = 577.0 * 1.1
     val minCpuMops = sys.env.get("SPARK_GRAFT_MIN_CPU_MOPS").map(_.toDouble)
-      .orElse(recordMops.map(_ * 0.94))
-      .getOrElse(577.0 * 1.1)
+      .orElse(recordMops.map(m => (m * 0.94).max(fallbackMops)))
+      .getOrElse(fallbackMops)
     if (minCpuMops > 0 && cpuMops < minCpuMops)
       throttleReasons ::= f"cpu probe $cpuMops%.0f Mops/s < $minCpuMops%.0f"
 
-    val throttled = throttleReasons.nonEmpty
-    if (throttled) System.err.println(
+    val startThrottled = throttleReasons.nonEmpty
+    if (startThrottled) System.err.println(
       "[bench] host is THROTTLED (" + throttleReasons.mkString("; ") +
         ") — measuring anyway, but the committed record (" + detailPath +
         ") will NOT be updated; full map goes to the .throttled sidecar")
@@ -238,6 +243,20 @@ object Bench {
     }
     val total = results.map(_._2).sum
 
+    // END-of-run cpu stamp (round-11 verdict #1): the start probes are
+    // start-of-run only, so a host that drifts MID-run — the committed
+    // r10 sf1 record carried ~60 s of exactly that, adjudicated in
+    // prose — used to stamp healthy. Re-running the same arithmetic
+    // probe after the last query makes the drift machine-visible and
+    // gates the committed-record write like any other throttle reason.
+    // GC first so 311 queries' worth of garbage doesn't pollute the
+    // single-threaded probe.
+    System.gc()
+    val cpuMopsEnd: Double = cpuProbe()
+    if (minCpuMops > 0 && cpuMopsEnd < minCpuMops)
+      throttleReasons ::= f"END cpu probe $cpuMopsEnd%.0f Mops/s < $minCpuMops%.0f (mid-run drift)"
+    val throttled = throttleReasons.nonEmpty
+
     // complete record → file (stdout only gets the headline subset).
     // A throttled run's full map is still written — to the sidecar,
     // never to the committed record: per-query data for adjudication
@@ -246,7 +265,7 @@ object Bench {
       .mkString("{", ",", "}")
     val rcFull = results.map { case (k, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"throttled":$throttled,"load1":${fmt(load1)},"read_mbps":${fmt(readMbps)},"cpu_mops":${fmt(cpuMops)},"queries":$qsFull,"rows":$rcFull,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"throttled":$throttled,"load1":${fmt(load1)},"read_mbps":${fmt(readMbps)},"cpu_mops":${fmt(cpuMops)},"cpu_mops_end":${fmt(cpuMopsEnd)},"queries":$qsFull,"rows":$rcFull,"sf":"$sfDir"}"""
     val outPath = if (throttled) detailPath + ".throttled" else detailPath
     try Files.write(Paths.get(outPath),
       full.getBytes(StandardCharsets.UTF_8))
@@ -255,7 +274,7 @@ object Bench {
     val byName = results.map { case (k, v, _) => k -> v }.toMap
     val qs = Headline.flatMap(h => byName.get(h).map(v => "\"" + h + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"throttled":$throttled,"load1":${fmt(load1)},"read_mbps":${fmt(readMbps)},"cpu_mops":${fmt(cpuMops)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"throttled":$throttled,"load1":${fmt(load1)},"read_mbps":${fmt(readMbps)},"cpu_mops":${fmt(cpuMops)},"cpu_mops_end":${fmt(cpuMopsEnd)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -343,15 +343,21 @@ object Snapshots {
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         // An existing checkpoint for OUR version number is normally a
-        // racer's byte-identical write — keep it. But a checkpoint
-        // whose `files` DIFFER is stale metadata from an abandoned
-        // commit at a reallocated version number (a dropped staged
-        // commit whose cleanup crashed mid-way) — trusting it would
-        // serve the abandoned file set, so replace it atomically.
+        // racer's byte-identical write — keep it. Anything else is not
+        // trustworthy for this version while `json` is known-good, so
+        // replace atomically: DIFFERENT bytes are stale metadata from
+        // an abandoned commit at a reallocated version number (a
+        // dropped staged commit whose cleanup crashed mid-way) — even
+        // when only txns/stats/refsEver differ, not `files` — and an
+        // UNREADABLE/truncated file must be repaired, not kept.
+        // (Round-11 advisor: the old IOException-only catch let a
+        // corrupt checkpoint whose parse threw another exception type
+        // propagate and fail the commit; the files-only comparison
+        // trusted abandoned checkpoints that differed elsewhere.)
         val p = ckptPath(root, prefix, version)
         val stale = try {
-          jsonArr(Files.readString(p), "files") != jsonArr(json, "files")
-        } catch { case _: java.io.IOException => false }
+          Files.readString(p) != json
+        } catch { case scala.util.control.NonFatal(_) => true }
         if (stale) replaceCheckpoint(root, prefix, version, json)
     }
   }

@@ -94,8 +94,20 @@ object GraftDml extends Rule[LogicalPlan] {
     * semantics (no match → NULL; COUNT over no match → 0).
     *
     * Returns None (→ refusal) for shapes outside the contract: a
-    * grouped aggregate, outer references anywhere but top-level
-    * equality conjuncts of Filters, or non-aggregated plans. */
+    * grouped aggregate, outer references anywhere but equality
+    * conjuncts of Filters on the Project/Filter spine under the
+    * aggregate, or non-aggregated plans.
+    *
+    * The strip is deliberately SPINE-RESTRICTED (advisor round-11 high
+    * finding): a correlated Filter below an intervening Aggregate,
+    * Join, Window, Limit, … decides GROUP/JOIN membership, so hoisting
+    * it to a top-level WHERE over the view changes semantics; and a
+    * correlation column dropped or re-aliased by an intervening
+    * Project would leave the re-emitted predicate's bare inner name to
+    * resolve against the UPDATE TARGET at re-analysis (correlations
+    * like `s.k = t.k` virtually guarantee a same-named target column),
+    * silently turning it into a tautology. Both shapes now return None
+    * → the loud refusal. */
   private def liftCorrelatedScalar(plan: LogicalPlan, idx: Int,
                                    attrFix: Expression => Expression): Option[(LogicalPlan, String)] = {
     def hasOuter(e: Expression): Boolean = e.exists {
@@ -109,7 +121,10 @@ object GraftDml extends Rule[LogicalPlan] {
           !agg.aggregateExpressions.exists(hasOuter) =>
         val corr = scala.collection.mutable.ArrayBuffer[(Expression, Expression)]()
         var bad = false
-        val cleaned = agg.child.transformUp {
+        // descend ONLY through Project/Filter: any correlated Filter
+        // deeper than that is left in place and caught by the
+        // residual-outer-ref check below → refusal, never a mis-lower
+        def strip(p: LogicalPlan): LogicalPlan = p match {
           case f: Filter if hasOuter(f.condition) =>
             val (outerCj, localCj) = conjunctsOf(f.condition).partition(hasOuter)
             val pairs = outerCj.map {
@@ -120,13 +135,26 @@ object GraftDml extends Rule[LogicalPlan] {
               case _ => bad = true; null
             }
             if (!bad) corr ++= pairs
-            localCj.reduceOption(And).map(Filter(_, f.child)).getOrElse(f.child)
+            val child = strip(f.child)
+            localCj.reduceOption(And).map(Filter(_, child)).getOrElse(child)
+          case f: Filter => f.copy(child = strip(f.child))
+          case pr: Project => pr.copy(child = strip(pr.child))
+          // alias wrappers (derived tables, views) are output-preserving
+          // no-ops — hoisting a Filter across one is always sound
+          case sa: SubqueryAlias => sa.copy(child = strip(sa.child))
+          case other => other
         }
-        // anything still referencing the outer row after the strip —
-        // an OR mixing scopes, outer refs in a join condition, a
-        // doubly-nested correlation — is outside the contract
+        val cleaned = strip(agg.child)
+        // outside the contract: a mixed-scope/non-equality conjunct, no
+        // correlation, outer refs surviving the strip (OR mixing
+        // scopes, join-condition correlation, double nesting, or a
+        // correlated Filter below a non-spine node), or a correlation
+        // column that the spine's Projects drop/re-alias so it is
+        // absent from cleaned.output — its bare name would mis-resolve
+        // against the outer scope after the view rename
         if (bad || corr.isEmpty ||
-            cleaned.exists(_.expressions.exists(hasOuter))) None
+            cleaned.exists(_.expressions.exists(hasOuter)) ||
+            !corr.forall(_._1.references.subsetOf(cleaned.outputSet))) None
         else {
           val pfx = s"_graft_sq${idx}_"
           val renamed = Project(

@@ -562,10 +562,27 @@ private[sources] class GraftTable(val root: String, val prefix: String,
                 // against such a table must still no-op, so when the
                 // LEGACY id is already committed the replay keeps
                 // matching it instead of re-applying under the new
-                // encoding (new pairs always take the unambiguous form)
+                // encoding (new pairs always take the unambiguous form).
+                // The legacy lookup is consulted ONLY for dash-free
+                // pairs (round-11 advisor): with a '-' in appId or
+                // version, "user-$app-$v" is ambiguous — the pair
+                // ("a","1-2") renders identically to ("a-1","2"), so a
+                // NEW pair could find a DIFFERENT pair's pre-upgrade id
+                // and silently no-op a legitimate first write. Dash-free
+                // renderings are bijective, so matching them is safe; a
+                // dash-bearing pre-upgrade pair re-applies once under
+                // the new encoding instead of risking a silent no-op.
+                // Skipping the lookup also skips the extra snapshot
+                // resolution for the pairs that can't match anyway.
                 val legacy = s"user-$app-$v"
-                if (Snapshots.snapshot(root, prefix, None)
-                      .exists(_.txns.contains(legacy))) legacy
+                if (!app.contains('-') && !v.contains('-') &&
+                    Snapshots.snapshot(root, prefix, None)
+                      .exists(_.txns.contains(legacy))) {
+                  System.err.println(s"[graft] txn: matched PRE-UPGRADE " +
+                    s"legacy id '$legacy' for (txnAppId=$app, " +
+                    s"txnVersion=$v) — write no-ops against the legacy commit")
+                  legacy
+                }
                 else s"user-${app.length}:$app:$v"
               }
               def txnOr(pfx: String): Option[String] =

@@ -136,6 +136,36 @@ class DeltaLogSpec extends SparkTestBase {
     assert(Snapshots.read(spark, root, "sw").count() == 50)
   }
 
+  test("a corrupt/abandoned checkpoint at a commit's version is repaired, not trusted or fatal") {
+    // round-11 advisor: writeCheckpoint's CREATE_NEW collision path
+    // caught only IOException around the staleness probe — a TRUNCATED
+    // checkpoint whose parse threw anything else failed the commit;
+    // and the files-only comparison trusted an abandoned checkpoint
+    // differing only in txns/stats/refsEver. Unreadable or different
+    // now both mean stale-and-replace (our json is known-good).
+    val root = Files.createTempDirectory("graft_dlog").toString
+    val iv = Snapshots.checkpointInterval
+    Snapshots.checkpointInterval = 2
+    try {
+      ProduceJob.produceBatch(spark, root, "ck", topics = 1, numMessages = 10) // v0
+      ProduceJob.produceBatch(spark, root, "ck", topics = 1, numMessages = 10) // v1
+      // plant garbage where v2's checkpoint will go — an abandoned
+      // write from a crashed committer at a reallocated version number
+      val ckpt = Paths.get(s"$root/ck._log/v00002.ckpt.json")
+      Files.writeString(ckpt, "{\"version\": 2, \"files\": [\"part-orph") // truncated
+      ProduceJob.produceBatch(spark, root, "ck", topics = 1, numMessages = 10) // v2 + ckpt
+      // the commit survived and the checkpoint was atomically repaired
+      val snap = Snapshots.snapshot(root, "ck", None).get
+      assert(snap.version == 2)
+      assert(Snapshots.read(spark, root, "ck").count() == 30)
+      val body = Files.readString(ckpt)
+      assert(body.contains("\"refsEver\""), body.take(200))
+      assert(!body.contains("part-orph"), "garbage checkpoint must be replaced")
+      // a fresh reader resolving THROUGH the repaired checkpoint agrees
+      assert(Snapshots.snapshot(root, "ck", Some(2)).get.files == snap.files)
+    } finally Snapshots.checkpointInterval = iv
+  }
+
   test("refsEver is bounded by live files after vacuum, not by files ever written") {
     val root = Files.createTempDirectory("graft_dlog").toString
     val iv = Snapshots.checkpointInterval

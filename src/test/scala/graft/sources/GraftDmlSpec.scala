@@ -308,6 +308,47 @@ class GraftDmlSpec extends SparkTestBase {
       .head().getLong(0) == 10L)
   }
 
+  test("correlated-scalar lift is spine-restricted: pathological trees refuse, never mis-lower") {
+    // advisor round-11 high finding: the old strip removed correlated
+    // Filters ANYWHERE in the subquery tree; when an intervening
+    // Project dropped the correlation column, the re-emitted top-level
+    // WHERE's bare inner name re-resolved against the UPDATE TARGET
+    // (here: `ba = ba`, a tautology) and silently wrote wrong values.
+    val (_, tbl) = fresh("corrpatho")
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    def assertRefused(sql: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      assert(causes(e).exists(c => c.isInstanceOf[UnsupportedOperationException] &&
+        c.getMessage.contains("correlated or nested subqueries")), e.toString)
+    }
+    // source shares the target's column name `ba` so a mis-lower would
+    // be SILENT (tautology), not an analysis error — the dangerous case
+    spark.sql("""CREATE OR REPLACE TEMP VIEW patho_src AS
+      SELECT CAST(id % 5 AS BIGINT) AS ba, CAST(id AS INT) AS x FROM range(50)""")
+    // (a) intervening Project DROPS the correlation column: the filter
+    // is on the spine but `patho_src.ba` is not in the derived table's
+    // output → must refuse (old code: silent `WHERE ba = ba` tautology)
+    assertRefused(s"UPDATE $tbl SET age = (SELECT max(y) FROM " +
+      s"(SELECT x + 1 AS y FROM patho_src WHERE patho_src.ba = dml_corrpatho.ba) sub) " +
+      s"WHERE ba < 5")
+    // (b) correlated Filter below an inner Aggregate: it decides GROUP
+    // membership — hoisting to a top-level WHERE changes semantics
+    assertRefused(s"UPDATE $tbl SET age = CAST((SELECT sum(cnt) FROM " +
+      s"(SELECT count(*) AS cnt FROM patho_src " +
+      s"WHERE patho_src.ba = dml_corrpatho.ba GROUP BY patho_src.x) g) AS INT) " +
+      s"WHERE ba < 5")
+    // (c) positive control — an intervening Project/derived table that
+    // KEEPS the correlation column still lifts and computes correctly
+    spark.sql(s"UPDATE $tbl SET age = (SELECT max(y) FROM " +
+      s"(SELECT ba AS k, x + 1 AS y FROM patho_src) sub WHERE sub.k = dml_corrpatho.ba) " +
+      s"WHERE ba < 5")
+    // group k has x ∈ {k, k+5, …, k+45} → max(x+1) = k + 46
+    val rows = spark.sql(s"SELECT ba, age FROM $tbl WHERE ba < 5 ORDER BY ba")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    rows.foreach { case (ba, age) => assert(age == (ba + 46).toInt, s"ba=$ba age=$age") }
+  }
+
   test("DML refuses correlated subqueries and unknown assignment shapes") {
     val (_, tbl) = fresh("refuse")
     def causes(t: Throwable): Seq[Throwable] =

@@ -621,6 +621,33 @@ class GraftSourceSpec extends SparkTestBase {
     assert(Snapshots.snapshot(dir, "w").get.txns.contains("user-8:backfill:8"))
   }
 
+  test("legacy txn match is dash-guarded: a colliding NEW pair still commits") {
+    // round-11 advisor: the un-prefixed rendering is ambiguous with a
+    // '-' in appId or version — ("a","1-2") renders "user-a-1-2", the
+    // SAME string a pre-upgrade ("a-1","2") committed. Without the
+    // guard the new pair finds that foreign id and silently no-ops its
+    // legitimate FIRST write. Dash-bearing pairs skip the legacy
+    // lookup entirely and commit under the unambiguous length-prefixed
+    // encoding.
+    val dir = java.nio.file.Files.createTempDirectory("graft_txn_dash").toString
+    ProduceJob.produceBatch(spark, dir, "w", topics = 1, numMessages = 100) // v0
+    // the OTHER pair's pre-upgrade commit, as an old writer left it
+    Snapshots.commit(dir, "w", maxPos = 99, txn = Some("user-a-1-2"))
+    spark.read.format("graft").load(s"$dir/w").limit(10)
+      .write.format("graft").mode("append")
+      .option("txnAppId", "a").option("txnVersion", "1-2")
+      .save(s"$dir/w")
+    // the write COMMITTED (not a silent no-op) under the new encoding
+    assert(spark.read.format("graft").load(s"$dir/w").count() == 110L)
+    assert(Snapshots.snapshot(dir, "w").get.txns.contains("user-1:a:1-2"))
+    // and its own replay still no-ops via the new id
+    spark.read.format("graft").load(s"$dir/w").limit(10)
+      .write.format("graft").mode("append")
+      .option("txnAppId", "a").option("txnVersion", "1-2")
+      .save(s"$dir/w")
+    assert(spark.read.format("graft").load(s"$dir/w").count() == 110L)
+  }
+
   test("CDC column pruning reaches the change-feed scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cdfp2").toString
     ProduceJob.produceBatch(spark, dir, "p", topics = 1, numMessages = 50)
