@@ -45,16 +45,29 @@ object IvfIndex {
     * break to the LOWEST cell, matching the oracle's
     * `list_position(ds, list_min(ds))` first-occurrence rule).
     *
-    * Implemented as a per-partition kernel (MLlib KMeans' shape), not
-    * a k-wide expression array: with corpus-scaled k the old
-    * `array(dist2(c0), …, dist2(ck))` column was a ~k·dim-node
-    * expression tree — at k=447 (the sf10 corpus) planning/codegen
-    * degenerated and the build never finished. The kernel is one
-    * narrow pass, O(n·k·dim) flops with zero shuffle, and the
-    * per-dimension accumulation order is IDENTICAL to the HOF fold the
-    * DuckDB oracle replays (strict left-to-right adds), so assignments
-    * stay bit-reproducible cross-engine. */
+    * Implemented as ONE native Catalyst expression holding the whole
+    * k×dim centroid matrix as expression state
+    * ([[graft.functions.NearestCell]]) — a single tree node at ANY k,
+    * so the k-wide literal form's planning degeneration (k=447 never
+    * finished planning; see BENCH_NOTES round 10) cannot occur, and
+    * unlike the round-10 RDD `mapPartitions` kernel it stays inside
+    * whole-stage codegen with no Row round-trip. Zero shuffle,
+    * O(n·k·dim) flops, and the per-dimension accumulation order is
+    * IDENTICAL to the HOF fold the DuckDB oracle replays (strict
+    * left-to-right adds), so assignments stay bit-reproducible
+    * cross-engine — [[assignCellsKernel]] keeps the old kernel as the
+    * spec's equality reference. */
   def assignCells(df: DataFrame, vecCol: String, cs: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
+    graft.functions.NearestCell.register(df.sparkSession)
+    df.withColumn("cell",
+      graft.functions.NearestCell.cell(col(vecCol), cs.map(_.toSeq)))
+  }
+
+  /** The round-10 per-partition kernel (MLlib KMeans' shape), kept as
+    * the bit-equality reference for the NearestCellSpec pairing — NOT
+    * on any query path. */
+  private[graft] def assignCellsKernel(df: DataFrame, vecCol: String,
+                                       cs: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
     val spark = df.sparkSession
     val schema = df.schema.add("cell", org.apache.spark.sql.types.IntegerType,
       nullable = false)

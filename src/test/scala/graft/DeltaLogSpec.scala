@@ -205,6 +205,134 @@ class DeltaLogSpec extends SparkTestBase {
     } finally Snapshots.checkpointInterval = iv
   }
 
+  test("refsEver prune vs a concurrent committer: superset folds stay safe; bound re-establishes") {
+    // round-11 verdict #2a: the vacuum-time refsEver prune rewrites the
+    // newest kept checkpoint while a CONCURRENT committer may be
+    // folding from the UNPRUNED parent — the worst interleaving leaves
+    // the newest checkpoint carrying the unpruned (superset) set, i.e.
+    // the prune is effectively lost for one cycle. Safety must not
+    // depend on the prune: refsEver only STOPS adoption, so a superset
+    // containing dead names can never cause re-adoption of a live file
+    // or loss of a new one; the bound then re-establishes at the next
+    // vacuum. This spec replays that worst case deterministically.
+    val root = Files.createTempDirectory("graft_dlog").toString
+    val iv = Snapshots.checkpointInterval
+    Snapshots.checkpointInterval = 2
+    try {
+      // churn WITHOUT vacuuming: refsEver accumulates every superseded
+      // original + every rewrite
+      (0 until 4).foreach { _ =>
+        ProduceJob.produceBatch(spark, root, "rc", topics = 1, numMessages = 50)
+        ProduceJob.produceBatch(spark, root, "rc", topics = 1, numMessages = 50)
+        Snapshots.compact(spark, root, "rc")
+      }
+      val logd = Paths.get(s"$root/rc._log")
+      def newestCkpt: java.nio.file.Path = {
+        val n = Files.list(logd).iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".ckpt.json")).toSeq.sorted.last
+        logd.resolve(n)
+      }
+      def refsOf(p: java.nio.file.Path): Seq[String] =
+        "\"refsEver\":\\s*\\[([^\\]]*)\\]".r
+          .findFirstMatchIn(Files.readString(p))
+          .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1))
+            .map(_.group(1)).toSeq).getOrElse(Seq.empty)
+      val fat = refsOf(newestCkpt)
+      val head0 = Snapshots.snapshot(root, "rc").get.version
+      Snapshots.vacuum(root, "rc", keepFrom = head0, orphanGraceMs = 0)
+      val prunedPath = newestCkpt
+      val pruned = refsOf(prunedPath)
+      assert(pruned.size < fat.size,
+        s"prune must shrink refsEver (fat=${fat.size}, pruned=${pruned.size})")
+      // replay the race outcome: the mid-vacuum committer folded from
+      // the unpruned parent, so the newest checkpoint ends up with the
+      // SUPERSET set (unpruned ∪ pruned) — overwrite it that way
+      val superset = (fat ++ pruned).distinct.sorted
+      val body = Files.readString(prunedPath)
+      val patched = "\"refsEver\":\\s*\\[[^\\]]*\\]".r.replaceFirstIn(body,
+        java.util.regex.Matcher.quoteReplacement(
+          "\"refsEver\": " + superset.map("\"" + _ + "\"").mkString("[", ", ", "]")))
+      Files.writeString(prunedPath, patched)
+      assert(refsOf(prunedPath).size == superset.size)
+      // safety under the superset: reads exact, new commits adopt only
+      // their own files (crossing the interval folds a NEW checkpoint
+      // from the superset one), rows conserved
+      assert(Snapshots.read(spark, root, "rc").count() == 400)
+      ProduceJob.produceBatch(spark, root, "rc", topics = 1, numMessages = 25)
+      ProduceJob.produceBatch(spark, root, "rc", topics = 1, numMessages = 25)
+      assert(Snapshots.read(spark, root, "rc").count() == 450)
+      // the bound re-establishes at the NEXT vacuum
+      val head1 = Snapshots.snapshot(root, "rc").get
+      Snapshots.vacuum(root, "rc", keepFrom = head1.version, orphanGraceMs = 0)
+      val after = refsOf(newestCkpt)
+      assert(after.size <= head1.files.size + 2,
+        s"refsEver ${after.size} names for ${head1.files.size} live files after re-vacuum")
+      assert(Snapshots.read(spark, root, "rc").count() == 450)
+    } finally Snapshots.checkpointInterval = iv
+  }
+
+  test("additionsInWindow on a staged-heavy log: window-bounded reads, backward find stops at first published") {
+    // round-11 verdict #2c: turn the comment-adjudicated cost claims
+    // into a counter-pinned spec (the logOpens pattern). Claims: cost
+    // is O(window × checkpointInterval) log reads plus one op-probe per
+    // staged version in the window; the backward find for the first
+    // published base stops at the first non-staged version — bounded
+    // by the contiguous staged run, never O(history).
+    val root = Files.createTempDirectory("graft_dlog").toString
+    val iv = Snapshots.checkpointInterval
+    Snapshots.checkpointInterval = 4
+    try {
+      // long published history: v0..v35
+      (0 until 36).foreach { i =>
+        ProduceJob.produceBatch(spark, root, "aw", topics = 1, numMessages = 5 + (i % 3))
+      }
+      // a contiguous staged run: v36..v38 (never published)
+      (0 until 3).foreach { s =>
+        ProduceJob.personProjection(
+          spark.range(1000 + s * 10, 1005 + s * 10).toDF("cnt"), "cnt", "aw", 1)
+          .write.mode("append").partitionBy("topic")
+          .parquet(graft.ingest.Topics.tableDir(root, "aw"))
+        Snapshots.commitStaged(root, "aw", 2000 + s, audit = s"aud$s")
+        ()
+      }
+      // two published commits after the staged run: v39, v40
+      ProduceJob.produceBatch(spark, root, "aw", topics = 1, numMessages = 7)
+      ProduceJob.produceBatch(spark, root, "aw", topics = 1, numMessages = 9)
+      val head = Snapshots.snapshot(root, "aw").get.version
+      assert(head == 40)
+      // window after the long history: from v35 over the staged run
+      val before = Snapshots.logOpens.get()
+      val adds = Snapshots.additionsInWindow(root, "aw", 35, head)
+      val opens = Snapshots.logOpens.get() - before
+      // published window = {39, 40}, each attributing its own files
+      assert(adds.map(_._1) == Seq(39, 40))
+      assert(adds.forall(_._2.nonEmpty))
+      // budget: op-probes for v36..v40 (5) + three snapshot resolutions
+      // (prevPub v35, v39, v40), each ≤ interval + 3 — NEVER the
+      // 41-version history
+      val budget = 5 + 3 * (Snapshots.checkpointInterval + 3)
+      assert(opens <= budget,
+        s"additionsInWindow read $opens log files (budget $budget) — O(history)?")
+      // backward find entering INSIDE the staged run: probes the staged
+      // run back to the first published version, then stops
+      val b2 = Snapshots.logOpens.get()
+      val adds2 = Snapshots.additionsInWindow(root, "aw", 37, head)
+      val opens2 = Snapshots.logOpens.get() - b2
+      assert(adds2.map(_._1) == Seq(39, 40))
+      assert(opens2 <= budget + 3, // + the ≤3-version staged-run walk
+        s"staged-run backward find read $opens2 log files")
+      // attribution correctness on the staged-heavy log: staged
+      // versions are invisible, adds diff against the previous
+      // PUBLISHED version
+      val full = Snapshots.additionsInWindow(root, "aw", -1, head)
+      assert(!full.map(_._1).exists(v => (36 to 38).contains(v)))
+      // append-only published history: every published file is
+      // attributed exactly once, unpublished staged files never
+      assert(full.flatMap(_._2).toSet ==
+        Snapshots.snapshot(root, "aw").get.files.toSet)
+    } finally Snapshots.checkpointInterval = iv
+  }
+
   test("a 20k-version un-checkpointed chain resolves iteratively (no stack overflow)") {
     val root = Files.createTempDirectory("graft_dlog").toString
     val iv = Snapshots.checkpointInterval
