@@ -855,6 +855,11 @@ object Snapshots {
   private val ckptParseCache =
     new java.util.concurrent.ConcurrentHashMap[String, Snapshot]()
 
+  /** Test hook: drop the checkpoint parse cache so the scale probe can
+    * time a genuinely COLD parse (the cache is content-keyed, so
+    * re-reading the same bytes — even from a copied log — still hits). */
+  private[graft] def clearCkptParseCacheForTest(): Unit = ckptParseCache.clear()
+
   private def parseCkptCached(p: Path, ver: Int): Snapshot = {
     logOpens.incrementAndGet()
     val bytes = Files.readAllBytes(p)

@@ -1980,6 +1980,76 @@ object LakehouseQueries extends QueryRegistry {
              |FROM alive WHERE ba BETWEEN 500 AND 509 AND new_age IS NOT NULL
              |UNION ALL
              |SELECT 'c_alive', COUNT(*), CAST(SUM(ba) AS BIGINT) FROM alive
+             |ORDER BY step""".stripMargin)),
+
+    // Correlated DML, predicate forms (round 11): equality-correlated
+    // EXISTS / NOT EXISTS / IN — `WHERE EXISTS (SELECT 1 FROM s WHERE
+    // s.k = t.k)` — the predicate siblings of q305's scalar. Same
+    // lowering (strip the equi-correlation off the carried plan,
+    // re-state it against the run-time view), and Spark's optimizer
+    // plans each as a distributed semi/anti join against the re-read
+    // frames. The IN case deliberately SELECTs a column set that drops
+    // the correlation column — the lift widens the view soundly (the
+    // advisor's round-11 mis-lower shape, now a supported form). The
+    // oracle replays the identical correlated algebra over range().
+    QueryDef("q306_dml_exists",
+      (s, _) => {
+        val tbl = "graft_q306_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val root = freshScratch(s, "q306", "graft-dmlexists", Some(tbl))
+        ProduceJob.produceBatch(s, root, "q", topics = 1, numMessages = 1000) // ba 0..999
+        s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$root/q')")
+        s.sql("""CREATE OR REPLACE TEMP VIEW q306_src AS
+                |SELECT CAST(id * 2 AS BIGINT) AS k, CAST(id % 7 AS BIGINT) AS x
+                |FROM range(100)""".stripMargin)
+        // correlated EXISTS: even ba < 200 take 701
+        s.sql(s"UPDATE $tbl SET age = 701 WHERE ba < 200 AND " +
+          s"EXISTS (SELECT 1 FROM q306_src WHERE q306_src.k = ba)")
+        // the same lifted EXISTS under NOT: odd ba < 200 take 702
+        s.sql(s"UPDATE $tbl SET age = 702 WHERE ba < 200 AND " +
+          s"NOT EXISTS (SELECT 1 FROM q306_src WHERE q306_src.k = ba)")
+        // correlated IN whose select list drops the correlation column
+        // x (widened into the view): membership on (ba - 200)
+        s.sql(s"UPDATE $tbl SET age = 703 WHERE ba >= 200 AND ba < 300 AND " +
+          s"(ba - 200) IN (SELECT k FROM q306_src WHERE q306_src.x = ba % 7)")
+        // correlated EXISTS in a DELETE: drops even ba in [900, 1000)
+        s.sql(s"DELETE FROM $tbl WHERE ba >= 900 AND " +
+          s"EXISTS (SELECT 1 FROM q306_src WHERE q306_src.k = ba - 800)")
+        val t = s.table(tbl)
+        val a = t.filter(col("ba") < 200)
+          .agg(count(lit(1)).as("cnt"), sum("age").cast("bigint").as("agg"))
+          .select(lit("a_exists").as("step"), col("cnt"), col("agg"))
+        val b = t.filter(col("age") === 703)
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("agg"))
+          .select(lit("b_in").as("step"), col("cnt"), col("agg"))
+        val c = t.agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("agg"))
+          .select(lit("c_alive").as("step"), col("cnt"), col("agg"))
+        a.unionAll(b).unionAll(c).orderBy("step")
+      },
+      Some("""WITH src AS (
+             |  SELECT id * 2 AS k, id % 7 AS x FROM range(100) t(id)),
+             |alive AS (
+             |  SELECT id AS ba FROM range(0, 1000) t(id)
+             |  WHERE NOT (id >= 900 AND
+             |    EXISTS (SELECT 1 FROM src WHERE src.k = id - 800))),
+             |aged AS (
+             |  SELECT ba,
+             |    CASE WHEN ba < 200 AND EXISTS (SELECT 1 FROM src WHERE src.k = ba)
+             |           THEN 701
+             |         WHEN ba < 200 THEN 702
+             |         WHEN ba >= 200 AND ba < 300 AND (ba - 200) IN
+             |             (SELECT k FROM src WHERE src.x = ba % 7)
+             |           THEN 703
+             |         ELSE NULL END AS new_age
+             |  FROM alive)
+             |SELECT 'a_exists' AS step, COUNT(*) AS cnt,
+             |  CAST(SUM(new_age) AS BIGINT) AS agg
+             |FROM aged WHERE ba < 200
+             |UNION ALL
+             |SELECT 'b_in', COUNT(*), CAST(SUM(ba) AS BIGINT)
+             |FROM aged WHERE new_age = 703
+             |UNION ALL
+             |SELECT 'c_alive', COUNT(*), CAST(SUM(ba) AS BIGINT) FROM aged
              |ORDER BY step""".stripMargin))
   )
 }

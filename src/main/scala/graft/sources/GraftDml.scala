@@ -38,9 +38,14 @@ import graft.ingest.Snapshots
   * predicate referencing it — the optimizer then plans the membership
   * test as a distributed semi/anti join against the re-read frames, so
   * a billion-key `DELETE … WHERE k IN (SELECT bad_keys …)` never
-  * collects to the driver. Correlated subqueries have no view-shaped
-  * equivalent and are refused up front; everything else (functions,
-  * casts, literals, conjunctions) round-trips exactly.
+  * collects to the driver. EQUALITY-correlated subqueries — scalar
+  * aggregates, EXISTS/NOT EXISTS, IN/NOT IN of the `… WHERE s.k = t.k`
+  * shape — lift too ([[stripCorrelatedSpine]]): the correlation is
+  * stripped from the carried plan and re-stated in the emitted text
+  * against the view's renamed columns, so Spark's optimizer
+  * decorrelates it into a distributed join. Anything beyond that
+  * contract is refused up front; everything else (functions, casts,
+  * literals, conjunctions) round-trips exactly.
   *
   * Scale: both commands rewrite only the files that contain affected
   * rows (manifest-attributed, like DELETE) — a 10-row UPDATE against a
@@ -67,118 +72,192 @@ object GraftDml extends Rule[LogicalPlan] {
     throw new UnsupportedOperationException(
       "graft DML: correlated or nested subqueries in UPDATE/MERGE/DELETE " +
         "conditions or values are not supported beyond the " +
-        "equality-correlated aggregated scalar form — supported " +
-        "alternatives: uncorrelated IN (SELECT ...), uncorrelated EXISTS " +
-        "(SELECT ...), uncorrelated scalar (SELECT ...) values, " +
-        "equality-correlated scalar aggregates like " +
-        "(SELECT max(x) FROM s WHERE s.k = t.k), or MERGE INTO with the " +
-        "per-row logic joined in the source")
+        "equality-correlated forms — supported alternatives: " +
+        "uncorrelated IN (SELECT ...), uncorrelated EXISTS (SELECT ...), " +
+        "uncorrelated scalar (SELECT ...) values, equality-correlated " +
+        "scalar aggregates like (SELECT max(x) FROM s WHERE s.k = t.k), " +
+        "equality-correlated EXISTS / NOT EXISTS and IN / NOT IN of the " +
+        "same shape, or MERGE INTO with the per-row logic joined in the " +
+        "source")
 
   private def conjunctsOf(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
     case other => Seq(other)
   }
 
+  private def hasOuter(e: Expression): Boolean = e.exists {
+    case _: OuterReference => true
+    case s: SubqueryExpression => s.getOuterAttrs.nonEmpty
+    case _ => false
+  }
+
+  /** The shared strip behind every equality-correlated lift: remove
+    * `inner = outer` equi-conjuncts from Filters on the
+    * Project/Filter/alias SPINE of `plan`, then WIDEN spine Projects
+    * so every correlation column survives to the output (a derived
+    * table `(SELECT x+1 AS y FROM s WHERE s.k = t.k)` drops `k`;
+    * appending the original attribute is a pure column addition — row
+    * multiplicity and every remaining predicate are untouched — and
+    * lets the re-emitted correlation reference it by its RENAMED name,
+    * which is what makes the lift sound). Returns the cleaned,
+    * outer-reference-free plan plus the (innerExpr, outerSide) pairs.
+    *
+    * Returns None (→ loud refusal) for anything outside the contract
+    * (advisor round-11 high finding — never mis-lower):
+    *   - a non-equality or mixed-scope correlated conjunct (OR across
+    *     scopes, `s.k > t.k`, correlation inside a Join condition);
+    *   - a correlated Filter below a NON-spine node (Aggregate, Join,
+    *     Window, Limit, …): it decides group/join/limit membership, so
+    *     hoisting it changes semantics — the residual-outer-ref check
+    *     catches it;
+    *   - a correlation column that cannot be widened into the output
+    *     without shadowing an existing output name (the bare name
+    *     would otherwise mis-resolve against the UPDATE target at
+    *     re-analysis — correlations like `s.k = t.k` virtually
+    *     guarantee a same-named target column). */
+  private def stripCorrelatedSpine(plan: LogicalPlan)
+      : Option[(LogicalPlan, Seq[(Expression, Expression)])] = {
+    val corr = scala.collection.mutable.ArrayBuffer[(Expression, Expression)]()
+    var bad = false
+    // descend ONLY through Project/Filter/alias: any correlated Filter
+    // deeper than that is left in place and caught by the
+    // residual-outer-ref check below → refusal, never a mis-lower
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case f: Filter if hasOuter(f.condition) =>
+        val (outerCj, localCj) = conjunctsOf(f.condition).partition(hasOuter)
+        val pairs = outerCj.map {
+          case EqualTo(l, r) if hasOuter(r) && !hasOuter(l) &&
+              r.references.isEmpty => (l, r)
+          case EqualTo(l, r) if hasOuter(l) && !hasOuter(r) &&
+              l.references.isEmpty => (r, l)
+          case _ => bad = true; null
+        }
+        if (!bad) corr ++= pairs
+        val child = strip(f.child)
+        localCj.reduceOption(And).map(Filter(_, child)).getOrElse(child)
+      case f: Filter => f.copy(child = strip(f.child))
+      case pr: Project => pr.copy(child = strip(pr.child))
+      // alias wrappers (derived tables, views) are output-preserving
+      // no-ops — hoisting a Filter across one is always sound
+      case sa: SubqueryAlias => sa.copy(child = strip(sa.child))
+      case other => other
+    }
+    val stripped = strip(plan)
+    if (bad || corr.isEmpty) return None
+    val needed = AttributeSet(corr.flatMap(_._1.references))
+    def widen(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project =>
+        val child = widen(pr.child)
+        // sorted for a deterministic emitted column order
+        val missing = (needed -- AttributeSet(pr.projectList.map(_.toAttribute)))
+          .filter(a => child.outputSet.contains(a)).toSeq.sortBy(_.name)
+        if (missing.exists(m => pr.projectList.exists(_.name == m.name))) {
+          // appending would duplicate an output name — the renamed view
+          // would carry two `_graft_sqN_<name>` columns and the
+          // correlation reference would be ambiguous; refuse instead
+          bad = true; pr
+        } else if (missing.isEmpty) pr.copy(child = child)
+        else pr.copy(projectList = pr.projectList ++ missing, child = child)
+      case f: Filter => f.copy(child = widen(f.child))
+      case sa: SubqueryAlias => sa.copy(child = widen(sa.child))
+      case other => other
+    }
+    val cleaned = widen(stripped)
+    // outside the contract: residual outer refs (OR mixing scopes,
+    // join-condition correlation, double nesting, a correlated Filter
+    // below a non-spine node, or an outer ref in a Project list), or a
+    // correlation column that widening could not surface
+    if (bad ||
+        cleaned.exists(_.expressions.exists(hasOuter)) ||
+        !needed.subsetOf(cleaned.outputSet)) None
+    else Some((cleaned, corr.toSeq))
+  }
+
+  /** Rename `cleaned`'s output into the per-subquery namespace (the
+    * run-time view's column set) and build the re-correlation WHERE
+    * text. Returns (view plan, correlation SQL, the inner-attr →
+    * renamed-name fixer for use in select lists / aggregates). */
+  private def viewAndCond(cleaned: LogicalPlan,
+                          corr: Seq[(Expression, Expression)], idx: Int,
+                          attrFix: Expression => Expression)
+      : (LogicalPlan, String, Expression => Expression) = {
+    val pfx = s"_graft_sq${idx}_"
+    val renamed = Project(
+      cleaned.output.map(a => Alias(a, pfx + a.name)()), cleaned)
+    val innerIds = cleaned.outputSet
+    def innerFix(e: Expression): Expression = e.transform {
+      case a: AttributeReference if innerIds.contains(a) =>
+        a.withName(pfx + a.name).withQualifier(Seq.empty)
+    }
+    val condSql = corr.map { case (inner, outerSide) =>
+      val o = outerSide.transform { case OuterReference(a) => a }
+      s"(${innerFix(inner).sql} = ${attrFix(o).sql})"
+    }.mkString(" AND ")
+    (renamed, condSql, innerFix)
+  }
+
   /** Lower an EQUALITY-CORRELATED aggregated scalar subquery —
     * `(SELECT agg(x) FROM s WHERE s.k = t.k [AND local])` — the form a
     * user reaches for right after the uncorrelated one (and the one
     * Delta historically refused). The correlated equi-conjuncts are
-    * stripped out of the subquery's plan; what remains (a standalone,
-    * outer-reference-free plan) registers as a run-time view with its
-    * columns renamed into a per-subquery namespace, and the emitted
-    * text re-states the SAME correlated scalar subquery against that
-    * view — Spark's analyzer then resolves the bare outer columns
-    * against the re-read frame and its optimizer DECORRELATES the
-    * lookup into an aggregate + join, so the per-row evaluation is
-    * distributed (no collect, no size cap) with standard scalar
-    * semantics (no match → NULL; COUNT over no match → 0).
-    *
-    * Returns None (→ refusal) for shapes outside the contract: a
-    * grouped aggregate, outer references anywhere but equality
-    * conjuncts of Filters on the Project/Filter spine under the
-    * aggregate, or non-aggregated plans.
-    *
-    * The strip is deliberately SPINE-RESTRICTED (advisor round-11 high
-    * finding): a correlated Filter below an intervening Aggregate,
-    * Join, Window, Limit, … decides GROUP/JOIN membership, so hoisting
-    * it to a top-level WHERE over the view changes semantics; and a
-    * correlation column dropped or re-aliased by an intervening
-    * Project would leave the re-emitted predicate's bare inner name to
-    * resolve against the UPDATE TARGET at re-analysis (correlations
-    * like `s.k = t.k` virtually guarantee a same-named target column),
-    * silently turning it into a tautology. Both shapes now return None
-    * → the loud refusal. */
+    * stripped out of the subquery's plan ([[stripCorrelatedSpine]]);
+    * what remains registers as a run-time view with its columns
+    * renamed into a per-subquery namespace, and the emitted text
+    * re-states the SAME correlated scalar subquery against that view —
+    * Spark's analyzer then resolves the bare outer columns against the
+    * re-read frame and its optimizer DECORRELATES the lookup into an
+    * aggregate + join, so the per-row evaluation is distributed (no
+    * collect, no size cap) with standard scalar semantics (no match →
+    * NULL; COUNT over no match → 0). Grouped aggregates and non-
+    * aggregated scalars return None → refusal. */
   private def liftCorrelatedScalar(plan: LogicalPlan, idx: Int,
-                                   attrFix: Expression => Expression): Option[(LogicalPlan, String)] = {
-    def hasOuter(e: Expression): Boolean = e.exists {
-      case _: OuterReference => true
-      case s: SubqueryExpression => s.getOuterAttrs.nonEmpty
-      case _ => false
-    }
+                                   attrFix: Expression => Expression): Option[(LogicalPlan, String)] =
     plan match {
       case agg: Aggregate if agg.groupingExpressions.isEmpty &&
           agg.aggregateExpressions.length == 1 &&
           !agg.aggregateExpressions.exists(hasOuter) =>
-        val corr = scala.collection.mutable.ArrayBuffer[(Expression, Expression)]()
-        var bad = false
-        // descend ONLY through Project/Filter: any correlated Filter
-        // deeper than that is left in place and caught by the
-        // residual-outer-ref check below → refusal, never a mis-lower
-        def strip(p: LogicalPlan): LogicalPlan = p match {
-          case f: Filter if hasOuter(f.condition) =>
-            val (outerCj, localCj) = conjunctsOf(f.condition).partition(hasOuter)
-            val pairs = outerCj.map {
-              case EqualTo(l, r) if hasOuter(r) && !hasOuter(l) &&
-                  r.references.isEmpty => (l, r)
-              case EqualTo(l, r) if hasOuter(l) && !hasOuter(r) &&
-                  l.references.isEmpty => (r, l)
-              case _ => bad = true; null
-            }
-            if (!bad) corr ++= pairs
-            val child = strip(f.child)
-            localCj.reduceOption(And).map(Filter(_, child)).getOrElse(child)
-          case f: Filter => f.copy(child = strip(f.child))
-          case pr: Project => pr.copy(child = strip(pr.child))
-          // alias wrappers (derived tables, views) are output-preserving
-          // no-ops — hoisting a Filter across one is always sound
-          case sa: SubqueryAlias => sa.copy(child = strip(sa.child))
-          case other => other
-        }
-        val cleaned = strip(agg.child)
-        // outside the contract: a mixed-scope/non-equality conjunct, no
-        // correlation, outer refs surviving the strip (OR mixing
-        // scopes, join-condition correlation, double nesting, or a
-        // correlated Filter below a non-spine node), or a correlation
-        // column that the spine's Projects drop/re-alias so it is
-        // absent from cleaned.output — its bare name would mis-resolve
-        // against the outer scope after the view rename
-        if (bad || corr.isEmpty ||
-            cleaned.exists(_.expressions.exists(hasOuter)) ||
-            !corr.forall(_._1.references.subsetOf(cleaned.outputSet))) None
-        else {
-          val pfx = s"_graft_sq${idx}_"
-          val renamed = Project(
-            cleaned.output.map(a => Alias(a, pfx + a.name)()), cleaned)
-          val innerIds = cleaned.outputSet
-          def innerFix(e: Expression): Expression = e.transform {
-            case a: AttributeReference if innerIds.contains(a) =>
-              a.withName(pfx + a.name).withQualifier(Seq.empty)
-          }
+        stripCorrelatedSpine(agg.child).map { case (cleaned, corr) =>
+          val (renamed, condSql, innerFix) = viewAndCond(cleaned, corr, idx, attrFix)
           val aggExpr = agg.aggregateExpressions.head match {
             case al: Alias => al.child
             case other => other
           }
-          val aggSql = innerFix(aggExpr).sql
-          val condSql = corr.map { case (inner, outerSide) =>
-            val o = outerSide.transform { case OuterReference(a) => a }
-            s"(${innerFix(inner).sql} = ${attrFix(o).sql})"
-          }.mkString(" AND ")
-          Some((renamed,
-            s"(SELECT $aggSql FROM __graft_view_${idx}__ WHERE $condSql)"))
+          (renamed,
+            s"(SELECT ${innerFix(aggExpr).sql} FROM __graft_view_${idx}__ WHERE $condSql)")
         }
       case _ => None
     }
-  }
+
+  /** Lower an equality-correlated `EXISTS (SELECT … FROM s WHERE s.k =
+    * t.k [AND local])` — same machinery as the scalar lift, emitted as
+    * an EXISTS against the renamed view; Spark's optimizer plans it as
+    * a distributed left-semi join (anti under NOT, which wraps the
+    * lifted text unchanged). The subquery's own select list is
+    * irrelevant to EXISTS semantics, so the view exposes `*`. */
+  private def liftCorrelatedExists(plan: LogicalPlan, idx: Int,
+                                   attrFix: Expression => Expression): Option[(LogicalPlan, String)] =
+    stripCorrelatedSpine(plan).map { case (cleaned, corr) =>
+      val (renamed, condSql, _) = viewAndCond(cleaned, corr, idx, attrFix)
+      (renamed, s"EXISTS (SELECT * FROM __graft_view_${idx}__ WHERE $condSql)")
+    }
+
+  /** Lower an equality-correlated `lhs IN (SELECT c FROM s WHERE s.k =
+    * t.k)`. The original select list usually DROPS the correlation
+    * column — [[stripCorrelatedSpine]]'s widening appends it to the
+    * view, and the emitted IN re-selects exactly the ORIGINAL output
+    * columns (by their renamed names) so the membership arity is
+    * unchanged. Plans as a distributed semi join (null-aware anti
+    * under NOT IN — Spark's own semantics, since the emitted text is a
+    * genuine IN subquery). */
+  private def liftCorrelatedIn(plan: LogicalPlan,
+                               origOutput: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+                               idx: Int,
+                               attrFix: Expression => Expression): Option[(LogicalPlan, String)] =
+    stripCorrelatedSpine(plan).map { case (cleaned, corr) =>
+      val (renamed, condSql, innerFix) = viewAndCond(cleaned, corr, idx, attrFix)
+      val sel = origOutput.map(a => innerFix(a).sql).mkString(", ")
+      (renamed, s"(SELECT $sel FROM __graft_view_${idx}__ WHERE $condSql)")
+    }
 
   /** Resolved expression → SQL text, with source-side attributes moved
     * into the `_graft_src_` namespace (target attrs keep their name).
@@ -211,12 +290,20 @@ object GraftDml extends Rule[LogicalPlan] {
     }
     val lifted = e.transformUp {
       case in: InSubquery =>
-        if (in.query.outerAttrs.nonEmpty) refuseCorrelated()
         if (in.values.exists(_.exists(_.isInstanceOf[SubqueryExpression])))
           refuseCorrelated() // a subquery inside the IN's lhs tuple
         val lhs = in.values.map(v => attrFix(v).sql).mkString("(", ", ", ")")
-        val i = subq.length; subq += in.query.plan
-        templates(i) = s"($lhs IN (SELECT * FROM __graft_view_${i}__))"
+        val i = subq.length
+        if (in.query.outerAttrs.nonEmpty) {
+          val (viewPlan, rhs) =
+            liftCorrelatedIn(in.query.plan, in.query.plan.output, i, attrFix)
+              .getOrElse(refuseCorrelated())
+          subq += viewPlan
+          templates(i) = s"($lhs IN $rhs)"
+        } else {
+          subq += in.query.plan
+          templates(i) = s"($lhs IN (SELECT * FROM __graft_view_${i}__))"
+        }
         placeholder(i, org.apache.spark.sql.types.BooleanType)
       case sc: ScalarSubquery =>
         val i = subq.length
@@ -231,9 +318,16 @@ object GraftDml extends Rule[LogicalPlan] {
         }
         placeholder(i, sc.dataType)
       case ex: Exists =>
-        if (ex.outerAttrs.nonEmpty) refuseCorrelated()
-        val i = subq.length; subq += ex.plan
-        templates(i) = s"EXISTS (SELECT * FROM __graft_view_${i}__)"
+        val i = subq.length
+        if (ex.outerAttrs.nonEmpty) {
+          val (viewPlan, template) = liftCorrelatedExists(ex.plan, i, attrFix)
+            .getOrElse(refuseCorrelated())
+          subq += viewPlan
+          templates(i) = template
+        } else {
+          subq += ex.plan
+          templates(i) = s"EXISTS (SELECT * FROM __graft_view_${i}__)"
+        }
         placeholder(i, org.apache.spark.sql.types.BooleanType)
     }
     // whatever subquery kind survived the lift has no view equivalent

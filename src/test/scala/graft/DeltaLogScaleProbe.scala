@@ -75,4 +75,66 @@ class DeltaLogScaleProbe extends SparkTestBase {
     assert(windows.last._2 < windows(1)._2 * 3,
       s"commit latency grew across the history: ${windows.toSeq}")
   }
+
+  /** The round-11 go/no-go probe for parquet-format checkpoints
+    * (SURVEY §9 #5): at 10⁵ and 10⁶ files, how expensive are the JSON
+    * checkpoint's write, cold parse, and a realistic snapshot open
+    * (checkpoint + delta tail)? No data files are written — the log
+    * machinery is exercised with synthetic manifests, which is exactly
+    * the layer a parquet checkpoint would replace. */
+  test("1M-file checkpoint: JSON write, cold parse, and tail-open cost") {
+    assume(sys.env.get("SPARK_GRAFT_PROBE").contains("1"),
+      "scale probe runs only with SPARK_GRAFT_PROBE=1")
+    for (n <- Seq(100000, 1000000)) {
+      val root = Files.createTempDirectory(s"graft_ckptscale_$n").toString
+      val prefix = "huge"
+      def fname(i: Int) =
+        f"topic=huge/part-$i%08d-4f2a9c1e-self-contained.snappy.parquet"
+      val base = (0 until n).map(fname)
+      // one rows-stat + one INT64 range stat per file — the realistic
+      // per-file stats payload the checkpoint carries
+      def statsFor(fs: Seq[String]) = fs.flatMap { f =>
+        Seq(Snapshots.FileStat(f, "_rows", 1000L, 1000L, "L"),
+          Snapshots.FileStat(f, "ba", 0L, 999L, "L"))
+      }
+      val t0 = System.nanoTime()
+      Snapshots.writeSnapshot(root, prefix, 0, n.toLong, base, Seq.empty,
+        "append", Seq.empty, statsFor(base))
+      val v0Ms = (System.nanoTime() - t0) / 1e6
+      val v0Bytes = Files.size(Paths.get(s"$root/$prefix._log/v00000.json"))
+      // 15 delta commits of 10 files each; the v10 one also writes the
+      // full-state checkpoint (files + stats + refsEver at n+ scale)
+      var ckptMs = 0.0
+      val commitMs = (1 to 15).map { v =>
+        val prev = Snapshots.snapshot(root, prefix, None).get
+        val add = (0 until 10).map(j => fname(n + v * 10 + j))
+        val tc = System.nanoTime()
+        Snapshots.writeSnapshot(root, prefix, v, prev.maxPos + 10,
+          prev.files ++ add, Seq.empty, "append", Seq.empty,
+          prev.stats ++ statsFor(add), parent = Some(prev))
+        val ms = (System.nanoTime() - tc) / 1e6
+        if (v == 10) ckptMs = ms
+        ms
+      }
+      val ckptBytes = Files.size(
+        Paths.get(s"$root/$prefix._log/v00010.ckpt.json"))
+      // realistic open: newest checkpoint (v10) + 5-delta tail, cold
+      Snapshots.clearCkptParseCacheForTest()
+      val r0 = Snapshots.logOpens.get()
+      val tCold = System.nanoTime()
+      val s1 = Snapshots.snapshot(root, prefix, None).get
+      val coldMs = (System.nanoTime() - tCold) / 1e6
+      val coldReads = Snapshots.logOpens.get() - r0
+      val tWarm = System.nanoTime()
+      val s2 = Snapshots.snapshot(root, prefix, None).get
+      val warmMs = (System.nanoTime() - tWarm) / 1e6
+      assert(s1.version == 15 && s1.files.size == n + 150)
+      assert(s2.files.size == s1.files.size)
+      val medianCommit = commitMs.sorted.apply(commitMs.size / 2)
+      println(f"[probe] n=$n%7d  v0-full: $v0Ms%8.0f ms ${v0Bytes / 1048576}%4d MiB | " +
+        f"ckpt@v10: $ckptMs%8.0f ms ${ckptBytes / 1048576}%4d MiB | " +
+        f"delta-commit median: $medianCommit%7.0f ms | " +
+        f"open cold: $coldMs%7.0f ms ($coldReads reads) warm: $warmMs%6.0f ms")
+    }
+  }
 }

@@ -308,12 +308,14 @@ class GraftDmlSpec extends SparkTestBase {
       .head().getLong(0) == 10L)
   }
 
-  test("correlated-scalar lift is spine-restricted: pathological trees refuse, never mis-lower") {
+  test("correlated-scalar lift is spine-restricted: pathological trees refuse or widen, never mis-lower") {
     // advisor round-11 high finding: the old strip removed correlated
     // Filters ANYWHERE in the subquery tree; when an intervening
     // Project dropped the correlation column, the re-emitted top-level
     // WHERE's bare inner name re-resolved against the UPDATE TARGET
     // (here: `ba = ba`, a tautology) and silently wrote wrong values.
+    // The dropped-column shape is now SUPPORTED via sound Project
+    // widening (case a); true out-of-contract trees still refuse.
     val (_, tbl) = fresh("corrpatho")
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: causes(t.getCause)
@@ -326,11 +328,23 @@ class GraftDmlSpec extends SparkTestBase {
     // be SILENT (tautology), not an analysis error — the dangerous case
     spark.sql("""CREATE OR REPLACE TEMP VIEW patho_src AS
       SELECT CAST(id % 5 AS BIGINT) AS ba, CAST(id AS INT) AS x FROM range(50)""")
-    // (a) intervening Project DROPS the correlation column: the filter
-    // is on the spine but `patho_src.ba` is not in the derived table's
-    // output → must refuse (old code: silent `WHERE ba = ba` tautology)
-    assertRefused(s"UPDATE $tbl SET age = (SELECT max(y) FROM " +
+    // (a) intervening Project DROPS the correlation column: the lift
+    // WIDENS the derived table's output with the original attribute
+    // (pure column addition), renames it into the view namespace, and
+    // the re-emitted correlation references the renamed column — never
+    // the old silent `WHERE ba = ba` tautology against the target.
+    // Group ba=k has x ∈ {k, k+5, …, k+45} → max(x+1) = k + 46.
+    spark.sql(s"UPDATE $tbl SET age = (SELECT max(y) FROM " +
       s"(SELECT x + 1 AS y FROM patho_src WHERE patho_src.ba = dml_corrpatho.ba) sub) " +
+      s"WHERE ba < 5")
+    val widened = spark.sql(s"SELECT ba, age FROM $tbl WHERE ba < 5 ORDER BY ba")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    widened.foreach { case (ba, age) => assert(age == (ba + 46).toInt, s"ba=$ba age=$age") }
+    // (a') but widening REFUSES when the appended column's name is
+    // already taken by a different output (the renamed view would hold
+    // two `_graft_sqN_ba` columns → ambiguous correlation reference)
+    assertRefused(s"UPDATE $tbl SET age = (SELECT max(y) FROM " +
+      s"(SELECT x AS ba, x + 1 AS y FROM patho_src WHERE patho_src.ba = dml_corrpatho.ba) sub) " +
       s"WHERE ba < 5")
     // (b) correlated Filter below an inner Aggregate: it decides GROUP
     // membership — hoisting to a top-level WHERE changes semantics
@@ -349,14 +363,58 @@ class GraftDmlSpec extends SparkTestBase {
     rows.foreach { case (ba, age) => assert(age == (ba + 46).toInt, s"ba=$ba age=$age") }
   }
 
+  test("equality-correlated EXISTS/NOT EXISTS and IN/NOT IN lift to distributed joins") {
+    val (_, tbl) = fresh("correx")
+    // k = even numbers 0..198; x = id % 7 (dropped by the IN's select
+    // list below → exercises the widening through a temp-view alias)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW correx_src AS
+      SELECT CAST(id * 2 AS BIGINT) AS k, CAST(id % 7 AS BIGINT) AS x FROM range(100)""")
+    // EXISTS: even ba < 200 match
+    spark.sql(s"UPDATE $tbl SET age = 701 WHERE ba < 200 AND " +
+      s"EXISTS (SELECT 1 FROM correx_src WHERE correx_src.k = ba)")
+    // NOT EXISTS: odd ba < 200 (the same lifted EXISTS under NOT)
+    spark.sql(s"UPDATE $tbl SET age = 702 WHERE ba < 200 AND " +
+      s"NOT EXISTS (SELECT 1 FROM correx_src WHERE correx_src.k = ba)")
+    val byAge = spark.sql(
+      s"SELECT age, count(*) FROM $tbl WHERE ba < 200 GROUP BY age ORDER BY age")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(byAge == Map(701 -> 100L, 702 -> 100L), byAge.toString)
+    // correlated IN whose select list drops the correlation column x:
+    // (ba - 200) IN {k : k even < 200, (k/2) % 7 = ba % 7}
+    spark.sql(s"UPDATE $tbl SET age = 703 WHERE ba >= 200 AND ba < 300 AND " +
+      s"(ba - 200) IN (SELECT k FROM correx_src WHERE correx_src.x = ba % 7)")
+    val expIn = (200L until 300L).count { ba =>
+      val b = ba - 200
+      b % 2 == 0 && (b / 2) % 7 == ba % 7
+    }
+    assert(expIn > 0, "fixture must produce matches")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE age = 703").head().getLong(0) == expIn.toLong)
+    // correlated NOT IN: null-free rhs → complement within the band
+    spark.sql(s"UPDATE $tbl SET age = 704 WHERE ba >= 300 AND ba < 400 AND " +
+      s"(ba - 300) NOT IN (SELECT k FROM correx_src WHERE correx_src.x = ba % 7)")
+    val expNotIn = (300L until 400L).count { ba =>
+      val b = ba - 300
+      !(b % 2 == 0 && (b / 2) % 7 == ba % 7)
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE age = 704").head().getLong(0) == expNotIn.toLong)
+    // correlated EXISTS in a DELETE condition → distributed semi join
+    val before = spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0)
+    spark.sql(s"DELETE FROM $tbl WHERE ba >= 3900 AND " +
+      s"EXISTS (SELECT 1 FROM correx_src WHERE correx_src.k = ba - 3800)")
+    // ba ∈ [3900, 4000): ba-3800 ∈ [100, 200) even → 50 rows
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == before - 50)
+  }
+
   test("DML refuses correlated subqueries and unknown assignment shapes") {
     val (_, tbl) = fresh("refuse")
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: causes(t.getCause)
-    // correlated: the inner query references the outer row
+    // correlated beyond the equality contract: a NON-equality
+    // correlated conjunct (the equality form now lifts — see the
+    // equality-correlated EXISTS/IN test)
     val e = intercept[Exception] {
       spark.sql(s"UPDATE $tbl SET name = 'x' WHERE EXISTS (" +
-        s"SELECT 1 FROM range(10) r WHERE CAST(r.id AS BIGINT) = ba)")
+        s"SELECT 1 FROM range(10) r WHERE CAST(r.id AS BIGINT) > ba)")
     }
     val cause = causes(e).collectFirst {
       case c: UnsupportedOperationException => c
