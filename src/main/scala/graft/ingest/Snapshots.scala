@@ -909,20 +909,74 @@ object Snapshots {
         }
       }
     }
-    pending.foldLeft(base) { (acc, entry) =>
+    // Fold cost discipline (round-11 probe: at 10⁶ files the tail fold
+    // — not the checkpoint parse — dominated a cold open, 9.2 of
+    // 13.3 s, from a per-delta 1M-string re-sort plus a per-delta
+    // 1M-entry file set rebuilt to re-establish the stats⊆files
+    // invariant). The invariant is instead established ONCE on the
+    // base (a no-op on healthy logs, where assembleStats guarantees
+    // it) and each fold then maintains it with delta-sized lookups
+    // only; the file list is kept sorted by an O(n) two-pointer merge
+    // (writeSnapshot writes `add` sorted; a legacy out-of-order input
+    // degrades to one .sorted, never to wrong output).
+    val baseNorm = base.map { b =>
+      val fs = b.files.toSet
+      if (b.stats.forall(st => fs(st.file))) b
+      else b.copy(stats = b.stats.filter(st => fs(st.file)))
+    }
+    pending.foldLeft(baseNorm) { (acc, entry) =>
       val (v, s) = entry
       val delta = parseManifest(s, v) // files/txns/stats fields absent → empty
       val add = jsonArr(s, "add")
+      val addSet = add.toSet
       val delSet = jsonArr(s, "del").toSet
-      val files = (acc.map(_.files).getOrElse(Seq.empty).filterNot(delSet) ++ add).sorted
+      val accFiles = acc.map(_.files).getOrElse(Seq.empty)
+      val kept = if (delSet.isEmpty) accFiles else accFiles.filterNot(delSet)
+      val files = mergeSortedFiles(kept, add)
       val statsAdd = jsonArr(s, "statsAdd").flatMap(FileStat.decode)
       val addKeys = statsAdd.map(st => (st.file, st.column, st.typ)).toSet
-      val fileSet = files.toSet
+      // survives ⟺ its file is in the new set: acc stats ⊆ acc files
+      // (base-normalized, maintained here), so membership reduces to
+      // "not deleted, or re-added" — no O(table) set per delta
       val stats = acc.map(_.stats).getOrElse(Seq.empty)
-        .filter(st => fileSet(st.file) && !addKeys((st.file, st.column, st.typ))) ++ statsAdd
+        .filter(st => (!delSet(st.file) || addSet(st.file)) &&
+          !addKeys((st.file, st.column, st.typ))) ++ statsAdd
       val txns = acc.map(_.txns).getOrElse(Seq.empty) ++ jsonArr(s, "txnsAdd")
       Some(delta.copy(files = files, txns = txns, stats = stats))
     }.getOrElse(sys.error(s"unresolvable snapshot v$ver of $prefix"))
+  }
+
+  /** O(n) merge of two sorted file lists — equivalent to
+    * `(a ++ b).sorted` when both inputs are sorted (the write path
+    * guarantees it), with a verify-and-fallback for legacy inputs. */
+  private def mergeSortedFiles(a: Seq[String], b: Seq[String]): Seq[String] = {
+    // arrays up front: Seq.apply on a List would make the merge O(n²)
+    val av = a.toArray
+    val bv = b.toArray
+    def isSorted(xs: Array[String]): Boolean = {
+      var i = 1
+      while (i < xs.length) {
+        if (xs(i - 1) > xs(i)) return false
+        i += 1
+      }
+      true
+    }
+    if (bv.isEmpty && isSorted(av)) a
+    else if (av.isEmpty && isSorted(bv)) b
+    else if (!isSorted(av) || !isSorted(bv)) (a ++ b).sorted
+    else {
+      val out = new Array[String](av.length + bv.length)
+      var i = 0
+      var j = 0
+      var o = 0
+      while (i < av.length && j < bv.length) {
+        if (av(i) <= bv(j)) { out(o) = av(i); i += 1 } else { out(o) = bv(j); j += 1 }
+        o += 1
+      }
+      while (i < av.length) { out(o) = av(i); i += 1; o += 1 }
+      while (j < bv.length) { out(o) = bv(j); j += 1; o += 1 }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
   }
 
   /** One schema-evolution event, ordered by commit version. The read
