@@ -403,4 +403,37 @@ class DeltaLogSpec extends SparkTestBase {
     assert(legacyFiles.toSet.subsetOf(snap.files.toSet))
     assert(Snapshots.read(spark, root, "lg").count() == 25)
   }
+
+  test("UNSORTED legacy manifest: the O(n) merge fold falls back to a sort, never mis-orders") {
+    // the round-11 fold keeps the file list sorted via a two-pointer
+    // merge that ASSUMES sorted inputs (the write path guarantees it);
+    // a hand-written pre-round-9 manifest carries no such guarantee —
+    // pin the verify-and-fallback so delta folds over it still produce
+    // the canonical sorted file list (and the read still sees all rows)
+    val root = Files.createTempDirectory("graft_dlog").toString
+    val rows = ProduceJob.personProjection(
+      spark.range(20).toDF("cnt"), "cnt", "ulg", 1)
+    rows.write.mode("append").partitionBy("topic")
+      .parquet(Topics.tableDir(root, "ulg"))
+    val legacyFiles = {
+      val b = Paths.get(Topics.tableDir(root, "ulg"))
+      val s = Files.walk(b)
+      try s.iterator().asScala.filter(p =>
+        Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => b.relativize(p).toString).toSeq.sorted
+      finally s.close()
+    }
+    assert(legacyFiles.size > 1, "needs >1 file to be order-sensitive")
+    // REVERSED file order — a sorted-input merge would emit this verbatim
+    val legacy = legacyFiles.reverse.map(f => "\"" + f + "\"").mkString("[", ", ", "]")
+    Files.createDirectories(Paths.get(s"$root/ulg._log"))
+    Files.writeString(Paths.get(s"$root/ulg._log/v00000.json"),
+      s"""{"version": 0, "op": "append", "maxPos": 19, "files": $legacy, "removed": [], "txns": [], "stats": []}""")
+    ProduceJob.produceBatch(spark, root, "ulg", topics = 1, numMessages = 5)
+    val snap = Snapshots.snapshot(root, "ulg", None).get
+    assert(snap.version == 1)
+    assert(snap.files == snap.files.sorted, "fold must emit the canonical order")
+    assert(legacyFiles.toSet.subsetOf(snap.files.toSet))
+    assert(Snapshots.read(spark, root, "ulg").count() == 25)
+  }
 }
