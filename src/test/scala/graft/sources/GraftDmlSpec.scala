@@ -245,6 +245,30 @@ class GraftDmlSpec extends SparkTestBase {
     assert(rows == Seq((0L, "hangc"), (2L, "b"), (3L, "c"))) // ba=1 deleted
   }
 
+  test("MERGE clause conditions accept equality-correlated EXISTS on target AND source columns") {
+    val (_, tbl) = fresh("mcorr")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW mcorr_src AS
+      SELECT * FROM VALUES (1L, 10L), (2L, 20L), (3L, 30L) AS v(ba, bump)""")
+    // whitelist view: keys 1 and 3 (correlates to the TARGET's ba) and
+    // bumps 20 (correlates to the SOURCE's bump — exercises the
+    // _graft_src_ rename inside the lifted correlation text)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW mcorr_allow AS
+      SELECT * FROM VALUES (1L, 'k'), (3L, 'k'), (20L, 'b') AS v(k, kind)""")
+    spark.sql(s"""MERGE INTO $tbl t USING mcorr_src s
+      ON t.ba = s.ba
+      WHEN MATCHED AND EXISTS (
+        SELECT 1 FROM mcorr_allow a WHERE a.k = t.ba AND a.kind = 'k')
+        THEN UPDATE SET age = 801
+      WHEN MATCHED AND EXISTS (
+        SELECT 1 FROM mcorr_allow a WHERE a.k = s.bump AND a.kind = 'b')
+        THEN UPDATE SET age = 802""")
+    val rows = spark.sql(s"SELECT ba, age FROM $tbl WHERE ba IN (1, 2, 3) ORDER BY ba")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // ba=1: first clause (target-correlated) fires; ba=2: only the
+    // source-correlated clause matches (bump=20 allowed); ba=3: first
+    assert(rows == Seq((1L, 801), (2L, 802), (3L, 801)), rows.toString)
+  }
+
   test("subquery temp views are session-invisible after the command (finally-drop)") {
     val (_, tbl) = fresh("viewdrop")
     spark.sql(s"DELETE FROM $tbl WHERE ba IN (SELECT CAST(id AS BIGINT) FROM range(5))")
