@@ -264,6 +264,48 @@ object Snapshots {
   private def arrJson(xs: Seq[String]) =
     xs.map(f => "\"" + f + "\"").mkString("[", ", ", "]")
 
+  /** (add, del) = (files ∖ parent, parent ∖ files), both sorted —
+    * O(n) two-pointer walk when both inputs are sorted (the write path
+    * guarantees it), exact hash-set fallback otherwise. On equality
+    * every duplicate of the value is consumed from BOTH sides,
+    * matching the set-semantics of the fallback (a path present in the
+    * parent suppresses all its copies from `add`, and vice versa). */
+  private def sortedDiff(files: Seq[String],
+                         pFiles: Seq[String]): (Seq[String], Seq[String]) = {
+    val a = files.toArray
+    val p = pFiles.toArray
+    def isSorted(xs: Array[String]): Boolean = {
+      var i = 1
+      while (i < xs.length) {
+        if (xs(i - 1) > xs(i)) return false
+        i += 1
+      }
+      true
+    }
+    if (!isSorted(a) || !isSorted(p)) {
+      val pSet = pFiles.toSet
+      val fSet = files.toSet
+      (files.filterNot(pSet).sorted, pFiles.filterNot(fSet).sorted)
+    } else {
+      val add = Seq.newBuilder[String]
+      val del = Seq.newBuilder[String]
+      var i = 0
+      var j = 0
+      while (i < a.length && j < p.length) {
+        val c = a(i).compareTo(p(j))
+        if (c == 0) {
+          val v = a(i)
+          while (i < a.length && a(i) == v) i += 1
+          while (j < p.length && p(j) == v) j += 1
+        } else if (c < 0) { add += a(i); i += 1 }
+        else { del += p(j); j += 1 }
+      }
+      while (i < a.length) { add += a(i); i += 1 }
+      while (j < p.length) { del += p(j); j += 1 }
+      (add.result(), del.result())
+    }
+  }
+
   /** Atomic write of one snapshot version; loses the race loudly.
     * (private[graft]: the conflict spec exercises the collision
     * directly — a live thread race can't be scheduled deterministically.)
@@ -284,14 +326,38 @@ object Snapshots {
                             stats: Seq[FileStat] = Seq.empty,
                             extraFields: Seq[(String, String)] = Seq.empty,
                             parent: Option[Snapshot] = None): Int = {
-    val pFiles = parent.map(_.files.toSet).getOrElse(Set.empty)
-    val fSet = files.toSet
-    val add = files.filterNot(pFiles).sorted
-    val del = parent.map(_.files.filterNot(fSet).sorted).getOrElse(Seq.empty)
+    // file-set diff: O(n) two-pointer walk over the two SORTED lists
+    // (the round-11 probe put the old hash-set diff at seconds per
+    // commit on a 10⁶-file table); an unsorted input — possible only
+    // through hand-written legacy state — falls back to the set form
+    val (add, del) = parent match {
+      case None => (files.sorted, Seq.empty[String])
+      case Some(p) => sortedDiff(files, p.files)
+    }
     val pTxns = parent.map(_.txns.toSet).getOrElse(Set.empty)
     val txnsAdd = txns.filterNot(pTxns)
-    val pStats = parent.map(_.stats.toSet).getOrElse(Set.empty[FileStat])
-    val statsAdd = stats.filterNot(pStats)
+    // stats diff: carried stats are the PARENT'S OWN objects in every
+    // caller (assembleStats filters prev.stats; evolution ops pass
+    // prev.stats through), so a reference-identity pass drops them
+    // without hashing two strings per entry; the residue — genuinely
+    // new stats plus any caller-rebuilt equal values — is value-checked
+    // against only the parent stats sharing its (small) file set, which
+    // is exactly equivalent to the old full-set filterNot because
+    // FileStat equality includes the file.
+    val statsAdd = parent match {
+      case None => stats
+      case Some(p) =>
+        val ident = java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[FileStat, java.lang.Boolean]())
+        p.stats.foreach(ident.add)
+        val residue = stats.filterNot(ident.contains)
+        if (residue.isEmpty) residue
+        else {
+          val rf = residue.map(_.file).toSet
+          val pv = p.stats.filter(st => rf(st.file)).toSet
+          residue.filterNot(pv)
+        }
+    }
     val extras = (("parent" -> parent.map(_.version).getOrElse(-1).toString) +:
       extraFields).map { case (k, v) => s""", "$k": "$v"""" }.mkString
     val json =
