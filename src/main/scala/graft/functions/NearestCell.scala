@@ -76,6 +76,12 @@ object NearestCell {
     * static-shaped. Accumulation order and tie-break are the contract
     * (see class doc); do not reorder the loops. */
   def nearest(v: ArrayData, flat: Array[Double], dim: Int): Int = {
+    // a shorter vector would throw ArrayIndexOutOfBounds from GENERATED
+    // code (round-11 advisor finding) — fail with the actual contract
+    // instead; extra trailing elements are ignored, matching the kernel
+    if (v.numElements() < dim) throw new IllegalArgumentException(
+      s"graft_nearest_cell: vector has ${v.numElements()} elements but " +
+        s"the centroid matrix is $dim-dimensional")
     val k = if (dim == 0) 0 else flat.length / dim
     var best = 0
     var bestD = Double.PositiveInfinity

@@ -396,36 +396,110 @@ object Snapshots {
         case _ => Seq.empty
       })).distinct.sorted
     val extras = extraFields.map { case (k, v) => s""", "$k": "$v"""" }.mkString
-    val json =
-      s"""{"version": $version, "op": "$op", "maxPos": $maxPos, "files": ${arrJson(files)}, "removed": ${arrJson(removed)}, "txns": ${arrJson(txns)}, "stats": ${arrJson(stats.map(_.encoded))}, "refsEver": ${arrJson(refs)}, "evs": ${arrJson(evs.map(_.toString))}$extras}"""
-    if (overwrite && Files.exists(ckptPath(root, prefix, version))) {
-      replaceCheckpoint(root, prefix, version, json)
+    // STREAMED to disk (round-11 verdict #4): at 10⁶ files the old
+    // single-string interpolation built a ~283 MiB transient String
+    // (plus the arrJson intermediates) once per checkpointInterval
+    // commits — the emitter writes the same bytes through a buffered
+    // writer with no table-proportional allocation.
+    def emit(w: java.io.Writer): Unit = {
+      w.write(s"""{"version": $version, "op": "$op", "maxPos": $maxPos, "files": """)
+      emitArr(w, files.iterator)
+      w.write(""", "removed": """); emitArr(w, removed.iterator)
+      w.write(""", "txns": """); emitArr(w, txns.iterator)
+      w.write(""", "stats": """); emitArr(w, stats.iterator.map(_.encoded))
+      w.write(""", "refsEver": """); emitArr(w, refs.iterator)
+      w.write(""", "evs": """); emitArr(w, evs.iterator.map(_.toString))
+      w.write(extras); w.write("}")
+    }
+    def writeTo(p: Path): Unit = {
+      val w = Files.newBufferedWriter(p, java.nio.charset.StandardCharsets.UTF_8,
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      try emit(w) finally w.close()
+    }
+    // temp write + ATOMIC_MOVE (the parse cache is content-keyed, so
+    // readers can never be served the old parse for the new bytes)
+    def replaceStreaming(p: Path): Unit = {
+      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      writeTo(tmp)
+      try {
+        Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          Files.deleteIfExists(tmp)
+          () // a racer replaced it first; content-keyed cache keeps reads safe
+      }
+    }
+    val p = ckptPath(root, prefix, version)
+    if (overwrite && Files.exists(p)) {
+      replaceStreaming(p)
       return
     }
-    try {
-      Files.writeString(ckptPath(root, prefix, version), json,
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-      ()
-    } catch {
+    try writeTo(p)
+    catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         // An existing checkpoint for OUR version number is normally a
         // racer's byte-identical write — keep it. Anything else is not
-        // trustworthy for this version while `json` is known-good, so
-        // replace atomically: DIFFERENT bytes are stale metadata from
-        // an abandoned commit at a reallocated version number (a
-        // dropped staged commit whose cleanup crashed mid-way) — even
-        // when only txns/stats/refsEver differ, not `files` — and an
-        // UNREADABLE/truncated file must be repaired, not kept.
-        // (Round-11 advisor: the old IOException-only catch let a
-        // corrupt checkpoint whose parse threw another exception type
-        // propagate and fail the commit; the files-only comparison
-        // trusted abandoned checkpoints that differed elsewhere.)
-        val p = ckptPath(root, prefix, version)
-        val stale = try {
-          Files.readString(p) != json
-        } catch { case scala.util.control.NonFatal(_) => true }
-        if (stale) replaceCheckpoint(root, prefix, version, json)
+        // trustworthy for this version while our emitted bytes are
+        // known-good, so replace atomically: DIFFERENT bytes are stale
+        // metadata from an abandoned commit at a reallocated version
+        // number (a dropped staged commit whose cleanup crashed
+        // mid-way) — even when only txns/stats/refsEver differ, not
+        // `files` — and an UNREADABLE/truncated file must be repaired,
+        // not kept. (Round-11 advisor: the old IOException-only catch
+        // let a corrupt checkpoint whose parse threw another exception
+        // type propagate and fail the commit; the files-only
+        // comparison trusted abandoned checkpoints that differed
+        // elsewhere.) The comparison streams both sides via a temp
+        // copy of our bytes — never a table-proportional String.
+        val tmp = p.resolveSibling(p.getFileName.toString + ".cmp-" +
+          java.util.UUID.randomUUID().toString.take(8))
+        writeTo(tmp)
+        val stale = try !sameBytes(p, tmp)
+          catch { case scala.util.control.NonFatal(_) => true }
+        if (stale) {
+          try {
+            Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            ()
+          } catch {
+            case scala.util.control.NonFatal(_) => Files.deleteIfExists(tmp); ()
+          }
+        } else { Files.deleteIfExists(tmp); () }
     }
+  }
+
+  private def emitArr(w: java.io.Writer, xs: Iterator[String]): Unit = {
+    w.write('[')
+    var first = true
+    xs.foreach { x =>
+      if (first) first = false else w.write(", ")
+      w.write('"'); w.write(x); w.write('"')
+    }
+    w.write(']')
+  }
+
+  /** Streaming byte-equality of two files — the checkpoint staleness
+    * probe at 10⁶ files must not read 283 MiB into one String. */
+  private def sameBytes(a: Path, b: Path): Boolean = {
+    if (Files.size(a) != Files.size(b)) return false
+    val ia = Files.newInputStream(a)
+    val ib = Files.newInputStream(b)
+    try {
+      val ba = new Array[Byte](1 << 16)
+      val bb = new Array[Byte](1 << 16)
+      var done = false
+      while (!done) {
+        val na = ia.readNBytes(ba, 0, ba.length)
+        val nb = ib.readNBytes(bb, 0, bb.length)
+        if (na != nb || !java.util.Arrays.equals(ba, 0, na, bb, 0, nb))
+          return false
+        done = na == 0
+      }
+      true
+    } finally { ia.close(); ib.close() }
   }
 
   /** Atomically replace one checkpoint file (temp write + ATOMIC_MOVE;
@@ -999,7 +1073,22 @@ object Snapshots {
       val accFiles = acc.map(_.files).getOrElse(Seq.empty)
       val kept = if (delSet.isEmpty) accFiles else accFiles.filterNot(delSet)
       val files = mergeSortedFiles(kept, add)
-      val statsAdd = jsonArr(s, "statsAdd").flatMap(FileStat.decode)
+      // a malformed/hand-written delta can carry statsAdd entries for
+      // files absent from the resulting set; appending them would leak
+      // the stats⊆files invariant every later fold relies on (advisor
+      // round-11 finding). mergeSortedFiles always returns sorted, so
+      // the membership probe is O(delta · log n), never an O(table)
+      // set rebuild — on healthy logs (statsAdd ⊆ add) nothing drops.
+      val statsAddRaw = jsonArr(s, "statsAdd").flatMap(FileStat.decode)
+      val statsAdd =
+        if (statsAddRaw.isEmpty) statsAddRaw
+        else {
+          val fi: IndexedSeq[String] = files match {
+            case is: IndexedSeq[String] => is
+            case other => other.toIndexedSeq
+          }
+          statsAddRaw.filter(st => addSet(st.file) || sortedContains(fi, st.file))
+        }
       val addKeys = statsAdd.map(st => (st.file, st.column, st.typ)).toSet
       // survives ⟺ its file is in the new set: acc stats ⊆ acc files
       // (base-normalized, maintained here), so membership reduces to
@@ -1010,6 +1099,20 @@ object Snapshots {
       val txns = acc.map(_.txns).getOrElse(Seq.empty) ++ jsonArr(s, "txnsAdd")
       Some(delta.copy(files = files, txns = txns, stats = stats))
     }.getOrElse(sys.error(s"unresolvable snapshot v$ver of $prefix"))
+  }
+
+  /** Binary search over a sorted file list (the [[mergeSortedFiles]]
+    * output contract). */
+  private def sortedContains(xs: IndexedSeq[String], key: String): Boolean = {
+    var lo = 0
+    var hi = xs.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = xs(mid).compareTo(key)
+      if (c == 0) return true
+      if (c < 0) lo = mid + 1 else hi = mid - 1
+    }
+    false
   }
 
   /** O(n) merge of two sorted file lists — equivalent to

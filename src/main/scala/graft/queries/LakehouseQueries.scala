@@ -2050,6 +2050,95 @@ object LakehouseQueries extends QueryRegistry {
              |FROM aged WHERE new_age = 703
              |UNION ALL
              |SELECT 'c_alive', COUNT(*), CAST(SUM(ba) AS BIGINT) FROM aged
+             |ORDER BY step""".stripMargin)),
+
+    // Correlated DML with RESIDUAL non-equality conjuncts (round 12,
+    // closing the r11 verdict's one remaining DML gap): `EXISTS
+    // (SELECT 1 FROM s WHERE s.k = t.k AND s.ts > t.ts)` — the equi
+    // conjunct is stripped so Spark's decorrelation gets a hash-join
+    // key; the range conjunct rides whole into the emitted text and
+    // lands as the join's non-equi filter. Exercised across all three
+    // lifted forms (EXISTS/NOT EXISTS, scalar aggregate — including
+    // the no-match → NULL assignment — and IN whose select list drops
+    // both correlation columns) plus a DELETE. A PURELY non-equality
+    // correlation still refuses: without an equi key the decorrelated
+    // plan would nested-loop against the table — the 100 TB hazard the
+    // contract exists to prevent.
+    QueryDef("q307_dml_residual",
+      (s, _) => {
+        val tbl = "graft_q307_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val root = freshScratch(s, "q307", "graft-dmlresid", Some(tbl))
+        ProduceJob.produceBatch(s, root, "q", topics = 1, numMessages = 1000) // ba 0..999
+        s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$root/q')")
+        s.sql("""CREATE OR REPLACE TEMP VIEW q307_src AS
+                |SELECT CAST(id % 10 AS BIGINT) AS k, CAST(id AS BIGINT) AS ts
+                |FROM range(50)""".stripMargin)
+        // residual EXISTS: equi k = ba%10, range ts > ba%60
+        s.sql(s"UPDATE $tbl SET age = 801 WHERE ba < 200 AND " +
+          s"EXISTS (SELECT 1 FROM q307_src WHERE q307_src.k = ba % 10 AND q307_src.ts > ba % 60)")
+        // the complement under NOT, same residual shape
+        s.sql(s"UPDATE $tbl SET age = 802 WHERE ba < 200 AND " +
+          s"NOT EXISTS (SELECT 1 FROM q307_src WHERE q307_src.k = ba % 10 AND q307_src.ts > ba % 60)")
+        // residual correlated scalar: a range cap that leaves some
+        // groups EMPTY → the standard no-match NULL overwrites age
+        s.sql(s"UPDATE $tbl SET age = CAST((SELECT max(ts) FROM q307_src " +
+          s"WHERE q307_src.k = ba % 10 AND q307_src.ts <= ba % 40 - 3) AS INT) " +
+          s"WHERE ba >= 200 AND ba < 400")
+        // residual correlated IN: select list drops BOTH the equi and
+        // the residual columns — widening surfaces each
+        s.sql(s"UPDATE $tbl SET age = 803 WHERE ba >= 400 AND ba < 500 AND " +
+          s"(ba % 50) IN (SELECT ts FROM q307_src " +
+          s"WHERE q307_src.k = ba % 10 AND q307_src.ts >= ba % 30)")
+        // residual EXISTS in a DELETE
+        s.sql(s"DELETE FROM $tbl WHERE ba >= 900 AND " +
+          s"EXISTS (SELECT 1 FROM q307_src WHERE q307_src.k = ba % 10 AND q307_src.ts > ba - 900)")
+        val t = s.table(tbl)
+        val a = t.filter(col("ba") < 200)
+          .agg(count(lit(1)).as("cnt"), sum("age").cast("bigint").as("agg"))
+          .select(lit("a_exists").as("step"), col("cnt"), col("agg"))
+        val b = t.filter(col("ba") >= 200 && col("ba") < 400)
+          .agg(count(col("age")).as("cnt"), sum("age").cast("bigint").as("agg"))
+          .select(lit("b_scalar").as("step"), col("cnt"), col("agg"))
+        val c = t.filter(col("age") === 803)
+          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("agg"))
+          .select(lit("c_in").as("step"), col("cnt"), col("agg"))
+        val d = t.agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("agg"))
+          .select(lit("d_alive").as("step"), col("cnt"), col("agg"))
+        a.unionAll(b).unionAll(c).unionAll(d).orderBy("step")
+      },
+      Some("""WITH src AS (
+             |  SELECT id % 10 AS k, id AS ts FROM range(50) t(id)),
+             |alive AS (
+             |  SELECT id AS ba FROM range(0, 1000) t(id)
+             |  WHERE NOT (id >= 900 AND EXISTS (
+             |    SELECT 1 FROM src WHERE src.k = id % 10 AND src.ts > id - 900))),
+             |aged AS (
+             |  SELECT ba,
+             |    CASE WHEN ba < 200 AND EXISTS (SELECT 1 FROM src
+             |             WHERE src.k = ba % 10 AND src.ts > ba % 60)
+             |           THEN 801
+             |         WHEN ba < 200 THEN 802
+             |         WHEN ba >= 200 AND ba < 400
+             |           THEN (SELECT max(ts) FROM src
+             |                 WHERE src.k = ba % 10 AND src.ts <= ba % 40 - 3)
+             |         WHEN ba >= 400 AND ba < 500 AND (ba % 50) IN
+             |             (SELECT ts FROM src
+             |              WHERE src.k = ba % 10 AND src.ts >= ba % 30)
+             |           THEN 803
+             |         ELSE NULL END AS new_age
+             |  FROM alive)
+             |SELECT 'a_exists' AS step, COUNT(*) AS cnt,
+             |  CAST(SUM(new_age) AS BIGINT) AS agg
+             |FROM aged WHERE ba < 200
+             |UNION ALL
+             |SELECT 'b_scalar', COUNT(new_age), CAST(SUM(new_age) AS BIGINT)
+             |FROM aged WHERE ba >= 200 AND ba < 400
+             |UNION ALL
+             |SELECT 'c_in', COUNT(*), CAST(SUM(ba) AS BIGINT)
+             |FROM aged WHERE new_age = 803
+             |UNION ALL
+             |SELECT 'd_alive', COUNT(*), CAST(SUM(ba) AS BIGINT) FROM aged
              |ORDER BY step""".stripMargin))
   )
 }

@@ -77,7 +77,9 @@ object GraftDml extends Rule[LogicalPlan] {
         "uncorrelated scalar (SELECT ...) values, equality-correlated " +
         "scalar aggregates like (SELECT max(x) FROM s WHERE s.k = t.k), " +
         "equality-correlated EXISTS / NOT EXISTS and IN / NOT IN of the " +
-        "same shape, or MERGE INTO with the per-row logic joined in the " +
+        "same shape — each optionally carrying extra non-equality " +
+        "correlated conjuncts (s.ts > t.ts) alongside at least one " +
+        "equality — or MERGE INTO with the per-row logic joined in the " +
         "source")
 
   private def conjunctsOf(e: Expression): Seq[Expression] = e match {
@@ -92,32 +94,43 @@ object GraftDml extends Rule[LogicalPlan] {
   }
 
   /** The shared strip behind every equality-correlated lift: remove
-    * `inner = outer` equi-conjuncts from Filters on the
-    * Project/Filter/alias SPINE of `plan`, then WIDEN spine Projects
-    * so every correlation column survives to the output (a derived
-    * table `(SELECT x+1 AS y FROM s WHERE s.k = t.k)` drops `k`;
-    * appending the original attribute is a pure column addition — row
-    * multiplicity and every remaining predicate are untouched — and
-    * lets the re-emitted correlation reference it by its RENAMED name,
-    * which is what makes the lift sound). Returns the cleaned,
-    * outer-reference-free plan plus the (innerExpr, outerSide) pairs.
+    * correlated conjuncts from Filters on the Project/Filter/alias
+    * SPINE of `plan`, then WIDEN spine Projects so every correlation
+    * column survives to the output (a derived table `(SELECT x+1 AS y
+    * FROM s WHERE s.k = t.k)` drops `k`; appending the original
+    * attribute is a pure column addition — row multiplicity and every
+    * remaining predicate are untouched — and lets the re-emitted
+    * correlation reference it by its RENAMED name, which is what makes
+    * the lift sound). Two conjunct classes lift (round 12 added the
+    * second):
+    *   - `inner = outer` EQUI pairs — at least one is REQUIRED, so
+    *     Spark's decorrelation always has a hash-joinable key (a
+    *     purely non-equi correlation would decorrelate into a
+    *     nested-loop join against the re-read table — the 100 TB
+    *     hazard this contract exists to prevent);
+    *   - arbitrary RESIDUAL correlated conjuncts (`s.ts > t.ts`,
+    *     `abs(s.x - t.x) < 5`, …) with no nested subquery: hoisting a
+    *     conjunct off a spine Filter and re-stating it verbatim inside
+    *     the re-emitted subquery text is placement-identical, so any
+    *     textualizable shape is sound; it lands as the join's
+    *     non-equi filter after decorrelation.
+    * Returns the cleaned, outer-reference-free plan, the (innerExpr,
+    * outerSide) equi pairs, and the residual conjuncts.
     *
     * Returns None (→ loud refusal) for anything outside the contract
     * (advisor round-11 high finding — never mis-lower):
-    *   - a non-equality or mixed-scope correlated conjunct (OR across
-    *     scopes, `s.k > t.k`, correlation inside a Join condition);
+    *   - no equi pair at all, or a correlated conjunct carrying a
+    *     nested subquery;
     *   - a correlated Filter below a NON-spine node (Aggregate, Join,
     *     Window, Limit, …): it decides group/join/limit membership, so
     *     hoisting it changes semantics — the residual-outer-ref check
     *     catches it;
-    *   - a correlation column that cannot be widened into the output
-    *     without shadowing an existing output name (the bare name
-    *     would otherwise mis-resolve against the UPDATE target at
-    *     re-analysis — correlations like `s.k = t.k` virtually
-    *     guarantee a same-named target column). */
+    *   - a correlation column that widening could not surface into
+    *     the output. */
   private def stripCorrelatedSpine(plan: LogicalPlan)
-      : Option[(LogicalPlan, Seq[(Expression, Expression)])] = {
+      : Option[(LogicalPlan, Seq[(Expression, Expression)], Seq[Expression])] = {
     val corr = scala.collection.mutable.ArrayBuffer[(Expression, Expression)]()
+    val resid = scala.collection.mutable.ArrayBuffer[Expression]()
     var bad = false
     // descend ONLY through Project/Filter/alias: any correlated Filter
     // deeper than that is left in place and caught by the
@@ -125,14 +138,17 @@ object GraftDml extends Rule[LogicalPlan] {
     def strip(p: LogicalPlan): LogicalPlan = p match {
       case f: Filter if hasOuter(f.condition) =>
         val (outerCj, localCj) = conjunctsOf(f.condition).partition(hasOuter)
-        val pairs = outerCj.map {
+        outerCj.foreach {
           case EqualTo(l, r) if hasOuter(r) && !hasOuter(l) &&
-              r.references.isEmpty => (l, r)
+              r.references.isEmpty => corr += ((l, r))
           case EqualTo(l, r) if hasOuter(l) && !hasOuter(r) &&
-              l.references.isEmpty => (r, l)
-          case _ => bad = true; null
+              l.references.isEmpty => corr += ((r, l))
+          // any other correlated conjunct rides whole into the emitted
+          // text — unless it nests a subquery (no view equivalent)
+          case other if !other.exists(_.isInstanceOf[SubqueryExpression]) =>
+            resid += other
+          case _ => bad = true
         }
-        if (!bad) corr ++= pairs
         val child = strip(f.child)
         localCj.reduceOption(And).map(Filter(_, child)).getOrElse(child)
       case f: Filter => f.copy(child = strip(f.child))
@@ -144,19 +160,17 @@ object GraftDml extends Rule[LogicalPlan] {
     }
     val stripped = strip(plan)
     if (bad || corr.isEmpty) return None
-    val needed = AttributeSet(corr.flatMap(_._1.references))
+    val needed = AttributeSet(corr.flatMap(_._1.references)) ++
+      AttributeSet(resid.flatMap(_.references))
     def widen(p: LogicalPlan): LogicalPlan = p match {
       case pr: Project =>
         val child = widen(pr.child)
-        // sorted for a deterministic emitted column order
+        // sorted for a deterministic emitted column order; a name
+        // collision with an existing output is FINE — viewAndCond
+        // disambiguates duplicate names positionally
         val missing = (needed -- AttributeSet(pr.projectList.map(_.toAttribute)))
           .filter(a => child.outputSet.contains(a)).toSeq.sortBy(_.name)
-        if (missing.exists(m => pr.projectList.exists(_.name == m.name))) {
-          // appending would duplicate an output name — the renamed view
-          // would carry two `_graft_sqN_<name>` columns and the
-          // correlation reference would be ambiguous; refuse instead
-          bad = true; pr
-        } else if (missing.isEmpty) pr.copy(child = child)
+        if (missing.isEmpty) pr.copy(child = child)
         else pr.copy(projectList = pr.projectList ++ missing, child = child)
       case f: Filter => f.copy(child = widen(f.child))
       case sa: SubqueryAlias => sa.copy(child = widen(sa.child))
@@ -170,30 +184,55 @@ object GraftDml extends Rule[LogicalPlan] {
     if (bad ||
         cleaned.exists(_.expressions.exists(hasOuter)) ||
         !needed.subsetOf(cleaned.outputSet)) None
-    else Some((cleaned, corr.toSeq))
+    else Some((cleaned, corr.toSeq, resid.toSeq))
   }
 
   /** Rename `cleaned`'s output into the per-subquery namespace (the
     * run-time view's column set) and build the re-correlation WHERE
-    * text. Returns (view plan, correlation SQL, the inner-attr →
-    * renamed-name fixer for use in select lists / aggregates). */
+    * text. Duplicate output names — a self-join on the spine, or
+    * widening appending a column whose name an alias already took
+    * (including names differing only by case under the default
+    * case-insensitive resolution, the round-11 advisor shape) — are
+    * disambiguated POSITIONALLY (`_graft_sqN_c3_k`): inner attributes
+    * are renamed by exprId, so every re-emitted reference hits exactly
+    * one view column and the shapes lift instead of dying ambiguous at
+    * re-analysis. Returns (view plan, correlation SQL, the inner-attr
+    * → renamed-name fixer for use in select lists / aggregates). */
   private def viewAndCond(cleaned: LogicalPlan,
-                          corr: Seq[(Expression, Expression)], idx: Int,
+                          corr: Seq[(Expression, Expression)],
+                          resid: Seq[Expression], idx: Int,
                           attrFix: Expression => Expression)
       : (LogicalPlan, String, Expression => Expression) = {
     val pfx = s"_graft_sq${idx}_"
+    def norm(n: String) =
+      if (conf.caseSensitiveAnalysis) n else n.toLowerCase(java.util.Locale.ROOT)
+    val dup = cleaned.output.groupBy(a => norm(a.name))
+      .filter(_._2.size > 1).keySet
+    val nameOf: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String] =
+      cleaned.output.zipWithIndex.map { case (a, i) =>
+        a.exprId -> (if (dup(norm(a.name))) s"${pfx}c${i}_${a.name}"
+                     else pfx + a.name)
+      }.toMap
     val renamed = Project(
-      cleaned.output.map(a => Alias(a, pfx + a.name)()), cleaned)
+      cleaned.output.map(a => Alias(a, nameOf(a.exprId))()), cleaned)
     val innerIds = cleaned.outputSet
     def innerFix(e: Expression): Expression = e.transform {
       case a: AttributeReference if innerIds.contains(a) =>
-        a.withName(pfx + a.name).withQualifier(Seq.empty)
+        a.withName(nameOf(a.exprId)).withQualifier(Seq.empty)
     }
-    val condSql = corr.map { case (inner, outerSide) =>
+    val eqSql = corr.map { case (inner, outerSide) =>
       val o = outerSide.transform { case OuterReference(a) => a }
       s"(${innerFix(inner).sql} = ${attrFix(o).sql})"
-    }.mkString(" AND ")
-    (renamed, condSql, innerFix)
+    }
+    // a residual conjunct mixes inner and outer attrs in one tree:
+    // unwrap the outer refs, qualifier-fix everything (inner exprIds
+    // survive attrFix, so innerFix still recognizes them), then rename
+    // the inner side into the view namespace
+    val residSql = resid.map { r =>
+      val unwrapped = r.transform { case OuterReference(a) => a }
+      s"(${innerFix(attrFix(unwrapped)).sql})"
+    }
+    (renamed, (eqSql ++ residSql).mkString(" AND "), innerFix)
   }
 
   /** Lower an EQUALITY-CORRELATED aggregated scalar subquery —
@@ -216,8 +255,9 @@ object GraftDml extends Rule[LogicalPlan] {
       case agg: Aggregate if agg.groupingExpressions.isEmpty &&
           agg.aggregateExpressions.length == 1 &&
           !agg.aggregateExpressions.exists(hasOuter) =>
-        stripCorrelatedSpine(agg.child).map { case (cleaned, corr) =>
-          val (renamed, condSql, innerFix) = viewAndCond(cleaned, corr, idx, attrFix)
+        stripCorrelatedSpine(agg.child).map { case (cleaned, corr, resid) =>
+          val (renamed, condSql, innerFix) =
+            viewAndCond(cleaned, corr, resid, idx, attrFix)
           val aggExpr = agg.aggregateExpressions.head match {
             case al: Alias => al.child
             case other => other
@@ -236,8 +276,8 @@ object GraftDml extends Rule[LogicalPlan] {
     * irrelevant to EXISTS semantics, so the view exposes `*`. */
   private def liftCorrelatedExists(plan: LogicalPlan, idx: Int,
                                    attrFix: Expression => Expression): Option[(LogicalPlan, String)] =
-    stripCorrelatedSpine(plan).map { case (cleaned, corr) =>
-      val (renamed, condSql, _) = viewAndCond(cleaned, corr, idx, attrFix)
+    stripCorrelatedSpine(plan).map { case (cleaned, corr, resid) =>
+      val (renamed, condSql, _) = viewAndCond(cleaned, corr, resid, idx, attrFix)
       (renamed, s"EXISTS (SELECT * FROM __graft_view_${idx}__ WHERE $condSql)")
     }
 
@@ -253,8 +293,9 @@ object GraftDml extends Rule[LogicalPlan] {
                                origOutput: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
                                idx: Int,
                                attrFix: Expression => Expression): Option[(LogicalPlan, String)] =
-    stripCorrelatedSpine(plan).map { case (cleaned, corr) =>
-      val (renamed, condSql, innerFix) = viewAndCond(cleaned, corr, idx, attrFix)
+    stripCorrelatedSpine(plan).map { case (cleaned, corr, resid) =>
+      val (renamed, condSql, innerFix) =
+        viewAndCond(cleaned, corr, resid, idx, attrFix)
       val sel = origOutput.map(a => innerFix(a).sql).mkString(", ")
       (renamed, s"(SELECT $sel FROM __graft_view_${idx}__ WHERE $condSql)")
     }
@@ -295,8 +336,16 @@ object GraftDml extends Rule[LogicalPlan] {
         val lhs = in.values.map(v => attrFix(v).sql).mkString("(", ", ", ")")
         val i = subq.length
         if (in.query.outerAttrs.nonEmpty) {
+          // the membership arity is the ListQuery's DECLARED numCols,
+          // not plan.output.length — the analyzer may append columns
+          // to a correlated plan, and the user's select list is always
+          // the prefix (advisor round-11 low finding: make the arity
+          // contract explicit rather than relying on the two being
+          // equal today)
+          val q = in.query
+          if (q.numCols < 1 || q.numCols > q.plan.output.length) refuseCorrelated()
           val (viewPlan, rhs) =
-            liftCorrelatedIn(in.query.plan, in.query.plan.output, i, attrFix)
+            liftCorrelatedIn(q.plan, q.plan.output.take(q.numCols), i, attrFix)
               .getOrElse(refuseCorrelated())
           subq += viewPlan
           templates(i) = s"($lhs IN $rhs)"

@@ -404,6 +404,106 @@ class DeltaLogSpec extends SparkTestBase {
     assert(Snapshots.read(spark, root, "lg").count() == 25)
   }
 
+  test("hand-corrupted log: the O(delta) fold equals the old O(table) fileSet ground truth") {
+    // round-11 verdict advisor ask (b): the fold rewrite replaced a
+    // per-delta full file-set rebuild with delta-sized lookups over a
+    // maintained sorted list + stats⊆files invariant. Equivalence is
+    // argued by induction in the code — pin it against a NAIVE
+    // from-scratch reimplementation on a log exercising the edge
+    // shapes a hand-written/legacy log can contain: del of an absent
+    // file, del+re-add of one file in the same delta, statsAdd
+    // replacing a carried stat, phantom statsAdd, UNSORTED add array.
+    val root = Files.createTempDirectory("graft_dlog").toString
+    ProduceJob.produceBatch(spark, root, "gt", topics = 1, numMessages = 40) // v0
+    val v0 = Snapshots.snapshot(root, "gt").get
+    assert(v0.files.size >= 2, "needs ≥2 real files")
+    val fA = v0.files.head
+    val fB = v0.files.last
+    def delta(v: Int, parent: Int, add: Seq[String], del: Seq[String],
+              statsAdd: Seq[String]): Unit = {
+      def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ", ", "]")
+      Files.writeString(Paths.get(f"$root/gt._log/v$v%05d.json"),
+        s"""{"version": $v, "fmt": 2, "op": "append", "maxPos": 39, "add": ${arr(add)}, "del": ${arr(del)}, "removed": [], "txnsAdd": [], "statsAdd": ${arr(statsAdd)}, "parent": "$parent"}""")
+    }
+    // v1: del an ABSENT file + del/re-add fA in one delta, with a
+    // statsAdd that REPLACES fA's carried (file,column,typ) stat and a
+    // phantom statsAdd; add list deliberately UNSORTED (fA after a
+    // lexically-later synthetic name cannot be arranged reliably, so
+    // add two synthetic names out of order — they need not exist on
+    // disk for fold equivalence)
+    delta(1, 0,
+      add = Seq("zz-synthetic-2.parquet", "aa-synthetic-1.parquet", fA),
+      del = Seq("never-existed.parquet", fA),
+      statsAdd = Seq(s"$fA|gt_probe|1|9|L", "phantom.parquet|x|0|1|L"))
+    // v2: del fB and one synthetic; statsAdd for the re-added fA again
+    // (replace v1's) and for the surviving synthetic
+    delta(2, 1,
+      add = Seq.empty,
+      del = Seq(fB, "aa-synthetic-1.parquet"),
+      statsAdd = Seq(s"$fA|gt_probe|2|8|L", "zz-synthetic-2.parquet|x|5|6|L"))
+    val snap = Snapshots.snapshot(root, "gt").get
+    // ---- naive ground truth: full set/map rebuild per delta ----
+    case class D(add: Seq[String], del: Set[String],
+                 statsAdd: Seq[(String, String, Long, Long, String)])
+    val deltas = Seq(
+      D(Seq("zz-synthetic-2.parquet", "aa-synthetic-1.parquet", fA),
+        Set("never-existed.parquet", fA),
+        Seq((fA, "gt_probe", 1L, 9L, "L"), ("phantom.parquet", "x", 0L, 1L, "L"))),
+      D(Seq.empty, Set(fB, "aa-synthetic-1.parquet"),
+        Seq((fA, "gt_probe", 2L, 8L, "L"), ("zz-synthetic-2.parquet", "x", 5L, 6L, "L"))))
+    var files = v0.files.toSet
+    var stats = v0.stats.map(st => (st.file, st.column, st.typ) -> (st.min, st.max)).toMap
+    deltas.foreach { d =>
+      files = files -- d.del ++ d.add
+      // old ground truth: a stat survives iff its file is in the FULL
+      // new set; incoming statsAdd replaces by (file, column, typ)
+      stats = stats.filter { case ((f, _, _), _) => files.contains(f) }
+      d.statsAdd.foreach { case (f, c, lo, hi, t) =>
+        if (files.contains(f)) stats += ((f, c, t) -> (lo, hi)) }
+    }
+    assert(snap.files.sorted == files.toSeq.sorted)
+    assert(snap.files == snap.files.sorted, "fold must emit canonical order")
+    val foldStats = snap.stats.map(st => (st.file, st.column, st.typ) -> (st.min, st.max)).toMap
+    assert(foldStats == stats,
+      s"fold=\n${foldStats.toSeq.sortBy(_._1.toString).mkString("\n")}\n" +
+        s"truth=\n${stats.toSeq.sortBy(_._1.toString).mkString("\n")}")
+    assert(foldStats.contains((fA, "gt_probe", "L")) &&
+      foldStats((fA, "gt_probe", "L")) == ((2L, 8L)), "v2 statsAdd must replace v1's")
+    assert(!foldStats.keys.exists(_._1 == "phantom.parquet"))
+  }
+
+  test("malformed delta: phantom statsAdd (file absent from the set) drops at fold and never persists") {
+    // round-11 advisor finding: the O(delta) stats fold appends
+    // statsAdd unconditionally and every LATER fold relies on
+    // stats ⊆ files; a hand-written delta whose statsAdd names a file
+    // outside the set would leak a phantom stat through every
+    // subsequent delta (harmless for reads — the file is never
+    // scanned — but an invariant violation the delta-sized survival
+    // check silently builds on). The fold now probes the sorted file
+    // list (O(delta · log n)) and drops phantoms at the offending
+    // delta itself.
+    val root = Files.createTempDirectory("graft_dlog").toString
+    ProduceJob.produceBatch(spark, root, "ph", topics = 1, numMessages = 20)
+    val snap0 = Snapshots.snapshot(root, "ph").get
+    val realFile = snap0.files.head
+    Files.writeString(Paths.get(s"$root/ph._log/v00001.json"),
+      s"""{"version": 1, "fmt": 2, "op": "append", "maxPos": 19, "add": [], "del": [], "removed": [], "txnsAdd": [], "statsAdd": ["part-phantom.parquet|ba|0|9|L", "$realFile|zz_probe|0|19|L"], "parent": "0"}""")
+    val snap1 = Snapshots.snapshot(root, "ph").get
+    assert(snap1.version == 1)
+    assert(!snap1.stats.exists(_.file == "part-phantom.parquet"),
+      "phantom statsAdd must be dropped at the malformed delta")
+    assert(snap1.stats.exists(st => st.file == realFile && st.column == "zz_probe"),
+      "a statsAdd naming a CARRIED file is legitimate and must land")
+    // the invariant holds through later healthy commits too
+    ProduceJob.produceBatch(spark, root, "ph", topics = 1, numMessages = 5)
+    val snap2 = Snapshots.snapshot(root, "ph").get
+    assert(snap2.version == 2)
+    assert(!snap2.stats.exists(_.file == "part-phantom.parquet"))
+    assert(snap2.stats.forall(st => snap2.files.contains(st.file)),
+      "stats ⊆ files must hold after folding past a malformed delta")
+    assert(Snapshots.read(spark, root, "ph").count() == 25)
+  }
+
   test("UNSORTED legacy manifest: the O(n) merge fold falls back to a sort, never mis-orders") {
     // the round-11 fold keeps the file list sorted via a two-pointer
     // merge that ASSUMES sorted inputs (the write path guarantees it);

@@ -75,6 +75,38 @@ class NearestCellSpec extends SparkTestBase {
       spark.sql("SELECT graft_nearest_cell(array(1.0d), array(array(rand()))) AS c")
         .head()
     }
-    assert(e.getMessage != null)
+    // the matrixOf foldable contract, pinned (round-11 verdict): a
+    // non-literal quantizer refuses with ITS OWN message — index
+    // metadata never rides in as row data
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("centroid matrix must be a literal"))),
+      e.toString)
+  }
+
+  test("a vector shorter than the centroid dim fails with the contract, not ArrayIndexOutOfBounds") {
+    // round-11 advisor finding: nearest() indexed v.getDouble(i) for
+    // i < dim unguarded — a short vector threw AIOOBE from GENERATED
+    // code. Unreachable on declared paths (staged indexes are
+    // fixed-dim) but the SQL surface is public.
+    NearestCell.register(spark)
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_nearest_cell(array(1.0d), " +
+        "array(array(0.0d, 0.0d), array(3.0d, 4.0d))) AS c").head()
+    }
+    val hit = causes(e).collectFirst {
+      case c: IllegalArgumentException if
+        Option(c.getMessage).exists(_.contains("1 elements")) => c
+    }
+    assert(hit.isDefined, e.toString)
+    assert(hit.get.getMessage.contains("2-dimensional"))
+    assert(!causes(e).exists(_.isInstanceOf[ArrayIndexOutOfBoundsException]))
+    // extra TRAILING elements are ignored — the kernel's semantics
+    val long = spark.sql("SELECT graft_nearest_cell(array(3.0d, 4.0d, 99.0d), " +
+      "array(array(0.0d, 0.0d), array(3.0d, 4.0d))) AS c").head().getInt(0)
+    assert(long == 1)
   }
 }

@@ -399,12 +399,30 @@ class GraftDmlSpec extends SparkTestBase {
     val widened = spark.sql(s"SELECT ba, age FROM $tbl WHERE ba < 5 ORDER BY ba")
       .collect().map(r => (r.getLong(0), r.getInt(1)))
     widened.foreach { case (ba, age) => assert(age == (ba + 46).toInt, s"ba=$ba age=$age") }
-    // (a') but widening REFUSES when the appended column's name is
-    // already taken by a different output (the renamed view would hold
-    // two `_graft_sqN_ba` columns → ambiguous correlation reference)
-    assertRefused(s"UPDATE $tbl SET age = (SELECT max(y) FROM " +
+    // (a') widening APPENDS even when the column's name is already
+    // taken by a different output (`x AS ba` shadows the correlation
+    // column `ba`): viewAndCond disambiguates duplicate view names
+    // positionally, so the correlation references exactly the widened
+    // column — round 11 refused this shape, round 12 lifts it.
+    // Same algebra as (a): max(x+1) over group ba=k is k+46.
+    spark.sql(s"UPDATE $tbl SET age = -1 WHERE ba < 5")
+    spark.sql(s"UPDATE $tbl SET age = (SELECT max(y) FROM " +
       s"(SELECT x AS ba, x + 1 AS y FROM patho_src WHERE patho_src.ba = dml_corrpatho.ba) sub) " +
       s"WHERE ba < 5")
+    val shadowed = spark.sql(s"SELECT ba, age FROM $tbl WHERE ba < 5 ORDER BY ba")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    shadowed.foreach { case (ba, age) => assert(age == (ba + 46).toInt, s"ba=$ba age=$age") }
+    // (a'') names differing only by CASE collide under Spark's default
+    // case-insensitive resolution (round-11 advisor finding: this
+    // slipped past the old case-sensitive shadow check into a raw
+    // AnalysisException) — positional disambiguation lifts it too
+    spark.sql(s"UPDATE $tbl SET age = -1 WHERE ba < 5")
+    spark.sql(s"UPDATE $tbl SET age = (SELECT max(y) FROM " +
+      s"(SELECT x AS BA, x + 1 AS y FROM patho_src WHERE patho_src.ba = dml_corrpatho.ba) sub) " +
+      s"WHERE ba < 5")
+    val cased = spark.sql(s"SELECT ba, age FROM $tbl WHERE ba < 5 ORDER BY ba")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    cased.foreach { case (ba, age) => assert(age == (ba + 46).toInt, s"ba=$ba age=$age") }
     // (b) correlated Filter below an inner Aggregate: it decides GROUP
     // membership — hoisting to a top-level WHERE changes semantics
     assertRefused(s"UPDATE $tbl SET age = CAST((SELECT sum(cnt) FROM " +
@@ -462,6 +480,88 @@ class GraftDmlSpec extends SparkTestBase {
       s"EXISTS (SELECT 1 FROM correx_src WHERE correx_src.k = ba - 3800)")
     // ba ∈ [3900, 4000): ba-3800 ∈ [100, 200) even → 50 rows
     assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == before - 50)
+  }
+
+  test("correlated lifts carry non-equality RESIDUAL conjuncts (equi key + range)") {
+    // round 12: `EXISTS (SELECT 1 FROM s WHERE s.k = t.k AND s.ts >
+    // t.ts)` — the equi conjunct is stripped (so decorrelation gets a
+    // hash-join key), the range conjunct rides whole into the emitted
+    // text. Fixture: rsrc rows (k = id % 10, ts = id) for id 0..49.
+    val (_, tbl) = fresh("resid")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW resid_src AS
+      SELECT CAST(id % 10 AS BIGINT) AS k, CAST(id AS BIGINT) AS ts FROM range(50)""")
+    val srcRows = (0L until 50L).map(id => (id % 10, id))
+    // EXISTS with residual range
+    spark.sql(s"UPDATE $tbl SET age = 801 WHERE ba < 100 AND " +
+      s"EXISTS (SELECT 1 FROM resid_src WHERE resid_src.k = ba % 10 AND resid_src.ts > ba)")
+    val expExists = (0L until 100L).count { ba =>
+      srcRows.exists { case (k, ts) => k == ba % 10 && ts > ba }
+    }
+    assert(expExists > 0 && expExists < 100, s"fixture degenerate: $expExists")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE age = 801").head().getLong(0)
+      == expExists.toLong)
+    // correlated scalar aggregate with residual range in a SET value
+    spark.sql(s"UPDATE $tbl SET age = CAST((SELECT max(ts) FROM resid_src " +
+      s"WHERE resid_src.k = ba % 10 AND resid_src.ts <= ba + 20) AS INT) " +
+      s"WHERE ba >= 100 AND ba < 150")
+    val scal = spark.sql(s"SELECT ba, age FROM $tbl WHERE ba >= 100 AND ba < 150 ORDER BY ba")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    scal.foreach { case (ba, age) =>
+      val exp = srcRows.filter { case (k, ts) => k == ba % 10 && ts <= ba + 20 }
+        .map(_._2).max.toInt
+      assert(age == exp, s"ba=$ba age=$age exp=$exp")
+    }
+    // correlated IN with residual range (select list drops BOTH the
+    // equi and the residual columns → widening surfaces each)
+    spark.sql(s"UPDATE $tbl SET age = 803 WHERE ba >= 200 AND ba < 300 AND " +
+      s"(ba % 50) IN (SELECT ts FROM resid_src " +
+      s"WHERE resid_src.k = ba % 10 AND resid_src.ts >= ba % 30)")
+    val expIn = (200L until 300L).count { ba =>
+      srcRows.exists { case (k, ts) => k == ba % 10 && ts >= ba % 30 && ts == ba % 50 }
+    }
+    assert(expIn > 0, "fixture must produce matches")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE age = 803").head().getLong(0)
+      == expIn.toLong)
+    // a PURELY non-equality correlation still refuses (no hash-join
+    // key → decorrelation would nested-loop against the table)
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $tbl SET age = 0 WHERE EXISTS " +
+        s"(SELECT 1 FROM resid_src WHERE resid_src.ts > ba)")
+    }
+    assert(causes(e).exists(c => c.isInstanceOf[UnsupportedOperationException] &&
+      c.getMessage.contains("correlated or nested subqueries")), e.toString)
+  }
+
+  test("correlated lift disambiguates duplicate view columns (spine self-join) and refuses DISTINCT spines") {
+    val (_, tbl) = fresh("dupcol")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW dup_a AS
+      SELECT CAST(id AS BIGINT) AS k, CAST(id * 10 AS BIGINT) AS v FROM range(10)""")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW dup_b AS
+      SELECT CAST(id AS BIGINT) AS k, CAST(id * 100 AS BIGINT) AS w FROM range(10)""")
+    // the spine Filter sits ABOVE a comma-join whose sides share the
+    // column name `k` — the renamed view would carry two
+    // `_graft_sqN_k` columns; positional renaming keeps every emitted
+    // reference unambiguous. Matches: a.k = ba%10 ∧ a.k = b.k → always
+    // exists for ba%10 ∈ [0,10) → all of ba < 30 take 811.
+    spark.sql(s"UPDATE $tbl SET age = 811 WHERE ba < 30 AND EXISTS " +
+      s"(SELECT * FROM dup_a a, dup_b b " +
+      s"WHERE a.k = b.k AND a.k = ba % 10 AND b.w >= a.v)")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE age = 811").head().getLong(0) == 30L)
+    // a DISTINCT in the subquery is a NON-spine node: the correlated
+    // Filter below it stays put → clean refusal, never a mis-lower
+    // (hoisting across DISTINCT is sound for EXISTS but not for
+    // counting aggregates — the contract refuses uniformly)
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $tbl SET age = CAST((SELECT count(x) FROM " +
+        s"(SELECT DISTINCT v AS x FROM dup_a WHERE dup_a.k = ba % 10) d) AS INT) " +
+        s"WHERE ba < 5")
+    }
+    assert(causes(e).exists(c => c.isInstanceOf[UnsupportedOperationException] &&
+      c.getMessage.contains("correlated or nested subqueries")), e.toString)
   }
 
   test("DML refuses correlated subqueries and unknown assignment shapes") {
