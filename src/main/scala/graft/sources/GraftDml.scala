@@ -206,15 +206,20 @@ object GraftDml extends Rule[LogicalPlan] {
     val pfx = s"_graft_sq${idx}_"
     def norm(n: String) =
       if (conf.caseSensitiveAnalysis) n else n.toLowerCase(java.util.Locale.ROOT)
-    val dup = cleaned.output.groupBy(a => norm(a.name))
+    // one view column per exprId: `SELECT k, k FROM s` repeats an
+    // attribute — dropping the duplicate COLUMN never changes row
+    // multiplicity, and every emitted reference resolves by renamed
+    // name, so the collapsed view is reference-equivalent
+    val outAttrs = cleaned.output.distinctBy(_.exprId)
+    val dup = outAttrs.groupBy(a => norm(a.name))
       .filter(_._2.size > 1).keySet
     val nameOf: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String] =
-      cleaned.output.zipWithIndex.map { case (a, i) =>
+      outAttrs.zipWithIndex.map { case (a, i) =>
         a.exprId -> (if (dup(norm(a.name))) s"${pfx}c${i}_${a.name}"
                      else pfx + a.name)
       }.toMap
     val renamed = Project(
-      cleaned.output.map(a => Alias(a, nameOf(a.exprId))()), cleaned)
+      outAttrs.map(a => Alias(a, nameOf(a.exprId))()), cleaned)
     val innerIds = cleaned.outputSet
     def innerFix(e: Expression): Expression = e.transform {
       case a: AttributeReference if innerIds.contains(a) =>

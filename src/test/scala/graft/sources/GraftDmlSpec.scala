@@ -491,9 +491,35 @@ class GraftDmlSpec extends SparkTestBase {
     spark.sql("""CREATE OR REPLACE TEMP VIEW resid_src AS
       SELECT CAST(id % 10 AS BIGINT) AS k, CAST(id AS BIGINT) AS ts FROM range(50)""")
     val srcRows = (0L until 50L).map(id => (id % 10, id))
-    // EXISTS with residual range
-    spark.sql(s"UPDATE $tbl SET age = 801 WHERE ba < 100 AND " +
-      s"EXISTS (SELECT 1 FROM resid_src WHERE resid_src.k = ba % 10 AND resid_src.ts > ba)")
+    // EXISTS with residual range — and the scale claim pinned at the
+    // PLAN level: the stripped equi key must keep the decorrelated
+    // join HASH-based (the residual rides as its join filter); a
+    // BroadcastNestedLoopJoin here would mean the lift shipped a
+    // correlation Spark could only nested-loop, the exact 100 TB
+    // hazard the ≥1-equi-conjunct contract exists to prevent
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             ns: Long): Unit = { plans.add(qe.executedPlan.toString); () }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      spark.sql(s"UPDATE $tbl SET age = 801 WHERE ba < 100 AND " +
+        s"EXISTS (SELECT 1 FROM resid_src WHERE resid_src.k = ba % 10 AND resid_src.ts > ba)")
+      // listener posts async; wait for SOME plan containing the
+      // decorrelated join to land, then assert the negative
+      val deadline = System.currentTimeMillis() + 10000
+      def joined = plans.toArray(Array.empty[String]).exists(p =>
+        p.contains("LeftSemi") || p.contains("ExistenceJoin"))
+      while (!joined && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(joined, "no semi/existence join in any executed plan")
+      val all = plans.toArray(Array.empty[String])
+      assert(!all.exists(_.contains("BroadcastNestedLoopJoin")),
+        "residual lift planned a nested-loop join:\n" +
+          all.filter(_.contains("BroadcastNestedLoopJoin")).mkString("\n---\n").take(4000))
+    } finally spark.listenerManager.unregister(listener)
     val expExists = (0L until 100L).count { ba =>
       srcRows.exists { case (k, ts) => k == ba % 10 && ts > ba }
     }
@@ -549,6 +575,12 @@ class GraftDmlSpec extends SparkTestBase {
       s"(SELECT * FROM dup_a a, dup_b b " +
       s"WHERE a.k = b.k AND a.k = ba % 10 AND b.w >= a.v)")
     assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE age = 811").head().getLong(0) == 30L)
+    // the SAME attribute twice in an IN's select list: the view
+    // collapses to one column per exprId (column dedup never changes
+    // row multiplicity) and the emitted 2-tuple re-states it by name
+    spark.sql(s"UPDATE $tbl SET age = 812 WHERE ba >= 30 AND ba < 60 AND " +
+      s"(ba % 10, ba % 10) IN (SELECT k, k FROM dup_a WHERE dup_a.v = (ba % 10) * 10)")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE age = 812").head().getLong(0) == 30L)
     // a DISTINCT in the subquery is a NON-spine node: the correlated
     // Filter below it stays put → clean refusal, never a mis-lower
     // (hoisting across DISTINCT is sound for EXISTS but not for
