@@ -267,6 +267,20 @@ class GraftDmlSpec extends SparkTestBase {
     // ba=1: first clause (target-correlated) fires; ba=2: only the
     // source-correlated clause matches (bump=20 allowed); ba=3: first
     assert(rows == Seq((1L, 801), (2L, 802), (3L, 801)), rows.toString)
+    // round 12: a RESIDUAL range conjunct in a MERGE clause whose
+    // outer side is a SOURCE column — the residual's re-emitted text
+    // must carry the _graft_src_ rename (a.k = s.ba equi key keeps
+    // the hash join; a.k * 10 <= s.bump is the residual). Allowed
+    // pairs: (1,'k')→10≤10 ✓, (3,'k')→30≤30 ✓, so ba 1 and 3 fire.
+    spark.sql(s"""MERGE INTO $tbl t USING mcorr_src s
+      ON t.ba = s.ba
+      WHEN MATCHED AND EXISTS (
+        SELECT 1 FROM mcorr_allow a
+        WHERE a.k = s.ba AND a.kind = 'k' AND a.k * 10 <= s.bump)
+        THEN UPDATE SET age = 803""")
+    val rows2 = spark.sql(s"SELECT ba, age FROM $tbl WHERE ba IN (1, 2, 3) ORDER BY ba")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(rows2 == Seq((1L, 803), (2L, 802), (3L, 803)), rows2.toString)
   }
 
   test("lifted correlated EXISTS executes as a distributed semi join, not a per-row probe") {
