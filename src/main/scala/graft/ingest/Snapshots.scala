@@ -174,6 +174,15 @@ object Snapshots {
     }
   }
 
+  /** Stats entries encode as `file|column|min|max|typ` inside the
+    * manifest's regex-parsed JSON arrays — a column name carrying '|',
+    * '"', '\', ']' or a control char would corrupt decode or the log
+    * itself. Such columns simply get no stats (stats are an
+    * optimization: no stat ⇒ no skip ⇒ the file is read and the
+    * filter re-applies — correct, just unpruned). */
+  private def statSafeColumn(name: String): Boolean =
+    name.forall(c => c != '|' && c != '"' && c != '\\' && c != ']' && c >= ' ')
+
   /** Footer scan of one data file: min/max for every top-level INT64,
     * DOUBLE, and STRING column with complete chunk statistics.
     * Plain-JVM IO (no Spark job) — one footer read per newly committed
@@ -193,7 +202,8 @@ object Snapshots {
         val rows = blocks.map(_.getRowCount).sum
         val rowStat = FileStat(rel, "_rows", rows, rows, "R")
         val ranged = blocks.head.getColumns.asScala
-          .filter(_.getPath.size == 1).toSeq
+          .filter(c => c.getPath.size == 1 &&
+            statSafeColumn(c.getPath.toDotString)).toSeq
           .flatMap { c =>
             val name = c.getPath.toDotString
             val ptype = c.getPrimitiveType
@@ -230,7 +240,8 @@ object Snapshots {
             }
           }
         val nullness = blocks.head.getColumns.asScala
-          .filter(_.getPath.size == 1).toSeq
+          .filter(c => c.getPath.size == 1 &&
+            statSafeColumn(c.getPath.toDotString)).toSeq
           .flatMap { c =>
             val name = c.getPath.toDotString
             val chunks = blocks.flatMap(_.getColumns.asScala
@@ -261,8 +272,29 @@ object Snapshots {
     carried ++ files.filterNot(known).sorted.flatMap(f => footerStats(base, f))
   }
 
+  /** The manifest's string arrays are parsed by a quote-pair regex
+    * ([[jsonArr]]), so a '"', '\', ']' or control character inside an
+    * element would write a log no reader can parse. File names and
+    * schema-event versions are engine-generated (always safe); txn ids
+    * and stats column names embed user-supplied strings — those are
+    * validated/filtered at their entry points, and this emit-side
+    * guard turns any future unsafe call site into a loud refusal
+    * instead of silent log corruption. */
+  private def requireManifestSafe(x: String): String = {
+    var i = 0
+    while (i < x.length) {
+      val c = x.charAt(i)
+      if (c == '"' || c == '\\' || c == ']' || c < ' ')
+        throw new IllegalArgumentException(
+          s"manifest string contains unencodable char '${c.toInt}' " +
+            s"(quote, backslash, ']' or control): '$x'")
+      i += 1
+    }
+    x
+  }
+
   private def arrJson(xs: Seq[String]) =
-    xs.map(f => "\"" + f + "\"").mkString("[", ", ", "]")
+    xs.map(f => "\"" + requireManifestSafe(f) + "\"").mkString("[", ", ", "]")
 
   /** (add, del) = (files ∖ parent, parent ∖ files), both sorted —
     * O(n) two-pointer walk when both inputs are sorted (the write path
@@ -414,7 +446,37 @@ object Snapshots {
     def writeTo(p: Path): Unit = {
       val w = Files.newBufferedWriter(p, java.nio.charset.StandardCharsets.UTF_8,
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-      try emit(w) finally w.close()
+      // a mid-write failure (disk full) must not leak a partial temp
+      // file into the log dir — delete before rethrowing
+      try emit(w)
+      catch { case e: Throwable => w.close(); Files.deleteIfExists(p); throw e }
+      finally w.close()
+    }
+    // Replace `p` with `tmp`, atomically where the filesystem can.
+    // Only AtomicMoveNotSupportedException downgrades to a plain
+    // REPLACE_EXISTING move, and only a vanished-tmp race is swallowed
+    // — any real IO failure (permissions, quota) rethrows, because a
+    // checkpoint this code decided is stale/corrupt MUST be repaired,
+    // not silently kept while the commit proceeds.
+    def moveInto(tmp: Path, p: Path): Unit = {
+      try {
+        try {
+          Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        } catch {
+          case _: java.nio.file.AtomicMoveNotSupportedException =>
+            Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            ()
+        }
+      } catch {
+        case _: java.nio.file.NoSuchFileException =>
+          // tmp vanished — a concurrent cleanup raced us; the
+          // content-keyed parse cache keeps reads safe either way
+          Files.deleteIfExists(tmp); ()
+        case e: Throwable =>
+          Files.deleteIfExists(tmp); throw e
+      }
     }
     // temp write + ATOMIC_MOVE (the parse cache is content-keyed, so
     // readers can never be served the old parse for the new bytes)
@@ -422,15 +484,7 @@ object Snapshots {
       val tmp = p.resolveSibling(p.getFileName.toString + ".tmp-" +
         java.util.UUID.randomUUID().toString.take(8))
       writeTo(tmp)
-      try {
-        Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        ()
-      } catch {
-        case scala.util.control.NonFatal(_) =>
-          Files.deleteIfExists(tmp)
-          () // a racer replaced it first; content-keyed cache keeps reads safe
-      }
+      moveInto(tmp, p)
     }
     val p = ckptPath(root, prefix, version)
     if (overwrite && Files.exists(p)) {
@@ -459,15 +513,8 @@ object Snapshots {
         writeTo(tmp)
         val stale = try !sameBytes(p, tmp)
           catch { case scala.util.control.NonFatal(_) => true }
-        if (stale) {
-          try {
-            Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            ()
-          } catch {
-            case scala.util.control.NonFatal(_) => Files.deleteIfExists(tmp); ()
-          }
-        } else { Files.deleteIfExists(tmp); () }
+        if (stale) moveInto(tmp, p)
+        else { Files.deleteIfExists(tmp); () }
     }
   }
 
@@ -476,7 +523,7 @@ object Snapshots {
     var first = true
     xs.foreach { x =>
       if (first) first = false else w.write(", ")
-      w.write('"'); w.write(x); w.write('"')
+      w.write('"'); w.write(requireManifestSafe(x)); w.write('"')
     }
     w.write(']')
   }
@@ -510,16 +557,21 @@ object Snapshots {
     val p = ckptPath(root, prefix, version)
     val tmp = p.resolveSibling(p.getFileName.toString + ".tmp-" +
       java.util.UUID.randomUUID().toString.take(8))
-    Files.writeString(tmp, json, StandardOpenOption.CREATE_NEW,
-      StandardOpenOption.WRITE)
     try {
-      Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
-    } catch {
-      case _: java.nio.file.AtomicMoveNotSupportedException =>
-        Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.writeString(tmp, json, StandardOpenOption.CREATE_NEW,
+        StandardOpenOption.WRITE)
+      try {
+        Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         ()
+      } catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+      }
+    } catch {
+      // never leak a partial/orphaned temp file into the log dir
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
     }
   }
 
@@ -1250,8 +1302,9 @@ object Snapshots {
     */
   def addColumn(root: String, prefix: String, name: String, ddlType: String,
                 defaultSql: Option[String] = None, retries: Int = 5): Int = {
-    require(!name.contains("|") && !ddlType.contains("|"),
-      "column name/type must not contain '|'")
+    require(Seq(name, ddlType).forall(s =>
+      s.nonEmpty && !s.contains("|") && !s.contains("\"") && !s.contains("\\")),
+      "column name/type must be non-empty without '|', quotes, or backslashes")
     require(defaultSql.forall(d => !d.contains("\"") && !d.contains("\\") && !d.contains("|")),
       "default must be a simple SQL literal (no double quotes, backslashes, or '|')")
     val prev = snapshot(root, prefix, None).getOrElse(

@@ -87,6 +87,40 @@ object GraftDml extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** RuntimeReplaceable expressions (nullif, ifnull, count_if, …)
+    * render `.sql` from constructor-stored PARAMETERS, while tree
+    * transforms rewrite only `children` (= the replacement tree) — so
+    * a rename/unwrap applied before textualization silently misses
+    * them and the emitted text carries stale attribute names (or a
+    * literal `outer(...)` wrapper), which at best fails re-analysis
+    * and at worst re-resolves against the WRONG scope (found by the
+    * round-13 residual fuzz: `nullif(s.ts, t.ba % 47)`). Inline every
+    * such node to its replacement BEFORE any .sql emission: the
+    * replacement is the expression's definitional semantics, and as a
+    * child it received every transform. */
+  private def inlineReplacements(e: Expression): Expression = e.transformUp {
+    case rr: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+      rr.replacement
+    // replacements use With(defs) to evaluate a shared argument once
+    // (nullif's left appears in both the predicate and a branch) —
+    // With's own .sql is the unparseable `with(...)`, so expand each
+    // common-expression ref to its definition. Textual duplication is
+    // sound only for deterministic defs; a nondeterministic one would
+    // draw twice, so refuse loudly.
+    case w: org.apache.spark.sql.catalyst.expressions.With =>
+      val defs = w.defs.map { d =>
+        require(d.child.deterministic,
+          "graft DML: a non-deterministic argument to a replacement-" +
+            "rendered function (nullif/ifnull/...) cannot be re-stated " +
+            "as text — compute it into a source column first")
+        d.id -> d.child
+      }.toMap
+      w.child.transformUp {
+        case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef
+            if defs.contains(r.id) => defs(r.id)
+      }
+  }
+
   private def hasOuter(e: Expression): Boolean = e.exists {
     case _: OuterReference => true
     case s: SubqueryExpression => s.getOuterAttrs.nonEmpty
@@ -139,6 +173,12 @@ object GraftDml extends Rule[LogicalPlan] {
       case f: Filter if hasOuter(f.condition) =>
         val (outerCj, localCj) = conjunctsOf(f.condition).partition(hasOuter)
         outerCj.foreach {
+          // a NONDETERMINISTIC correlated conjunct (rand() < s.p + t.x)
+          // is evaluated at a different place and cardinality once
+          // hoisted and re-stated — and rand()'s .sql text re-seeds on
+          // re-parse — so no placement can preserve its semantics:
+          // refuse (round-12 advisor (a))
+          case nd if !nd.deterministic => bad = true
           case EqualTo(l, r) if hasOuter(r) && !hasOuter(l) &&
               r.references.isEmpty => corr += ((l, r))
           case EqualTo(l, r) if hasOuter(l) && !hasOuter(r) &&
@@ -204,19 +244,21 @@ object GraftDml extends Rule[LogicalPlan] {
                           attrFix: Expression => Expression)
       : (LogicalPlan, String, Expression => Expression) = {
     val pfx = s"_graft_sq${idx}_"
-    def norm(n: String) =
-      if (conf.caseSensitiveAnalysis) n else n.toLowerCase(java.util.Locale.ROOT)
     // one view column per exprId: `SELECT k, k FROM s` repeats an
     // attribute — dropping the duplicate COLUMN never changes row
     // multiplicity, and every emitted reference resolves by renamed
     // name, so the collapsed view is reference-equivalent
     val outAttrs = cleaned.output.distinctBy(_.exprId)
-    val dup = outAttrs.groupBy(a => norm(a.name))
-      .filter(_._2.size > 1).keySet
+    // EVERY column gets the positional form (round-12 advisor): the
+    // position `i` is delimited by the first '_', so two distinct
+    // positions can never render the same name — whereas a dup-only
+    // scheme ("c1_k" for dups, plain name otherwise) collides when a
+    // distinct user column is literally named `c1_k`. The original
+    // name rides along as a suffix purely for debuggability of the
+    // emitted SQL.
     val nameOf: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String] =
       outAttrs.zipWithIndex.map { case (a, i) =>
-        a.exprId -> (if (dup(norm(a.name))) s"${pfx}c${i}_${a.name}"
-                     else pfx + a.name)
+        a.exprId -> s"${pfx}c${i}_${a.name}"
       }.toMap
     val renamed = Project(
       outAttrs.map(a => Alias(a, nameOf(a.exprId))()), cleaned)
@@ -226,15 +268,18 @@ object GraftDml extends Rule[LogicalPlan] {
         a.withName(nameOf(a.exprId)).withQualifier(Seq.empty)
     }
     val eqSql = corr.map { case (inner, outerSide) =>
-      val o = outerSide.transform { case OuterReference(a) => a }
-      s"(${innerFix(inner).sql} = ${attrFix(o).sql})"
+      val o = inlineReplacements(outerSide)
+        .transform { case OuterReference(a) => a }
+      s"(${innerFix(inlineReplacements(inner)).sql} = ${attrFix(o).sql})"
     }
     // a residual conjunct mixes inner and outer attrs in one tree:
-    // unwrap the outer refs, qualifier-fix everything (inner exprIds
-    // survive attrFix, so innerFix still recognizes them), then rename
-    // the inner side into the view namespace
+    // inline replacement-rendered functions, unwrap the outer refs,
+    // qualifier-fix everything (inner exprIds survive attrFix, so
+    // innerFix still recognizes them), then rename the inner side into
+    // the view namespace
     val residSql = resid.map { r =>
-      val unwrapped = r.transform { case OuterReference(a) => a }
+      val unwrapped = inlineReplacements(r)
+        .transform { case OuterReference(a) => a }
       s"(${innerFix(attrFix(unwrapped)).sql})"
     }
     (renamed, (eqSql ++ residSql).mkString(" AND "), innerFix)
@@ -268,7 +313,8 @@ object GraftDml extends Rule[LogicalPlan] {
             case other => other
           }
           (renamed,
-            s"(SELECT ${innerFix(aggExpr).sql} FROM __graft_view_${idx}__ WHERE $condSql)")
+            s"(SELECT ${innerFix(inlineReplacements(aggExpr)).sql} " +
+              s"FROM __graft_view_${idx}__ WHERE $condSql)")
         }
       case _ => None
     }
@@ -309,7 +355,7 @@ object GraftDml extends Rule[LogicalPlan] {
     * into the `_graft_src_` namespace (target attrs keep their name).
     * Uncorrelated subqueries are lifted out: the plan lands in `subq`
     * and the text references the run-time view token (see [[SubqAcc]]). */
-  private def toSql(e: Expression, srcAttrs: AttributeSet,
+  private def toSql(e0: Expression, srcAttrs: AttributeSet,
                     subq: SubqAcc = new SubqAcc): String = {
     import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, ScalarSubquery}
     def attrFix(x: Expression): Expression = x.transform {
@@ -323,6 +369,14 @@ object GraftDml extends Rule[LogicalPlan] {
     def placeholder(i: Int, dt: org.apache.spark.sql.types.DataType) =
       AttributeReference(s"__graft_subq_${i}__", dt)()
     val templates = scala.collection.mutable.Map[Int, String]()
+    // inline replacement-rendered functions FIRST: the whole tree is
+    // ultimately textualized via .sql at the bottom of this method,
+    // and a RuntimeReplaceable's stored parameters would bypass
+    // attrFix's source-namespace rename (stale text that could
+    // re-resolve against the wrong scope). Subquery PLANS are plan
+    // fields, untouched by expression transforms — their own emission
+    // paths inline at their own .sql sites.
+    val e = inlineReplacements(e0)
     // NESTED subqueries must refuse on the ORIGINAL tree: transformUp
     // rewrites bottom-up, so by the time the outer InSubquery case runs
     // its lhs subquery is already a placeholder attribute and the

@@ -282,6 +282,20 @@ private[sources] class GraftStreamSink(root: String, prefix: String,
 
 object GraftSource {
 
+  /** txn ids are embedded verbatim in the manifest's JSON arrays,
+    * whose parser is a quote-pair regex — a '"', '\', ']' or control
+    * char in either option would write a log no reader can parse.
+    * Refuse at the door instead of corrupting the table's history
+    * (round-12 verdict). */
+  private[sources] def safeTxnPart(opt: String, s: String): String = {
+    require(s.nonEmpty && s.forall(c =>
+      c.isLetterOrDigit && c < 128 || "._:-".contains(c)),
+      s"option '$opt' must be non-empty and use only " +
+        s"[A-Za-z0-9._:-] (txn ids are embedded in the " +
+        s"commit log); got '$s'")
+    s
+  }
+
   /** (root, prefix, version) from reader options. `load(path)` puts the
     * path in options; its last segment is the prefix unless an explicit
     * `prefix` option names one (then the path IS the root). `version`
@@ -496,6 +510,11 @@ private[sources] class GraftTable(val root: String, val prefix: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty, "cannot write to a time-travel read")
     require(cdc.isEmpty, "cannot write to a change-feed read")
+    // refuse unsafe txn options at BUILDER construction — before any
+    // job runs or mergeSchema commits metadata (see safeTxnPart below)
+    Seq("txnAppId", "txnVersion").foreach { o =>
+      Option(info.options.get(o)).foreach(GraftSource.safeTxnPart(o, _))
+    }
     new WriteBuilder with SupportsOverwrite {
       private var replaceAll = false
       private var replaceCond: Option[org.apache.spark.sql.Column] = None
@@ -552,7 +571,9 @@ private[sources] class GraftTable(val root: String, val prefix: String,
               // retries of one query only.
               val userTxn = for {
                 app <- Option(info.options.get("txnAppId"))
+                  .map(GraftSource.safeTxnPart("txnAppId", _))
                 v <- Option(info.options.get("txnVersion"))
+                  .map(GraftSource.safeTxnPart("txnVersion", _))
               // length-prefixed: a bare "user-$app-$v" would collide
               // (appId="a", v="1-2") with (appId="a-1", v="2") and
               // silently no-op a legitimate write

@@ -652,4 +652,178 @@ class GraftDmlSpec extends SparkTestBase {
     assert(!all.exists(c => Option(c.getMessage).exists(_.contains("__graft_subq_"))),
       "the placeholder token leaked into the error instead of a clean refusal")
   }
+
+  test("NONDETERMINISTIC correlated conjuncts refuse (hoisting changes their evaluation site)") {
+    // round-12 advisor (a): a conjunct like rand() < s.v + t.ba is
+    // evaluated at a different place and cardinality once hoisted off
+    // the spine and re-stated as text (and rand()'s .sql re-seeds on
+    // re-parse) — no placement preserves its semantics, so the lift
+    // must refuse rather than pick one silently.
+    val (_, tbl) = fresh("nondet")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW nd_src AS
+      SELECT CAST(id % 10 AS BIGINT) AS k, CAST(id AS BIGINT) AS v FROM range(50)""")
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $tbl SET age = 0 WHERE EXISTS (" +
+        s"SELECT 1 FROM nd_src WHERE nd_src.k = ba % 10 " +
+        s"AND rand() < nd_src.v + ba)")
+    }
+    assert(causes(e).exists(c => c.isInstanceOf[UnsupportedOperationException] &&
+      c.getMessage.contains("correlated or nested subqueries")), e.toString)
+    // a DETERMINISTIC residual of the same shape still lifts
+    spark.sql(s"UPDATE $tbl SET age = 831 WHERE ba < 20 AND EXISTS (" +
+      s"SELECT 1 FROM nd_src WHERE nd_src.k = ba % 10 AND 0.5 < nd_src.v + ba)")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE age = 831").head().getLong(0) == 20L)
+  }
+
+  test("positional view names can never collide with user columns literally named c<i>_<name>") {
+    // round-12 ADVICE: under the dup-only scheme, output [c1_k, k, k]
+    // rendered TWO _graft_sqN_c1_k view columns (the plain rename of a
+    // distinct user column named c1_k vs the positional rename of the
+    // dup at index 1) — a spurious ambiguous-reference failure on a
+    // liftable shape. Every column is now named positionally, so
+    // generated names are mutually distinct by construction.
+    val (_, tbl) = fresh("collide")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW coll_a AS
+      SELECT CAST(id AS BIGINT) AS c1_k, CAST(id AS BIGINT) AS k FROM range(10)""")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW coll_b AS
+      SELECT CAST(id AS BIGINT) AS k, CAST(id * 10 AS BIGINT) AS v FROM range(10)""")
+    // SELECT * output: [c1_k, k, k, v] — k is duplicated, c1_k is the
+    // colliding user name. Matches always exist for ba%10 ∈ [0,10):
+    // a.k = b.k = ba%10, v = (ba%10)*10 >= c1_k*10 - 5.
+    spark.sql(s"UPDATE $tbl SET age = 832 WHERE ba < 30 AND EXISTS " +
+      s"(SELECT * FROM coll_a a, coll_b b " +
+      s"WHERE a.k = b.k AND a.k = ba % 10 AND b.v >= a.c1_k * 10 - 5)")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE age = 832").head().getLong(0) == 30L)
+  }
+
+  test("positional rename under spark.sql.caseSensitive=true (case-only name collisions)") {
+    // round-12 advisor (b): columns differing only by case are
+    // DISTINCT names under a case-sensitive session — the positional
+    // scheme names every view column uniquely regardless of the
+    // session's resolution mode.
+    val (_, tbl) = fresh("csense")
+    val prev = spark.conf.get("spark.sql.caseSensitive")
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      spark.sql("""CREATE OR REPLACE TEMP VIEW cs_a AS
+        SELECT CAST(id AS BIGINT) AS K, CAST(id * 10 AS BIGINT) AS v FROM range(10)""")
+      spark.sql("""CREATE OR REPLACE TEMP VIEW cs_b AS
+        SELECT CAST(id AS BIGINT) AS k FROM range(10)""")
+      // output [K, v, k]: K and k collide only case-insensitively; the
+      // lift must work identically in BOTH resolution modes
+      spark.sql(s"UPDATE $tbl SET age = 833 WHERE ba < 30 AND EXISTS " +
+        s"(SELECT * FROM cs_a a, cs_b b " +
+        s"WHERE a.K = b.k AND b.k = ba % 10 AND a.v >= a.K)")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE age = 833").head().getLong(0) == 30L)
+    } finally spark.conf.set("spark.sql.caseSensitive", prev)
+    // and the same shape under the DEFAULT case-insensitive session
+    spark.sql(s"UPDATE $tbl SET age = 834 WHERE ba >= 30 AND ba < 60 AND EXISTS " +
+      s"(SELECT * FROM cs_a a, cs_b b " +
+      s"WHERE a.K = b.k AND b.k = ba % 10 AND a.v >= a.K)")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE age = 834").head().getLong(0) == 30L)
+  }
+
+  test("MERGE: WHEN NOT MATCHED BY SOURCE carries a correlated residual crossing subquery and target") {
+    // round-12 verdict #4: the one clause-scope × residual cell the
+    // matrix did not cross — a NOT MATCHED BY SOURCE condition whose
+    // correlated subquery carries an equi key (a.k = t.ba % 10) PLUS a
+    // residual conjunct referencing both the subquery source and the
+    // target in one tree (a.ts > t.ba + 30).
+    val (_, tbl) = fresh("mnmbs")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW mnmbs_src AS
+      SELECT * FROM VALUES (1L), (2L), (3L) AS v(ba)""")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW mnmbs_aux AS
+      SELECT CAST(id % 10 AS BIGINT) AS k, CAST(id AS BIGINT) AS ts FROM range(50)""")
+    val auxRows = (0L until 50L).map(id => (id % 10, id))
+    spark.sql(s"""MERGE INTO $tbl t USING mnmbs_src s
+      ON t.ba = s.ba
+      WHEN NOT MATCHED BY SOURCE AND t.ba < 20 AND EXISTS (
+        SELECT 1 FROM mnmbs_aux a WHERE a.k = t.ba % 10 AND a.ts > t.ba + 30)
+        THEN UPDATE SET age = 835""")
+    val exp = (0L until 20L).filterNot(Set(1L, 2L, 3L)).count { ba =>
+      auxRows.exists { case (k, ts) => k == ba % 10 && ts > ba + 30 }
+    }
+    assert(exp > 0 && exp < 17, s"fixture degenerate: $exp")
+    val got = spark.sql(s"SELECT count(*) FROM $tbl WHERE age = 835").head().getLong(0)
+    assert(got == exp.toLong, s"got $got expected $exp")
+  }
+
+  test("residual-conjunct .sql round-trip fuzz: the lift equals Spark's native correlated evaluation") {
+    // round-12 advisor (a), part 2: the lift re-states each residual
+    // conjunct as TEXT (.sql) inside the emitted subquery — fuzz a
+    // panel of exotic-but-textualizable shapes (arithmetic, CASE,
+    // string ops, IN-lists, null-safe ops, bitwise, OR-trees) and pin
+    // each UPDATE's matched set to the ground truth Spark itself
+    // computes for the SAME predicate in a plain SELECT (where no lift
+    // runs — the analyzer/optimizer evaluate the correlation natively).
+    val (_, tbl) = fresh("fuzz")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW fz_src AS
+      SELECT CAST(id % 10 AS BIGINT) AS k, CAST(id AS BIGINT) AS ts FROM range(50)""")
+    val residuals = Seq(
+      "fz_src.ts > ba % 53",
+      "abs(fz_src.ts - ba % 61) < 7",
+      "fz_src.ts % 7 = ba % 6",
+      "CASE WHEN fz_src.ts > 25 THEN ba % 4 = 1 ELSE ba % 4 = 2 END",
+      "coalesce(nullif(fz_src.ts, ba % 47), 3) % 2 = 1",
+      "fz_src.ts IN (ba % 33, ba % 33 + 1, 83)",
+      "concat(CAST(fz_src.ts AS STRING), '_', CAST(ba % 25 AS STRING)) LIKE '%1_2%'",
+      "substring(CAST(fz_src.ts * (ba % 97) AS STRING), 1, 1) = '1'",
+      "(fz_src.ts & ba % 31) > 2",
+      "greatest(fz_src.ts, ba % 11) - least(fz_src.ts, ba % 11) BETWEEN 3 AND 6",
+      "CAST(fz_src.ts AS DOUBLE) / (ba % 13 + 1) > 3.4",
+      "fz_src.ts * 2 > ba % 43 + 70 OR fz_src.ts < ba % 3",
+      "fz_src.ts <=> ba % 41",
+      "nullif(fz_src.ts, 13) = ba % 15")
+    assert(residuals.size <= 39, "bands of 100 over 4000 fixture rows")
+    var sharp = 0
+    residuals.zipWithIndex.foreach { case (r, i) =>
+      val lo = i * 100
+      val hi = lo + 100
+      val marker = 900 + i
+      val pred = s"ba >= $lo AND ba < $hi AND EXISTS (" +
+        s"SELECT 1 FROM fz_src WHERE fz_src.k = ba % 10 AND ($r))"
+      val expected = spark.sql(s"SELECT ba FROM $tbl WHERE $pred")
+        .collect().map(_.getLong(0)).toSet
+      spark.sql(s"UPDATE $tbl SET age = $marker WHERE $pred")
+      val got = spark.sql(s"SELECT ba FROM $tbl WHERE age = $marker")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expected,
+        s"residual <$r>: lift matched ${got.size} rows, native ${expected.size}; " +
+          s"diff=${((got diff expected) ++ (expected diff got)).take(5)}")
+      if (expected.nonEmpty && expected.size < 100) sharp += 1
+    }
+    // the panel must discriminate: most shapes match SOME but not ALL
+    // of their band (a trivially-true/false residual tests nothing)
+    assert(sharp >= residuals.size - 3, s"only $sharp/${residuals.size} shapes discriminate")
+  }
+
+  test("replacement-rendered functions (nullif) textualize correctly across the source/target namespace") {
+    // RuntimeReplaceable expressions render .sql from stored
+    // PARAMETERS that tree transforms never touch — before the
+    // round-13 fix, `nullif(s.age, 5)` in a MERGE emitted text naming
+    // the bare `age`, which re-resolved against the TARGET's age
+    // column: silently wrong values, not even an error. The inline-
+    // before-textualize fix makes the emitted text reference the
+    // _graft_src_ namespace like every other source attribute.
+    val (_, tbl) = fresh("rrepl")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW rrepl_src AS
+      SELECT * FROM VALUES (1L, 5), (2L, 7) AS v(ba, age)""")
+    spark.sql(s"""MERGE INTO $tbl t USING rrepl_src s
+      ON t.ba = s.ba
+      WHEN MATCHED THEN UPDATE SET age = nullif(s.age, 5)""")
+    val rows = spark.sql(s"SELECT ba, age FROM $tbl WHERE ba IN (1, 2) ORDER BY ba")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSeq
+    // s.age=5 nullifies; s.age=7 lands — target-age values (19, 20)
+    // would mean the stale text resolved the WRONG scope
+    assert(rows == Seq((1L, None), (2L, Some(7))), rows.toString)
+    // and ifnull in a clause CONDITION referencing both scopes
+    spark.sql(s"""MERGE INTO $tbl t USING rrepl_src s
+      ON t.ba = s.ba
+      WHEN MATCHED AND ifnull(t.age, s.age) = 7 THEN UPDATE SET name = 'repl'""")
+    val named = spark.sql(s"SELECT ba FROM $tbl WHERE name = 'repl'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(named == Seq(2L), named.toString)
+  }
 }

@@ -648,6 +648,34 @@ class GraftSourceSpec extends SparkTestBase {
     assert(spark.read.format("graft").load(s"$dir/w").count() == 110L)
   }
 
+  test("unsafe txnAppId/txnVersion refuse loudly before touching the log") {
+    // txn ids land verbatim in the manifest's regex-parsed JSON arrays
+    // — a '"', '\\', ']' or newline in either option used to corrupt
+    // the table's history (round-12 verdict). The writer now refuses
+    // at the door, naming the option.
+    val dir = java.nio.file.Files.createTempDirectory("graft_txn_bad").toString
+    ProduceJob.produceBatch(spark, dir, "w", topics = 1, numMessages = 100) // v0
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    def tryWrite(app: String, ver: String): Unit =
+      spark.read.format("graft").load(s"$dir/w").limit(10)
+        .write.format("graft").mode("append")
+        .option("txnAppId", app).option("txnVersion", ver)
+        .save(s"$dir/w")
+    Seq("a\"b" -> "1", "a]b" -> "1", "a\nb" -> "1", "" -> "1",
+        "ok" -> "7\"", "ok" -> "") .foreach { case (app, ver) =>
+      val e = intercept[Exception] { tryWrite(app, ver) }
+      val msg = causes(e).flatMap(c => Option(c.getMessage)).mkString(" | ")
+      assert(msg.contains("txnAppId") || msg.contains("txnVersion"), s"($app,$ver): $msg")
+    }
+    // no write landed, the log is intact, and a safe pair commits
+    assert(Snapshots.versions(dir, "w") == Seq(0))
+    assert(spark.read.format("graft").load(s"$dir/w").count() == 100L)
+    tryWrite("ok.app", "7")
+    assert(spark.read.format("graft").load(s"$dir/w").count() == 110L)
+    assert(Snapshots.snapshot(dir, "w").get.txns.contains("user-6:ok.app:7"))
+  }
+
   test("CDC column pruning reaches the change-feed scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cdfp2").toString
     ProduceJob.produceBatch(spark, dir, "p", topics = 1, numMessages = 50)
