@@ -622,7 +622,12 @@ object Snapshots {
     * Idempotent per audit id. At 100 TB the whole flow is metadata:
     * stage, audit and publish never rewrite data files. */
   def commitStaged(root: String, prefix: String, maxPos: Long, audit: String,
-                   retries: Int = 5): Int =
+                   retries: Int = 5): Int = {
+    // the audit id lands verbatim in the manifest's regex-parsed
+    // "audit" field — same charset contract as txn ids and tag names
+    require(audit.nonEmpty && audit.matches("[A-Za-z0-9._:-]+"),
+      s"audit id must be non-empty [A-Za-z0-9._:-] (it is embedded " +
+        s"in the commit log); got '$audit'")
     stagedVersion(root, prefix, audit).getOrElse {
       val prevPub = snapshot(root, prefix, None)
       val newFiles = (listDataFiles(root, prefix).toSet -- referencedFiles(root, prefix))
@@ -644,6 +649,7 @@ object Snapshots {
           else throw e
       }
     }
+  }
 
   /** The staged (not yet published) version carrying this audit id. */
   def stagedVersion(root: String, prefix: String, audit: String): Option[Int] =

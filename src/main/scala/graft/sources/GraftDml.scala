@@ -87,6 +87,48 @@ object GraftDml extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** Rendering shim for lambdas: an analyzed LambdaFunction's .sql is
+    * the unparseable `lambdafunction(body, namedlambdavariable())` —
+    * this node emits arrow syntax instead. Variables are renamed to
+    * `_graft_lv<exprId>` in both the argument list and the body, so
+    * the re-parsed lambda can never capture-shadow a frame column that
+    * happened to share the user's variable name (the original binding
+    * was by exprId; bare text would re-bind by name). */
+  private case class SqlLambda(args: Seq[String], body: Expression)
+      extends Expression
+      with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+    override def children: Seq[Expression] = Seq(body)
+    override def dataType: org.apache.spark.sql.types.DataType = body.dataType
+    override def nullable: Boolean = body.nullable
+    override lazy val resolved: Boolean = body.resolved
+    override def sql: String =
+      (if (args.length == 1) args.head
+       else args.mkString("(", ", ", ")")) + s" -> ${body.sql}"
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(body = newChildren.head)
+  }
+
+  private def inlineLambdas(e: Expression): Expression = e.transformUp {
+    case lf: org.apache.spark.sql.catalyst.expressions.LambdaFunction =>
+      val fresh = lf.arguments
+        .map(v => v.exprId -> s"_graft_lv${v.exprId.id}").toMap
+      val body = lf.function.transform {
+        case v: org.apache.spark.sql.catalyst.expressions.NamedLambdaVariable
+            if fresh.contains(v.exprId) =>
+          AttributeReference(fresh(v.exprId), v.dataType, v.nullable)(v.exprId)
+      }
+      SqlLambda(lf.arguments.map(v => fresh(v.exprId)), body)
+  }
+
+  /** Everything that must happen to an expression tree BEFORE .sql is
+    * trustworthy: inline replacement-rendered functions (whose stored
+    * parameters transforms can't reach), then convert lambdas to the
+    * arrow-syntax shim (replacements like array_sort's default
+    * comparator introduce lambdas, hence this order). */
+  private def sqlReady(e: Expression): Expression =
+    inlineLambdas(inlineReplacements(e))
+
   /** RuntimeReplaceable expressions (nullif, ifnull, count_if, …)
     * render `.sql` from constructor-stored PARAMETERS, while tree
     * transforms rewrite only `children` (= the replacement tree) — so
@@ -268,9 +310,9 @@ object GraftDml extends Rule[LogicalPlan] {
         a.withName(nameOf(a.exprId)).withQualifier(Seq.empty)
     }
     val eqSql = corr.map { case (inner, outerSide) =>
-      val o = inlineReplacements(outerSide)
+      val o = sqlReady(outerSide)
         .transform { case OuterReference(a) => a }
-      s"(${innerFix(inlineReplacements(inner)).sql} = ${attrFix(o).sql})"
+      s"(${innerFix(sqlReady(inner)).sql} = ${attrFix(o).sql})"
     }
     // a residual conjunct mixes inner and outer attrs in one tree:
     // inline replacement-rendered functions, unwrap the outer refs,
@@ -278,7 +320,7 @@ object GraftDml extends Rule[LogicalPlan] {
     // innerFix still recognizes them), then rename the inner side into
     // the view namespace
     val residSql = resid.map { r =>
-      val unwrapped = inlineReplacements(r)
+      val unwrapped = sqlReady(r)
         .transform { case OuterReference(a) => a }
       s"(${innerFix(attrFix(unwrapped)).sql})"
     }
@@ -313,7 +355,7 @@ object GraftDml extends Rule[LogicalPlan] {
             case other => other
           }
           (renamed,
-            s"(SELECT ${innerFix(inlineReplacements(aggExpr)).sql} " +
+            s"(SELECT ${innerFix(sqlReady(aggExpr)).sql} " +
               s"FROM __graft_view_${idx}__ WHERE $condSql)")
         }
       case _ => None
@@ -376,7 +418,7 @@ object GraftDml extends Rule[LogicalPlan] {
     // re-resolve against the wrong scope). Subquery PLANS are plan
     // fields, untouched by expression transforms — their own emission
     // paths inline at their own .sql sites.
-    val e = inlineReplacements(e0)
+    val e = sqlReady(e0)
     // NESTED subqueries must refuse on the ORIGINAL tree: transformUp
     // rewrites bottom-up, so by the time the outer InSubquery case runs
     // its lhs subquery is already a placeholder attribute and the

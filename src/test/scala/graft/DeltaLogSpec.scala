@@ -551,6 +551,11 @@ class DeltaLogSpec extends SparkTestBase {
       }
       assert(e.getMessage.contains("manifest string"), e.getMessage)
     }
+    // the staged-commit audit id carries the same contract
+    val ea = intercept[IllegalArgumentException] {
+      Snapshots.commitStaged(root, "tx", maxPos = 19, audit = "a\"b")
+    }
+    assert(ea.getMessage.contains("audit id"), ea.getMessage)
     // nothing was committed and the table is still fully writable
     assert(Snapshots.snapshot(root, "tx", None).get.version == v0)
     Snapshots.commit(root, "tx", maxPos = 19, txn = Some("fine.app:7"))

@@ -775,7 +775,8 @@ class GraftDmlSpec extends SparkTestBase {
       "CAST(fz_src.ts AS DOUBLE) / (ba % 13 + 1) > 3.4",
       "fz_src.ts * 2 > ba % 43 + 70 OR fz_src.ts < ba % 3",
       "fz_src.ts <=> ba % 41",
-      "nullif(fz_src.ts, 13) = ba % 15")
+      "nullif(fz_src.ts, 13) = ba % 15",
+      "exists(array(fz_src.ts, 42L), x -> x > ba % 55)")
     assert(residuals.size <= 39, "bands of 100 over 4000 fixture rows")
     var sharp = 0
     residuals.zipWithIndex.foreach { case (r, i) =>
