@@ -141,8 +141,14 @@ object GraftDml extends Rule[LogicalPlan] {
     * replacement is the expression's definitional semantics, and as a
     * child it received every transform. */
   private def inlineReplacements(e: Expression): Expression = e.transformUp {
+    // RECURSE on the replacement: some nodes (count_if) DERIVE it
+    // lazily from their parameters, so the tree it returns is built
+    // fresh AFTER the traversal visited this position and can itself
+    // contain never-visited RuntimeReplaceables (count_if → Count over
+    // a brand-new NullIf). Terminates: replacements ground out in
+    // non-replaceable expressions.
     case rr: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
-      rr.replacement
+      inlineReplacements(rr.replacement)
     // replacements use With(defs) to evaluate a shared argument once
     // (nullif's left appears in both the predicate and a branch) —
     // With's own .sql is the unparseable `with(...)`, so expand each

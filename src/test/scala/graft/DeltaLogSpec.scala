@@ -587,6 +587,46 @@ class DeltaLogSpec extends SparkTestBase {
     assert(df.selectExpr("sum(`p|q`)").head().getLong(0) == (0L until 100L).map(_ * 2).sum)
   }
 
+  test("a legacy log entry with control chars skips checkpoints loudly, never poisons commits") {
+    // jsonArr's quote-pair regex PARSES a txn id containing a raw
+    // newline (hand-written/pre-guard logs only — the delta guard now
+    // refuses new ones at the door), but the emit-side guard can never
+    // re-emit it. The checkpoint is an optimization: it must SKIP
+    // loudly at the interval boundary while commits stay durable and
+    // resolution falls back to the delta chain.
+    val root = Files.createTempDirectory("graft_dlog").toString
+    val iv = Snapshots.checkpointInterval
+    Snapshots.checkpointInterval = 2
+    try {
+      ProduceJob.produceBatch(spark, root, "lc", topics = 1, numMessages = 20) // v0
+      // plant the legacy entry the way a pre-guard writer would have
+      val raw = Files.readString(Paths.get(s"$root/lc._log/v00000.json"))
+      assert(raw.contains("\"txnsAdd\": []") || raw.contains("\"txns\": []"), raw.take(300))
+      Files.writeString(Paths.get(s"$root/lc._log/v00000.json"),
+        raw.replaceFirst("""\"txnsAdd\": \[\]""", "\"txnsAdd\": [\"bad\ntxn\"]")
+           .replaceFirst("""\"txns\": \[\]""", "\"txns\": [\"bad\ntxn\"]"))
+      // the weird txn parses and carries
+      assert(Snapshots.snapshot(root, "lc", None).get.txns.exists(_.contains("bad")))
+      // commits THROUGH the checkpoint boundary keep working
+      ProduceJob.produceBatch(spark, root, "lc", topics = 1, numMessages = 5) // v1
+      ProduceJob.produceBatch(spark, root, "lc", topics = 1, numMessages = 5) // v2 = boundary
+      ProduceJob.produceBatch(spark, root, "lc", topics = 1, numMessages = 5) // v3
+      assert(Snapshots.versions(root, "lc") == Seq(0, 1, 2, 3))
+      // the boundary checkpoint was SKIPPED, and nothing partial leaked
+      assert(!Files.exists(Paths.get(s"$root/lc._log/v00002.ckpt.json")))
+      val leftover = {
+        val s2 = Files.list(Paths.get(s"$root/lc._log"))
+        try s2.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.contains(".tmp-") || n.contains(".cmp-")).toSeq
+        finally s2.close()
+      }
+      assert(leftover.isEmpty, s"leaked temp files: $leftover")
+      // full fidelity through the delta chain: rows and the carried txn
+      assert(Snapshots.read(spark, root, "lc").count() == 35)
+      assert(Snapshots.snapshot(root, "lc", None).get.txns.exists(_.contains("bad")))
+    } finally Snapshots.checkpointInterval = iv
+  }
+
   test("checkpoint REPLACEMENT is atomic: a racing reader sees old or new bytes, never a partial; temps never linger") {
     // round-12 advisor (c): when a commit finds an abandoned/corrupt
     // checkpoint at its version it repairs it via temp-write +

@@ -776,7 +776,12 @@ class GraftDmlSpec extends SparkTestBase {
       "fz_src.ts * 2 > ba % 43 + 70 OR fz_src.ts < ba % 3",
       "fz_src.ts <=> ba % 41",
       "nullif(fz_src.ts, 13) = ba % 15",
-      "exists(array(fz_src.ts, 42L), x -> x > ba % 55)")
+      "exists(array(fz_src.ts, 42L), x -> x > ba % 55)",
+      "aggregate(array(fz_src.ts, 1L), 0L, (acc, x) -> acc + x) > ba % 80",
+      "exists(array(array(fz_src.ts)), a -> exists(a, x -> x > ba % 55))",
+      "nvl2(nullif(fz_src.ts, 13), fz_src.ts + 2, 0) % 9 = ba % 7",
+      "left(CAST(fz_src.ts AS STRING), 1) = CAST(ba % 7 AS STRING)",
+      "ifnull(nullif(fz_src.ts, 13), -1) % 9 = ba % 7")
     assert(residuals.size <= 39, "bands of 100 over 4000 fixture rows")
     var sharp = 0
     residuals.zipWithIndex.foreach { case (r, i) =>
@@ -798,6 +803,20 @@ class GraftDmlSpec extends SparkTestBase {
     // the panel must discriminate: most shapes match SOME but not ALL
     // of their band (a trivially-true/false residual tests nothing)
     assert(sharp >= residuals.size - 3, s"only $sharp/${residuals.size} shapes discriminate")
+    // replacement-rendered AGGREGATE (count_if) in a correlated scalar
+    // SET value — the aggExpr textualization path, pinned the same way
+    val lo = residuals.size * 100
+    val expAgg = spark.sql(s"SELECT ba, CAST((SELECT count_if(ts > 25) " +
+        s"FROM fz_src WHERE fz_src.k = ba % 10 AND fz_src.ts <= ba % 60) AS INT) c FROM $tbl " +
+        s"WHERE ba >= $lo AND ba < $lo + 100")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    spark.sql(s"UPDATE $tbl SET age = CAST((SELECT count_if(ts > 25) " +
+      s"FROM fz_src WHERE fz_src.k = ba % 10 AND fz_src.ts <= ba % 60) AS INT) " +
+      s"WHERE ba >= $lo AND ba < $lo + 100")
+    val gotAgg = spark.sql(s"SELECT ba, age FROM $tbl WHERE ba >= $lo AND ba < $lo + 100")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gotAgg == expAgg, s"count_if scalar: ${(gotAgg.toSet diff expAgg.toSet).take(5)}")
+    assert(expAgg.values.toSet.size > 1, "count_if fixture degenerate")
   }
 
   test("replacement-rendered functions (nullif) textualize correctly across the source/target namespace") {
