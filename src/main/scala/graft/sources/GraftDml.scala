@@ -121,13 +121,59 @@ object GraftDml extends Rule[LogicalPlan] {
       SqlLambda(lf.arguments.map(v => fresh(v.exprId)), body)
   }
 
+  /** Generic call-syntax rendering shim (the SqlLambda idea for plain
+    * functions): children textualize normally, the call name is
+    * pinned. Used where a node's own .sql DROPS semantics. */
+  private case class SqlFunc(name: String, args: Seq[Expression],
+                             dt: org.apache.spark.sql.types.DataType)
+      extends Expression
+      with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+    override def children: Seq[Expression] = args
+    override def dataType: org.apache.spark.sql.types.DataType = dt
+    override def nullable: Boolean = true
+    override lazy val resolved: Boolean = args.forall(_.resolved)
+    override def sql: String = s"$name(${args.map(_.sql).mkString(", ")})"
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(args = newChildren)
+  }
+
+  /** TRY-mode arithmetic (`try_divide(a, b)` analyzes to
+    * `Divide(a, b, EvalMode.TRY)`) textualizes as a PLAIN `a / b` —
+    * the .sql drops the per-expression eval mode, silently turning
+    * return-NULL semantics into the session's ANSI behavior (a
+    * divide-by-zero THROW). Re-render the try_* call form; an
+    * unmapped TRY node refuses rather than mis-lowering. ANSI/LEGACY
+    * modes are session-level and survive re-parse unchanged. */
+  private def shimTryArithmetic(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e.transformUp {
+      case b: BinaryArithmetic if b.evalMode == EvalMode.TRY =>
+        val fn = b match {
+          case _: Add => "try_add"
+          case _: Subtract => "try_subtract"
+          case _: Multiply => "try_multiply"
+          case _: Divide => "try_divide"
+          case _: Remainder => "try_mod"
+          case other =>
+            throw new UnsupportedOperationException(
+              s"graft DML: cannot re-state TRY-mode ${other.prettyName} " +
+                "as text — rewrite without the try_ wrapper or compute " +
+                "it into a source column first")
+        }
+        SqlFunc(fn, Seq(b.left, b.right), b.dataType)
+    }
+  }
+
   /** Everything that must happen to an expression tree BEFORE .sql is
     * trustworthy: inline replacement-rendered functions (whose stored
     * parameters transforms can't reach), then convert lambdas to the
     * arrow-syntax shim (replacements like array_sort's default
-    * comparator introduce lambdas, hence this order). */
+    * comparator introduce lambdas) and re-render TRY-mode arithmetic
+    * (inlining try_divide exposes the mode-carrying nodes, hence the
+    * order). */
   private def sqlReady(e: Expression): Expression =
-    inlineLambdas(inlineReplacements(e))
+    shimTryArithmetic(inlineLambdas(inlineReplacements(e)))
 
   /** RuntimeReplaceable expressions (nullif, ifnull, count_if, …)
     * render `.sql` from constructor-stored PARAMETERS, while tree

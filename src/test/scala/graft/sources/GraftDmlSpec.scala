@@ -781,7 +781,10 @@ class GraftDmlSpec extends SparkTestBase {
       "exists(array(array(fz_src.ts)), a -> exists(a, x -> x > ba % 55))",
       "nvl2(nullif(fz_src.ts, 13), fz_src.ts + 2, 0) % 9 = ba % 7",
       "left(CAST(fz_src.ts AS STRING), 1) = CAST(ba % 7 AS STRING)",
-      "ifnull(nullif(fz_src.ts, 13), -1) % 9 = ba % 7")
+      "ifnull(nullif(fz_src.ts, 13), -1) % 9 = ba % 7",
+      "try_divide(fz_src.ts, ba % 5) > 8.0",
+      "try_add(fz_src.ts, ba % 20) % 7 = 2",
+      "try_cast(CAST(fz_src.ts AS STRING) AS BIGINT) = ba % 45")
     assert(residuals.size <= 39, "bands of 100 over 4000 fixture rows")
     var sharp = 0
     residuals.zipWithIndex.foreach { case (r, i) =>
