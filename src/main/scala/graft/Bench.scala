@@ -284,6 +284,16 @@ object Bench {
     try Files.write(Paths.get(outPath),
       full.getBytes(StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    // Round-13 judge finding: the mutable ".throttled" sidecar gets
+    // overwritten by whichever bench fires last (the driver's busy-host
+    // end-of-round run erased the clean adjudication maps in r11 AND
+    // r13). Every throttled run ALSO lands in a timestamped sidecar so
+    // per-query evidence survives the round regardless of later runs.
+    if (throttled) {
+      val stamped = detailPath + ".throttled." + (System.currentTimeMillis() / 1000L)
+      try Files.write(Paths.get(stamped), full.getBytes(StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] stamped sidecar write failed: $e") }
+    }
 
     val byName = results.map { case (k, v, _) => k -> v }.toMap
     val qs = Headline.flatMap(h => byName.get(h).map(v => "\"" + h + "\":" + fmt(v)))

@@ -280,12 +280,22 @@ object Snapshots {
     * validated/filtered at their entry points, and this emit-side
     * guard turns any future unsafe call site into a loud refusal
     * instead of silent log corruption. */
+  /** Thrown (only) by [[requireManifestSafe]]. A DEDICATED type so the
+    * checkpoint-skip catch in [[writeSnapshot]] matches exactly the
+    * emit guard's refusal — a bare IllegalArgumentException from an
+    * unrelated require inside the checkpoint helpers must keep
+    * propagating, not silently disable checkpointing forever
+    * (round-13 ADVICE). Subclasses IllegalArgumentException so
+    * call-site contracts (and their specs) are unchanged. */
+  final class UnencodableManifestStringException(msg: String)
+    extends IllegalArgumentException(msg)
+
   private def requireManifestSafe(x: String): String = {
     var i = 0
     while (i < x.length) {
       val c = x.charAt(i)
       if (c == '"' || c == '\\' || c == ']' || c < ' ')
-        throw new IllegalArgumentException(
+        throw new UnencodableManifestStringException(
           s"manifest string contains unencodable char '${c.toInt}' " +
             s"(quote, backslash, ']' or control): '$x'")
       i += 1
@@ -414,7 +424,7 @@ object Snapshots {
         // chain until the log is repaired. The DELTA's own arrJson
         // guard still throws BEFORE anything lands, so new unsafe
         // strings can never enter the log this way.
-        case e: IllegalArgumentException =>
+        case e: UnencodableManifestStringException =>
           System.err.println(s"[graft] checkpoint v$version for $prefix " +
             s"SKIPPED (unencodable carried string): ${e.getMessage} — " +
             "the commit itself is durable; repair the offending log entry " +
@@ -462,11 +472,21 @@ object Snapshots {
     def writeTo(p: Path): Unit = {
       val w = Files.newBufferedWriter(p, java.nio.charset.StandardCharsets.UTF_8,
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-      // a mid-write failure (disk full) must not leak a partial temp
-      // file into the log dir — delete before rethrowing
-      try emit(w)
-      catch { case e: Throwable => w.close(); Files.deleteIfExists(p); throw e }
-      finally w.close()
+      // a mid-write failure (disk full) must not leak a partial file
+      // into the log dir. close() itself can throw on the SAME
+      // condition (it flushes the buffered remainder), so the cleanup
+      // path swallows its failure — otherwise the delete would be
+      // skipped and the original exception masked (round-13 ADVICE);
+      // the delete is guarded for the same reason. The success-path
+      // close is inside the try so a flush-time disk-full also cleans
+      // up (a second close on the already-closed writer is a no-op).
+      try { emit(w); w.close() }
+      catch {
+        case e: Throwable =>
+          try w.close() catch { case _: Throwable => () }
+          try Files.deleteIfExists(p) catch { case _: Throwable => () }
+          throw e
+      }
     }
     // Replace `p` with `tmp`, atomically where the filesystem can.
     // Only AtomicMoveNotSupportedException downgrades to a plain
@@ -639,12 +659,17 @@ object Snapshots {
     * stage, audit and publish never rewrite data files. */
   def commitStaged(root: String, prefix: String, maxPos: Long, audit: String,
                    retries: Int = 5): Int = {
-    // the audit id lands verbatim in the manifest's regex-parsed
-    // "audit" field — same charset contract as txn ids and tag names
-    require(audit.nonEmpty && audit.matches("[A-Za-z0-9._:-]+"),
-      s"audit id must be non-empty [A-Za-z0-9._:-] (it is embedded " +
-        s"in the commit log); got '$audit'")
+    // the idempotent lookup runs BEFORE the charset require: a staged
+    // commit that landed under an earlier, laxer contract (space, '/',
+    // '(' were manifest-safe to the reader's quote-pair regex) must
+    // stay re-acknowledgeable — validating first would strand it
+    // forever (round-13 ADVICE). New stagings still refuse below.
     stagedVersion(root, prefix, audit).getOrElse {
+      // the audit id lands verbatim in the manifest's regex-parsed
+      // "audit" field — same charset contract as txn ids and tag names
+      require(audit.nonEmpty && audit.matches("[A-Za-z0-9._:-]+"),
+        s"audit id must be non-empty [A-Za-z0-9._:-] (it is embedded " +
+          s"in the commit log); got '$audit'")
       val prevPub = snapshot(root, prefix, None)
       val newFiles = (listDataFiles(root, prefix).toSet -- referencedFiles(root, prefix))
         .filterNot(isCompacted)

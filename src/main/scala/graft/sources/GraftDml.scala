@@ -186,15 +186,54 @@ object GraftDml extends Rule[LogicalPlan] {
     * such node to its replacement BEFORE any .sql emission: the
     * replacement is the expression's definitional semantics, and as a
     * child it received every transform. */
-  private def inlineReplacements(e: Expression): Expression = e.transformUp {
-    // RECURSE on the replacement: some nodes (count_if) DERIVE it
-    // lazily from their parameters, so the tree it returns is built
-    // fresh AFTER the traversal visited this position and can itself
-    // contain never-visited RuntimeReplaceables (count_if → Count over
-    // a brand-new NullIf). Terminates: replacements ground out in
-    // non-replaceable expressions.
-    case rr: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
-      inlineReplacements(rr.replacement)
+  private def inlineReplacements(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{InheritAnalysisRules, RuntimeReplaceable, TryEval}
+    // FLAG-BASED try_* functions (round-13 ADVICE): TryElementAt /
+    // TryMod / TryParseUrl / TryUrlDecode / TryMakeTimestamp /
+    // TryToBinary / interval TryAdd/TryDivide are RuntimeReplaceables
+    // whose replacement carries failOnError=false — and the
+    // replacement's .sql renders the NON-try name (TryMod → `a % b`,
+    // TryElementAt → `element_at(a, b)`), so inlining them silently
+    // turns return-NULL semantics into the session's ANSI throw; the
+    // interval variants inline to TryEval whose .sql is the
+    // unparseable `tryeval(...)`. Re-render the original try_* call
+    // instead: parameters become SqlFunc CHILDREN, so the later
+    // attrFix/innerFix transforms still reach every argument (storing
+    // them as out-of-tree text would recreate the stale-name bug this
+    // whole pass exists to fix). This MUST run top-down: an IAR node's
+    // only child IS its replacement, so a bottom-up pass would descend
+    // into the TryEval wrapper before this case could detach it.
+    val pre = e.transformDown {
+      case rr: RuntimeReplaceable with InheritAnalysisRules
+          if rr.prettyName.startsWith("try_") =>
+        SqlFunc(rr.prettyName, rr.parameters, rr.dataType)
+    }
+    pre.transformUp {
+      // Non-IAR try variants (ParseToTimestamp/ParseToDate with
+      // failOnError=false render prettyName try_to_timestamp/
+      // try_to_date but replace with a PLAIN Cast — TRY dropped): keep
+      // the node. Unlike IAR nodes their .sql derives from real,
+      // transform-reachable children, so the emitted `try_to_x(...)`
+      // text is both fresh and re-parseable.
+      case rr: RuntimeReplaceable if rr.prettyName.startsWith("try_") =>
+        rr
+      // A TryEval that still surfaces here came out of some OTHER
+      // node's replacement — its .sql is the unparseable `tryeval(...)`
+      // and dropping it would flip NULL-on-error into a throw, so
+      // refuse loudly rather than emit either.
+      case t: TryEval =>
+        throw new UnsupportedOperationException(
+          "graft DML: a TRY-semantics expression (" + t.child.prettyName +
+            ") cannot be re-stated as text — rewrite without the try_ " +
+            "wrapper or compute it into a source column first")
+      // RECURSE on the replacement: some nodes (count_if) DERIVE it
+      // lazily from their parameters, so the tree it returns is built
+      // fresh AFTER the traversal visited this position and can itself
+      // contain never-visited RuntimeReplaceables (count_if → Count
+      // over a brand-new NullIf). Terminates: replacements ground out
+      // in non-replaceable expressions.
+      case rr: RuntimeReplaceable =>
+        inlineReplacements(rr.replacement)
     // replacements use With(defs) to evaluate a shared argument once
     // (nullif's left appears in both the predicate and a branch) —
     // With's own .sql is the unparseable `with(...)`, so expand each
@@ -213,6 +252,7 @@ object GraftDml extends Rule[LogicalPlan] {
         case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef
             if defs.contains(r.id) => defs(r.id)
       }
+    }
   }
 
   private def hasOuter(e: Expression): Boolean = e.exists {

@@ -1090,6 +1090,34 @@ class SnapshotSpec extends SparkTestBase {
     assert(Snapshots.publish(root, "w1", "a1") == pv)
   }
 
+  test("write-audit-publish: a legacy staged audit id stays re-ackable and publishable") {
+    // round-13 ADVICE: the [A-Za-z0-9._:-] charset landed AFTER some
+    // logs were written — a staged commit whose audit id used
+    // previously-legal manifest-safe chars (space, parens) must stay
+    // idempotently re-acknowledgeable and publishable, so the
+    // idempotent lookup runs BEFORE the charset require. New stagings
+    // still refuse.
+    val root = Files.createTempDirectory("graft_snap").toString
+    ProduceJob.produceBatch(spark, root, "w7", topics = 1, numMessages = 200) // v0
+    ProduceJob.personProjection(spark.range(200, 300).toDF("cnt"), "cnt", "w7", 1)
+      .write.mode("append").partitionBy("topic")
+      .parquet(graft.ingest.Topics.tableDir(root, "w7"))
+    val sv = Snapshots.commitStaged(root, "w7", 299, audit = "legacy-tmp")
+    // rewrite the landed manifest to the pre-guard spelling
+    val vf = java.nio.file.Paths.get(s"$root/w7._log/v${"%05d".format(sv)}.json")
+    Files.writeString(vf, Files.readString(vf)
+      .replace("\"audit\": \"legacy-tmp\"", "\"audit\": \"legacy id (v2)\""))
+    // re-ack is idempotent (no refusal, no second staged commit) …
+    assert(Snapshots.commitStaged(root, "w7", 299, audit = "legacy id (v2)") == sv)
+    // … and the legacy id publishes
+    Snapshots.publish(root, "w7", "legacy id (v2)")
+    assert(Snapshots.read(spark, root, "w7").count() == 300)
+    // a NEW staging under an unsafe id still refuses at the gate
+    intercept[IllegalArgumentException] {
+      Snapshots.commitStaged(root, "w7", 299, audit = "brand new (v3)")
+    }
+  }
+
   test("write-audit-publish: a commit landing mid-audit is preserved") {
     val root = Files.createTempDirectory("graft_snap").toString
     ProduceJob.produceBatch(spark, root, "w2", topics = 1, numMessages = 300) // v0
