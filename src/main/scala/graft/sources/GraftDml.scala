@@ -165,15 +165,37 @@ object GraftDml extends Rule[LogicalPlan] {
     }
   }
 
+  /** `collate(x, 'UNICODE_CI')` analyzes to
+    * `Collate(x, ResolvedCollation(UNICODE_CI))`, and BOTH nodes render
+    * .sql with the collation name UNQUOTED — the re-parsed text then
+    * resolves `UNICODE_CI` as a COLUMN reference and fails analysis
+    * (found by the round-14 textualization hunt). Re-render the call
+    * with the name as a proper string literal; the child keeps
+    * receiving transforms as a SqlFunc argument. */
+  private def shimCollate(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Collate, Literal, ResolvedCollation}
+    e.transformUp {
+      case c: Collate => c.collation match {
+        case rc: ResolvedCollation =>
+          SqlFunc("collate", Seq(c.child, Literal.create(rc.collationName)), c.dataType)
+        case lit: Literal => SqlFunc("collate", Seq(c.child, lit), c.dataType)
+        case other =>
+          throw new UnsupportedOperationException(
+            "graft DML: cannot re-state collate(...) with a non-literal " +
+              s"collation (${other.getClass.getSimpleName}) as text")
+      }
+    }
+  }
+
   /** Everything that must happen to an expression tree BEFORE .sql is
     * trustworthy: inline replacement-rendered functions (whose stored
     * parameters transforms can't reach), then convert lambdas to the
     * arrow-syntax shim (replacements like array_sort's default
     * comparator introduce lambdas) and re-render TRY-mode arithmetic
     * (inlining try_divide exposes the mode-carrying nodes, hence the
-    * order). */
+    * order) plus collations (whose .sql drops the name's quotes). */
   private def sqlReady(e: Expression): Expression =
-    shimTryArithmetic(inlineLambdas(inlineReplacements(e)))
+    shimCollate(shimTryArithmetic(inlineLambdas(inlineReplacements(e))))
 
   /** RuntimeReplaceable expressions (nullif, ifnull, count_if, …)
     * render `.sql` from constructor-stored PARAMETERS, while tree

@@ -784,7 +784,26 @@ class GraftDmlSpec extends SparkTestBase {
       "ifnull(nullif(fz_src.ts, 13), -1) % 9 = ba % 7",
       "try_divide(fz_src.ts, ba % 5) > 8.0",
       "try_add(fz_src.ts, ba % 20) % 7 = 2",
-      "try_cast(CAST(fz_src.ts AS STRING) AS BIGINT) = ba % 45")
+      "try_cast(CAST(fz_src.ts AS STRING) AS BIGINT) = ba % 45",
+      // round-14 ADVICE: FLAG-based try_* RuntimeReplaceables, whose
+      // replacement's .sql renders the NON-try name — each shape has a
+      // band slice where the error case actually fires, so a lift that
+      // dropped TRY would either throw (ANSI) or mis-match
+      // index 3 is out of bounds for the 2-element array — NULL under
+      // TRY, a throw under plain ANSI element_at (index 0 would throw
+      // under BOTH — Spark defines try_element_at's 0 as always-fail)
+      "try_element_at(array(fz_src.ts, 42L), CAST(ba % 3 + 1 AS INT)) > 20",
+      "try_mod(fz_src.ts, ba % 4) = 1",
+      "try_to_timestamp(CASE WHEN ba % 5 = 0 THEN 'nope' " +
+        "ELSE concat('2024-01-0', CAST(fz_src.ts % 9 + 1 AS STRING)) END) IS NOT NULL " +
+        "AND fz_src.ts % 3 = 0",
+      "try_make_timestamp(2024, 1, CAST(fz_src.ts % 40 AS INT), 0, 0, CAST(0.0 AS DECIMAL(16,6))) IS NOT NULL",
+      "try_url_decode(CASE WHEN ba % 7 = 0 THEN '%zz' ELSE CAST(fz_src.ts AS STRING) END) IS NOT NULL " +
+        "AND fz_src.ts % 2 = 0",
+      // interval TRY arithmetic replaces with the unparseable
+      // tryeval(...) — the SqlFunc re-render must carry the call form
+      "try_add(make_dt_interval(0, 0, 0, fz_src.ts), make_dt_interval(0, 0, 0, ba % 9)) " +
+        "> make_dt_interval(0, 0, 0, 30)")
     assert(residuals.size <= 39, "bands of 100 over 4000 fixture rows")
     var sharp = 0
     residuals.zipWithIndex.foreach { case (r, i) =>
@@ -820,6 +839,73 @@ class GraftDmlSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(gotAgg == expAgg, s"count_if scalar: ${(gotAgg.toSet diff expAgg.toSet).take(5)}")
     assert(expAgg.values.toSet.size > 1, "count_if fixture degenerate")
+  }
+
+  test("residual textualization: backtick-needing view columns (in lambda bodies) and collation") {
+    // round-13 roadmap hunt surface: (a) a SqlLambda whose BODY
+    // references a view column whose name needs backtick quoting — the
+    // positional rename prepends `_graft_sqN_c<i>_` but keeps the
+    // user's name tail, so the attr must re-quote on emission; (b) a
+    // collation-carrying comparison (collate(...) = 'X'), where the
+    // collation must survive the text round-trip or matching silently
+    // reverts to binary. Both pinned to Spark's native correlated
+    // evaluation of the same predicate.
+    val (_, tbl) = fresh("fzbq")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW fzbq_src AS
+      SELECT CAST(id % 10 AS BIGINT) AS k, CAST(id AS BIGINT) AS `my col`,
+             concat('a', CAST(id % 7 AS STRING)) AS s
+      FROM range(50)""")
+    val shapes = Seq(
+      "exists(array(1L), x -> x + fzbq_src.`my col` > ba % 50 + 25)",
+      "collate(upper(fzbq_src.s), 'UNICODE_CI') = concat('A', CAST(ba % 9 AS STRING))",
+      // collated comparison where ONLY a collation-honoring rematch
+      // hits: lowercase source vs uppercase probe under UNICODE_CI
+      "collate(fzbq_src.s, 'UNICODE_CI') = concat('A', CAST(ba % 9 AS STRING))")
+    shapes.zipWithIndex.foreach { case (r, i) =>
+      val lo = i * 100
+      val marker = 700 + i
+      val pred = s"ba >= $lo AND ba < ${lo + 100} AND EXISTS (" +
+        s"SELECT 1 FROM fzbq_src WHERE fzbq_src.k = ba % 10 AND ($r))"
+      val expected = spark.sql(s"SELECT ba FROM $tbl WHERE $pred")
+        .collect().map(_.getLong(0)).toSet
+      spark.sql(s"UPDATE $tbl SET age = $marker WHERE $pred")
+      val got = spark.sql(s"SELECT ba FROM $tbl WHERE age = $marker")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expected,
+        s"shape <$r>: lift matched ${got.size} rows, native ${expected.size}")
+      assert(i == 0 || expected.nonEmpty, s"collation fixture degenerate for <$r>")
+    }
+  }
+
+  test("window-family functions: subquery plans lift intact; direct conditions refuse in Spark's analyzer") {
+    // round-13 roadmap hunt surface, REFUTED as a silent hazard:
+    // session_window/window_time resolve away inside PLANS (the
+    // analyzer injects a Project computing precisetimestampconversion
+    // arithmetic) — and DML subquery plans are registered as temp
+    // views, never textualized, so the rewrite rides along unharmed.
+    // In a DIRECT DML condition there is no plan to inject into (and a
+    // stored column lacks the window marker metadata), so Spark itself
+    // refuses during analysis — nothing ever reaches the textualizer.
+    val (_, tbl) = fresh("wfam")
+    // sessions of 5 rows (4 s spacing < 5 s gap) split by 10 s jumps
+    spark.sql("""CREATE OR REPLACE TEMP VIEW wf_src AS
+      SELECT to_timestamp('2024-01-01 00:00:00')
+               + make_dt_interval(0, 0, 0, id * 4 + 12 * CAST(id / 5 AS INT)) AS ts,
+             CAST(id AS BIGINT) AS v
+      FROM range(20)""")
+    val sub = "SELECT min(v) AS mv FROM wf_src GROUP BY session_window(ts, '5 seconds')"
+    val expected = spark.sql(s"SELECT ba FROM $tbl WHERE ba IN ($sub)")
+      .collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty && expected.size < 20, s"fixture degenerate: $expected")
+    spark.sql(s"UPDATE $tbl SET age = 903 WHERE ba IN ($sub)")
+    val got = spark.sql(s"SELECT ba FROM $tbl WHERE age = 903")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"session_window subquery: got $got expected $expected")
+    // direct use: Spark's analyzer refuses before the lowering runs
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"UPDATE $tbl SET age = 1 WHERE window_time(" +
+        "named_struct('start', current_timestamp(), 'end', current_timestamp())) IS NOT NULL")
+    }
   }
 
   test("replacement-rendered functions (nullif) textualize correctly across the source/target namespace") {
