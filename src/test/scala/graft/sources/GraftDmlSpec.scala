@@ -860,7 +860,11 @@ class GraftDmlSpec extends SparkTestBase {
       "collate(upper(fzbq_src.s), 'UNICODE_CI') = concat('A', CAST(ba % 9 AS STRING))",
       // collated comparison where ONLY a collation-honoring rematch
       // hits: lowercase source vs uppercase probe under UNICODE_CI
-      "collate(fzbq_src.s, 'UNICODE_CI') = concat('A', CAST(ba % 9 AS STRING))")
+      "collate(fzbq_src.s, 'UNICODE_CI') = concat('A', CAST(ba % 9 AS STRING))",
+      // a collated LITERAL rhs: the analyzer wraps 'A3' into a literal
+      // of collated type whose .sql is the postfix `'A3' collate
+      // UNICODE_CI` form — distinct from the cast-wrapped rhs above
+      "collate(fzbq_src.s, 'UNICODE_CI') = 'A3' AND ba % 2 = 0")
     shapes.zipWithIndex.foreach { case (r, i) =>
       val lo = i * 100
       val marker = 700 + i
