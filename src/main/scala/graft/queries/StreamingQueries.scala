@@ -2,6 +2,8 @@ package graft.queries
 
 import java.util.UUID
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -30,7 +32,7 @@ object StreamingQueries extends QueryRegistry {
     * stream in realistic time order — each trigger advances the
     * watermark, like the reference's offload watermark advancing per
     * scan pass (reference: PerformanceConsumer.java:204-232). */
-  private[queries] def stageEventsDir(s: SparkSession, dir: String, chunks: Int = 4): String = synchronized {
+  private[graft] def stageEventsDir(s: SparkSession, dir: String, chunks: Int = 4): String = synchronized {
     // Key the staged copy on fixture *content* (mtime+size), not just
     // the path, so a regenerated fixture gets a fresh staging dir; and
     // stage into a temp dir renamed into place atomically, so an
@@ -96,9 +98,59 @@ object StreamingQueries extends QueryRegistry {
   }
 
   /** Max event time as epoch-µs — the shared cutoff anchor the
-    * bounded-replay queries derive their watermark horizon from. */
-  private def maxTsMicros(s: SparkSession, dir: String): Long =
-    rawEventsMicros(s, dir).agg(max("ts")).head().getLong(0)
+    * bounded-replay queries derive their watermark horizon from.
+    *
+    * Answered from parquet FOOTER statistics when every file carries
+    * complete INT64 ts stats (guide §6: min/max anchors are metadata,
+    * not a scan — the same contract the graft source's manifest stats
+    * implement; parquet INT64 min/max is exact, never truncated).
+    * max commutes with both µs normalizations — `div 1000` on
+    * positive epoch-nanos and the UTC instant cast on timestamps are
+    * monotone non-decreasing — so footer-max then normalize equals
+    * the previous scan-then-max. ~10 bounded-replay queries pay this
+    * anchor before their stream starts; any file without usable stats
+    * falls back to the full Spark aggregate (correct, just unpruned). */
+  private def maxTsMicros(s: SparkSession, dir: String): Long = {
+    def footerMax(): Option[Long] = try {
+      val p = new java.io.File(Tables.path(dir, "events"))
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Seq.empty)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      val files = walk(p)
+      if (files.isEmpty) return None
+      val maxes = files.map { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toURI),
+            new org.apache.hadoop.conf.Configuration()))
+        try {
+          val sts = rd.getFooter.getBlocks.asScala.toSeq.map { b =>
+            val c = b.getColumns.asScala
+              .find(_.getPath.toDotString == "ts").orNull
+            if (c == null ||
+              c.getPrimitiveType.getPrimitiveTypeName !=
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+              null
+            else c.getStatistics
+          }
+          if (sts.isEmpty ||
+            sts.exists(s => s == null || s.isEmpty || !s.hasNonNullValue)) None
+          else Some(sts.map(
+            _.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+        } finally rd.close()
+      }
+      if (maxes.exists(_.isEmpty)) None else Some(maxes.flatten.max)
+    } catch { case _: Throwable => None }
+
+    val raw = s.read.parquet(Tables.path(dir, "events"))
+    val isNanos =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    footerMax() match {
+      case Some(m) => if (isNanos) m / 1000 else m // INT64 micros physical
+      case None => rawEventsMicros(s, dir).agg(max("ts")).head().getLong(0)
+    }
+  }
 
   /** Stream `events` (schema from the staged µs-normalized files; the
     * watermark needs the instant type, so ts becomes TIMESTAMP here and
@@ -132,7 +184,7 @@ object StreamingQueries extends QueryRegistry {
     // recreates. Restored afterwards; batch plans unaffected.
     val key = "spark.sql.shuffle.partitions"
     val prior = s.conf.get(key)
-    s.conf.set(key, "2")
+    s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "2"))
     // state-store provider switch (SPARK_GRAFT_STATESTORE=rocksdb):
     // measured round 5 over the five replay-heavy queries
     // (q89/q109/q176/q47/q139, sf0.1, 2 runs each) — RocksDB vs the
@@ -153,6 +205,14 @@ object StreamingQueries extends QueryRegistry {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // dev aid (SPARK_GRAFT_STREAM_DEBUG=1): per-batch duration
+      // breakdown from the progress reports — where a replay's wall
+      // time actually goes (planning vs WAL commits vs state vs sink)
+      if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1"))
+        q.recentProgress.foreach { p =>
+          System.err.println(s"[streamdbg] batch=${p.batchId} " +
+            s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+        }
       // late-drop canary: the declared replays are time-ordered, so NO
       // row may be dropped by a watermark. A nonzero count means an
       // optimizer change re-pushed a filter below the watermark node

@@ -414,7 +414,9 @@ class DeltaLogSpec extends SparkTestBase {
     // file, del+re-add of one file in the same delta, statsAdd
     // replacing a carried stat, phantom statsAdd, UNSORTED add array.
     val root = Files.createTempDirectory("graft_dlog").toString
-    ProduceJob.produceBatch(spark, root, "gt", topics = 1, numMessages = 40) // v0
+    withMultiFileWrites {
+      ProduceJob.produceBatch(spark, root, "gt", topics = 1, numMessages = 40) // v0
+    }
     val v0 = Snapshots.snapshot(root, "gt").get
     assert(v0.files.size >= 2, "needs ≥2 real files")
     val fA = v0.files.head

@@ -244,7 +244,9 @@ class SnapshotSpec extends SparkTestBase {
 
   test("rewrites materialize deletion vectors; restore past a MoR delete undoes it") {
     val root = Files.createTempDirectory("graft_snap").toString
-    ProduceJob.produceBatch(spark, root, "mm", topics = 2, numMessages = 1000) // v0
+    withMultiFileWrites {
+      ProduceJob.produceBatch(spark, root, "mm", topics = 2, numMessages = 1000) // v0
+    }
     val v1 = Snapshots.deleteMoR(spark, root, "mm", col("ba") < 100) // v1
     // compaction applies the vectors into its rewrites — counts hold,
     // deleted rows stay deleted even though the new files carry no dv
@@ -485,7 +487,9 @@ class SnapshotSpec extends SparkTestBase {
 
   test("merge updates matched rows, inserts new keys, rewrites only matched files") {
     val root = Files.createTempDirectory("graft_snap").toString
-    ProduceJob.produceBatch(spark, root, "s11", topics = 2, numMessages = 1000)
+    withMultiFileWrites {
+      ProduceJob.produceBatch(spark, root, "s11", topics = 2, numMessages = 1000)
+    }
     val v0 = Snapshots.snapshot(root, "s11").get
     val src = ProduceJob.personProjection(
       spark.range(500, 1200).toDF("cnt"), "cnt", "s11", 2)
@@ -530,7 +534,7 @@ class SnapshotSpec extends SparkTestBase {
 
   test("manifest stats prune range reads to overlapping files only") {
     val root = Files.createTempDirectory("graft_snap").toString
-    ProduceJob.produceBatch(spark, root, "s14", topics = 1, numMessages = 4000)
+    withMultiFileWrites { ProduceJob.produceBatch(spark, root, "s14", topics = 1, numMessages = 4000) }
     val snap = Snapshots.snapshot(root, "s14").get
     assert(snap.stats.exists(_.column == "ba")) // footer stats committed
     val pruned = Snapshots.pruneFiles(root, "s14", "ba", 100, 199)
@@ -678,7 +682,7 @@ class SnapshotSpec extends SparkTestBase {
 
   test("delete removes matching rows copy-on-write, untouched files survive") {
     val root = Files.createTempDirectory("graft_snap").toString
-    ProduceJob.produceBatch(spark, root, "s17", topics = 1, numMessages = 1000)
+    withMultiFileWrites { ProduceJob.produceBatch(spark, root, "s17", topics = 1, numMessages = 1000) }
     val v0 = Snapshots.snapshot(root, "s17").get
     val v = Snapshots.delete(spark, root, "s17", col("ba") < 100, txn = Some("d1"))
     val snap = Snapshots.snapshot(root, "s17").get
@@ -767,7 +771,7 @@ class SnapshotSpec extends SparkTestBase {
 
   test("concurrent rewrites over the same files conflict instead of committing") {
     val root = Files.createTempDirectory("graft_snap").toString
-    ProduceJob.produceBatch(spark, root, "s20", topics = 1, numMessages = 1000)
+    withMultiFileWrites { ProduceJob.produceBatch(spark, root, "s20", topics = 1, numMessages = 1000) }
     val snap = Snapshots.snapshot(root, "s20").get
     assert(snap.files.size >= 2)
     val contested = snap.files.head
@@ -830,7 +834,7 @@ class SnapshotSpec extends SparkTestBase {
 
   test("change feed: row-grain inserts, update post-images, delete pre-images") {
     val root = Files.createTempDirectory("graft_snap").toString
-    ProduceJob.produceBatch(spark, root, "s25", topics = 1, numMessages = 400) // v0
+    withMultiFileWrites { ProduceJob.produceBatch(spark, root, "s25", topics = 1, numMessages = 400) } // v0
     val src = ProduceJob.personProjection(
       spark.range(300, 500).toDF("cnt"), "cnt", "s25", 1)
       .withColumn("name", lit("upd"))

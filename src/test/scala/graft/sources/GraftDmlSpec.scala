@@ -16,7 +16,7 @@ class GraftDmlSpec extends SparkTestBase {
       java.util.UUID.randomUUID().toString.take(8)
     new java.io.File(root).mkdirs()
     // several files with disjoint contiguous ba spans (range partitions)
-    ProduceJob.produceBatch(spark, root, "t", topics = 1, numMessages = 4000)
+    withMultiFileWrites { ProduceJob.produceBatch(spark, root, "t", topics = 1, numMessages = 4000) }
     val tbl = "dml_" + tag
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$root/t')")

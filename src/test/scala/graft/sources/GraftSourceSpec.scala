@@ -21,8 +21,10 @@ class GraftSourceSpec extends SparkTestBase {
       tmp.mkdirs()
       // v0: ba 0..7999 (several files with disjoint ba spans — range
       // partitions are contiguous), v1: MoR delete of ba % 100 == 0
-      ProduceJob.produceBatch(spark, tmp.getAbsolutePath, "t", topics = 1,
-        numMessages = 8000)
+      withMultiFileWrites {
+        ProduceJob.produceBatch(spark, tmp.getAbsolutePath, "t", topics = 1,
+          numMessages = 8000)
+      }
       Snapshots.deleteMoR(spark, tmp.getAbsolutePath, "t",
         col("ba") % 100 === 0, txn = Some("dsv2spec"))
       if (!tmp.renameTo(dir)) {
@@ -216,7 +218,9 @@ class GraftSourceSpec extends SparkTestBase {
   test("bare LIMIT prunes the file list to a covering prefix") {
     val lroot = new java.io.File("/tmp/graft/dsv2_limit_" +
       java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
-    ProduceJob.produceBatch(spark, lroot, "l", topics = 1, numMessages = 8000)
+    withMultiFileWrites {
+      ProduceJob.produceBatch(spark, lroot, "l", topics = 1, numMessages = 8000)
+    }
     val schema = spark.read.format("graft").load(s"$lroot/l").schema
     val total = Snapshots.snapshot(lroot, "l", None).get.files.length
     assert(total > 1, s"need a multi-file table, got $total file(s)")
