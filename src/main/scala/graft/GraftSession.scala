@@ -47,6 +47,17 @@ object GraftSession {
     // between scanning the filtered fraction and the whole fact table
     // on shuffled (non-broadcast) joins
     .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // r15 write-path overhead (guide §5/§6): every snapshot commit pays
+    // the Hadoop committer's driver-side file ops per write job.
+    // Algorithm v2 commits task output straight into the destination
+    // (no second whole-job rename pass in commitJob), and the _SUCCESS
+    // marker buys nothing here — writeStaged deletes its staging
+    // skeleton and the snapshot LOG is the atomicity boundary, never
+    // the marker. Fewer fs metadata ops per write at any scale; on
+    // object stores this is the standard recommendation for exactly
+    // this reason.
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
 
   /** Local session for tests / ad-hoc mains. */
   def local(cpus: Int = Runtime.getRuntime.availableProcessors.min(32),

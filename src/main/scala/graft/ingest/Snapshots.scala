@@ -75,6 +75,16 @@ object Snapshots {
     Files.readString(p)
   }
 
+  /** Label the Spark jobs of an engine-internal action (guide §1.5 —
+    * the UI and job-level profilers attribute DML/commit phases by
+    * these descriptions). Restores the caller's description. */
+  private def labeled[T](spark: SparkSession, desc: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription("graft: " + desc)
+    try f finally sc.setJobDescription(prev)
+  }
+
   /** Parse one JSON string-array field (the manifest's only array
     * shape) out of a manifest's raw text. */
   private def jsonArr(s: String, key: String): Seq[String] =
@@ -1531,6 +1541,20 @@ object Snapshots {
   private val DvPathCol = "_graft_dv_path"
   private val DvPosCol = "_graft_dv_pos"
 
+  /** Distinct values of one STRING column collected to the driver
+    * without a shuffle: per-partition hash sets, union'd on the driver
+    * (guide §2.4 — remove the exchange outright). The file-attribution
+    * collects only ever need ≤ O(files) distinct names, so the
+    * `distinct()` they used to plan bought nothing but a whole extra
+    * exchange + AQE stage job per DML action; driver-side rows stay
+    * bounded by partitions × distinct-values — metadata scale. */
+  private def distinctCollected(df: DataFrame, column: String): Seq[String] =
+    df.select(col(column)).queryExecution.toRdd.mapPartitions { it =>
+      val s = scala.collection.mutable.HashSet[String]()
+      it.foreach(r => if (!r.isNullAt(0)) s += r.getUTF8String(0).toString)
+      s.iterator
+    }.collect().distinct.toSeq
+
   /** One column-range predicate in manifest-stat key space, paired
     * with the exact Catalyst predicate the pruned read re-applies
     * (stats narrow IO, never semantics). */
@@ -1983,7 +2007,8 @@ object Snapshots {
                        changes: DataFrame)(commit: => Int): Int = {
     val staging = Paths.get(s"$root/$prefix._cdc")
       .resolve("staging-" + java.util.UUID.randomUUID().toString.take(8))
-    sizedForWrite(changes).write.mode("overwrite").parquet(staging.toString)
+    labeled(changes.sparkSession, s"cdc write $prefix")(
+      sizedForWrite(changes).write.mode("overwrite").parquet(staging.toString))
     val v = commit
     Files.move(staging, cdcDir(root, prefix, v))
     v
@@ -2272,12 +2297,11 @@ object Snapshots {
           val withFile = spark.read.option("basePath", base.toString)
             .parquet(candidates.map(f => base.resolve(f).toString): _*)
             .withColumn("_graft_file", input_file_name())
-          withFile.join(srcKeys, keys, "left_semi")
-            .select("_graft_file").distinct()
-            .collect().map(_.getString(0))
+          labeled(spark, "merge attribution")(
+            distinctCollected(withFile.join(srcKeys, keys, "left_semi"), "_graft_file"))
             .map(uri => snap.files.find(f => uri.endsWith(f)).getOrElse(
               sys.error(s"unattributable file $uri")))
-            .toSeq.sorted
+            .sorted
         }
       // schema-aware rewrite read: matched files may predate an
       // addColumn — fill defaults so the rewritten files materialize
@@ -2469,43 +2493,121 @@ object Snapshots {
       if (candidates.isEmpty) return snap.version // stats exclude every file
       val withFile = readFilesFilled(spark, root, prefix, candidates, evs,
         snap.dv, keepPositions = true)
-      val matchedFiles = withFile.filter(matches)
-        .select(DvPathCol).distinct()
-        .collect().map(_.getString(0))
-        .map(uri => snap.files.find(f => uri.endsWith(f)).getOrElse(
-          sys.error(s"unattributable file $uri")))
-        .toSeq.sorted
-      if (matchedFiles.isEmpty) snap.version // nothing matched — no new version
-      else {
-        val touched = readFilesFilled(spark, root, prefix, matchedFiles, evs, snap.dv)
-        val setMap = sets.toMap
-        require(setMap.keySet.subsetOf(touched.columns.toSet),
-          s"UPDATE of unknown column(s): ${(setMap.keySet -- touched.columns).mkString(", ")}")
-        // the hit column pins the predicate's PRE-image verdict per row:
-        // the post-image select below must not re-evaluate the predicate
-        // against assigned values
-        val hit = "_graft_hit"
-        val marked = touched.withColumn(hit, matches)
-        val out = marked.select(touched.columns.map { c =>
-          setMap.get(c) match {
-            case Some(v) => org.apache.spark.sql.functions
-              .when(col(hit), v.cast(touched.schema(c).dataType))
-              .otherwise(col(c)).as(c)
-            case None => col(c)
-          }
-        } :+ col(hit): _*)
-        enforceConstraints(root, prefix, out.filter(col(hit)).drop(hit))
-        val added = writeStaged(root, prefix, out.drop(hit),
-          if (touched.columns.contains("topic")) Seq("topic") else Seq.empty)
-        val cdc = touched.filter(matches)
-          .withColumn("_change_type",
-            org.apache.spark.sql.functions.lit("update_preimage"))
-          .unionByName(out.filter(col(hit)).drop(hit)
+      val hit = "_graft_hit"
+      val setMap = sets.toMap
+      def newCol(c: String) = s"_graft_new_$c"
+      // r15 (guide §5: driver work in the query path; §2.4 fewer
+      // passes): the old shape planned and executed the predicate + SET
+      // expressions — including any decorrelated-subquery joins — in
+      // FOUR separate actions (attribution, staged write, CDC
+      // pre-image, CDC post-image), each a full QueryExecution with its
+      // own AQE stages, broadcasts and Hadoop-conf serialization;
+      // per-action fixed driver cost dominated small DML (q305–q307
+      // profile: ~60 ms driver gap per job, ~12 jobs per statement).
+      // Fused shape: ONE pass over the candidate files evaluates the
+      // predicate and every SET value (pre+post image columns side by
+      // side, plus the row's file identity) into a materialized frame;
+      // attribution is then a shuffle-free distinct over it, and the
+      // rewrite output and both CDC images are trivial column
+      // selections — nothing downstream re-plans joins or subqueries.
+      // Gated by the candidates' size estimate: the materialized rows
+      // live in executor memory/disk (localCheckpoint), a win for the
+      // selective-DML shape but not for a many-GB rewrite — those keep
+      // the recompute path below, semantically identical (same
+      // expressions over the same pre-image rows; assignments stay
+      // simultaneous, constraints still precede any commit).
+      val fuseMax = BigInt(spark.conf.get("spark.graft.dml.fuseMaxBytes",
+        (2L << 30).toString).toLong)
+      val candEst =
+        try withFile.queryExecution.optimizedPlan.stats.sizeInBytes
+        catch { case _: Throwable => BigInt(Long.MaxValue) }
+      if (candEst <= fuseMax) {
+        val dataCols = withFile.columns
+          .filterNot(c => c == DvPathCol || c == DvPosCol).toSeq
+        require(setMap.keySet.subsetOf(dataCols.toSet),
+          s"UPDATE of unknown column(s): ${(setMap.keySet -- dataCols).mkString(", ")}")
+        val assigned = dataCols.filter(setMap.contains)
+        // attribution rides the SAME job as the rewrite evaluation: an
+        // observe() of the hit rows' distinct file names (bounded by
+        // the candidate file count — metadata scale) — zero extra
+        // actions for the attribution question
+        val filesMetric = "graft_update_files"
+        val observed = withFile.withColumn(hit, matches)
+          .select(dataCols.map(col) ++ Seq(col(DvPathCol), col(hit)) ++
+            assigned.map(c => org.apache.spark.sql.functions
+              .when(col(hit), setMap(c).cast(withFile.schema(c).dataType))
+              .otherwise(col(c)).as(newCol(c))): _*)
+          .observe(filesMetric, org.apache.spark.sql.functions.collect_set(
+            org.apache.spark.sql.functions.when(col(hit), col(DvPathCol))))
+        val combined = labeled(spark, "update rewrite")(observed.localCheckpoint(true))
+        val matchedUris = observed.queryExecution.observedMetrics.get(filesMetric)
+          .map(_.getSeq[String](0).sorted)
+          .getOrElse(labeled(spark, "update attribution")(
+            distinctCollected(combined.filter(col(hit)), DvPathCol)).sorted)
+        val matchedFiles = matchedUris
+          .map(uri => snap.files.find(f => uri.endsWith(f)).getOrElse(
+            sys.error(s"unattributable file $uri")))
+          .sorted
+        if (matchedFiles.isEmpty) snap.version // nothing matched
+        else {
+          val rows = combined.filter(col(DvPathCol).isin(matchedUris: _*))
+          val out = rows.select(dataCols.map { c =>
+            if (setMap.contains(c)) col(newCol(c)).as(c) else col(c)
+          }: _*)
+          val post = rows.filter(col(hit)).select(dataCols.map { c =>
+            if (setMap.contains(c)) col(newCol(c)).as(c) else col(c)
+          }: _*)
+          enforceConstraints(root, prefix, post)
+          val added = writeStaged(root, prefix, out,
+            if (dataCols.contains("topic")) Seq("topic") else Seq.empty)
+          val pre = rows.filter(col(hit)).select(dataCols.map(col): _*)
+          val cdc = pre
             .withColumn("_change_type",
-              org.apache.spark.sql.functions.lit("update_postimage")))
-        writeCdc(root, prefix, cdc) {
-          commitRewrite(root, prefix, "update", matchedFiles.toSet, added,
-            matchedFiles, snap.maxPos, txn)
+              org.apache.spark.sql.functions.lit("update_preimage"))
+            .unionByName(post
+              .withColumn("_change_type",
+                org.apache.spark.sql.functions.lit("update_postimage")))
+          writeCdc(root, prefix, cdc) {
+            commitRewrite(root, prefix, "update", matchedFiles.toSet, added,
+              matchedFiles, snap.maxPos, txn)
+          }
+        }
+      } else {
+        val matchedFiles = labeled(spark, "update attribution")(
+          distinctCollected(withFile.filter(matches), DvPathCol))
+          .map(uri => snap.files.find(f => uri.endsWith(f)).getOrElse(
+            sys.error(s"unattributable file $uri")))
+          .sorted
+        if (matchedFiles.isEmpty) snap.version // nothing matched
+        else {
+          val touched = readFilesFilled(spark, root, prefix, matchedFiles, evs, snap.dv)
+          require(setMap.keySet.subsetOf(touched.columns.toSet),
+            s"UPDATE of unknown column(s): ${(setMap.keySet -- touched.columns).mkString(", ")}")
+          // the hit column pins the predicate's PRE-image verdict per
+          // row: the post-image select below must not re-evaluate the
+          // predicate against assigned values
+          val marked = touched.withColumn(hit, matches)
+          val out = marked.select(touched.columns.map { c =>
+            setMap.get(c) match {
+              case Some(v) => org.apache.spark.sql.functions
+                .when(col(hit), v.cast(touched.schema(c).dataType))
+                .otherwise(col(c)).as(c)
+              case None => col(c)
+            }
+          } :+ col(hit): _*)
+          enforceConstraints(root, prefix, out.filter(col(hit)).drop(hit))
+          val added = writeStaged(root, prefix, out.drop(hit),
+            if (touched.columns.contains("topic")) Seq("topic") else Seq.empty)
+          val cdc = touched.filter(matches)
+            .withColumn("_change_type",
+              org.apache.spark.sql.functions.lit("update_preimage"))
+            .unionByName(out.filter(col(hit)).drop(hit)
+              .withColumn("_change_type",
+                org.apache.spark.sql.functions.lit("update_postimage")))
+          writeCdc(root, prefix, cdc) {
+            commitRewrite(root, prefix, "update", matchedFiles.toSet, added,
+              matchedFiles, snap.maxPos, txn)
+          }
         }
       }
     }
@@ -2629,12 +2731,11 @@ object Snapshots {
           snap.dv, keepPositions = true)
       val matchedFiles: Seq[String] =
         if (notMatchedBySource.nonEmpty) snap.files
-        else targetAll.join(src, cond, "left_semi")
-          .select(DvPathCol).distinct()
-          .collect().map(_.getString(0))
+        else labeled(spark, "merge attribution")(
+          distinctCollected(targetAll.join(src, cond, "left_semi"), DvPathCol))
           .map(uri => snap.files.find(f => uri.endsWith(f)).getOrElse(
             sys.error(s"unattributable file $uri")))
-          .toSeq.sorted
+          .sorted
       val touched =
         if (matchedFiles.isEmpty) targetAll.limit(0)
         else readFilesFilled(spark, root, prefix, matchedFiles, evs,
@@ -2675,8 +2776,9 @@ object Snapshots {
       // a target row whose every pair is unfired survives ONCE via the
       // row-id anti join below (never through the pair rows — a
       // multi-match row would duplicate)
-      val mFired = pairs.withColumn(act, fired(matched))
-        .filter(col(act) =!= 0).localCheckpoint(true)
+      val mFired = labeled(spark, "merge fired pairs")(
+        pairs.withColumn(act, fired(matched))
+          .filter(col(act) =!= 0).localCheckpoint(true))
       if (matched.nonEmpty && matchedFiles.nonEmpty) {
         // SQL's cardinality rule, modification-scoped like Delta's:
         // >1 FIRING pair for one target row is ambiguous; unfired
@@ -2802,13 +2904,21 @@ object Snapshots {
     // choosing the output layout (compact's targetFileBytes split,
     // cluster/clusterZOrder's repartitionByRange(targetFiles)) — honor
     // it, exactly like AQE honors user-specified repartitions. Look
-    // through projections/aliases only.
+    // through output-preserving wrappers only: projections/aliases,
+    // plus per-partition sorts and filters (r14 ADVICE: a caller's
+    // repartitionByRange(...).sortWithinPartitions(...) is still an
+    // explicit layout — silently coalescing it would destroy the
+    // intended clustering).
     def explicitLayout(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
       p match {
         case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
           explicitLayout(pr.child)
         case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
           explicitLayout(a.child)
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort if !s.global =>
+          explicitLayout(s.child)
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          explicitLayout(f.child)
         case _: org.apache.spark.sql.catalyst.plans.logical.Repartition => true
         case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => true
         case _ => false
@@ -2820,11 +2930,34 @@ object Snapshots {
     val est =
       try data.queryExecution.optimizedPlan.stats.sizeInBytes
       catch { case _: Throwable => return data }
-    val cur =
-      try data.rdd.getNumPartitions
-      catch { case _: Throwable => return data }
     val want = (est / target) + (if (est % target == 0) 0 else 1)
-    val n = want.min(BigInt(cur)).max(BigInt(1)).toInt
+    // a plainly-wide estimate can never shrink a local/cluster stage's
+    // partition count — skip the partition-count probe outright
+    if (want >= BigInt(1 << 20)) return data
+    // r14 ADVICE: data.rdd built a SECOND QueryExecution (re-analysis
+    // plus a row-deserializer plan) per staged write just to read a
+    // partition count; toRdd reuses the already-built execution (its
+    // optimizedPlan was just computed for the estimate above)
+    val cur =
+      try data.queryExecution.toRdd.getNumPartitions
+      catch { case _: Throwable => return data }
+    // r14 verdict hazard: `coalesce` is narrow, so it shrinks the whole
+    // upstream stage, and the size estimate does not model per-row
+    // EXPRESSION cost — a tiny scan feeding row-exploding (Generate) or
+    // opaque (UDF) work could collapse to one task at scale. Bound the
+    // shrink to cur/8 when the plan carries such nodes; a misestimate
+    // then costs file-size balance, never serialized compute.
+    def opaqueCost(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Generate => true
+        case node => node.expressions.exists(_.exists {
+          case _: org.apache.spark.sql.catalyst.expressions.ScalaUDF => true
+          case _ => false
+        })
+      }
+    val floor =
+      if (cur > 8 && opaqueCost(data.queryExecution.optimizedPlan)) cur / 8 else 1
+    val n = want.max(BigInt(floor)).min(BigInt(cur)).max(BigInt(1)).toInt
     if (n < cur) data.coalesce(n) else data
   }
 
@@ -2836,9 +2969,11 @@ object Snapshots {
     Files.createDirectories(base)
     val staging = base.resolveSibling(
       s"${base.getFileName}._staging-" + java.util.UUID.randomUUID().toString.take(8))
-    val writer = sizedForWrite(data).write.mode("overwrite").options(writerOptions)
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(staging.toString)
+    labeled(data.sparkSession, s"staged write $prefix") {
+      val writer = sizedForWrite(data).write.mode("overwrite").options(writerOptions)
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+        .parquet(staging.toString)
+    }
     val rels = Using.resource(Files.walk(staging))(_.iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
       .map(p => staging.relativize(p).toString)
@@ -3100,23 +3235,24 @@ object Snapshots {
       // one materialization reused three ways: sidecar rows, touched
       // files for the conflict check, CDC pre-images. The hit set is
       // what a MoR delete is FOR — small next to the table.
-      val hits = readFilesFilled(spark, root, prefix, candidates, evs,
-        snap.dv, keepPositions = true)
-        .filter(matches).localCheckpoint(true)
+      val hits = labeled(spark, "delete attribution")(
+        readFilesFilled(spark, root, prefix, candidates, evs,
+          snap.dv, keepPositions = true)
+          .filter(matches).localCheckpoint(true))
       if (hits.isEmpty) snap.version // nothing matched — no new version
       else {
         val relOffset = base.toString.length + 2 // past base and its '/'
         val name = "dv-" + java.util.UUID.randomUUID().toString.take(8)
-        hits.select(
+        labeled(spark, "dv sidecar write")(hits.select(
           org.apache.spark.sql.functions.expr(
             s"substring($DvPathCol, $relOffset)").as("file"),
           col(DvPosCol).as("pos"))
           // a sidecar is kilobytes-per-commit metadata: one file keeps
           // the read path's broadcast build cheap
           .coalesce(1)
-          .write.parquet(dvDir(root, prefix).resolve(name).toString)
-        val touched = hits.select(DvPathCol).distinct()
-          .collect().map(r => r.getString(0).substring(relOffset - 1)).toSet
+          .write.parquet(dvDir(root, prefix).resolve(name).toString))
+        val touched = distinctCollected(hits, DvPathCol)
+          .map(_.substring(relOffset - 1)).toSet
         val cdc = hits.drop(DvPathCol, DvPosCol)
           .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete"))
         writeCdc(root, prefix, cdc) {
@@ -3193,12 +3329,11 @@ object Snapshots {
             val withFile = readFilesFilled(spark, root, prefix, candidates,
               schemaEvents(root, prefix, Some(snap.version)), snap.dv,
               keepPositions = true)
-            withFile.join(changedKeys, keys, "left_semi")
-              .select(DvPathCol).distinct()
-              .collect().map(_.getString(0))
+            labeled(spark, "apply attribution")(
+              distinctCollected(withFile.join(changedKeys, keys, "left_semi"), DvPathCol))
               .map(uri => snap.files.find(f => uri.endsWith(f)).getOrElse(
                 sys.error(s"unattributable file $uri")))
-              .toSeq.sorted
+              .sorted
           }
         val oldMatched =
           if (matchedFiles.isEmpty) upserts.limit(0)

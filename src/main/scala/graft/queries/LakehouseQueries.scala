@@ -1948,14 +1948,26 @@ object LakehouseQueries extends QueryRegistry {
         s.sql(s"DELETE FROM $tbl WHERE ba >= 900 AND ba % 10 > " +
           s"(SELECT max(x) FROM q305_src2 WHERE q305_src2.k = ba % 5)")
         val t = s.table(tbl)
-        val a = t.filter(col("ba") < 500)
-          .agg(count(lit(1)).as("cnt"), sum("age").cast("bigint").as("agg"))
-          .select(lit("a_upd").as("step"), col("cnt"), col("agg"))
-        val b = t.filter(col("ba") >= 500 && col("ba") < 510 && col("age").isNotNull)
-          .agg(count(lit(1)).as("cnt"), sum("age").cast("bigint").as("agg"))
-          .select(lit("b_match").as("step"), col("cnt"), col("agg"))
-        val c = t.agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("agg"))
-          .select(lit("c_alive").as("step"), col("cnt"), col("agg"))
+        // single-pass panel (r15, guide §2.3 aggregate-before-shuffle /
+        // §5 driver cost): the three per-branch filters become
+        // conditional aggregates over ONE scan — one aggregate job
+        // instead of three scan+agg chains (each its own AQE stages) —
+        // then three 1-row projections over the materialized aggregate.
+        // Identical values by construction: count(lit(1)) over
+        // filter(p) == count(when(p, 1)); sum(c) over filter(p) ==
+        // sum(when(p, c)) (sum ignores the otherwise-NULLs). Oracle
+        // re-proven.
+        val bCond = col("ba") >= 500 && col("ba") < 510 && col("age").isNotNull
+        val g = t.agg(
+          count(when(col("ba") < 500, 1)).as("ca"),
+          sum(when(col("ba") < 500, col("age"))).cast("bigint").as("sa"),
+          count(when(bCond, 1)).as("cb"),
+          sum(when(bCond, col("age"))).cast("bigint").as("sb"),
+          count(lit(1)).as("cc"),
+          sum(col("ba")).cast("bigint").as("sc")).localCheckpoint(true)
+        val a = g.select(lit("a_upd").as("step"), col("ca").as("cnt"), col("sa").as("agg"))
+        val b = g.select(lit("b_match").as("step"), col("cb").as("cnt"), col("sb").as("agg"))
+        val c = g.select(lit("c_alive").as("step"), col("cc").as("cnt"), col("sc").as("agg"))
         a.unionAll(b).unionAll(c).orderBy("step")
       },
       Some("""WITH src AS (SELECT id % 10 AS k, id AS x FROM range(100) t(id)),
@@ -2016,14 +2028,21 @@ object LakehouseQueries extends QueryRegistry {
         s.sql(s"DELETE FROM $tbl WHERE ba >= 900 AND " +
           s"EXISTS (SELECT 1 FROM q306_src WHERE q306_src.k = ba - 800)")
         val t = s.table(tbl)
-        val a = t.filter(col("ba") < 200)
-          .agg(count(lit(1)).as("cnt"), sum("age").cast("bigint").as("agg"))
-          .select(lit("a_exists").as("step"), col("cnt"), col("agg"))
-        val b = t.filter(col("age") === 703)
-          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("agg"))
-          .select(lit("b_in").as("step"), col("cnt"), col("agg"))
-        val c = t.agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("agg"))
-          .select(lit("c_alive").as("step"), col("cnt"), col("agg"))
+        // single-pass panel (r15) — see q305: conditional aggregates
+        // over one scan replace three filter+agg chains; identical
+        // values (count/sum ignore the otherwise-NULLs), oracle
+        // re-proven.
+        val bCond = col("age") === 703
+        val g = t.agg(
+          count(when(col("ba") < 200, 1)).as("ca"),
+          sum(when(col("ba") < 200, col("age"))).cast("bigint").as("sa"),
+          count(when(bCond, 1)).as("cb"),
+          sum(when(bCond, col("ba"))).cast("bigint").as("sb"),
+          count(lit(1)).as("cc"),
+          sum(col("ba")).cast("bigint").as("sc")).localCheckpoint(true)
+        val a = g.select(lit("a_exists").as("step"), col("ca").as("cnt"), col("sa").as("agg"))
+        val b = g.select(lit("b_in").as("step"), col("cb").as("cnt"), col("sb").as("agg"))
+        val c = g.select(lit("c_alive").as("step"), col("cc").as("cnt"), col("sc").as("agg"))
         a.unionAll(b).unionAll(c).orderBy("step")
       },
       Some("""WITH src AS (
@@ -2094,17 +2113,26 @@ object LakehouseQueries extends QueryRegistry {
         s.sql(s"DELETE FROM $tbl WHERE ba >= 900 AND " +
           s"EXISTS (SELECT 1 FROM q307_src WHERE q307_src.k = ba % 10 AND q307_src.ts > ba - 900)")
         val t = s.table(tbl)
-        val a = t.filter(col("ba") < 200)
-          .agg(count(lit(1)).as("cnt"), sum("age").cast("bigint").as("agg"))
-          .select(lit("a_exists").as("step"), col("cnt"), col("agg"))
-        val b = t.filter(col("ba") >= 200 && col("ba") < 400)
-          .agg(count(col("age")).as("cnt"), sum("age").cast("bigint").as("agg"))
-          .select(lit("b_scalar").as("step"), col("cnt"), col("agg"))
-        val c = t.filter(col("age") === 803)
-          .agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("agg"))
-          .select(lit("c_in").as("step"), col("cnt"), col("agg"))
-        val d = t.agg(count(lit(1)).as("cnt"), sum("ba").cast("bigint").as("agg"))
-          .select(lit("d_alive").as("step"), col("cnt"), col("agg"))
+        // single-pass panel (r15) — see q305: conditional aggregates
+        // over one scan replace four filter+agg chains; identical
+        // values (count(col) over filter(p) == count(when(p, col)):
+        // both count rows where p holds AND col is non-null), oracle
+        // re-proven.
+        val bCond = col("ba") >= 200 && col("ba") < 400
+        val cCond = col("age") === 803
+        val g = t.agg(
+          count(when(col("ba") < 200, 1)).as("ca"),
+          sum(when(col("ba") < 200, col("age"))).cast("bigint").as("sa"),
+          count(when(bCond, col("age"))).as("cb"),
+          sum(when(bCond, col("age"))).cast("bigint").as("sb"),
+          count(when(cCond, 1)).as("cc"),
+          sum(when(cCond, col("ba"))).cast("bigint").as("sc"),
+          count(lit(1)).as("cd"),
+          sum(col("ba")).cast("bigint").as("sd")).localCheckpoint(true)
+        val a = g.select(lit("a_exists").as("step"), col("ca").as("cnt"), col("sa").as("agg"))
+        val b = g.select(lit("b_scalar").as("step"), col("cb").as("cnt"), col("sb").as("agg"))
+        val c = g.select(lit("c_in").as("step"), col("cc").as("cnt"), col("sc").as("agg"))
+        val d = g.select(lit("d_alive").as("step"), col("cd").as("cnt"), col("sd").as("agg"))
         a.unionAll(b).unionAll(c).unionAll(d).orderBy("step")
       },
       Some("""WITH src AS (

@@ -1275,4 +1275,58 @@ class SnapshotSpec extends SparkTestBase {
       .agg(sum("ba")).collect()(0).getLong(0)
     assert(viaPrune == viaScan)
   }
+
+  test("updateWhere fused and recompute paths commit identical tables and change feeds") {
+    // r15: small UPDATEs evaluate predicate + SET values in ONE
+    // materialized pass (spark.graft.dml.fuseMaxBytes gate); large
+    // rewrites keep the recompute shape. Both must produce the same
+    // committed rows AND the same row-grain change feed.
+    def build(fuseMax: String): (Seq[String], Seq[String]) = {
+      val root = Files.createTempDirectory("graft_updpath").toString
+      ProduceJob.produceBatch(spark, root, "u", topics = 1, numMessages = 200)
+      val k = "spark.graft.dml.fuseMaxBytes"
+      val prior = spark.conf.getOption(k)
+      spark.conf.set(k, fuseMax)
+      try Snapshots.updateWhere(spark, root, "u",
+        col("ba") % 3 === 0 && col("ba") < 100,
+        Seq("name" -> concat(lit("u"), col("ba")), "age" -> (col("age") + 1)))
+      finally prior match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+      val rows = Snapshots.read(spark, root, "u")
+        .orderBy("ba").collect().toSeq.map(_.toString)
+      val feed = Snapshots.readChangeFeed(spark, root, "u", fromVersion = 0)
+        .drop("_commit_timestamp") // wall-clock differs between builds
+        .orderBy(col("_commit_version"), col("_change_type"), col("ba"))
+        .collect().toSeq.map(_.toString)
+      (rows, feed)
+    }
+    val (fusedRows, fusedFeed) = build(Long.MaxValue.toString)
+    val (recomputeRows, recomputeFeed) = build("0")
+    assert(fusedRows == recomputeRows)
+    assert(fusedFeed == recomputeFeed)
+    // the fused path must have actually updated something
+    assert(fusedFeed.exists(_.contains("update_postimage")))
+  }
+
+  test("sizedForWrite bounds the shrink under row-exploding projections") {
+    // r14 verdict hazard: the writer's size estimate does not model
+    // per-row expression cost, and coalesce() shrinks the whole
+    // upstream stage — a tiny scan feeding a Generate (explode) must
+    // NOT collapse to one task. The shrink floors at cur/8 when the
+    // plan carries opaque/row-exploding work.
+    val root = Files.createTempDirectory("graft_szbound").toString
+    val exploding = spark.range(0, 1000, 1, 32).toDF("ba")
+      .select(col("ba"), explode(array(lit(1), lit(2))).as("x"))
+    Snapshots.appendBatch(spark, root, "sz", exploding)
+    val snap = Snapshots.snapshot(root, "sz", None).get
+    assert(snap.files.size >= 4,
+      s"exploding write collapsed to ${snap.files.size} file(s) — min parallelism lost")
+    // same scale without opaque work: the small-files shrink stays
+    val plain = spark.range(0, 1000, 1, 32).toDF("ba")
+      .select(col("ba"), lit(1).as("x"))
+    Snapshots.appendBatch(spark, root, "sz2", plain)
+    assert(Snapshots.snapshot(root, "sz2", None).get.files.size == 1)
+  }
 }
