@@ -20,7 +20,8 @@ object GapProf {
       Runtime.getRuntime.availableProcessors.min(32).toString)
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "32"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.constraintPropagation.enabled", sys.env.getOrElse("GRAFT_CP", "true")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)
@@ -32,10 +33,17 @@ object GapProf {
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(J, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        val site = Option(j.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description"))
-            .orElse(Option(p.getProperty("callSite.short")))).getOrElse("?")
-        started.put(j.jobId, J(j.jobId, j.time, site)); ()
+        val site = Option(j.properties).flatMap { p =>
+          val d = Option(p.getProperty("spark.job.description")).filter(_.trim.nonEmpty)
+          val c = Option(p.getProperty("callSite.short")).filter(_.trim.nonEmpty)
+          (d, c) match {
+            case (Some(x), Some(y)) => Some(s"$x | $y")
+            case (x, y) => x.orElse(y)
+          }
+        }.getOrElse("?")
+        val stages = j.stageInfos.map(s => s"${s.name.takeWhile(_ != '(')}:${s.numTasks}")
+          .mkString(" ")
+        started.put(j.jobId, J(j.jobId, j.time, s"$site [$stages]")); ()
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
         Option(started.get(j.jobId)).foreach(s => done.add((s, j.time))); ()

@@ -2787,20 +2787,40 @@ object Snapshots {
           .count().filter(col("count") > 1).count()
         if (dups > 0) throw new MergeCardinalityException(dups)
       }
-      val sFired = targetOnly.withColumn(act, fired(notMatchedBySource))
-        .filter(col(act) =!= 0)
+      // r15 fusion (guide §5, same discipline as updateWhere): the
+      // staged write and the CDC write both used to re-plan and
+      // re-execute the target-only / source-only joins (and the
+      // survivor anti join) — materialize each fired family ONCE and
+      // make both writes trivial projections. Gated by the matched
+      // files' size estimate: survivors is touched-scale, so a many-GB
+      // rewrite keeps the recompute shape (identical semantics).
+      val fuseMax = BigInt(spark.conf.get("spark.graft.dml.fuseMaxBytes",
+        (2L << 30).toString).toLong)
+      val doFuse = (try touched.queryExecution.optimizedPlan.stats.sizeInBytes
+        catch { case _: Throwable => BigInt(Long.MaxValue) }) <= fuseMax
+      def fuse(df: DataFrame, desc: String): DataFrame =
+        if (doFuse) labeled(spark, desc)(df.localCheckpoint(true)) else df
+      // an absent clause family folds to filter(false) → LocalRelation,
+      // so only materialize when the clause exists (no wasted job)
+      val sFired = if (notMatchedBySource.isEmpty)
+        targetOnly.withColumn(act, fired(notMatchedBySource)).filter(col(act) =!= 0)
+      else fuse(targetOnly.withColumn(act, fired(notMatchedBySource))
+        .filter(col(act) =!= 0), "merge fired target-only")
       val firedKeys = mFired.select(col(DvPathCol), col(DvPosCol))
         .unionByName(sFired.select(col(DvPathCol), col(DvPosCol)))
-      val survivors = touched
+      val survivors = fuse(touched
         .join(org.apache.spark.sql.functions.broadcast(firedKeys),
           Seq(DvPathCol, DvPosCol), "left_anti")
-        .select(tCols.map(col): _*)
+        .select(tCols.map(col): _*), "merge survivors")
       val mUpdates = applySets(mFired.filter(!col(act).isin(deleteIdx(matched): _*)),
         matched, insert = false)
       val sUpdates = applySets(sFired.filter(!col(act).isin(deleteIdx(notMatchedBySource): _*)),
         notMatchedBySource, insert = false)
-      val inserts = applySets(srcOnly.withColumn(act, fired(notMatched))
-        .filter(col(act) =!= 0), notMatched, insert = true)
+      val srcFired = if (notMatched.isEmpty)
+        srcOnly.withColumn(act, fired(notMatched)).filter(col(act) =!= 0)
+      else fuse(srcOnly.withColumn(act, fired(notMatched))
+        .filter(col(act) =!= 0), "merge fired inserts")
+      val inserts = applySets(srcFired, notMatched, insert = true)
       if (matchedFiles.isEmpty && inserts.isEmpty) snap.version
       else {
         val changedPost = mUpdates.unionByName(sUpdates).unionByName(inserts)

@@ -108,14 +108,22 @@ object MinHashLSH {
     // materialized rows (~8 B/shingle to shuffle — orders of magnitude
     // cheaper than re-hashing), and the K min-passes cost only integer
     // arithmetic.
-    val hashed = docs
+    val hashed = SkewTools.spreadForCompute(docs
       // emptiness is decided on the CHEAP predicate (≥ n tokens), not
       // on size(xs): a size(xs) > 0 filter gets planned BELOW the
       // projection and re-evaluates the whole md5 shingle pipeline a
       // second time just to test emptiness (measured: q55 2x)
-      .filter(size(split(col(textCol), " ")) >= 3)
+      .filter(size(split(col(textCol), " ")) >= 3))
       .select(col(idCol).as("id"), hashedShingles(col(textCol)).as("xs"))
-      .repartition(col("id"))
+      // the fence partition count is PINNED (r15): a bare
+      // repartition(col) is REPARTITION_BY_COL, which AQE's partition
+      // coalescing happily folds to ONE post-shuffle partition at this
+      // data size — serializing the K signature min-passes + band-key
+      // md5s, the pipeline's dominant compute (measured: q100's
+      // signature stage ran 1118 ms on 1 task). defaultParallelism
+      // scales with the session, so the pin is not a local-mode
+      // constant.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
     hashed
       .select(col("id"), signature(col("xs")).as("sig"))
       .select(col("id"), col("sig"),

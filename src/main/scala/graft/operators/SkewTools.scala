@@ -21,6 +21,25 @@ object SkewTools {
   /** Deterministic salt from row content (no RNG state on executors). */
   def salt(c: Column, salts: Int): Column = pmod(xxhash64(c), lit(salts))
 
+  /** Spread a LOW-parallelism frame across the session's cores before
+    * an expensive per-row projection (guide §2.5 input parallelism: a
+    * one-file parquet input is one scan task, so a md5-per-shingle
+    * projection planned into the scan stage runs single-threaded no
+    * matter how many cores idle). Round-robin keeps any later
+    * key-repartition fence intact (a same-key spread could collapse
+    * into it and un-fence the projection). A no-op when the frame is
+    * already at least half as parallel as the session — at scale the
+    * scan is parallel and the extra exchange would be pure cost; on a
+    * small input the shuffled rows are exactly the frame, cheap next
+    * to the compute it unlocks. */
+  def spreadForCompute(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    val cur =
+      try df.queryExecution.toRdd.getNumPartitions
+      catch { case _: Throwable => return df }
+    if (cur * 2 < want) df.repartition(want) else df
+  }
+
   /** Inner equi join of `large ⋈ small` on `largeKey == smallKey`,
     * salted `salts` ways. Column sets must be disjoint.
     *

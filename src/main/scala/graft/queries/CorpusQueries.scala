@@ -207,7 +207,12 @@ object CorpusQueries extends QueryRegistry {
         val withDups = d.select(col("doc_id").as("id"), col("text"))
           .unionAll(d.filter(col("doc_id") < 10)
             .select((col("doc_id") + 100000).as("id"), col("text")))
+        // pairs materialized once (r15): referenced by the feature join
+        // AND the candidate-id semi join — without the checkpoint the
+        // whole MinHash subtree is cloned per reference (double-triple
+        // catalyst planning); the pair list is metadata-small
         val pairs = MinHashLSH.candidatePairs(withDups, "id", "text")
+          .localCheckpoint(true)
         // MinHashLSH.shingles binds the token array through a HOF
         // argument, so split() runs ONCE per doc — an inline
         // `slice(toks, …)` inside the lambda re-inlines the split per

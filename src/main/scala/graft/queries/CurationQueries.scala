@@ -217,9 +217,15 @@ object CurationQueries extends QueryRegistry {
         val withDups = d.select(col("doc_id").as("id"), col("text"))
           .unionAll(d.filter(col("doc_id") < 10)
             .select((col("doc_id") + 100000).as("id"), col("text")))
+        // materialize the candidate pairs ONCE (r15): the components
+        // loop references them twice (both edge orientations), which
+        // would clone the whole MinHash subtree in the plan — double
+        // catalyst planning cost and a double execution risk; the pair
+        // list itself is metadata-small
         val pairs = MinHashLSH.candidatePairs(withDups, "id", "text")
           .filter(col("est_jaccard") >= 0.5)
-        DedupComponents.components(pairs.select("a_id", "b_id"))
+          .select("a_id", "b_id").localCheckpoint(true)
+        DedupComponents.components(pairs)
           .orderBy("id")
       },
       Some(s"""WITH RECURSIVE $mhCtes,
@@ -246,9 +252,11 @@ object CurationQueries extends QueryRegistry {
         val withDups = d.select(col("doc_id").as("id"), col("text"))
           .unionAll(d.filter(col("doc_id") < 10)
             .select((col("doc_id") + 100000).as("id"), col("text")))
+        // pairs materialized once — see q100 (same plan-cloning issue)
         val pairs = MinHashLSH.candidatePairs(withDups, "id", "text")
           .filter(col("est_jaccard") >= 0.5)
-        DedupComponents.componentsStar(pairs.select("a_id", "b_id"))
+          .select("a_id", "b_id").localCheckpoint(true)
+        DedupComponents.componentsStar(pairs)
           .orderBy("id")
       },
       Some(s"""WITH RECURSIVE $mhCtes,
@@ -1077,8 +1085,13 @@ object CurationQueries extends QueryRegistry {
             .select((col("doc_id") + 100000).as("id"), col("text")))
           .unionAll(d.filter(col("doc_id") < 10)
             .select((col("doc_id") + 200000).as("id"), fragText.as("text")))
+        // pairs materialized once (r15): the containment stage
+        // references them three ways (pair join + both id sides of the
+        // candidate set), which would clone the MinHash subtree into
+        // every branch of the plan — catalyst planning cost scales
+        // with the clones; the pair list is metadata-small
         val pairs = MinHashLSH.candidatePairs(corpus, "id", "text")
-          .select("a_id", "b_id")
+          .select("a_id", "b_id").localCheckpoint(true)
         // bind the token array through MinHashLSH.shingles' HOF
         // argument — an inline slice(t, …) lambda re-inlines split()
         // per ELEMENT (no CSE inside lambdas): O(tokens²)/doc. Jaccard/

@@ -110,7 +110,22 @@ object StreamingQueries extends QueryRegistry {
     * the previous scan-then-max. ~10 bounded-replay queries pay this
     * anchor before their stream starts; any file without usable stats
     * falls back to the full Spark aggregate (correct, just unpruned). */
-  private def maxTsMicros(s: SparkSession, dir: String): Long = {
+  private[graft] def maxTsMicros(s: SparkSession, dir: String): Long = {
+    // r15 (r14 VERDICT #3 + ADVICE): the footer walk is serial,
+    // driver-side, per invocation — fine for a fixture-sized events
+    // dir, a scale hazard at 10^5+ files where the distributed
+    // aggregate it replaces is not. Cap the fast path by file count.
+    val footerMaxFiles = 256
+    // returns the footer max ALREADY normalized to epoch-µs, or None
+    // → distributed fallback. r14 ADVICE (medium): the old path
+    // assumed INT64 stats were micros/nanos from the SPARK type alone;
+    // a TIMESTAMP(MILLIS) fixture (same physical INT64) would come out
+    // 1000× off. Decide from the parquet LogicalTypeAnnotation itself:
+    //   - TimestampLogicalTypeAnnotation(unit) → convert per unit;
+    //   - plain INT64 (no logical type) surfacing as LongType → the
+    //     fixture's epoch-nanos contract (nanosAsLong), truncating
+    //     division by 1000 — monotone, so max commutes;
+    //   - anything else → fallback.
     def footerMax(): Option[Long] = try {
       val p = new java.io.File(Tables.path(dir, "events"))
       def walk(f: java.io.File): Seq[java.io.File] =
@@ -118,7 +133,26 @@ object StreamingQueries extends QueryRegistry {
           Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Seq.empty)
         else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
       val files = walk(p)
-      if (files.isEmpty) return None
+      if (files.isEmpty || files.length > footerMaxFiles) return None
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      import LogicalTypeAnnotation.TimeUnit
+      val sparkIsLong =
+        s.read.parquet(Tables.path(dir, "events")).schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType
+      // µs normalization per column chunk, decided from ITS annotation
+      def toMicros(raw: Long, ann: LogicalTypeAnnotation): Option[Long] = ann match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit match {
+            case TimeUnit.MICROS => Some(raw)
+            case TimeUnit.MILLIS => Some(Math.multiplyExact(raw, 1000L))
+            // truncating division like the scan path's `div 1000` —
+            // monotone, so max still commutes
+            case TimeUnit.NANOS => Some(raw / 1000L)
+            case _ => None
+          }
+        case null if sparkIsLong => Some(raw / 1000L) // epoch-nanos contract
+        case _ => None
+      }
       val maxes = files.map { f =>
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -131,23 +165,22 @@ object StreamingQueries extends QueryRegistry {
             if (c == null ||
               c.getPrimitiveType.getPrimitiveTypeName !=
                 org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
-              null
-            else c.getStatistics
+              None
+            else if (c.getStatistics == null || c.getStatistics.isEmpty ||
+              !c.getStatistics.hasNonNullValue) None
+            else toMicros(
+              c.getStatistics.genericGetMax.asInstanceOf[java.lang.Long].longValue,
+              c.getPrimitiveType.getLogicalTypeAnnotation)
           }
-          if (sts.isEmpty ||
-            sts.exists(s => s == null || s.isEmpty || !s.hasNonNullValue)) None
-          else Some(sts.map(
-            _.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+          if (sts.isEmpty || sts.exists(_.isEmpty)) None
+          else Some(sts.flatten.max)
         } finally rd.close()
       }
       if (maxes.exists(_.isEmpty)) None else Some(maxes.flatten.max)
     } catch { case _: Throwable => None }
 
-    val raw = s.read.parquet(Tables.path(dir, "events"))
-    val isNanos =
-      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
     footerMax() match {
-      case Some(m) => if (isNanos) m / 1000 else m // INT64 micros physical
+      case Some(m) => m
       case None => rawEventsMicros(s, dir).agg(max("ts")).head().getLong(0)
     }
   }

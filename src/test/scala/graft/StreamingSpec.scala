@@ -396,4 +396,40 @@ class StreamingSpec extends SparkTestBase {
     assert(joinChained.exceptAll(joinedBatch).isEmpty &&
       joinedBatch.exceptAll(joinChained).isEmpty)
   }
+
+  test("maxTsMicros footer fast path matches the scan across timestamp encodings") {
+    // r15 (r14 ADVICE medium): the footer path must convert per the
+    // parquet LogicalTypeAnnotation unit, never assume micros — a
+    // MILLIS fixture (same INT64 physical) was 1000x off before.
+    import java.nio.file.Files
+    def expected(dir: String): Long = {
+      val raw = spark.read.parquet(Tables.path(dir, "events"))
+      val micros = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("ts div 1000"))
+        case _ => raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")))
+      }
+      micros.agg(max("ts")).head().getLong(0)
+    }
+    def check(dir: String): Unit =
+      assert(queries.StreamingQueries.maxTsMicros(spark, dir) == expected(dir))
+    val base = spark.range(1, 1000)
+      .selectExpr("timestamp_micros(1700000000000000 + id * 1000000) as ts", "id")
+    // (a) TIMESTAMP(MICROS) — the session default
+    val dMicros = Files.createTempDirectory("graft_tsenc").toString
+    base.write.parquet(Tables.path(dMicros, "events")); check(dMicros)
+    // (b) TIMESTAMP(MILLIS) — same physical INT64, 1000x smaller values
+    val dMillis = Files.createTempDirectory("graft_tsenc").toString
+    val prior = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try base.write.parquet(Tables.path(dMillis, "events"))
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prior)
+    check(dMillis)
+    // (c) plain INT64 epoch-nanos (the events fixture contract)
+    val dNanos = Files.createTempDirectory("graft_tsenc").toString
+    spark.range(1, 1000)
+      .selectExpr("1700000000000000000 + id * 1000000000 as ts", "id")
+      .write.parquet(Tables.path(dNanos, "events"))
+    check(dNanos)
+  }
 }
